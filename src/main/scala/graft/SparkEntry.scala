@@ -1,13 +1,271 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.quality.Checks
+import graft.sources.Sources
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a §7.6 /
+  * north-star extension), expressed Spark-first; `oracleSql` carries the
+  * DuckDB-equivalent ANSI SQL for the driver's hash compare.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - every multi-row result has a total ORDER BY in BOTH engines;
+  *  - double sums go through an exact DECIMAL(25,10) accumulation and are
+  *    cast back to double at the end — bit-identical regardless of
+  *    summation order (plain double sums differ in the last ulp between
+  *    engines/partitionings);
+  *  - every computed column is aliased to the same name in both engines.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.testTable(s, dir, name)
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench
+    * sessions) — normalize it back to a TimestampType column. Integer
+    * division: ns-since-epoch (~1.7e18) exceeds double's 2^53 exact range,
+    * so a floating divide would corrupt timestamps. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
+  }
+
+  /** Order-insensitive exact sum of a double column (see scaladoc above).
+    * The result is capped at DECIMAL(18,4) before the double cast: DuckDB's
+    * wide-decimal→double conversion is not correctly rounded, but at scale 4
+    * the scaled integer stays below 2^53, making both engines' conversions
+    * exact and bit-identical. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(25, 10))).cast(DecimalType(18, 4)).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── A1: row counts (etl_pipeline.py:283–291) ─────────────────────
+    "q_count_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+    "q_count_part" -> ((s, dir) =>
+      t(s, dir, "part").agg(count(lit(1)).as("cnt"))),
+
+    // ── A2: single-pass per-column null counts (:327–334, :344–350) ──
+    "q_null_counts_lineitem" -> ((s, dir) =>
+      Checks.nullCounts(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_quantity", "l_shipdate"))),
+    "q_null_counts_part" -> ((s, dir) =>
+      Checks.nullCounts(t(s, dir, "part"),
+        Seq("p_partkey", "p_name", "p_retailprice"))),
+
+    // ── A3: duplicate-key detection (:364–369, :378–383) ─────────────
+    "q_duplicate_sales_keys" -> ((s, dir) =>
+      Checks.duplicateKeys(t(s, dir, "lineitem"), Seq("l_partkey", "l_shipdate"))
+        .orderBy(col("l_partkey"), col("l_shipdate"))),
+    "q_duplicate_pk" -> ((s, dir) =>
+      Checks.duplicateKeys(t(s, dir, "part"), Seq("p_partkey"))
+        .orderBy(col("p_partkey"))),
+
+    // ── J1 + B8: referential integrity via anti-join (:396–402) ──────
+    "q_orphan_lineitem_part" -> ((s, dir) =>
+      Checks.orphanRows(t(s, dir, "lineitem"), t(s, dir, "part"),
+        "l_partkey", "p_partkey").agg(count(lit(1)).as("orphans"))),
+    "q_orphan_orders_customer" -> ((s, dir) =>
+      Checks.orphanRows(t(s, dir, "orders"), t(s, dir, "customer"),
+        "o_custkey", "c_custkey").agg(count(lit(1)).as("orphans"))),
+
+    // ── A4: multi-column MIN/MAX ranges (:414–421, :438–443) ─────────
+    "q_value_ranges_lineitem" -> ((s, dir) =>
+      Checks.valueRanges(t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice"))),
+    "q_value_ranges_part" -> ((s, dir) =>
+      Checks.valueRanges(t(s, dir, "part"), Seq("p_retailprice"))),
+
+    // ── Flagship: filtered group-aggregate (TPC-H Q1 shape; exercises
+    //    parquet predicate pushdown + partial hash aggregation) ────────
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // ── Broadcast equi-join + aggregate (dimension side broadcast —
+    //    the fact side never shuffles for the join) ───────────────────
+    "q_revenue_by_segment" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_mktsegment"))),
+    "q_revenue_by_nation" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))),
+
+    // ── Top-k with total order (sort + limit; TakeOrderedAndProject) ──
+    "q_top_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // ── P10: exact dedup (:178) + north-star exact content dedup ─────
+    "q_distinct_documents" -> ((s, dir) =>
+      t(s, dir, "documents").dropDuplicates()
+        .agg(count(lit(1)).as("n_unique"))),
+    "q_dedup_exact_text" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"))),
+
+    // ── North star: text analysis over `documents` ───────────────────
+    "q_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+    "q_lang_distribution" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))),
+    "q_doc_fingerprints" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+            .as("fingerprint"))
+        .orderBy(col("doc_id"))),
+    "q_quality_scores" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+            length(col("text"))).as("alpha_ratio"),
+          (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+            length(col("text"))).as("digit_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // ── North star: event-time windowed aggregate (batch form; the
+    //    streaming form is graft.streaming, same logical query) ────────
+    "q_events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("value_sum"))
+        .orderBy(col("hour_start"), col("event_type")))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_count_lineitem" -> "SELECT COUNT(*) AS cnt FROM lineitem",
+    "q_count_part" -> "SELECT COUNT(*) AS cnt FROM part",
+    "q_null_counts_lineitem" ->
+      ("SELECT COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS null_l_orderkey, " +
+        "COUNT(*) FILTER (WHERE l_partkey IS NULL) AS null_l_partkey, " +
+        "COUNT(*) FILTER (WHERE l_quantity IS NULL) AS null_l_quantity, " +
+        "COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS null_l_shipdate " +
+        "FROM lineitem"),
+    "q_null_counts_part" ->
+      ("SELECT COUNT(*) FILTER (WHERE p_partkey IS NULL) AS null_p_partkey, " +
+        "COUNT(*) FILTER (WHERE p_name IS NULL) AS null_p_name, " +
+        "COUNT(*) FILTER (WHERE p_retailprice IS NULL) AS null_p_retailprice " +
+        "FROM part"),
+    "q_duplicate_sales_keys" ->
+      ("SELECT l_partkey, l_shipdate, COUNT(*) AS dupes FROM lineitem " +
+        "GROUP BY l_partkey, l_shipdate HAVING COUNT(*) > 1 " +
+        "ORDER BY l_partkey, l_shipdate"),
+    "q_duplicate_pk" ->
+      ("SELECT p_partkey, COUNT(*) AS dupes FROM part " +
+        "GROUP BY p_partkey HAVING COUNT(*) > 1 ORDER BY p_partkey"),
+    "q_orphan_lineitem_part" ->
+      ("SELECT COUNT(*) AS orphans FROM lineitem l " +
+        "LEFT JOIN part p ON l.l_partkey = p.p_partkey " +
+        "WHERE p.p_partkey IS NULL"),
+    "q_orphan_orders_customer" ->
+      ("SELECT COUNT(*) AS orphans FROM orders o " +
+        "LEFT JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "WHERE c.c_custkey IS NULL"),
+    "q_value_ranges_lineitem" ->
+      ("SELECT MIN(l_quantity) AS min_l_quantity, MAX(l_quantity) AS max_l_quantity, " +
+        "MIN(l_extendedprice) AS min_l_extendedprice, " +
+        "MAX(l_extendedprice) AS max_l_extendedprice FROM lineitem"),
+    "q_value_ranges_part" ->
+      ("SELECT MIN(p_retailprice) AS min_p_retailprice, " +
+        "MAX(p_retailprice) AS max_p_retailprice FROM part"),
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_revenue_by_segment" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_orders, " +
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS total_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_revenue_by_nation" ->
+      ("SELECT n_name, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_items " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+    "q_top_orders" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q_distinct_documents" ->
+      "SELECT COUNT(*) AS n_unique FROM (SELECT DISTINCT * FROM documents)",
+    "q_dedup_exact_text" ->
+      ("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique_texts " +
+        "FROM documents"),
+    "q_token_counts" ->
+      ("SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens " +
+        "FROM documents ORDER BY doc_id"),
+    "q_lang_distribution" ->
+      "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+    "q_doc_fingerprints" ->
+      ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint " +
+        "FROM documents ORDER BY doc_id"),
+    "q_quality_scores" ->
+      ("SELECT doc_id, " +
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio, " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio " +
+        "FROM documents ORDER BY doc_id"),
+    "q_events_hourly" ->
+      ("SELECT date_trunc('hour', ts) AS hour_start, event_type, " +
+        "COUNT(*) AS n_events, " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS value_sum " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+  )
 }

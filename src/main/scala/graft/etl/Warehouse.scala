@@ -1,0 +1,47 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Warehouse emulation — SURVEY.md §2.2 (K1–K3).
+  *
+  * The reference loads into BigQuery with `WRITE_TRUNCATE` + schema
+  * autodetect (dags/etl_pipeline.py:202–218) after creating the dataset
+  * if absent (:41–60). The Spark-native equivalent is the session catalog:
+  * `CREATE DATABASE IF NOT EXISTS` + `saveAsTable(Overwrite)` over parquet.
+  * Overwrite ≡ WRITE_TRUNCATE; the plan's schema ≡ autodetect; saveAsTable
+  * is synchronous ≡ `job.result()`. Kept behind small functions so a real
+  * connector (e.g. spark-bigquery-connector) could slot in.
+  */
+object Warehouse {
+
+  /** K3 — idempotent namespace creation (client.create_dataset(exists_ok=True),
+    * etl_pipeline.py:41–60; the `us-central1` location pin has no Spark
+    * analogue and is dropped, SURVEY §4.3). */
+  def ensureDatabase(spark: SparkSession, db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+
+  /** K2 — truncate-and-replace load (WRITE_TRUNCATE + autodetect,
+    * etl_pipeline.py:202–218). */
+  def overwriteTable(df: DataFrame, fqTable: String): Unit =
+    df.write.mode("overwrite").format("parquet").saveAsTable(fqTable)
+
+  /** K2 at scale — same load, partitioned by the given columns so that
+    * downstream date/key predicates get static + dynamic partition pruning
+    * on a 100 TB table (SURVEY §4.2). */
+  def overwritePartitionedTable(df: DataFrame, fqTable: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCols: _*).saveAsTable(fqTable)
+
+  /** K1 — CSV stage materialization (df.to_csv(index=False),
+    * etl_pipeline.py:74). Kept only for reference-shaped interop; the
+    * engine's own stage hand-off is the lazy plan (no materialization) or
+    * [[stageParquet]] when durability is wanted. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true").mode("overwrite").csv(path)
+
+  /** Typed durable stage boundary — replaces the reference's lossy /tmp CSV
+    * hop (SURVEY §1.5): parquet keeps types, so no re-inference/re-parse
+    * downstream. */
+  def stageParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source readers — SURVEY.md §2.1 (S1–S4).
+  *
+  * The reference reads an Excel sheet (dags/etl_pipeline.py:70), a JSON
+  * document containing an array of records (:92), stage-intermediate CSVs
+  * (:117, :169, :227, :248) and warehouse tables by name (:285 etc.).
+  * Here each becomes a lazy Spark scan; schema inference mirrors the
+  * reference's pandas inference semantics.
+  */
+object Sources {
+
+  /** S3 — CSV with header + type inference (pd.read_csv semantics,
+    * etl_pipeline.py:117). */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+
+  /** S2 — one JSON document holding an array of records
+    * (pd.read_json semantics, etl_pipeline.py:92). `multiLine=true` is
+    * required: Spark's default reader expects line-delimited JSON, while
+    * the reference parses a single document. */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** S1 — "tabular file with header" semantics. The reference's Excel read
+    * (etl_pipeline.py:70) immediately degrades to CSV at the first stage
+    * boundary (:73–74), so nothing downstream is Excel-specific; no xlsx
+    * jar ships in /opt/spark/jars (offline resolver), so the tabular
+    * semantics are served by the CSV reader. Pluggable by format name. */
+  def tabular(spark: SparkSession, path: String, format: String = "csv"): DataFrame =
+    format match {
+      case "csv"     => csv(spark, path)
+      case "json"    => json(spark, path)
+      case "parquet" => parquet(spark, path)
+      case other     => spark.read.format(other).load(path)
+    }
+
+  /** Columnar scan — the engine-native stage format (replaces the
+    * reference's lossy /tmp CSV hand-off, etl_pipeline.py:73–78). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S4 — warehouse table scan by name (FROM `proj.dataset.table`,
+    * etl_pipeline.py:285). */
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
+
+  /** Driver-testdata helper: `<sfDir>/<name>.parquet` (TESTDATA.md). */
+  def testTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
