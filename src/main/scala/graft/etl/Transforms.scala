@@ -49,27 +49,34 @@ object Transforms {
     }
   }
 
+  /** Coercing cast: bad values → null, never throw. Spark 4 runs ANSI mode
+    * by default (plain casts raise on malformed input), so coerce semantics
+    * must be explicit `try_cast` — which also keeps the library correct
+    * under either ANSI setting. */
+  private def tryCast(c: String, to: String): Column =
+    expr(s"try_cast(`$c` AS $to)").as(c)
+
   /** P6 — datetime parse with coerce: bad values → null (the exact
     * analogue of `pd.to_datetime(..., errors="coerce")`, etl_pipeline.py:137). */
   def coerceTimestamp(df: DataFrame, c: String): DataFrame =
-    df.withColumn(c, to_timestamp(col(c)))
+    df.withColumn(c, try_to_timestamp(col(c)))
 
   /** P7 — numeric parse with coerce → long (etl_pipeline.py:138; see §4.4
     * for the deliberate no-crash divergence). */
   def coerceLong(df: DataFrame, c: String): DataFrame =
-    df.withColumn(c, col(c).cast("long"))
+    df.withColumn(c, tryCast(c, "LONG"))
 
   /** P8 — numeric parse with coerce → double (etl_pipeline.py:139, :174). */
   def coerceDouble(df: DataFrame, c: String): DataFrame =
-    df.withColumn(c, col(c).cast("double"))
+    df.withColumn(c, tryCast(c, "DOUBLE"))
 
   /** Apply a name→type coercion map in one projection (single codegen stage
     * rather than N `withColumn` layers). */
   def coerceSchema(df: DataFrame, casts: Map[String, String]): DataFrame = {
     val cols: Seq[Column] = df.columns.toSeq.map { c =>
       casts.get(c) match {
-        case Some("timestamp") => to_timestamp(col(c)).as(c)
-        case Some(t)           => col(c).cast(t).as(c)
+        case Some("timestamp") => try_to_timestamp(col(c)).as(c)
+        case Some(t)           => tryCast(c, t)
         case None              => col(c)
       }
     }
