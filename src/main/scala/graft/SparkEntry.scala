@@ -180,7 +180,115 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_events"),
           dsum(col("value")).as("value_sum"))
-        .orderBy(col("hour_start"), col("event_type")))
+        .orderBy(col("hour_start"), col("event_type"))),
+
+    // ── North star: sessionization (session_window; oracle is the
+    //    equivalent gaps-and-islands SQL) ───────────────────────────────
+    "q_event_sessions" -> ((s, dir) =>
+      graft.streaming.StreamingOps.sessionCounts(events(s, dir), gap = "5 minutes")
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // ── Window functions: per-group top-k via row_number ─────────────
+    "q_top3_orders_per_segment" -> ((s, dir) => {
+      val joined = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk").cast("long").as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    }),
+
+    // ── Grouping sets: ROLLUP with subtotals ─────────────────────────
+    "q_rollup_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // ── Set operation: EXCEPT (customers with no orders) ─────────────
+    "q_customers_without_orders" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    // ── North star dedup: exact all-pairs n-gram Jaccard (ground truth;
+    //    the LSH variants below are the scale path) ────────────────────
+    "q_ngram_jaccard_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.exactJaccardPairs(
+        t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ── North star dedup: MinHash+LSH near-dups (approximate candidate
+    //    generation, exact verify; no SQL oracle — rows-only check, and
+    //    the ScalaTest asserts it recovers the exact-Jaccard pairs) ─────
+    "q_minhash_near_dups" -> ((s, dir) =>
+      graft.operators.Dedup.nearDupPairsMinHash(
+        t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ── North star dedup: SimHash near-dups (native Catalyst expression
+    //    + Hamming LSH; no SQL oracle) ──────────────────────────────────
+    "q_simhash_near_dups" -> ((s, dir) =>
+      graft.operators.Dedup.nearDupPairsSimHash(
+        s, t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ── North star similarity: exact brute-force cosine top-1 per probe
+    //    (IDs only in the output — argmax is stable across engines even
+    //    when the last ulp of the cosine isn't) ─────────────────────────
+    "q_ann_top1" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 20), "embedding", "vec_id", k = 1)
+        .select(col("q_id"), col("c_id").as("nn_id"))
+        .orderBy(col("q_id"))
+    }),
+
+    // ── North star similarity: sign-LSH cosine pairs (scale path; no
+    //    SQL oracle — rows-only + ScalaTest vs brute force) ─────────────
+    "q_embedding_similar_pairs" -> ((s, dir) =>
+      graft.operators.Similarity.cosinePairs(
+        t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.45)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ── North star text analysis: richer per-doc stats (higher-order
+    //    array functions in both engines) ──────────────────────────────
+    "q_text_stats" -> ((s, dir) => {
+      val c = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(c).cast("long").as("n_tokens"),
+        graft.functions.TextAnalysis.bpeIshTokenCount(c).cast("long").as("n_pieces"),
+        graft.functions.TextAnalysis.stopwordRatio(c).as("stop_ratio"),
+        graft.functions.TextAnalysis.meanTokenLength(c).as("mean_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── North star text analysis: language-ID distribution (heuristic —
+    //    no SQL oracle; semantics pinned by LangIdSpec on real-language
+    //    fixtures) ─────────────────────────────────────────────────────
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(graft.functions.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_pred"))),
+
+    // ── North star multimodal: binary payload → batched stub feature
+    //    extraction; n_bytes is the oracle-checkable invariant ─────────
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), lit("text").as("mtype"),
+          encode(col("text"), "UTF-8").as("payload"))
+      graft.operators.Multimodal.extractFeaturesDF(s, media, "doc_id", "mtype", "payload")
+        .select(col("media_id").as("doc_id"), col("n_bytes"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -266,6 +374,53 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS hour_start, event_type, " +
         "COUNT(*) AS n_events, " +
         "CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS value_sum " +
-        "FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // session_window ≡ gaps-and-islands: a gap >= the 5-minute threshold
+    // starts a new session (session windows are half-open intervals).
+    "q_event_sessions" ->
+      ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), " +
+        "g AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s FROM l), " +
+        "s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "q_top3_orders_per_segment" ->
+      ("SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (" +
+        "SELECT c_mktsegment, o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rk " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey) " +
+        "WHERE rk <= 3 ORDER BY c_mktsegment, rk"),
+    "q_rollup_counts" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "q_customers_without_orders" ->
+      ("SELECT c_custkey FROM customer " +
+        "EXCEPT SELECT o_custkey AS c_custkey FROM orders ORDER BY c_custkey"),
+    "q_ngram_jaccard_pairs" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+        "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS shingles " +
+        "FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents)), " +
+        "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.shingles,b.shingles))*1.0/greatest(len(list_distinct(list_concat(a.shingles,b.shingles))),1) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b"),
+    "q_ann_top1" ->
+      ("SELECT a.vec_id AS q_id, " +
+        "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id " +
+        "ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id LIMIT 1) AS nn_id " +
+        "FROM embeddings a WHERE a.vec_id < 20 ORDER BY q_id"),
+    "q_text_stats" ->
+      ("WITH n AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
+        "tk AS (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS tok FROM n) " +
+        "SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]')) AS BIGINT) AS n_pieces, " +
+        "len(list_filter(tok, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x)))*1.0" +
+        "/greatest(len(tok),1) AS stop_ratio, " +
+        "length(replace(norm,' ',''))*1.0/greatest(len(tok),1) AS mean_token_len " +
+        "FROM tk ORDER BY doc_id"),
+    "q_multimodal_features" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes " +
+        "FROM documents ORDER BY doc_id")
   )
 }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines
+  * (SURVEY.md §7.6.3 + north-star mandate): language ID, quality scoring,
+  * token counting, fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — codegen'd, whole-stage-compatible, no
+  * UDFs — so a 100 TB scan stays a single narrow pipelined stage.
+  */
+object TextAnalysis {
+
+  /** Canonical normalization: lowercase, collapse every non-alphanumeric
+    * run to a single space, trim. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-piece count: words, digit runs, and individual
+    * punctuation marks each count as a piece — the usual pre-tokenizer
+    * regex shape (letters | digits | single non-space symbol). */
+  def bpeIshTokenCount(c: Column): Column =
+    coalesce(regexp_count(c, lit("""[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]""")), lit(0))
+
+  /** Distinct word n-gram shingles of the normalized text (the unit of
+    * n-gram Jaccard / MinHash dedup). Guarded: Spark's `sequence(1, n)`
+    * with n < 1 would produce a DESCENDING range, so short texts map to an
+    * empty array explicitly. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    val grams = transform(
+      sequence(lit(1), size(t) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(t, i + lit(o))): _*))
+    array_distinct(when(size(t) >= n, grams).otherwise(array()))
+  }
+
+  /** Deterministic content fingerprint of normalized text (md5 hex —
+    * portable across engines, used by exact content-dedup). */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** 64-bit rolling-hash fingerprint (xxhash64) — cheaper join key than the
+    * hex md5 when the fingerprint only needs to be compared, not displayed. */
+  def fingerprint64(c: Column): Column = xxhash64(normalizeText(c))
+
+  // ── language ID ───────────────────────────────────────────────────────
+
+  /** Tiny public stopword lists per language — enough signal for a
+    * coarse-grained heuristic router. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "was", "for", "are", "with", "this"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "ich", "zu", "mit", "auf", "für", "sich"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "se", "no", "los", "las", "por"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour", "dans", "ce", "pas", "sur"))
+
+  /** CJK-character ratio of the raw text (Chinese detection — CJK text
+    * doesn't whitespace-tokenize, so stopword voting can't see it). */
+  def cjkRatio(c: Column): Column =
+    coalesce(regexp_count(c, lit("[\\p{IsHan}]")), lit(0)).cast("double") /
+      greatest(length(c), lit(1))
+
+  /** Per-language stopword hit count (multiplicity-aware: filter, not
+    * set-intersect — "the the the" is 3 English votes). */
+  private def stopwordHits(toks: Column, lang: String): Column = {
+    val stops = array(stopwords(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t)))
+  }
+
+  /** Heuristic language ID: "zh" when the CJK ratio dominates, otherwise
+    * argmax of stopword votes (deterministic ties: highest vote, then
+    * language code). Returns "und" (undetermined) when no stopword hits. */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scored = array(stopwords.keys.toSeq.sorted.map { lang =>
+      struct(stopwordHits(toks, lang).as("score"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(cjkRatio(c) > 0.3, lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // ── quality scoring ───────────────────────────────────────────────────
+
+  /** Alphabetic-character ratio of the raw text. */
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(c), lit(1))
+
+  /** Mean token length of the normalized text. */
+  def meanTokenLength(c: Column): Column = {
+    val t = tokens(c)
+    (length(concat_ws("", t))).cast("double") / greatest(size(t), lit(1))
+  }
+
+  /** English stopword ratio — high-quality running prose sits roughly in
+    * [0.2, 0.6]; word salad and boilerplate fall outside. */
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    stopwordHits(t, "en").cast("double") / greatest(size(t), lit(1))
+  }
+
+  /** Composite quality score in [0,1] — mean of clamped component signals
+    * (length, alpha ratio, mean word length band, stopword presence).
+    * Heuristic by design; each component is also exposed individually. */
+  def qualityScore(c: Column): Column = {
+    val lengthScore = least(tokenCount(c).cast("double") / lit(100.0), lit(1.0))
+    val alphaScore = least(alphaRatio(c) / lit(0.7), lit(1.0))
+    val wordLen = meanTokenLength(c)
+    val wordLenScore = when(wordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.3))
+    val stopScore = least(stopwordRatio(c) / lit(0.2), lit(1.0))
+    (lengthScore + alphaScore + wordLenScore + stopScore) / lit(4.0)
+  }
+}

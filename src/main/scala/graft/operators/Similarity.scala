@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — north-star
+  * mandate: brute-force cosine top-k as the exact baseline, sign-LSH
+  * (random hyperplane, Charikar 2002) bucketing as the scale path.
+  *
+  * All similarity math is higher-order-function expression work
+  * (`zip_with`/`aggregate`) on doubles — codegen'd, no UDFs, no
+  * driver-side loops.
+  */
+object Similarity {
+
+  /** Cast a float vector to doubles (stable arithmetic + exact fold). */
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product of two equal-length vectors (left fold, deterministic
+    * order). */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+
+  /** Cosine similarity of two float vectors (zero-vector-safe). */
+  def cosineCol(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    dotCol(ad, bd) / greatest(normCol(ad) * normCol(bd), lit(1e-12))
+  }
+
+  /** Exact brute-force cosine top-k: every probe scored against the whole
+    * corpus, per-probe ranking via window. The probe set is broadcast, so
+    * the corpus scan is a single narrow pass — the right baseline shape
+    * when |probes| ≪ |corpus| (the corpus never shuffles; the only
+    * shuffle is the per-probe ranking, sized |probes| × |corpus| rows
+    * pruned to (id, score) pairs, further cut by a per-partition
+    * local top-k before the exchange). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, k: Int = 10): DataFrame = {
+    val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(p), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosineCol(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  // ── sign-LSH (random hyperplane) scale path ──────────────────────────
+
+  /** Deterministic ±1 hyperplanes (seeded — plans must be reproducible
+    * across executors and runs; no runtime randomness in a query plan). */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(array(Seq.fill(dim)(lit(if (rng.nextBoolean()) 1.0 else -1.0)): _*))
+  }
+
+  /** Pack sign bits of plane dot products into a long signature. Cosine-
+    * similar vectors agree on most sign bits (P[bit agree] = 1 − θ/π). */
+  def signSignature(v: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val vd = asDouble(v)
+    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
+      when(dotCol(vd, p) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Near-duplicate pairs by cosine ≥ threshold: sign-LSH bucket join for
+    * candidates (a pair is a candidate when any 4-bit chunk of the 16-bit
+    * signature matches — pigeonhole covers Hamming ≤ 3 exactly), then
+    * exact cosine verification. Candidate generation is an equi-join on
+    * (chunk, chunk_key): hash-partitioned, never all-pairs. */
+  def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, dim: Int = 64): DataFrame = {
+    val nPlanes = 16
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      signSignature(col(vecCol), nPlanes, dim).as("sig"))
+    val chunked = sig.select(col("id"), col("vec"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("sig"), j * 4).bitwiseAND(lit(0xfL))): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_key")
+    val left = chunked.select(col("chunk"), col("chunk_key"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val right = chunked.select(col("chunk"), col("chunk_key"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    left.join(right, Seq("chunk", "chunk_key"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosineCol(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Approximate top-k: probes only score candidates sharing a signature
+    * chunk (the IVF-ish restriction of [[bruteForceTopK]] — each probe
+    * visits ~|corpus| / 2⁴ of the data per chunk instead of all of it). */
+  def approxTopKLSH(corpus: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, k: Int = 10, dim: Int = 64): DataFrame = {
+    val nPlanes = 16
+    def chunked(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        signSignature(col(vecCol), nPlanes, dim).as("sig"))
+        .select(col(idAs), col(vecAs),
+          posexplode(array((0 until 4).map(j =>
+            shiftright(col("sig"), j * 4).bitwiseAND(lit(0xfL))): _*)))
+        .withColumnRenamed("pos", "chunk")
+        .withColumnRenamed("col", "chunk_key")
+    val p = chunked(probes, "q_id", "q_vec")
+    val c = chunked(corpus, "c_id", "c_vec")
+    val cand = c.join(broadcast(p), Seq("chunk", "chunk_key"))
+      .where(col("q_id") =!= col("c_id"))
+      .dropDuplicates("q_id", "c_id")
+      .select(col("q_id"), col("c_id"),
+        cosineCol(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSparkSession
+
+/** Text-analysis specs: language ID on real-language sentences (the
+  * testdata's `lang` labels are synthetic word-salad, so real semantics are
+  * pinned here), token counts, fingerprints, quality components. */
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  test("langId identifies real-language sentences") {
+    val samples = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and it was very happy with that"),
+      ("de", "der schnelle braune fuchs springt über den faulen hund und ist sehr glücklich mit der sache"),
+      ("es", "el zorro marrón salta sobre el perro perezoso y es muy feliz con la vida en el campo"),
+      ("fr", "le renard brun saute sur le chien paresseux et il est très heureux dans la forêt pour toujours"),
+      ("zh", "敏捷的棕色狐狸跳过了懒惰的狗它对此感到非常高兴")).toDF("expected", "text")
+    val got = samples.select($"expected",
+      TextAnalysis.langId($"text").as("pred")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("langId returns 'und' for stopword-free text") {
+    val pred = Seq("zzz qqq xxx").toDF("text")
+      .select(TextAnalysis.langId($"text")).head().getString(0)
+    assert(pred == "und")
+  }
+
+  test("tokenCount and bpeIshTokenCount") {
+    val df = Seq("Hello, world! 42 times.").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text").as("t"),
+      TextAnalysis.bpeIshTokenCount($"text").as("p")).head()
+    assert(r.getInt(0) == 4) // hello world 42 times
+    // pieces: Hello , world ! 42 times . => 7
+    assert(r.getInt(1) == 7)
+  }
+
+  test("fingerprint is normalization-invariant; fingerprint64 matches on equal content") {
+    val df = Seq(("Hello,   WORLD!", "hello world")).toDF("a", "b")
+    val r = df.select(
+      (TextAnalysis.fingerprint($"a") === TextAnalysis.fingerprint($"b")).as("eq"),
+      (TextAnalysis.fingerprint64($"a") === TextAnalysis.fingerprint64($"b")).as("eq64")).head()
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
+  test("shingles: distinct word n-grams; short text yields empty, not descending sequence") {
+    val df = Seq(("a b c d", "a b")).toDF("long", "short")
+    val r = df.select(
+      TextAnalysis.shingles($"long", 3).as("s3"),
+      TextAnalysis.shingles($"short", 3).as("empty")).head()
+    assert(r.getSeq[String](0).toSet == Set("a b c", "b c d"))
+    assert(r.getSeq[String](1).isEmpty)
+  }
+
+  test("quality components: prose scores higher than junk") {
+    val df = Seq(
+      ("prose", "the cat sat on the mat and it was warm in the sun for hours while the birds sang"),
+      ("junk", "@@@@ #### $$$$ %%%% 1234 !!!! ???? ****")).toDF("kind", "text")
+    val scores = df.select($"kind", TextAnalysis.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(scores("prose") > scores("junk"))
+    assert(scores("prose") > 0.5 && scores("junk") < 0.5)
+  }
+
+  test("simhash64 expression: registered SQL function, deterministic, codegen path") {
+    GraftFunctions.register(spark)
+    val df = Seq("spark is fast", "spark is fast", "totally different words here")
+      .toDF("text")
+      .select(GraftFunctions.simhash64(TextAnalysis.tokens($"text")).as("sh"))
+    val hashes = df.as[Long].collect()
+    assert(hashes(0) == hashes(1))
+    assert(hashes(0) != hashes(2))
+    // usable from SQL too
+    Seq("x y z").toDF("text").createOrReplaceTempView("simhash_probe")
+    val viaSql = spark.sql(
+      "SELECT simhash64(split(text, ' ')) FROM simhash_probe").head().getLong(0)
+    assert(viaSql != 0L)
+  }
+}

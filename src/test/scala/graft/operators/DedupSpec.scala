@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSparkSession
+
+/** Dedup family specs: exact, MinHash+LSH (recall vs exact ground truth),
+  * SimHash, embedding near-dups. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("exactByContent keeps one row per normalized text, lowest id") {
+    val df = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"), // same normalized content
+      (3L, "something else")).toDF("doc_id", "text")
+    val out = Dedup.exactByContent(df, "text", "doc_id")
+    assert(out.count() == 2)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("jaccardCol: identical sets = 1, disjoint = 0") {
+    val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"), Seq("x y z")))
+      .toDF("a", "b", "c")
+    val row = df.select(
+      Dedup.jaccardCol($"a", $"b").as("same"),
+      Dedup.jaccardCol($"a", $"c").as("disjoint")).head()
+    assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 0.0)
+  }
+
+  test("MinHash+LSH near-dups match exact all-pairs Jaccard ground truth") {
+    val exact = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupPairsMinHash(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    // LSH verifies candidates with the same exact Jaccard, so no false
+    // positives; recall at j >= 0.88 (the planted pairs) is ~1 for k=128,r=4.
+    assert(lsh == exact, s"missed=${exact -- lsh} spurious=${lsh -- exact}")
+  }
+
+  test("SimHash: identical texts collide at Hamming 0; near-identical nearby") {
+    val df = Seq(
+      (1L, "spark makes distributed dataframes fast and simple to use"),
+      (2L, "spark makes distributed dataframes fast and simple to use"),
+      (3L, "spark makes distributed dataframes fast and efficient to use"),
+      (4L, "completely different content about databases and storage engines zzz qqq"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsSimHash(spark, df, "text", "doc_id", maxHamming = 12)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(pairs((1L, 2L)) == 0L) // identical → identical simhash
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // one-word edit stays close
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("embedding near-dup pairs: planted duplicate vector is found") {
+    val base = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(64)(i => math.cos(i * 3 + 1).toFloat)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val pairs = Dedup.nearDupPairsEmbedding(df, "embedding", "vec_id", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSparkSession
+
+/** Structured Streaming specs: the same transform applied to a file-replay
+  * stream and to the batch frame must agree (Spark's unified semantics —
+  * this is the property the extension mandate cares about). */
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+
+  /** events (sf0.001) with ts normalized from TIMESTAMP(NANOS). */
+  private lazy val batchEvents: DataFrame = {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** The same events re-staged as typed parquet (micros), one file, so the
+    * replay is a single micro-batch: stream ≡ batch equality holds exactly.
+    * (Multi-file replay of randomly-partitioned data would legitimately
+    * drop out-of-order events past the watermark — that semantics is
+    * pinned separately in the late-data test below.) */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("events_stream").toString
+    batchEvents.repartition(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def replay: DataFrame =
+    StreamingOps.replayParquet(spark, stagedDir, batchEvents.schema, maxFilesPerTrigger = 10)
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("tumbling window: stream result equals batch result") {
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.tumblingCounts(replay, "1 hour"), "tumbling_out")
+    val batch = StreamingOps.tumblingCounts(batchEvents, "1 hour")
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("session window: stream result equals batch result") {
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.sessionCounts(replay, "5 minutes"), "session_out")
+    val batch = StreamingOps.sessionCounts(batchEvents, "5 minutes")
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("sliding window: stream result equals batch result") {
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.slidingCounts(replay, "10 minutes", "5 minutes"), "sliding_out")
+    val batch = StreamingOps.slidingCounts(batchEvents, "10 minutes", "5 minutes")
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("watermark drops late data (event older than watermark is discarded)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = source.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.tumblingCounts(events, "1 hour", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // batch 1: watermark advances to 12:50
+      source.addData((ts("2024-01-01 10:30:00"), "a", 1.0), (ts("2024-01-01 13:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: 10:45 is inside the already-finalized 10:00 window, far
+      // behind the 12:50 watermark -> must be dropped
+      source.addData((ts("2024-01-01 10:45:00"), "a", 1.0), (ts("2024-01-01 14:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      // batch 3: advance watermark far enough to emit everything pending
+      source.addData((ts("2024-01-01 20:00:00"), "a", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("late_out")
+      .select($"window_start".cast("string"), $"n_events").as[(String, Long)]
+      .collect().toMap
+    assert(counts("2024-01-01 10:00:00") == 1L, "late 10:45 event must NOT be counted")
+    assert(counts("2024-01-01 13:00:00") == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-watermark duplicate keys") {
+    import spark.implicits._
+    val dupDir = Files.createTempDirectory("events_dup").toString
+    val dup = batchEvents.limit(50)
+    dup.union(dup).write.mode("overwrite").parquet(dupDir) // every event twice
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.dedupWithinWatermark(
+        StreamingOps.replayParquet(spark, dupDir, batchEvents.schema, 8),
+        Seq("event_id")),
+      "dedup_out", outputMode = "append")
+    assert(streamed.count() == 50)
+    assert(streamed.select("event_id").as[Long].collect().toSet.size == 50)
+  }
+}
