@@ -10,9 +10,33 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim", exprs => JaccardSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "norm_tokens", exprs => NormTokens(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles", exprs => ShinglesExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   /** `simhash64(array<string>) -> long` as a Column (session must be
     * registered first; queries call [[register]] idempotently). */
   def simhash64(c: Column): Column = call_function("simhash64", c)
+
+  /** `minhash_sig(array<string>, k) -> array<int>` as a Column. */
+  def minhashSig(c: Column, k: Int): Column =
+    call_function("minhash_sig", c, org.apache.spark.sql.functions.lit(k))
+
+  /** `jaccard_sim(array<string>, array<string>) -> double` as a Column. */
+  def jaccardSim(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
+
+  /** `norm_tokens(string) -> array<string>` as a Column. */
+  def normTokens(c: Column): Column = call_function("norm_tokens", c)
+
+  /** `shingles(string, n) -> array<string>` as a Column. */
+  def shinglesNative(c: Column, n: Int): Column =
+    call_function("shingles", c, org.apache.spark.sql.functions.lit(n))
 }

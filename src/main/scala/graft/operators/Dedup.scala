@@ -30,23 +30,88 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** (id, shingles) projection — distinct word n-gram shingles per doc. */
-  def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("shingles"))
+  /** (id, shingles) projection — distinct word n-gram shingles per doc.
+    *
+    * Repartitions by id BEFORE the shingle expression: higher-order
+    * functions (transform/aggregate) evaluate interpreted (outside
+    * whole-stage codegen), so shingling+minhashing is the CPU-heavy stage
+    * — its parallelism must come from the operator, not from however many
+    * files the input happened to be (a single-file table would otherwise
+    * run the whole corpus in one task). The shuffle moves only (id, text). */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), col(textCol).as("_text"))
+      .repartition(cpuParallelism(df), col("id"))
+      .select(col("id"), GraftFunctions.shinglesNative(col("_text"), n).as("shingles"))
       .where(size(col("shingles")) > 0)
+  }
 
-  /** Exact n-gram Jaccard similarity for ALL pairs above a threshold.
-    * All-pairs is quadratic — correct as a ground-truth/verification
-    * operator and for modest corpora; the scale path is
-    * [[nearDupPairsMinHash]], which generates candidates in O(docs ×
-    * bands) and verifies with this same Jaccard expression. */
+  /** Explicit partition count for CPU-bound expression stages. A plain
+    * `repartition(col)` lets AQE coalesce by BYTE size — and text/vector
+    * compute is heavy per byte, so AQE would merge a small-on-disk corpus
+    * back into one task. An explicit count pins the parallelism. */
+  private[operators] def cpuParallelism(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** EXACT n-gram Jaccard pairs above a threshold, via prefix-filtering
+    * set-similarity join (Vernica/Carey/Li, "Efficient Parallel
+    * Set-Similarity Joins Using MapReduce", SIGMOD 2010 — public
+    * literature): under any fixed global token order, two sets with
+    * J ≥ τ MUST share a token within the first |S| − ⌈τ·|S|⌉ + 1 tokens
+    * of each (pigeonhole on the required overlap ≥ ⌈τ·max|S|⌉). So:
+    * explode only the prefix, equi-join on the prefix token, then verify
+    * candidates with the exact Jaccard. No all-pairs product anywhere —
+    * the joins are hash-partitioned on token / id, which is what survives
+    * a 100×-scale corpus. Results are identical to the quadratic
+    * definition (it is a candidate-pruning rewrite, not an approximation). */
   def exactJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
     val sh = shingleSets(df, textCol, idCol, n)
-    val a = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
+    // Global token order = ascending document frequency (rarest first),
+    // ties by token value — the load-bearing part of prefix filtering:
+    // prefixes then hold each doc's RAREST shingles, so the candidate
+    // equi-join buckets stay small even on corpora with skewed token
+    // frequencies (lexicographic ordering degenerates to near-all-pairs
+    // when frequent tokens land in prefixes).
+    val tokens = sh.select(col("id"), explode(col("shingles")).as("tok"))
+    val docFreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Materialized once (localCheckpoint): this subtree otherwise
+    // re-executes for the prefix explode AND each verify join side —
+    // 3× the corpus's heaviest stage. Blocks are evicted by the
+    // ContextCleaner when the plan is garbage-collected.
+    val ordered = tokens.join(docFreq, Seq("tok"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("id"), transform(col("ord"), x => x.getField("tok")).as("sh"))
+      .localCheckpoint()
+    val prefixLen = (size(col("sh")).cast("double") -
+      ceil(size(col("sh")).cast("double") * lit(threshold)) + 1).cast("int")
+    val prefixTokens = ordered
+      .select(col("id"), size(col("sh")).as("sz"),
+        explode(slice(col("sh"), lit(1), greatest(prefixLen, lit(1)))).as("tok"))
+    // Length filter: J ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ — prune before dedup.
+    val candidates = prefixTokens.as("a")
+      .join(prefixTokens.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("b.sz") >= col("a.sz") * threshold &&
+          col("a.sz") >= col("b.sz") * threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, ordered, threshold)
+  }
+
+  /** Join candidate (id_a, id_b) pairs back to their shingle sets and keep
+    * exact Jaccard ≥ threshold. Candidates travel as bare ID pairs until
+    * this point — the arrays are only shuffled once per side, keyed by id.
+    * The Jaccard itself is the native [[graft.functions.JaccardSim]]
+    * kernel (same math as [[jaccardCol]], codegen'd O(n+m)). */
+  private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
+      threshold: Double): DataFrame = {
+    GraftFunctions.register(shingled.sparkSession)
+    candidates
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", GraftFunctions.jaccardSim(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -56,13 +121,14 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1))
 
-  /** MinHash signatures: k independent hash functions simulated by seeding
-    * Spark's murmur3 `hash(shingle, i)`; signature[i] = min over shingles.
-    * Pure expression work — no UDF, no shuffle. */
-  def minHashSignatures(shingled: DataFrame, k: Int = 128): DataFrame =
-    shingled.withColumn("sig",
-      transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(col("shingles"), s => hash(s, i)))))
+  /** MinHash signatures via the native [[graft.functions.MinHashSig]]
+    * expression — one tight hashing loop per row inside whole-stage
+    * codegen. (The pure-SQL HOF form works but evaluates interpreted and
+    * allocates k arrays per row — ~100× slower on a corpus scan.) */
+  def minHashSignatures(shingled: DataFrame, k: Int = 128): DataFrame = {
+    GraftFunctions.register(shingled.sparkSession)
+    shingled.withColumn("sig", GraftFunctions.minhashSig(col("shingles"), k))
+  }
 
   /** MinHash + LSH near-duplicate pairs (shingle → minhash → band →
     * bucket-join → exact-Jaccard verify):
@@ -79,26 +145,26 @@ object Dedup {
   def nearDupPairsMinHash(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, n: Int = 3, k: Int = 128, r: Int = 4): DataFrame = {
     val b = k / r
+    // Materialized once — reused by the signature/banding self-join (2×)
+    // and both verify join sides (2×); see exactJaccardPairs.
     val sh = shingleSets(df, textCol, idCol, n)
-    val sig = minHashSignatures(sh, k)
-    val banded = sig.select(col("id"), col("shingles"),
+      .select(col("id"), array_sort(col("shingles")).as("sh"))
+      .localCheckpoint()
+    val sig = minHashSignatures(sh.withColumnRenamed("sh", "shingles"), k)
+    // Bands carry ONLY (band, band_key, id): the shingle arrays never ride
+    // the candidate shuffle — they are re-joined per side for the verify.
+    val banded = sig.select(col("id"),
       posexplode(array((0 until b).map(j =>
         hash(slice(col("sig"), j * r + 1, r), lit(j))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val left = banded.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val right = banded.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    val candidates = left
-      .join(right, Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(candidates, sh, threshold)
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (native Catalyst
@@ -108,8 +174,10 @@ object Dedup {
   def nearDupPairsSimHash(spark: SparkSession, df: DataFrame, textCol: String,
       idCol: String, maxHamming: Int = 3): DataFrame = {
     GraftFunctions.register(spark)
-    val hashed = df.select(col(idCol).as("id"),
-      GraftFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("_text"))
+      .repartition(cpuParallelism(df), col("id"))
+      .select(col("id"),
+        GraftFunctions.simhash64(GraftFunctions.normTokens(col("_text"))).as("sh"))
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*)))

@@ -42,7 +42,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
       idCol: String, k: Int = 10): DataFrame = {
     val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    // Repartition the corpus scan: cosine scoring (interpreted HOF math)
+    // must parallelize even when the corpus is a single parquet file.
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .repartition(Dedup.cpuParallelism(corpus), col("c_id"))
     val scored = c.join(broadcast(p), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         cosineCol(col("q_vec"), col("c_vec")).as("cosine"))
@@ -78,20 +81,28 @@ object Similarity {
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, dim: Int = 64): DataFrame = {
     val nPlanes = 16
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      signSignature(col(vecCol), nPlanes, dim).as("sig"))
-    val chunked = sig.select(col("id"), col("vec"),
+    // Keyed repartition before the signature stage: the plane dot products
+    // are interpreted higher-order expressions (the CPU-heavy part), so
+    // parallelism must not depend on the input's file count.
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(Dedup.cpuParallelism(df), col("id"))
+    val sig = vecs.select(col("id"), signSignature(col("vec"), nPlanes, dim).as("sig"))
+    // Candidates travel as bare ID pairs; vectors are re-joined per side
+    // for the exact-cosine verify (the arrays never ride the bucket shuffle).
+    val chunked = sig.select(col("id"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("sig"), j * 4).bitwiseAND(lit(0xfL))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_key")
-    val left = chunked.select(col("chunk"), col("chunk_key"),
-      col("id").as("id_a"), col("vec").as("vec_a"))
-    val right = chunked.select(col("chunk"), col("chunk_key"),
-      col("id").as("id_b"), col("vec").as("vec_b"))
-    left.join(right, Seq("chunk", "chunk_key"))
-      .where(col("id_a") < col("id_b"))
+    val candidates = chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_key") === col("b.chunk_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cosine", cosineCol(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
@@ -103,24 +114,29 @@ object Similarity {
   def approxTopKLSH(corpus: DataFrame, probes: DataFrame, vecCol: String,
       idCol: String, k: Int = 10, dim: Int = 64): DataFrame = {
     val nPlanes = 16
-    def chunked(df: DataFrame, idAs: String, vecAs: String) =
-      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+    def chunked(df: DataFrame, idAs: String) =
+      df.select(col(idCol).as(idAs),
         signSignature(col(vecCol), nPlanes, dim).as("sig"))
-        .select(col(idAs), col(vecAs),
+        .select(col(idAs),
           posexplode(array((0 until 4).map(j =>
             shiftright(col("sig"), j * 4).bitwiseAND(lit(0xfL))): _*)))
         .withColumnRenamed("pos", "chunk")
         .withColumnRenamed("col", "chunk_key")
-    val p = chunked(probes, "q_id", "q_vec")
-    val c = chunked(corpus, "c_id", "c_vec")
-    val cand = c.join(broadcast(p), Seq("chunk", "chunk_key"))
+    // Candidate IDs first (probe side broadcast), vectors re-joined after
+    // the dedup — the corpus vectors never ride the bucket join.
+    val cand = chunked(corpus, "c_id")
+      .join(broadcast(chunked(probes, "q_id")), Seq("chunk", "chunk_key"))
       .where(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
       .dropDuplicates("q_id", "c_id")
+    val scored = cand
+      .join(broadcast(probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))), Seq("q_id"))
+      .join(corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")), Seq("c_id"))
       .select(col("q_id"), col("c_id"),
         cosineCol(col("q_vec"), col("c_vec")).as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
 }
