@@ -216,6 +216,53 @@ object SparkEntry {
         .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
         .orderBy(col("c_custkey"))),
 
+    // ── Set operation: INTERSECT (suppliers in customer nations) ─────
+    "q_supplier_customer_nations" -> ((s, dir) =>
+      t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "customer").select(col("c_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    // ── Window: lag/lead + running sum per customer order history ────
+    "q_order_deltas" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .where(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(25, 10)))
+            .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast(DecimalType(18, 4)).cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // ── Grouping sets: CUBE over two dimensions ──────────────────────
+    "q_cube_order_stats" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // ── Correlated-style aggregate filter: orders above their
+    //    customer's average (decorrelated as join against the agg) ─────
+    "q_above_avg_orders" -> ((s, dir) => {
+      // avg as exact-decimal-sum ÷ count in DOUBLE: both engines then
+      // compute bit-identical averages, so the > comparison agrees even
+      // for rows near the boundary.
+      val avgPerCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      t(s, dir, "orders")
+        .join(avgPerCust, Seq("o_custkey"))
+        .where(col("o_totalprice") > col("avg_price") * 2)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // ── North star dedup: exact all-pairs n-gram Jaccard (ground truth;
     //    the LSH variants below are the scale path) ────────────────────
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
@@ -397,6 +444,30 @@ object SparkEntry {
     "q_customers_without_orders" ->
       ("SELECT c_custkey FROM customer " +
         "EXCEPT SELECT o_custkey AS c_custkey FROM orders ORDER BY c_custkey"),
+    "q_supplier_customer_nations" ->
+      ("SELECT s_nationkey AS nationkey FROM supplier " +
+        "INTERSECT SELECT c_nationkey AS nationkey FROM customer ORDER BY nationkey"),
+    "q_order_deltas" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "lag(o_orderkey, 1) OVER w AS prev_orderkey, " +
+        "lead(o_orderkey, 1) OVER w AS next_orderkey, " +
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) " +
+        "AS DECIMAL(18,4)) AS DOUBLE) AS running_total " +
+        "FROM orders WHERE o_custkey < 100 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderdate, o_orderkey"),
+    "q_cube_order_stats" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "q_above_avg_orders" ->
+      ("WITH a AS (SELECT o_custkey, " +
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE)/COUNT(*) AS avg_price " +
+        "FROM orders GROUP BY o_custkey) " +
+        "SELECT o.o_custkey, COUNT(*) AS n_above FROM orders o JOIN a USING (o_custkey) " +
+        "WHERE o.o_totalprice > a.avg_price * 2 GROUP BY o.o_custkey ORDER BY o.o_custkey"),
     "q_ngram_jaccard_pairs" ->
       ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
         "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS shingles " +

@@ -27,17 +27,22 @@ object Sources {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", "true").json(path)
 
-  /** S1 — "tabular file with header" semantics. The reference's Excel read
-    * (etl_pipeline.py:70) immediately degrades to CSV at the first stage
-    * boundary (:73–74), so nothing downstream is Excel-specific; no xlsx
-    * jar ships in /opt/spark/jars (offline resolver), so the tabular
-    * semantics are served by the CSV reader. Pluggable by format name. */
-  def tabular(spark: SparkSession, path: String, format: String = "csv"): DataFrame =
-    format match {
-      case "csv"     => csv(spark, path)
-      case "json"    => json(spark, path)
-      case "parquet" => parquet(spark, path)
-      case other     => spark.read.format(other).load(path)
+  /** S1 — Excel workbook scan (pd.read_excel semantics,
+    * etl_pipeline.py:70): first sheet, header row, string cells. Backed
+    * by the zero-dependency [[ExcelSource]] DataSourceV2 (xlsx = zip of
+    * XML; JDK-only parse — SURVEY §7.4 phase-2). */
+  def excel(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xlsx").load(path)
+
+  /** "Tabular file with header" — pluggable by format name; picks the
+    * format from the extension when called with "auto". */
+  def tabular(spark: SparkSession, path: String, format: String = "auto"): DataFrame =
+    (if (format == "auto") path.replaceAll(".*\\.", "") else format) match {
+      case "csv"            => csv(spark, path)
+      case "json"           => json(spark, path)
+      case "parquet"        => parquet(spark, path)
+      case "xlsx" | "excel" => excel(spark, path)
+      case other            => spark.read.format(other).load(path)
     }
 
   /** Columnar scan — the engine-native stage format (replaces the

@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.io.FileOutputStream
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSparkSession
+
+/** Excel DataSourceV2 specs: reads a programmatically-built OOXML
+  * workbook (shared strings, inline strings, numbers, empty cells),
+  * prunes columns, and feeds the E2E pipeline. */
+class ExcelSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+
+  /** Build a minimal .xlsx: sharedStrings for the header, inline strings
+    * and numeric cells in the data rows, one deliberately-empty cell. */
+  private def writeXlsx(path: String, header: Seq[String], rows: Seq[Seq[Any]]): String = {
+    def colRef(c: Int, r: Int): String = {
+      require(c < 26); s"${('A' + c).toChar}${r + 1}"
+    }
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>""")
+    entry("xl/sharedStrings.xml",
+      "<?xml version=\"1.0\"?><sst>" +
+        header.map(h => s"<si><t>$h</t></si>").mkString + "</sst>")
+    val headerXml = header.indices.map(c =>
+      s"""<c r="${colRef(c, 0)}" t="s"><v>$c</v></c>""").mkString
+    val dataXml = rows.zipWithIndex.map { case (row, r) =>
+      val cells = row.zipWithIndex.collect {
+        case (v: String, c) =>
+          s"""<c r="${colRef(c, r + 1)}" t="inlineStr"><is><t>$v</t></is></c>"""
+        case (v: Int, c)    => s"""<c r="${colRef(c, r + 1)}"><v>$v</v></c>"""
+        case (v: Double, c) => s"""<c r="${colRef(c, r + 1)}"><v>$v</v></c>"""
+        // null → no cell element at all (sparse row, like real writers)
+      }.mkString
+      s"""<row r="${r + 2}">$cells</row>"""
+    }.mkString
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData><row r="1">$headerXml</row>$dataXml</sheetData></worksheet>""")
+    zos.close()
+    path
+  }
+
+  private lazy val salesXlsx: String = {
+    val dir = Files.createDirectories(java.nio.file.Paths.get("target/fixtures")).toString
+    writeXlsx(s"$dir/store_sales.xlsx",
+      Seq("dt", "store", "product", "units", "amount"),
+      Seq(
+        Seq("2024-01-05", "S01", "P001", 3, 29.97),
+        Seq("2024-01-06", "S01", "P002", 1, 9.99),
+        Seq("2024-01-07", null, "P001", 2, 19.98)))
+  }
+
+  test("reads header-row schema and all cell kinds (shared/inline/number/empty)") {
+    val df = Sources.excel(spark, salesXlsx)
+    assert(df.columns.toSeq == Seq("dt", "store", "product", "units", "amount"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    val rows = df.orderBy("dt").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "2024-01-05" && rows(0).getString(3) == "3")
+    assert(rows(2).getString(1) == null) // sparse cell → null
+  }
+
+  test("column pruning pushes into the scan") {
+    val df = Sources.excel(spark, salesXlsx).select("product")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("P001", "P001", "P002"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("product") && !plan.contains("amount"))
+  }
+
+  test("registered by short name: spark.read.format(\"xlsx\")") {
+    assert(spark.read.format("xlsx").load(salesXlsx).count() == 3)
+  }
+
+  test("E2E: pipeline ingests xlsx directly (S1 without the CSV degrade)") {
+    val products = {
+      val p = java.nio.file.Paths.get("target/fixtures/xlsx_products.json")
+      Files.writeString(p,
+        """[{"product_id": "P001", "product_name": "Widget", "price": 9.99},
+          |{"product_id": "P002", "product_name": "Gadget", "price": 19.99}]""".stripMargin)
+      p.toString
+    }
+    val results = graft.pipeline.Pipeline.run(spark, salesXlsx, products, database = "test_xlsx")
+    assert(results.forall(_.passed))
+    // the null-store row is dropped by the transform (P9), as with any source
+    assert(spark.table("test_xlsx.store_sales").count() == 2)
+  }
+}
