@@ -32,6 +32,42 @@ object Warehouse {
     df.write.mode("overwrite").format("parquet")
       .partitionBy(partitionCols: _*).saveAsTable(fqTable)
 
+  /** K2 at scale, co-location variant: bucketed + sorted by the join key.
+    * Two tables bucketed the same way equi-join with NO exchange on
+    * either side (SortMergeJoin reads buckets directly) — the 100 TB
+    * answer to a fact⋈fact join that can't broadcast. */
+  def overwriteBucketedTable(df: DataFrame, fqTable: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(fqTable)
+
+  /** Incremental load: overwrite ONLY the partitions present in `df`
+    * (dynamic partition overwrite), leaving the rest of the table alone —
+    * the daily-increment alternative to the reference's WRITE_TRUNCATE
+    * full reload (etl_pipeline.py:209; SURVEY §4.1 flags the
+    * no-incrementality anti-pattern). */
+  def overwriteIncrementalPartitions(df: DataFrame, fqTable: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      if (spark.catalog.tableExists(fqTable)) {
+        // insertInto matches by POSITION and the table stores partition
+        // columns last — reorder to the table's physical column order.
+        val target = spark.table(fqTable).columns
+        df.select(target.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(fqTable)
+      } else
+        df.write.mode("overwrite").format("parquet")
+          .partitionBy(partitionCols: _*).saveAsTable(fqTable)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** K1 — CSV stage materialization (df.to_csv(index=False),
     * etl_pipeline.py:74). Kept only for reference-shaped interop; the
     * engine's own stage hand-off is the lazy plan (no materialization) or

@@ -57,6 +57,26 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Custom per-key state via mapGroupsWithState (the extension mandate's
+    * "custom state" op): running per-user event count + value total,
+    * carried across micro-batches in the state store. Emits the updated
+    * totals for each key touched in the batch (use outputMode "update"). */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update((n, total))
+          (user, n, total)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Replay a parquet directory as a file stream (test/dev harness:
     * batch parquet in, stream semantics out; `maxFilesPerTrigger` paces
     * the replay). */

@@ -1,0 +1,67 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSparkSession
+
+/** Scale-infrastructure specs: bucketed co-located joins (no exchange),
+  * dynamic-partition incremental loads, salted aggregation/join. */
+class WarehouseScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  test("bucketed tables equi-join with no shuffle exchange on either side") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Warehouse.ensureDatabase(spark, "test_buckets")
+    Warehouse.overwriteBucketedTable(li, "test_buckets.li_b", "l_orderkey", 4)
+    Warehouse.overwriteBucketedTable(
+      o.withColumnRenamed("o_orderkey", "l_orderkey"), "test_buckets.o_b", "l_orderkey", 4)
+    val joined = spark.table("test_buckets.li_b")
+      .join(spark.table("test_buckets.o_b"), "l_orderkey")
+    // bucketed SMJ must not exchange either side
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+    assert(joined.count() == li.count()) // FK: every lineitem has its order
+  }
+
+  test("incremental partition overwrite replaces only the partitions present") {
+    Warehouse.ensureDatabase(spark, "test_incr")
+    val day1 = Seq(("2024-01-01", "a", 1), ("2024-01-02", "b", 2)).toDF("day", "k", "v")
+    Warehouse.overwriteIncrementalPartitions(day1, "test_incr.t", Seq("day"))
+    // re-load day 2 with corrected data + add day 3; day 1 must survive
+    val day23 = Seq(("2024-01-02", "b", 20), ("2024-01-03", "c", 3)).toDF("day", "k", "v")
+    Warehouse.overwriteIncrementalPartitions(day23, "test_incr.t", Seq("day"))
+    val got = spark.table("test_incr.t").select("day", "v").as[(String, Int)]
+      .collect().toMap
+    assert(got == Map("2024-01-01" -> 1, "2024-01-02" -> 20, "2024-01-03" -> 3))
+  }
+
+  test("salted aggregate equals plain aggregate") {
+    val df = spark.range(0, 10000)
+      .select((col("id") % 3).as("k"), col("id").cast("double").as("v"))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    val salted = graft.operators.Skew.saltedAggregate(df, Seq("k"), 16,
+      partials = Seq(count(lit(1)).as("n"), sum($"v").as("s")),
+      merges = Seq(sum($"n").as("n"), sum($"s").as("s")))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    // 90% of big-side rows share one hot key
+    val big = spark.range(0, 5000)
+      .select(when(col("id") % 10 === 0, col("id") % 7).otherwise(lit(999L)).as("k"),
+        col("id").as("payload"))
+    val small = Seq((999L, "hot"), (0L, "z"), (1L, "o"), (2L, "t")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+      .as[(Long, Long, String)].collect().toSet
+    val salted = graft.operators.Skew.saltedJoin(big, small, "k", 8)
+      .select("k", "payload", "name").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+  }
+}

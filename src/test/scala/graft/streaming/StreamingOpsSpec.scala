@@ -88,6 +88,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(counts("2024-01-01 13:00:00") == 1L)
   }
 
+  test("mapGroupsWithState carries per-user totals across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Double)]
+    val events = source.toDF().toDF("user_id", "value")
+    val q = StreamingOps.runningUserTotals(events)
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      source.addData((1L, 2.0), (1L, 3.0), (2L, 1.0))
+      q.processAllAvailable()
+      source.addData((1L, 5.0)) // state must carry: user 1 now 3 events, 10.0
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("state_out")
+      .groupBy($"user_id").agg(max($"n_events").as("n"), max($"total_value").as("v"))
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(last(1L) == (3L, 10.0))
+    assert(last(2L) == (1L, 1.0))
+  }
+
+  implicit class RowsOps(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[Long, (Long, Double)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
   test("dropDuplicatesWithinWatermark removes in-watermark duplicate keys") {
     import spark.implicits._
     val dupDir = Files.createTempDirectory("events_dup").toString
