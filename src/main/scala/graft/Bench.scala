@@ -13,6 +13,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: exercise codegen/JIT and the parquet reader once so
+    // the first timed query isn't charged for JVM warmup.
+    spark.range(0, 1000000L).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/nation.parquet").count()
+    catch { case _: Throwable => }
+
     // Optional args: bench only the named queries (dev tool; the driver
     // invokes with no args and gets the full set).
     val selected =

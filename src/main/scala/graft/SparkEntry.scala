@@ -326,6 +326,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang_pred"))),
 
+    // ── Exact percentiles per group (same interpolation formula in both
+    //    engines ⇒ bit-identical) ─────────────────────────────────────
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy(col("o_orderstatus"))),
+
+    // ── North star dedup: end-to-end near-dup REMOVAL (detect →
+    //    cluster via connected components → keep min-id survivor);
+    //    rows-only (LSH), semantics pinned by DedupSpec ────────────────
+    "q_dedup_resolved" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = graft.operators.Dedup.removeNearDuplicates(
+        docs, "text", "doc_id", threshold = 0.5)
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept")))
+    }),
+
     // ── North star multimodal: binary payload → batched stub feature
     //    extraction; n_bytes is the oracle-checkable invariant ─────────
     "q_multimodal_features" -> ((s, dir) => {
@@ -492,6 +515,12 @@ object SparkEntry {
         "FROM tk ORDER BY doc_id"),
     "q_multimodal_features" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    "q_percentiles" ->
+      ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.25) AS p25, " +
+        "quantile_cont(o_totalprice, 0.5) AS p50, " +
+        "quantile_cont(o_totalprice, 0.75) AS p75, " +
+        "quantile_cont(o_totalprice, 0.9) AS p90 " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
   )
 }

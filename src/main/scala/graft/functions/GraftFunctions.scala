@@ -20,6 +20,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", exprs => ShinglesExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_signature", exprs => SignSignature(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   /** `simhash64(array<string>) -> long` as a Column (session must be
@@ -39,4 +45,13 @@ object GraftFunctions {
   /** `shingles(string, n) -> array<string>` as a Column. */
   def shinglesNative(c: Column, n: Int): Column =
     call_function("shingles", c, org.apache.spark.sql.functions.lit(n))
+
+  /** `cosine_sim(vec, vec) -> double` as a Column. */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** `sign_signature(vec, nPlanes, seed) -> long` as a Column. */
+  def signSignature(v: Column, nPlanes: Int, seed: Int): Column =
+    call_function("sign_signature", v,
+      org.apache.spark.sql.functions.lit(nPlanes),
+      org.apache.spark.sql.functions.lit(seed))
 }

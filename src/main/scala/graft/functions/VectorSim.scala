@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Native vector-similarity kernels. Same arithmetic as the
+  * `zip_with`/`aggregate` column forms (left fold over index order in
+  * doubles — bit-identical results), but one tight loop inside
+  * whole-stage codegen instead of interpreted higher-order functions. */
+object VectorSimUtil {
+
+  @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** cosine(a, b) with zero-vector guard (denominator clamped at 1e-12,
+    * matching the Column form's `greatest(..., 1e-12)`). */
+  def cosine(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, i, isFloat)
+      val y = elem(b, i, isFloat)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+  }
+
+  /** Sign-LSH signature (random hyperplane, Charikar 2002): bit p is the
+    * sign of the dot product with a deterministic ±1 plane whose entries
+    * come from murmur3(p·dim + d, seed) — reproducible across executors,
+    * runs, and languages without shipping plane arrays. */
+  def signSignature(v: ArrayData, nPlanes: Int, seed: Int, isFloat: Boolean): Long = {
+    val dim = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        val w = if ((Murmur3_x86_32.hashInt(p * dim + d, seed) & 1) == 1) 1.0 else -1.0
+        dot += elem(v, d, isFloat) * w
+        d += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+/** `cosine_sim(array<float|double>, array<float|double>) -> double`. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private lazy val isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorSimUtil.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorSimUtil.cosine($a, $b, $isFloat)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `sign_signature(array<float|double>, nPlanes, seed) -> long`. */
+case class SignSignature(child: Expression, nPlanes: Int, seed: Int) extends UnaryExpression {
+  require(nPlanes > 0 && nPlanes <= 64, "sign_signature: 1..64 planes")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_signature"
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorSimUtil.signSignature(input.asInstanceOf[ArrayData], nPlanes, seed, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorSimUtil.signSignature($c, $nPlanes, $seed, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignSignature =
+    copy(child = newChild)
+}

@@ -200,4 +200,53 @@ object Dedup {
   def nearDupPairsEmbedding(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95): DataFrame =
     Similarity.cosinePairs(df, vecCol, idCol, threshold)
+
+  /** Connected components over near-dup pairs (iterative min-label
+    * propagation — the standard large-graph CC in the MapReduce/Pregel
+    * literature): every doc in a duplicate cluster converges to the
+    * cluster's minimum id. Driver loop over ACTIONS only (a convergence
+    * count per round, never data); each round's labels are
+    * localCheckpoint'd to truncate lineage. Rounds needed = graph
+    * diameter — near-dup clusters are shallow (pairs share a common
+    * origin), so convergence is fast. Returns (id, label). */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("nid")).agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .where(col("u.label") =!= col("l.label"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate REMOVAL: detect pairs (MinHash+LSH,
+    * exact-verified), cluster them, and keep one survivor per cluster
+    * (minimum id). Everything the detection found goes; the rest of the
+    * corpus passes through untouched (left-anti on the loser ids). */
+  def removeNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val pairs = nearDupPairsMinHash(df, textCol, idCol, threshold, n)
+    val losers = resolveClusters(pairs)
+      .where(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * mandate: brute-force cosine top-k as the exact baseline, sign-LSH
   * (random hyperplane, Charikar 2002) bucketing as the scale path.
   *
-  * All similarity math is higher-order-function expression work
-  * (`zip_with`/`aggregate`) on doubles — codegen'd, no UDFs, no
-  * driver-side loops.
+  * The similarity math runs as native codegen'd kernels
+  * ([[graft.functions.CosineSim]] / [[graft.functions.SignSignature]]);
+  * the equivalent `zip_with`/`aggregate` Column forms are kept here as
+  * the reference semantics (parity pinned by SimilaritySpec). No UDFs,
+  * no driver-side loops.
   */
 object Similarity {
 
@@ -25,7 +27,11 @@ object Similarity {
   /** L2 norm. */
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
-  /** Cosine similarity of two float vectors (zero-vector-safe). */
+  /** Cosine similarity of two float vectors (zero-vector-safe) — the
+    * pure-Column reference form. The operators below use the native
+    * [[graft.functions.CosineSim]] kernel, which computes the identical
+    * left-fold arithmetic inside whole-stage codegen (parity pinned by
+    * SimilaritySpec). */
   def cosineCol(a: Column, b: Column): Column = {
     val ad = asDouble(a)
     val bd = asDouble(b)
@@ -41,14 +47,15 @@ object Similarity {
     * local top-k before the exchange). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
       idCol: String, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    // Repartition the corpus scan: cosine scoring (interpreted HOF math)
-    // must parallelize even when the corpus is a single parquet file.
+    // Repartition the corpus scan: cosine scoring must parallelize even
+    // when the corpus is a single parquet file.
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .repartition(Dedup.cpuParallelism(corpus), col("c_id"))
     val scored = c.join(broadcast(p), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosineCol(col("q_vec"), col("c_vec")).as("cosine"))
+        graft.functions.GraftFunctions.cosineSim(col("q_vec"), col("c_vec")).as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -80,13 +87,14 @@ object Similarity {
     * (chunk, chunk_key): hash-partitioned, never all-pairs. */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val nPlanes = 16
-    // Keyed repartition before the signature stage: the plane dot products
-    // are interpreted higher-order expressions (the CPU-heavy part), so
-    // parallelism must not depend on the input's file count.
+    // Keyed repartition before the signature stage: parallelism must not
+    // depend on the input's file count.
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(Dedup.cpuParallelism(df), col("id"))
-    val sig = vecs.select(col("id"), signSignature(col("vec"), nPlanes, dim).as("sig"))
+    val sig = vecs.select(col("id"),
+      graft.functions.GraftFunctions.signSignature(col("vec"), nPlanes, 42).as("sig"))
     // Candidates travel as bare ID pairs; vectors are re-joined per side
     // for the exact-cosine verify (the arrays never ride the bucket shuffle).
     val chunked = sig.select(col("id"),
@@ -103,7 +111,7 @@ object Similarity {
     candidates
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
-      .withColumn("cosine", cosineCol(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", graft.functions.GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -113,10 +121,11 @@ object Similarity {
     * visits ~|corpus| / 2⁴ of the data per chunk instead of all of it). */
   def approxTopKLSH(corpus: DataFrame, probes: DataFrame, vecCol: String,
       idCol: String, k: Int = 10, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val nPlanes = 16
     def chunked(df: DataFrame, idAs: String) =
       df.select(col(idCol).as(idAs),
-        signSignature(col(vecCol), nPlanes, dim).as("sig"))
+        graft.functions.GraftFunctions.signSignature(col(vecCol), nPlanes, 42).as("sig"))
         .select(col(idAs),
           posexplode(array((0 until 4).map(j =>
             shiftright(col("sig"), j * 4).bitwiseAND(lit(0xfL))): _*)))
@@ -133,7 +142,7 @@ object Similarity {
       .join(broadcast(probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))), Seq("q_id"))
       .join(corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")), Seq("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosineCol(col("q_vec"), col("c_vec")).as("cosine"))
+        graft.functions.GraftFunctions.cosineSim(col("q_vec"), col("c_vec")).as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))

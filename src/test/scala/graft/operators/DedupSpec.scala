@@ -68,6 +68,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("resolveClusters: chains collapse to min-id components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("removeNearDuplicates keeps one survivor per near-dup cluster") {
+    val pairs = Dedup.nearDupPairsMinHash(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val clusters = Dedup.resolveClusters(Dedup.nearDupPairsMinHash(docs, "text", "doc_id", 0.5))
+      .as[(Long, Long)].collect()
+    val expectedRemoved = clusters.count { case (id, label) => id != label }
+    val kept = Dedup.removeNearDuplicates(docs, "text", "doc_id", 0.5)
+    assert(kept.count() == docs.count() - expectedRemoved)
+    assert(expectedRemoved > 0 && expectedRemoved <= pairs.length)
+    // survivors contain no pair that detection would still flag
+    val residual = Dedup.nearDupPairsMinHash(kept, "text", "doc_id", 0.5).count()
+    assert(residual == 0, s"$residual near-dup pairs survive resolution")
+  }
+
   implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

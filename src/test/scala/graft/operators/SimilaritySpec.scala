@@ -25,6 +25,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
   }
 
+  test("native cosine_sim kernel == Column cosineCol bit-for-bit on real embeddings") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val diff = a.join(b, $"ia" < $"ib")
+      .select(
+        Similarity.cosineCol($"va", $"vb").as("col_form"),
+        graft.functions.GraftFunctions.cosineSim($"va", $"vb").as("native"))
+      .where($"col_form" =!= $"native")
+    assert(diff.count() == 0)
+  }
+
   test("bruteForceTopK returns k best neighbors, ranked, excluding self") {
     val vecs = Seq(
       (1L, Array(1f, 0f)),
