@@ -105,6 +105,27 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // ── Big⋈big join (TPC-H Q3 shape): lineitem⋈orders⋈customer with
+    //    selective filters + top-k by revenue. No broadcast hints — AQE
+    //    picks broadcast vs shuffle join from runtime sizes ────────────
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ords = t(s, dir, "orders")
+        .where(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // ── Broadcast equi-join + aggregate (dimension side broadcast —
     //    the fact side never shuffles for the join) ───────────────────
     "q_revenue_by_segment" -> ((s, dir) =>
@@ -322,6 +343,9 @@ object SparkEntry {
     //    fixtures) ─────────────────────────────────────────────────────
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
+        // langId is interpreted HOF work (stopword filters) — pin the
+        // parallelism rather than inheriting the input's file count
+        .repartition(32, col("doc_id"))
         .groupBy(graft.functions.TextAnalysis.langId(col("text")).as("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang_pred"))),
@@ -407,6 +431,16 @@ object SparkEntry {
         "COUNT(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q3_shipping_priority" ->
+      ("SELECT o_orderkey, o_orderdate, o_orderpriority, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00' " +
+        "GROUP BY o_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
     "q_revenue_by_segment" ->
       ("SELECT c_mktsegment, COUNT(*) AS n_orders, " +
         "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS total_price " +
