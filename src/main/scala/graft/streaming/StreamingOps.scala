@@ -77,6 +77,72 @@ object StreamingOps {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** A completed user session emitted by [[sessionizeWithTimeout]]. */
+  final case class CompletedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState + event-time
+    * timeout: state holds the open session per user; a session is EMITTED
+    * (not merely aggregated) once the watermark passes its gap — the
+    * flatMap shape lets one input batch close zero or many sessions per
+    * key, which `session_window` aggregation can't express when the
+    * output needs completed-session records downstream. */
+  def sessionizeWithTimeout(events: DataFrame, gap: String = "5 minutes",
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[CompletedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+
+    // open-session state: (start, end, count)
+    type SessionState = (Long, Long, Long)
+
+    def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        state: GroupState[SessionState]): Iterator[CompletedSession] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[CompletedSession]
+      def close(s: SessionState): Unit =
+        out += CompletedSession(user, new java.sql.Timestamp(s._1),
+          new java.sql.Timestamp(s._2), s._3)
+      if (rows.isEmpty && state.hasTimedOut) {
+        state.getOption.foreach(close)
+        state.remove()
+      } else {
+        val sorted = rows.map { case (u, t) => (u, t.getTime) }.toSeq.sortBy(_._2)
+        var current = state.getOption
+        sorted.foreach { case (_, ts) =>
+          current match {
+            case Some((st, en, n)) if ts - en < gapMillis =>
+              current = Some((st, math.max(en, ts), n + 1))
+            case Some(done) =>
+              close(done)
+              current = Some((ts, ts, 1L))
+            case None =>
+              current = Some((ts, ts, 1L))
+          }
+        }
+        current.foreach { s =>
+          state.update(s)
+          if (state.getCurrentWatermarkMs() >= 0)
+            state.setTimeoutTimestamp(s._2 + gapMillis)
+        }
+      }
+      out.iterator
+    }
+
+    // the watermarked ts column must flow INTO the stateful operator —
+    // event-time timeout is rejected otherwise (and a .map would strip
+    // the watermark tag from the column)
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), CompletedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Replay a parquet directory as a file stream (test/dev harness:
     * batch parquet in, stream semantics out; `maxFilesPerTrigger` paces
     * the replay). */

@@ -114,6 +114,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     def toMap2: Map[Long, (Long, Double)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("flatMapGroupsWithState sessionization emits completed sessions on timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = source.toDF().toDF("user_id", "ts")
+    val q = StreamingOps.sessionizeWithTimeout(events, gap = "5 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // session A: two events 1 min apart; session B for another user
+      source.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:00")),
+        (2L, ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      // advance the watermark past gap → both open sessions time out
+      source.addData((9L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      source.addData((9L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("fmgws_out")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toMap
+    assert(sessions(1L) == 2L) // merged into one session of 2 events
+    assert(sessions(2L) == 1L)
+  }
+
   test("dropDuplicatesWithinWatermark removes in-watermark duplicate keys") {
     import spark.implicits._
     val dupDir = Files.createTempDirectory("events_dup").toString
