@@ -116,6 +116,59 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer of
+    * `nLists` centroids partitions the corpus into inverted lists; each
+    * probe scores ONLY the `nProbe` lists whose centroids it is closest
+    * to — the classic IVF trade (visit nProbe/nLists of the corpus).
+    *
+    * Centroids are chosen deterministically from the corpus (first vector
+    * of each hash stratum) in one pass — no iterative k-means, no driver
+    * collect; production k-means centroids drop into the same shape. All
+    * steps are joins against a BROADCAST centroid table + one window; the
+    * corpus shuffles once, keyed by list id. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, k: Int = 10, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def cosine(a: Column, b: Column) = graft.functions.GraftFunctions.cosineSim(a, b)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(Dedup.cpuParallelism(corpus), col("id"))
+
+    // deterministic one-pass centroids: first vector per hash stratum
+    val wStratum = Window.partitionBy(col("stratum")).orderBy(col("id"))
+    val centroids = vecs
+      .withColumn("stratum", pmod(hash(col("id")), lit(nLists)))
+      .withColumn("rn", row_number().over(wStratum))
+      .where(col("rn") === 1)
+      .select(col("stratum").as("list"), col("vec").as("centroid"))
+
+    // inverted lists: each corpus vector joins its nearest centroid
+    def assign(df: DataFrame, idAs: String, vecAs: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(cosine(col(vecAs), col("centroid")).desc, col("list"))
+      df.select(col("id").as(idAs), col("vec").as(vecAs))
+        .crossJoin(broadcast(centroids))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .select(col(idAs), col(vecAs), col("list"))
+    }
+    val corpusLists = assign(vecs, "c_id", "c_vec", keep = 1)
+    val probeLists = assign(
+      probes.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "q_id", "q_vec", keep = nProbe)
+
+    // probes meet only their nProbe lists — equi-join on the list id
+    val scored = corpusLists
+      .join(broadcast(probeLists), Seq("list"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+      .dropDuplicates("q_id", "c_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Approximate top-k: probes only score candidates sharing a signature
     * chunk (the IVF-ish restriction of [[bruteForceTopK]] — each probe
     * visits ~|corpus| / 2⁴ of the data per chunk instead of all of it). */

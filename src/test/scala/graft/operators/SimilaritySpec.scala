@@ -78,6 +78,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK: exact scores, and decent top-1 recall at nProbe/nLists = 1/4") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.where($"vec_id" < 50)
+    val ivf = Similarity.ivfTopK(emb, probes, "embedding", "vec_id",
+      k = 1, nLists = 16, nProbe = 4)
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(ivf.length == 50)
+    // scores are EXACT cosines (verified candidates), only coverage is approximate
+    val bruteAll = Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 500)
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (q, c, cos) => assert(math.abs(bruteAll((q, c)) - cos) < 1e-12) }
+    // recall: visiting 4/16 lists should recover a fair share of true top-1s
+    val hits = ivf.count { case (q, c, _) => brute(q) == c }
+    assert(hits >= 15, s"top-1 recall too low: $hits/50")
+  }
+
   test("approxTopKLSH ranks candidates it scores identically to brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = emb.where($"vec_id" < 5)
