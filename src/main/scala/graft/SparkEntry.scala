@@ -260,6 +260,15 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }),
 
+    // ── Pivot: status × linestatus cross-tab ─────────────────────────
+    "q_pivot_linestatus" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("l_returnflag"))),
+
     // ── Grouping sets: CUBE over two dimensions ──────────────────────
     "q_cube_order_stats" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -514,6 +523,11 @@ object SparkEntry {
         "FROM orders WHERE o_custkey < 100 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_custkey, o_orderdate, o_orderkey"),
+    "q_pivot_linestatus" ->
+      ("SELECT l_returnflag, " +
+        "COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F, " +
+        "COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_cube_order_stats" ->
       ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
         "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS total " +
