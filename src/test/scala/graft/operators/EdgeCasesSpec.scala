@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSparkSession
+
+/** Degenerate-input hardening: every operator must return sane (usually
+  * empty) results — not throw — on empty and single-row inputs. At 100 TB
+  * an empty partition/table shows up constantly (new date partitions,
+  * filtered-out sources). */
+class EdgeCasesSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  private lazy val oneDoc = Seq((1L, "only one document here")).toDF("doc_id", "text")
+
+  private lazy val emptyVecs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+
+  test("dedup family on empty and single-doc inputs") {
+    assert(Dedup.exactJaccardPairs(emptyDocs, "text", "doc_id", 0.5).count() == 0)
+    assert(Dedup.nearDupPairsMinHash(emptyDocs, "text", "doc_id", 0.5).count() == 0)
+    assert(Dedup.nearDupPairsSimHash(spark, emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.exactJaccardPairs(oneDoc, "text", "doc_id", 0.5).count() == 0)
+    assert(Dedup.nearDupPairsMinHash(oneDoc, "text", "doc_id", 0.5).count() == 0)
+    assert(Dedup.removeNearDuplicates(oneDoc, "text", "doc_id").count() == 1)
+    assert(Dedup.exactByContent(emptyDocs, "text", "doc_id").count() == 0)
+  }
+
+  test("resolveClusters on empty pair set") {
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    assert(Dedup.resolveClusters(emptyPairs).count() == 0)
+  }
+
+  test("similarity family on empty and trivial inputs") {
+    val one = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.cosinePairs(emptyVecs, "embedding", "vec_id", 0.5, dim = 2).count() == 0)
+    assert(Similarity.bruteForceTopK(one, one, "embedding", "vec_id", 5).count() == 0) // no non-self neighbor
+    assert(Similarity.ivfTopK(emptyVecs, emptyVecs, "embedding", "vec_id", 5, nLists = 4, nProbe = 2).count() == 0)
+  }
+
+  test("whitespace-only and empty text through the text stack") {
+    val weird = Seq((1L, ""), (2L, "   \t  "), (3L, "!!!")).toDF("doc_id", "text")
+    assert(Dedup.shingleSets(weird, "text", "doc_id").count() == 0) // no shingles
+    graft.functions.GraftFunctions.register(spark)
+    val hashed = weird.select(
+      graft.functions.GraftFunctions.simhash64(
+        graft.functions.GraftFunctions.normTokens($"text")).as("h"))
+    assert(hashed.count() == 3) // simhash of zero tokens = 0L, no throw
+  }
+
+  test("checks on empty tables report failure, not exceptions") {
+    import graft.quality.Checks
+    val sales = emptyDocs.select($"doc_id".as("product_id"), $"text".as("date"))
+    assert(!Checks.checkNotEmpty("t", Checks.rowCount(sales)).passed)
+    assert(Checks.duplicateKeys(sales, Seq("product_id")).count() == 0)
+  }
+}
