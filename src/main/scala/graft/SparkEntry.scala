@@ -260,6 +260,16 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }),
 
+    // ── Approximate aggregate: HLL distinct count next to the exact
+    //    one (rows-only: HLL values differ across engines by design;
+    //    determinism within Spark comes from fixed hashing + commutative
+    //    sketch merge) ─────────────────────────────────────────────────
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+
     // ── Pivot: status × linestatus cross-tab ─────────────────────────
     "q_pivot_linestatus" -> ((s, dir) =>
       t(s, dir, "lineitem")

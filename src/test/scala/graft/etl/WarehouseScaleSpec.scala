@@ -28,6 +28,21 @@ class WarehouseScaleSpec extends AnyFunSuite {
     assert(joined.count() == li.count()) // FK: every lineitem has its order
   }
 
+  test("partitioned table load enables partition pruning on the date key") {
+    Warehouse.ensureDatabase(spark, "test_parts")
+    val df = Seq(
+      ("2024-01-01", "a", 1), ("2024-01-02", "b", 2), ("2024-01-03", "c", 3))
+      .toDF("day", "k", "v")
+    Warehouse.overwritePartitionedTable(df, "test_parts.t", Seq("day"))
+    val pruned = spark.table("test_parts.t").where($"day" === "2024-01-02")
+    assert(pruned.count() == 1)
+    // static partition pruning: only one partition directory is read
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || scan.contains("day=2024-01-02")
+      || pruned.inputFiles.length == 1, s"no pruning evidence:\n$scan")
+    assert(pruned.inputFiles.forall(_.contains("day=2024-01-02")))
+  }
+
   test("incremental partition overwrite replaces only the partitions present") {
     Warehouse.ensureDatabase(spark, "test_incr")
     val day1 = Seq(("2024-01-01", "a", 1), ("2024-01-02", "b", 2)).toDF("day", "k", "v")
