@@ -210,8 +210,11 @@ object Dedup {
     * diameter — near-dup clusters are shallow (pairs share a common
     * origin), so convergence is fast. Returns (id, label). */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the pair detection ONCE — the union's two branches (and
+    // every CC round) would otherwise re-run the whole upstream pipeline
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
