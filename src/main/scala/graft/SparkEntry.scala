@@ -289,14 +289,16 @@ object SparkEntry {
     // ── Correlated-style aggregate filter: orders above their
     //    customer's average (decorrelated as join against the agg) ─────
     "q_above_avg_orders" -> ((s, dir) => {
-      // avg as exact-decimal-sum ÷ count in DOUBLE: both engines then
-      // compute bit-identical averages, so the > comparison agrees even
-      // for rows near the boundary.
-      val avgPerCust = t(s, dir, "orders")
-        .groupBy(col("o_custkey"))
-        .agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      // One scan: the per-customer average comes from a window over the
+      // same shuffle the final grouping needs (vs. the self-join form,
+      // which scans orders twice and joins). avg is an exact-decimal-sum
+      // ÷ count in DOUBLE, so both engines compute bit-identical
+      // averages and the > comparison agrees even near the boundary.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
       t(s, dir, "orders")
-        .join(avgPerCust, Seq("o_custkey"))
+        .withColumn("avg_price",
+          sum(col("o_totalprice").cast(DecimalType(25, 10))).over(w)
+            .cast(DecimalType(18, 4)).cast("double") / count(lit(1)).over(w))
         .where(col("o_totalprice") > col("avg_price") * 2)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_above"))
