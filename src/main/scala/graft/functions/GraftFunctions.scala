@@ -26,6 +26,8 @@ object GraftFunctions {
       "sign_signature", exprs => SignSignature(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_id", exprs => LangIdExpr(exprs.head), "built-in")
   }
 
   /** `simhash64(array<string>) -> long` as a Column (session must be
@@ -48,6 +50,10 @@ object GraftFunctions {
 
   /** `cosine_sim(vec, vec) -> double` as a Column. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** `lang_id(string) -> string` as a Column — native form of
+    * [[TextAnalysis.langId]] (parity pinned by TextAnalysisSpec). */
+  def langIdNative(c: Column): Column = call_function("lang_id", c)
 
   /** `sign_signature(vec, nPlanes, seed) -> long` as a Column. */
   def signSignature(v: Column, nPlanes: Int, seed: Int): Column =

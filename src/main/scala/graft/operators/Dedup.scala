@@ -205,35 +205,47 @@ object Dedup {
     * propagation — the standard large-graph CC in the MapReduce/Pregel
     * literature): every doc in a duplicate cluster converges to the
     * cluster's minimum id. Driver loop over ACTIONS only (a convergence
-    * count per round, never data); each round's labels are
-    * localCheckpoint'd to truncate lineage. Rounds needed = graph
-    * diameter — near-dup clusters are shallow (pairs share a common
-    * origin), so convergence is fast. Returns (id, label). */
+    * scalar per round, never data). Rounds needed = graph diameter —
+    * near-dup clusters are shallow (pairs share a common origin), so
+    * convergence is fast. Returns (id, label).
+    *
+    * Scale hardening (round-2): each round runs ONE materializing job —
+    * the update join carries a `_changed` flag, the round's labels are
+    * checkpointed, and the convergence count is a trivial scan of the
+    * materialized blocks (round 1 re-joined new labels against old for
+    * the count: a second shuffle join per round). Checkpointing is
+    * RELIABLE (HDFS/object-store) whenever the session has a checkpoint
+    * dir configured — `localCheckpoint` pins blocks in executor storage
+    * and dies with an executor, fine on local[n], fatal on a 1000-node
+    * job — with `localCheckpoint` as the no-dir fallback. */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def materialize(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the pair detection ONCE — the union's two branches (and
     // every CC round) would otherwise re-run the whole upstream pipeline
-    val p = pairs.localCheckpoint()
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val p = materialize(pairs)
+    val edges = materialize(
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      // labels only ever decrease, so "changed" ≡ neighbor min < own label
+      val updated = materialize(labels
         .join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .where(col("u.label") =!= col("l.label"))
-        .count()
-      labels = updated
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label"))
+            .cast("long").as("_changed")))
+      val changed =
+        updated.agg(coalesce(sum(col("_changed")), lit(0L))).first().getLong(0)
+      labels = updated.drop("_changed")
       converged = changed == 0
       i += 1
     }

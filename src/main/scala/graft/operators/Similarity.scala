@@ -116,6 +116,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** EXACT cosine pairs ≥ threshold: upper-triangle all-pairs scan with the
+    * native [[graft.functions.CosineSim]] kernel. Quadratic by definition —
+    * this is the exact ground-truth baseline (the same role
+    * [[graft.operators.Dedup.exactJaccardPairs]] plays for text, except
+    * dense low-dim embeddings admit no exact prefix-filter: every
+    * coordinate is nonzero, so sparse-join pruning degenerates to
+    * all-pairs anyway). [[cosinePairs]] is the approximate-recall scale
+    * path; at moderate thresholds (θ ≳ 60°) sign-LSH recall is inherently
+    * partial — measured 10/14 at τ=0.45 on the test corpus — which is why
+    * the oracle-checked driver query uses THIS exact form. */
+  def cosinePairsExact(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(Dedup.cpuParallelism(df), col("id"))
+    val a = vecs.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = vecs.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of
     * `nLists` centroids partitions the corpus into inverted lists; each
     * probe scores ONLY the `nProbe` lists whose centroids it is closest

@@ -78,7 +78,10 @@ object Pipeline {
     val salesDupes = Checks.duplicateKeys(sales, Seq("product_id", "date"))
     val productDupes = Checks.duplicateKeys(products, Seq("product_id"))
 
-    val orphans = Checks.orphanCount(sales, products, "product_id", "product_id")
+    // products is a known dimension table → force the broadcast hint
+    // (the generic default decides from size stats; see Checks.orphanRows)
+    val orphans = Checks.orphanCount(sales, products, "product_id", "product_id",
+      broadcastParent = Some(true))
 
     val salesRanges = Checks
       .valueRanges(sales, Seq("sales_amount", "units_sold"))

@@ -58,18 +58,32 @@ object Checks {
   /** J1 — orphaned-foreign-key rows: child rows whose key has no match in
     * the parent (LEFT JOIN … WHERE parent.key IS NULL,
     * etl_pipeline.py:396–402). Written as a left-anti join directly — the
-    * form Catalyst rewrites the reference's literal SQL into — and the
-    * parent side is broadcast (a dimension table is small relative to a
-    * 100 TB fact table), so the fact side never shuffles. */
-  def orphanRows(child: DataFrame, parent: DataFrame, childKey: String, parentKey: String): DataFrame =
-    child.join(
-      broadcast(parent.select(col(parentKey).as(childKey)).distinct()),
-      Seq(childKey),
-      "left_anti")
+    * form Catalyst rewrites the reference's literal SQL into.
+    *
+    * Broadcast policy: a dimension-sized parent is broadcast so the fact
+    * side never shuffles, but the hint is CONDITIONAL — an unconditional
+    * broadcast of a fact-sized parent's keys would OOM the driver on a
+    * fact⋈fact FK check. `broadcastParent = None` (default) decides from
+    * the optimizer's size estimate vs `autoBroadcastJoinThreshold`
+    * (pre-action file statistics — no job runs); `Some(true)` forces the
+    * hint (the reference-shaped pipeline path, where the parent is a
+    * known dimension table); `Some(false)` leaves the strategy entirely
+    * to AQE's runtime sizes. */
+  def orphanRows(child: DataFrame, parent: DataFrame, childKey: String, parentKey: String,
+      broadcastParent: Option[Boolean] = None): DataFrame = {
+    val keys = parent.select(col(parentKey).as(childKey)).distinct()
+    val doBroadcast = broadcastParent.getOrElse {
+      val threshold = parent.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      threshold > 0 &&
+        parent.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
+    }
+    child.join(if (doBroadcast) broadcast(keys) else keys, Seq(childKey), "left_anti")
+  }
 
   /** J1 + B8 — orphan count. */
-  def orphanCount(child: DataFrame, parent: DataFrame, childKey: String, parentKey: String): Long =
-    orphanRows(child, parent, childKey, parentKey).count()
+  def orphanCount(child: DataFrame, parent: DataFrame, childKey: String, parentKey: String,
+      broadcastParent: Option[Boolean] = None): Long =
+    orphanRows(child, parent, childKey, parentKey, broadcastParent).count()
 
   /** A4 — multi-column MIN/MAX range extraction in one pass
     * (etl_pipeline.py:414–421, :438–443). Output: `min_<col>`, `max_<col>`. */

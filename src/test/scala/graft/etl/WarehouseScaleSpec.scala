@@ -55,6 +55,40 @@ class WarehouseScaleSpec extends AnyFunSuite {
     assert(got == Map("2024-01-01" -> 1, "2024-01-02" -> 20, "2024-01-03" -> 3))
   }
 
+  test("orphanRows broadcast hint is conditional on parent size") {
+    val child = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val parent = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    // the optimizer folds ResolvedHint into the Join node's JoinHint —
+    // assert on that (the physical plan can't distinguish: AQE broadcasts
+    // small test data regardless of hints)
+    def hasBroadcastHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if Seq(j.hint.leftHint, j.hint.rightHint).flatten
+            .exists(_.strategy.contains(
+              org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) => j
+      }.nonEmpty
+    // dimension-sized parent (file stats ≪ threshold) → hinted
+    val small = graft.quality.Checks.orphanRows(child, parent, "l_partkey", "p_partkey")
+    assert(hasBroadcastHint(small), "dimension-sized parent should be hinted")
+    // fact-sized parent (threshold lowered below the file size) → no hint;
+    // strategy left to AQE so a fact⋈fact FK check can't OOM the driver
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val large = graft.quality.Checks.orphanRows(child, parent, "l_partkey", "p_partkey")
+      assert(!hasBroadcastHint(large), "fact-sized parent must not be hinted")
+      // forced hint (reference pipeline path) overrides the heuristic
+      val forced = graft.quality.Checks.orphanRows(
+        child, parent, "l_partkey", "p_partkey", broadcastParent = Some(true))
+      assert(hasBroadcastHint(forced))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // semantics unchanged either way
+    assert(small.count() ==
+      graft.quality.Checks.orphanRows(child, parent, "l_partkey", "p_partkey",
+        broadcastParent = Some(false)).count())
+  }
+
   test("salted aggregate equals plain aggregate") {
     val df = spark.range(0, 10000)
       .select((col("id") % 3).as("k"), col("id").cast("double").as("v"))

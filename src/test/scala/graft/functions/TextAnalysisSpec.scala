@@ -30,6 +30,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(pred == "und")
   }
 
+  test("native lang_id kernel matches the Column form on fixtures and corpus") {
+    GraftFunctions.register(spark)
+    val fixtures = Seq(
+      "the quick brown fox jumps over the lazy dog and it was very happy",
+      "der schnelle braune fuchs springt über den faulen hund und ist sehr glücklich",
+      "el zorro marrón salta sobre el perro perezoso y es muy feliz con la vida",
+      "le renard brun saute sur le chien paresseux et il est très heureux dans la forêt",
+      "敏捷的棕色狐狸跳过了懒惰的狗它对此感到非常高兴",
+      "zzz qqq xxx", "", "de la", "un la de", // multi-language ambiguous ties
+      "the und el le la").toDF("text")
+    val mism = fixtures.select(
+      TextAnalysis.langId($"text").as("col_form"),
+      GraftFunctions.langIdNative($"text").as("native"))
+      .where($"col_form" =!= $"native").collect()
+    assert(mism.isEmpty, s"native/Column lang_id disagree: ${mism.mkString(", ")}")
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val corpusMism = docs.select(
+      TextAnalysis.langId($"text").as("col_form"),
+      GraftFunctions.langIdNative($"text").as("native"))
+      .where($"col_form" =!= $"native").count()
+    assert(corpusMism == 0)
+  }
+
   test("tokenCount and bpeIshTokenCount") {
     val df = Seq("Hello, world! 42 times.").toDF("text")
     val r = df.select(
