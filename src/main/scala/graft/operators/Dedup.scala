@@ -168,19 +168,35 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (native Catalyst
-    * expression), LSH on the 4 × 16-bit chunks (Hamming distance ≤ 3 ⇒ at
-    * least one chunk is identical, pigeonhole), verify with
-    * `bit_count(a ^ b)`. Returns (id_a, id_b, hamming). */
+    * expression), LSH on `maxHamming + 1` disjoint bit chunks — by
+    * pigeonhole, a pair within Hamming `maxHamming` has at least one
+    * UNTOUCHED chunk, so chunk-key equality gives COMPLETE recall for the
+    * stated bound (round 1 fixed 4 chunks, which only covered Hamming ≤ 3
+    * whatever the caller asked for). Candidates are verified with
+    * `bit_count(a ^ b)`. Returns (id_a, id_b, hamming).
+    *
+    * `maxHamming` ≤ 15 keeps chunks ≥ 4 bits; note the chunk count rises
+    * (and buckets coarsen) with the bound — at corpus scale prefer small
+    * bounds, which is also where SimHash is discriminative. */
   def nearDupPairsSimHash(spark: SparkSession, df: DataFrame, textCol: String,
       idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming (complete recall " +
+        "needs maxHamming+1 chunks; more than 16 chunks of a 64-bit hash " +
+        "would bucket on < 4 bits)")
     GraftFunctions.register(spark)
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(j =>
+      64 / nChunks + (if (j < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("_text"))
       .repartition(cpuParallelism(df), col("id"))
       .select(col("id"),
         GraftFunctions.simhash64(GraftFunctions.normTokens(col("_text"))).as("sh"))
     val chunked = hashed.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array((0 until nChunks).map(j =>
+        shiftright(col("sh"), offsets(j)).bitwiseAND(lit(mask(widths(j))))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_key")
     val left = chunked.select(col("chunk"), col("chunk_key"),

@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns with typed metadata; decode /
   * feature-extract / frame-sample run as batched per-partition transforms.
   *
-  * The DECODE KERNELS ARE STUBS — no image/audio codecs ship in this
-  * container, so [[stubDecode]] derives deterministic fake features from
-  * the bytes (clearly marked below). Everything around them — schema,
-  * Dataset encoders, partition-level batching shape, determinism — is real
-  * and tested; a real codec drops into [[stubDecode]] without touching the
-  * plan. The batched-iterator shape mirrors arrow-batch UDF execution
-  * (decode cost amortized per batch, not per row).
+  * IMAGE decode is REAL: [[decodeImage]] reads PNG/JPEG/BMP/GIF payloads
+  * with `javax.imageio` (JDK-only, no external codec) into dimension +
+  * pixel-statistic features. AUDIO/VIDEO decode remains an honest STUB —
+  * no such codecs ship in this container — with [[stubDecode]] deriving
+  * deterministic fake features from the bytes; a real codec drops into
+  * the same dispatch without touching the plan. The batched-iterator
+  * shape mirrors arrow-batch UDF execution (decode cost amortized per
+  * batch, not per row).
   */
 object Multimodal {
 
@@ -24,10 +25,56 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, media_type: String,
       n_bytes: Long, feature: Array[Float])
 
-  /** STUB decode kernel — stands in for a real image/audio decoder.
+  /** REAL image decode via `javax.imageio` (JDK built-in: PNG, JPEG, BMP,
+    * GIF, WBMP). Features (padded/truncated to `featureDim`):
+    * [width, height, nChannels, meanR, meanG, meanB, meanLuma, aspect].
+    * Pixel stats sample at most a 64×64 grid regardless of resolution, so
+    * per-image work is bounded — the property that matters when the batch
+    * iterator walks a 100 TB corpus. Returns None for bytes no installed
+    * reader understands (caller falls back to [[stubDecode]]). */
+  def decodeImage(m: MediaRecord, featureDim: Int = 8): Option[MediaFeatures] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val stepX = math.max(1, w / 64)
+      val stepY = math.max(1, h / 64)
+      var r = 0.0; var g = 0.0; var b = 0.0; var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = im.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          n += 1
+          x += stepX
+        }
+        y += stepY
+      }
+      val denom = math.max(n, 1) * 255.0
+      val raw = Array[Float](
+        w.toFloat, h.toFloat, im.getColorModel.getNumComponents.toFloat,
+        (r / denom).toFloat, (g / denom).toFloat, (b / denom).toFloat,
+        ((0.299 * r + 0.587 * g + 0.114 * b) / denom).toFloat,
+        w.toFloat / math.max(h, 1))
+      MediaFeatures(m.media_id, m.media_type, m.content.length.toLong,
+        java.util.Arrays.copyOf(raw, featureDim))
+    }
+  }
+
+  /** Per-record dispatch: image payloads decode for real; everything else
+    * (and undecodable image bytes) takes the deterministic stub. */
+  def decode(m: MediaRecord, featureDim: Int = 8): MediaFeatures =
+    if (m.media_type != null && m.media_type.startsWith("image"))
+      decodeImage(m, featureDim).getOrElse(stubDecode(m, featureDim))
+    else stubDecode(m, featureDim)
+
+  /** STUB decode kernel — stands in for a real audio/video decoder.
     * Deterministic: features are an FNV-1a rolling digest of the payload,
     * so tests (and the driver's rows-only check) are stable. A real
-    * implementation would decode pixels/samples here. */
+    * implementation would decode samples/frames here. */
   def stubDecode(m: MediaRecord, featureDim: Int = 8): MediaFeatures = {
     var h = 0xcbf29ce484222325L
     val feat = new Array[Float](featureDim)
@@ -50,7 +97,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (codec init, model load)
-        batch.map(m => stubDecode(m, featureDim))
+        batch.map(m => decode(m, featureDim))
       }
     }
   }

@@ -140,16 +140,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Nearest-`keep` centroid lists per row as a NARROW expression: the
+    * centroid table rides the plan as literals, each row scores all
+    * centroids in one codegen'd projection and keeps the `keep` best —
+    * no crossJoin, no per-row window shuffle (round 1 assigned via
+    * crossJoin+window: an |corpus|×nLists exchange on the 100 TB path).
+    * Ordering matches the window form exactly: cosine desc, list asc.
+    * Output: (idAs, vecAs, list) — one row per kept list. */
+  private[operators] def assignLists(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[(Int, Array[Float])], idAs: String, vecAs: String,
+      keep: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val scored = array(centroids.map { case (list, c) =>
+      struct(
+        (-graft.functions.GraftFunctions.cosineSim(
+          col(vecAs), array(c.map(lit(_)): _*))).as("neg"),
+        lit(list).as("list"))
+    }: _*)
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      .withColumn("_near", slice(array_sort(scored), 1, keep))
+      .select(col(idAs), col(vecAs),
+        explode(transform(col("_near"), x => x.getField("list"))).as("list"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of
     * `nLists` centroids partitions the corpus into inverted lists; each
     * probe scores ONLY the `nProbe` lists whose centroids it is closest
     * to — the classic IVF trade (visit nProbe/nLists of the corpus).
     *
     * Centroids are chosen deterministically from the corpus (first vector
-    * of each hash stratum) in one pass — no iterative k-means, no driver
-    * collect; production k-means centroids drop into the same shape. All
-    * steps are joins against a BROADCAST centroid table + one window; the
-    * corpus shuffles once, keyed by list id. */
+    * of each hash stratum) in one pass; production k-means centroids drop
+    * into the same shape. Building the index collects the nLists centroid
+    * rows to the driver ONCE (the k-means-training shape — centers are
+    * driver state by construction) and embeds them as plan literals, so
+    * list assignment is a narrow codegen'd projection: the only shuffles
+    * in the whole plan are the candidate dedup and the final per-probe
+    * ranking. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
       idCol: String, k: Int = 10, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
@@ -159,26 +185,22 @@ object Similarity {
 
     // deterministic one-pass centroids: first vector per hash stratum
     val wStratum = Window.partitionBy(col("stratum")).orderBy(col("id"))
-    val centroids = vecs
+    val centroids: Array[(Int, Array[Float])] = vecs
       .withColumn("stratum", pmod(hash(col("id")), lit(nLists)))
       .withColumn("rn", row_number().over(wStratum))
       .where(col("rn") === 1)
       .select(col("stratum").as("list"), col("vec").as("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    if (centroids.isEmpty)
+      // empty corpus ⇒ empty result, with the output schema intact
+      return probes.select(col(idCol).as("q_id"), col(idCol).as("c_id"),
+        lit(0.0).as("cosine"), lit(1).as("rank")).limit(0)
 
-    // inverted lists: each corpus vector joins its nearest centroid
-    def assign(df: DataFrame, idAs: String, vecAs: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(cosine(col(vecAs), col("centroid")).desc, col("list"))
-      df.select(col("id").as(idAs), col("vec").as(vecAs))
-        .crossJoin(broadcast(centroids))
-        .withColumn("crank", row_number().over(w))
-        .where(col("crank") <= keep)
-        .select(col(idAs), col(vecAs), col("list"))
-    }
-    val corpusLists = assign(vecs, "c_id", "c_vec", keep = 1)
-    val probeLists = assign(
+    val corpusLists = assignLists(vecs, "vec", "id", centroids, "c_id", "c_vec", keep = 1)
+    val probeLists = assignLists(
       probes.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "q_id", "q_vec", keep = nProbe)
+      "vec", "id", centroids, "q_id", "q_vec", keep = nProbe)
 
     // probes meet only their nProbe lists — equi-join on the list id
     val scored = corpusLists

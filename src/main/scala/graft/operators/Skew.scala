@@ -44,6 +44,13 @@ object Skew {
     * AQE's skew-join covers the broadcast-able cases. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    // Only join types that never EMIT an unmatched small-side row are
+    // sound here: the small side is replicated saltBuckets×, so a right/
+    // full outer (or a semi/anti FROM the small side) would surface each
+    // unmatched replica as a duplicate output row.
+    require(Set("inner", "left", "leftouter", "left_outer")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
     val saltedBig = big.withColumn("_salt",
       (rand(seed = 42) * saltBuckets).cast("int"))
     val replicatedSmall = small.withColumn("_salt",

@@ -23,11 +23,16 @@ object Pipeline {
   final case class StageResult(df: DataFrame, count: Long)
 
   /** O3 — the reference's retry budget (retries=3, delay, :21–22) as a
-    * local combinator; scheduling/e-mail stay out of engine scope. */
+    * local combinator; scheduling/e-mail stay out of engine scope.
+    * Retries NonFatal failures only — OutOfMemoryError, interrupts, and
+    * other fatal errors propagate immediately — and logs each suppressed
+    * attempt so transient-vs-persistent failures stay distinguishable. */
   def retry[T](attempts: Int, delayMs: Long = 0L)(f: => T): T =
     try f
     catch {
-      case e: Throwable if attempts > 1 =>
+      case scala.util.control.NonFatal(e) if attempts > 1 =>
+        System.err.println(
+          s"[graft.retry] attempt failed (${attempts - 1} left): $e")
         if (delayMs > 0) Thread.sleep(delayMs)
         retry(attempts - 1, delayMs)(f)
     }

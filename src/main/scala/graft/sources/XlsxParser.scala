@@ -72,21 +72,69 @@ object XlsxParser {
     out.toIndexedSeq
   }
 
-  /** First worksheet part name, honoring sheet order in workbook.xml when
-    * present; falls back to the conventional path. */
-  private def firstSheetPath(zip: ZipFile): String = {
-    val conventional = "xl/worksheets/sheet1.xml"
-    if (zip.getEntry(conventional) != null) conventional
-    else {
-      val entries = zip.entries()
-      var best: String = null
-      while (entries.hasMoreElements) {
-        val n = entries.nextElement().getName
-        if (n.startsWith("xl/worksheets/") && n.endsWith(".xml") && (best == null || n < best))
-          best = n
+  private val RelNs =
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+  /** r:id of the first `<sheet>` in xl/workbook.xml (tab order), if the
+    * part and attribute exist. */
+  private def firstSheetRelId(zip: ZipFile): Option[String] = {
+    val entry = zip.getEntry("xl/workbook.xml")
+    if (entry == null) return None
+    val r = factory.createXMLStreamReader(zip.getInputStream(entry))
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet")
+          return Option(r.getAttributeValue(RelNs, "id"))
       }
-      require(best != null, s"no worksheet parts in ${zip.getName}")
-      best
+      None
+    } finally r.close()
+  }
+
+  /** Target of a relationship id in xl/_rels/workbook.xml.rels, resolved
+    * to a zip part name. */
+  private def relTarget(zip: ZipFile, rid: String): Option[String] = {
+    val entry = zip.getEntry("xl/_rels/workbook.xml.rels")
+    if (entry == null) return None
+    val r = factory.createXMLStreamReader(zip.getInputStream(entry))
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship" &&
+            r.getAttributeValue(null, "Id") == rid) {
+          return Option(r.getAttributeValue(null, "Target")).map { t =>
+            if (t.startsWith("/")) t.drop(1) else s"xl/$t"
+          }
+        }
+      }
+      None
+    } finally r.close()
+  }
+
+  /** First worksheet part name. Resolves the workbook's ACTUAL first tab
+    * via xl/workbook.xml (sheet order) → r:id → workbook.xml.rels target
+    * (a workbook's first tab need not be sheet1.xml — e.g. after sheet
+    * reordering, or when part names reach sheet10.xml, which sorts before
+    * sheet2.xml). Falls back to the conventional part name, then to the
+    * lexicographically smallest worksheet part, when the workbook/rels
+    * parts are absent or unresolvable. */
+  private def firstSheetPath(zip: ZipFile): String = {
+    val viaWorkbook = firstSheetRelId(zip)
+      .flatMap(relTarget(zip, _))
+      .filter(zip.getEntry(_) != null)
+    viaWorkbook.getOrElse {
+      val conventional = "xl/worksheets/sheet1.xml"
+      if (zip.getEntry(conventional) != null) conventional
+      else {
+        val entries = zip.entries()
+        var best: String = null
+        while (entries.hasMoreElements) {
+          val n = entries.nextElement().getName
+          if (n.startsWith("xl/worksheets/") && n.endsWith(".xml") && (best == null || n < best))
+            best = n
+        }
+        require(best != null, s"no worksheet parts in ${zip.getName}")
+        best
+      }
     }
   }
 
@@ -153,9 +201,18 @@ object XlsxParser {
   }
 
   /** Header names from the first row (pd.read_excel header=0 semantics);
-    * unnamed columns become col0, col1, … */
+    * unnamed columns become col0, col1, …; duplicate names are
+    * disambiguated as name.1, name.2 (pandas mangle_dupe_cols) — without
+    * this, by-name column resolution would silently read the FIRST
+    * occurrence's cells for every duplicate. */
   def header(path: String): Array[String] = {
     val first = rows(path).headOption.getOrElse(Array.empty[String])
-    first.zipWithIndex.map { case (h, i) => if (h == null || h.isEmpty) s"col$i" else h }
+    val seen = scala.collection.mutable.HashMap.empty[String, Int]
+    first.zipWithIndex.map { case (h, i) =>
+      val base = if (h == null || h.isEmpty) s"col$i" else h
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      if (n == 0) base else s"$base.$n"
+    }
   }
 }

@@ -57,22 +57,53 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
-  /** Custom per-key state via mapGroupsWithState (the extension mandate's
-    * "custom state" op): running per-user event count + value total,
-    * carried across micro-batches in the state store. Emits the updated
-    * totals for each key touched in the batch (use outputMode "update"). */
-  def runningUserTotals(events: DataFrame): DataFrame = {
+  /** Interval string → milliseconds (calendar-day + sub-day parts). */
+  private def intervalMillis(interval: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** Custom per-key state via flatMapGroupsWithState (the extension
+    * mandate's "custom state" op): running per-user event count + value
+    * total, carried across micro-batches in the state store. Emits the
+    * updated totals for each key touched in the batch (outputMode
+    * "update").
+    *
+    * State is BOUNDED: a key idle for `stateTtl` of event time is evicted
+    * once the watermark passes (event-time timeout) — at 100 TB/day the
+    * key space grows without end, and the round-1 NoTimeout version would
+    * have grown the state store with it. An evicted user who returns
+    * simply restarts from zero. */
+  def runningUserTotals(events: DataFrame, watermark: String = "10 minutes",
+      stateTtl: String = "30 minutes"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.GroupStateTimeout
-    events.selectExpr("user_id", "value").as[(Long, Double)]
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ttlMillis = intervalMillis(stateTtl)
+    events.withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state) =>
-          var (n, total) = state.getOption.getOrElse((0L, 0.0))
-          rows.foreach { case (_, v) => n += 1; total += v }
-          state.update((n, total))
-          (user, n, total)
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (n, total) = state.getOption.getOrElse((0L, 0.0))
+            var maxTs = Long.MinValue
+            rows.foreach { case (_, t, v) =>
+              n += 1; total += v; maxTs = math.max(maxTs, t.getTime)
+            }
+            state.update((n, total))
+            // timeout must sit strictly beyond the current watermark
+            if (state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMillis, state.getCurrentWatermarkMs() + 1))
+            Iterator.single((user, n, total))
+          }
       }
       .toDF("user_id", "n_events", "total_value")
   }
@@ -92,9 +123,7 @@ object StreamingOps {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    val gapMillis = intervalMillis(gap)
 
     // open-session state: (start, end, count)
     type SessionState = (Long, Long, Long)

@@ -101,6 +101,19 @@ class WarehouseScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltedJoin rejects join types that would duplicate small-side rows") {
+    val big = Seq((1L, "x")).toDF("k", "payload")
+    val small = Seq((1L, "y")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(big, small, "k", 4, joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(big, small, "k", 4, joinType = "right")
+    }
+    // left joins stay supported (unmatched BIG rows are never replicated)
+    assert(graft.operators.Skew.saltedJoin(big, small, "k", 4, "left").count() == 1)
+  }
+
   test("salted join equals plain join on a skewed key") {
     // 90% of big-side rows share one hot key
     val big = spark.range(0, 5000)

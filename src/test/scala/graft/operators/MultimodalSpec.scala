@@ -6,11 +6,21 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSparkSession
 import graft.operators.Multimodal.MediaRecord
 
-/** Multimodal plumbing specs: schema, batching shape, determinism. The
-  * decode kernel itself is a documented stub (no codecs in-container). */
+/** Multimodal plumbing specs: schema, batching shape, determinism, and the
+  * REAL javax.imageio decode path (audio/video remain a documented stub —
+  * no such codecs in-container). */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSparkSession.spark
   import spark.implicits._
+
+  /** Encode a solid-color w×h image to real bytes via the JDK writer. */
+  private def imageBytes(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
 
   private def media(n: Int) = (1 to n).map(i =>
     MediaRecord(i.toLong, if (i % 2 == 0) "image" else "audio",
@@ -37,6 +47,29 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.extractFeaturesDF(spark, df, "id", "mtype", "payload")
     val r = out.head()
     assert(r.getAs[Long]("n_bytes") == 11L) // n_bytes == octet length of payload
+  }
+
+  test("real image decode: PNG and JPEG dimensions + pixel stats through the batched plan") {
+    val png = imageBytes("png", 32, 16, 0xff0000)   // solid red
+    val jpg = imageBytes("jpg", 8, 8, 0x000000)     // solid black
+    val ds = Seq(
+      MediaRecord(1L, "image/png", png),
+      MediaRecord(2L, "image/jpeg", jpg),
+      MediaRecord(3L, "audio/wav", Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.extractFeatures(ds, batchSize = 2).collect()
+      .map(f => f.media_id -> f).toMap
+    val p = out(1L).feature
+    assert(p(0) == 32f && p(1) == 16f, "decoded PNG dimensions")
+    assert(math.abs(p(3) - 1.0f) < 0.02 && p(4) < 0.02 && p(5) < 0.02, "solid red means")
+    assert(math.abs(p(7) - 2.0f) < 1e-6, "aspect ratio")
+    val j = out(2L).feature
+    assert(j(0) == 8f && j(1) == 8f, "decoded JPEG dimensions")
+    assert(j(3) < 0.05 && j(4) < 0.05 && j(5) < 0.05, "solid black means")
+    // non-image payloads still take the deterministic stub
+    assert(out(3L).n_bytes == 3L)
+    // undecodable bytes labeled image fall back to the stub, not an error
+    val junk = Seq(MediaRecord(9L, "image/png", Array[Byte](9, 9, 9))).toDS()
+    assert(Multimodal.extractFeatures(junk).head().feature.length == 8)
   }
 
   test("sampleFrames keeps every Nth fixed-size slice") {

@@ -97,6 +97,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 15, s"top-1 recall too low: $hits/50")
   }
 
+  test("ivf assignLists is a narrow plan (no Exchange) and matches the window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, row_number}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.where($"vec_id" < 8).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    val assigned = Similarity.assignLists(
+      emb, "embedding", "vec_id", centroids, "c_id", "c_vec", keep = 3)
+    // narrow: list assignment must not shuffle (round 1 used crossJoin+window)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
+    // equivalence vs the window-ranked broadcast-join form
+    val centDf = centroids.toSeq.map { case (l, v) => (l, v) }.toDF("list", "centroid")
+    val w = Window.partitionBy(col("c_id")).orderBy(
+      graft.functions.GraftFunctions.cosineSim(col("c_vec"), col("centroid")).desc,
+      col("list"))
+    val viaWindow = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("crank", row_number().over(w))
+      .where($"crank" <= 3)
+      .select($"c_id", $"list").as[(Long, Int)].collect().toSet
+    val viaNarrow = assigned.select($"c_id", $"list").as[(Long, Int)].collect().toSet
+    assert(viaNarrow == viaWindow)
+  }
+
   test("approxTopKLSH ranks candidates it scores identically to brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = emb.where($"vec_id" < 5)

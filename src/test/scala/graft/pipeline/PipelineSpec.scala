@@ -90,4 +90,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == 42 && attempts == 3)
     intercept[RuntimeException](Pipeline.retry(2)(sys.error("always")))
   }
+
+  test("O3: retry does NOT swallow fatal errors (NonFatal only)") {
+    var attempts = 0
+    intercept[InterruptedException] {
+      Pipeline.retry(3) { attempts += 1; throw new InterruptedException("stop") }
+    }
+    Thread.interrupted() // clear the flag for later tests
+    assert(attempts == 1, "a fatal error must not be retried")
+  }
 }

@@ -82,6 +82,47 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(spark.read.format("xlsx").load(salesXlsx).count() == 3)
   }
 
+  test("first tab resolved via workbook.xml when it is not sheet1.xml") {
+    val dir = Files.createDirectories(java.nio.file.Paths.get("target/fixtures")).toString
+    val path = s"$dir/multi_sheet.xlsx"
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    def sheetXml(headerName: String, value: String): String =
+      s"""<?xml version="1.0"?><worksheet><sheetData>""" +
+        s"""<row r="1"><c r="A1" t="inlineStr"><is><t>$headerName</t></is></c></row>""" +
+        s"""<row r="2"><c r="A2" t="inlineStr"><is><t>$value</t></is></c></row>""" +
+        "</sheetData></worksheet>"
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    // the workbook's FIRST tab is rId2 → sheet2.xml (e.g. after reordering)
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="Data" sheetId="2" r:id="rId2"/><sheet name="Old" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        """<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>""" +
+        "</Relationships>")
+    entry("xl/worksheets/sheet1.xml", sheetXml("wrong_sheet", "nope"))
+    entry("xl/worksheets/sheet2.xml", sheetXml("right_sheet", "yes"))
+    zos.close()
+    val df = Sources.excel(spark, path)
+    assert(df.columns.toSeq == Seq("right_sheet"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("yes"))
+  }
+
+  test("duplicate header names disambiguate as name.1 and resolve by position") {
+    val dir = Files.createDirectories(java.nio.file.Paths.get("target/fixtures")).toString
+    val path = writeXlsx(s"$dir/dup_headers.xlsx",
+      Seq("a", "a", "b"), Seq(Seq("x", "y", "z")))
+    val df = Sources.excel(spark, path)
+    assert(df.columns.toSeq == Seq("a", "a.1", "b"))
+    val r = df.select("`a.1`", "a", "b").head()
+    assert(r.getString(0) == "y" && r.getString(1) == "x" && r.getString(2) == "z")
+  }
+
   test("E2E: pipeline ingests xlsx directly (S1 without the CSV degrade)") {
     val products = {
       val p = java.nio.file.Paths.get("target/fixtures/xlsx_products.json")

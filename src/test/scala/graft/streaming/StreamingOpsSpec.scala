@@ -92,15 +92,18 @@ class StreamingOpsSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val source = MemoryStream[(Long, Double)]
-    val events = source.toDF().toDF("user_id", "value")
-    val q = StreamingOps.runningUserTotals(events)
+    val source = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = source.toDF().toDF("ts", "user_id", "value")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = StreamingOps.runningUserTotals(events, watermark = "0 seconds")
       .writeStream.format("memory").queryName("state_out")
       .outputMode("update").start()
     try {
-      source.addData((1L, 2.0), (1L, 3.0), (2L, 1.0))
+      source.addData((ts("2024-01-01 10:00:00"), 1L, 2.0),
+        (ts("2024-01-01 10:00:10"), 1L, 3.0), (ts("2024-01-01 10:00:20"), 2L, 1.0))
       q.processAllAvailable()
-      source.addData((1L, 5.0)) // state must carry: user 1 now 3 events, 10.0
+      // state must carry (well inside the TTL): user 1 now 3 events, 10.0
+      source.addData((ts("2024-01-01 10:01:00"), 1L, 5.0))
       q.processAllAvailable()
     } finally q.stop()
     val last = spark.table("state_out")
@@ -108,6 +111,35 @@ class StreamingOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toMap2
     assert(last(1L) == (3L, 10.0))
     assert(last(2L) == (1L, 1.0))
+  }
+
+  test("runningUserTotals evicts state after the event-time TTL") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = source.toDF().toDF("ts", "user_id", "value")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = StreamingOps.runningUserTotals(events,
+      watermark = "0 seconds", stateTtl = "5 minutes")
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode("update").start()
+    try {
+      source.addData((ts("2024-01-01 10:00:00"), 1L, 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's 10:05 timeout
+      source.addData((ts("2024-01-01 11:00:00"), 9L, 1.0))
+      q.processAllAvailable()
+      source.addData((ts("2024-01-01 12:00:00"), 9L, 1.0)) // fires the timeout
+      q.processAllAvailable()
+      // user 1 returns: state was evicted, so totals restart from zero
+      source.addData((ts("2024-01-01 12:00:30"), 1L, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("ttl_out").where($"user_id" === 1L)
+      .select($"n_events", $"total_value").as[(Long, Double)].collect().toSet
+    assert(u1.contains((1L, 5.0)), s"expected a fresh (1, 5.0) row after eviction, got $u1")
+    assert(!u1.contains((2L, 7.0)), s"state survived past TTL: $u1")
   }
 
   implicit class RowsOps(rows: Array[(Long, Long, Double)]) {
