@@ -418,6 +418,29 @@ object SparkEntry {
         kept.agg(count(lit(1)).as("n_kept")))
     }),
 
+    // ── North star dedup: embedding-space near-dup REMOVAL (exact
+    //    detect → CC → min-id survivor); oracle = all-pairs cosine +
+    //    recursive-CTE CC in DuckDB ─────────────────────────────────────
+    "q_embedding_dedup_resolved" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val kept = graft.operators.Dedup.removeNearDuplicatesByEmbedding(
+        emb, "embedding", "vec_id", threshold = 0.45)
+      emb.agg(count(lit(1)).as("n_vecs")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept")))
+    }),
+
+    // ── North star text analysis: corpus vocabulary — top tokens by
+    //    frequency (explode → partial-agg → TakeOrderedAndProject; the
+    //    shuffle carries one row per distinct token per task) ───────────
+    "q_top_tokens" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select(explode(graft.functions.GraftFunctions.normTokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
     // ── North star multimodal: binary payload → batched stub feature
     //    extraction; n_bytes is the oracle-checkable invariant ─────────
     "q_multimodal_features" -> ((s, dir) => {
@@ -617,6 +640,22 @@ object SparkEntry {
     "q_approx_distinct" ->
       ("SELECT count(DISTINCT l_partkey) AS exact_parts, " +
         "TRUE AS approx_parts_ok, TRUE AS approx_orders_ok FROM lineitem"),
+    "q_embedding_dedup_resolved" ->
+      ("WITH RECURSIVE j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a " +
+        "JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+        "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+        "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+        "losers AS (SELECT count(*) AS n_losers FROM lab WHERE label <> id) " +
+        "SELECT (SELECT count(*) FROM embeddings) AS n_vecs, " +
+        "(SELECT count(*) FROM embeddings) - n_losers AS n_kept FROM losers"),
+    // '' filter: DuckDB's split of a fully-stripped text yields [''];
+    // the Spark tokenizer yields no tokens at all.
+    "q_top_tokens" ->
+      ("WITH tok AS (SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+')) AS token FROM documents) " +
+        "SELECT token, count(*) AS n FROM tok WHERE token <> '' " +
+        "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
     // Same heuristic as TextAnalysis.langId: per-language stopword votes
     // (multiplicity-aware), argmax encoded as a zero-padded sortable
     // string so greatest() applies (score first, then language code —

@@ -280,4 +280,21 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Embedding-space near-duplicate REMOVAL — the same detect → cluster →
+    * min-id-survivor composition over cosine similarity. `exact = true`
+    * (default) detects with the all-pairs ground truth
+    * ([[Similarity.cosinePairsExact]]); `exact = false` takes the sign-LSH
+    * scale path, whose recall is partial at moderate thresholds (use it at
+    * the ≥0.9 near-dup thresholds it is designed for). */
+  def removeNearDuplicatesByEmbedding(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, exact: Boolean = true): DataFrame = {
+    val pairs =
+      if (exact) Similarity.cosinePairsExact(df, vecCol, idCol, threshold)
+      else Similarity.cosinePairs(df, vecCol, idCol, threshold)
+    val losers = resolveClusters(pairs)
+      .where(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

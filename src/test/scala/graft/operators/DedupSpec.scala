@@ -58,6 +58,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
   }
 
+  test("removeNearDuplicatesByEmbedding keeps the min-id survivor per cosine cluster") {
+    val base = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(64)(i => math.cos(i * 3 + 1).toFloat)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val kept = Dedup.removeNearDuplicatesByEmbedding(df, "embedding", "vec_id", 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // 2 collapses into 1; 3 untouched
+  }
+
   test("embedding near-dup pairs: planted duplicate vector is found") {
     val base = Array.tabulate(64)(i => math.sin(i).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
