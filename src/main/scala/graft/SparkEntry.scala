@@ -441,6 +441,25 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ── North star sampling: deterministic content-stable sample —
+    //    membership is a pure function of the key (md5 prefix), so the
+    //    identical predicate runs in the DuckDB oracle and the checksum
+    //    pins exact membership, not just the count ─────────────────────
+    "q_deterministic_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sampled = graft.operators.Sampling.deterministicSample(docs, "doc_id", 0.25)
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        sampled.agg(count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).cast("long").as("id_checksum")))
+    }),
+
+    // ── North star sampling: reproducible train/val/test split ────────
+    "q_hash_split" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
+
     // ── North star multimodal: binary payload → batched stub feature
     //    extraction; n_bytes is the oracle-checkable invariant ─────────
     "q_multimodal_features" -> ((s, dir) => {
@@ -650,6 +669,15 @@ object SparkEntry {
         "losers AS (SELECT count(*) AS n_losers FROM lab WHERE label <> id) " +
         "SELECT (SELECT count(*) FROM embeddings) AS n_vecs, " +
         "(SELECT count(*) FROM embeddings) - n_losers AS n_kept FROM losers"),
+    "q_deterministic_sample" ->
+      ("SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_sampled, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '40000000'"),
+    "q_hash_split" ->
+      ("SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' " +
+        "ELSE 'test' END AS split, count(*) AS n " +
+        "FROM documents GROUP BY split ORDER BY split"),
     // '' filter: DuckDB's split of a fully-stripped text yields [''];
     // the Spark tokenizer yields no tokens at all.
     "q_top_tokens" ->

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-stable sampling and splitting (north-star
+  * mandate: reproducible train/validation/test selection over a 100 TB
+  * corpus).
+  *
+  * Mechanism: a row's bucket is the first 8 hex digits of
+  * `md5(string(key))` — a uniform draw in [0, 2³²) that is a pure
+  * function of the KEY. Unlike `df.sample`/`rand()`, membership is
+  * independent of partitioning, task retries, cluster size, and engine
+  * (md5 is bit-identical everywhere — the same predicate runs verbatim
+  * in the DuckDB oracle), and it is STABLE under corpus growth: a
+  * document keeps its split when new data arrives, which is what
+  * train/test hygiene actually requires. Narrow predicate — pushes into
+  * the scan stage, no shuffle, no RNG state. */
+object Sampling {
+
+  /** [0, 2³²) bucket of a key, as its 8-hex-digit md5 prefix (lowercase;
+    * string comparison ≡ numeric comparison at fixed width). */
+  def bucketHex(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+
+  /** Cumulative fraction → inclusive-exclusive hex threshold. */
+  private def thresholdHex(cum: Double): String =
+    f"${math.min(math.round(cum * 4294967296.0), 4294967295L)}%08x"
+
+  /** Keep ≈`fraction` of rows, deterministically by key. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    if (fraction >= 1.0) df
+    else if (fraction <= 0.0) df.where(lit(false))
+    else df.where(bucketHex(col(keyCol)) < lit(thresholdHex(fraction)))
+  }
+
+  /** Disjoint named splits covering the whole keyspace, e.g.
+    * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)` — the last
+    * split absorbs rounding remainder. Adds a `split` column. */
+  def hashSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 >= 0.0), "split fractions must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val hex = bucketHex(col(keyCol))
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val splitCol = splits.init.zip(cums.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cum)) =>
+        val cond = hex < lit(thresholdHex(cum))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+      }
+      .fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+    df.withColumn("split", splitCol)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSparkSession
+
+/** Deterministic-sampling specs: membership is key-pure (stable under
+  * repartitioning), splits are disjoint + exhaustive, fractions land near
+  * their targets, and supersets preserve membership (corpus-growth
+  * stability — the train/test-hygiene property). */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("deterministicSample: same members regardless of partitioning; ~fraction kept") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs.repartition(7), "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "membership must not depend on partitioning")
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.15 && frac < 0.35, s"0.25 sample landed at $frac")
+  }
+
+  test("deterministicSample: fraction 0 and 1 edge cases") {
+    assert(Sampling.deterministicSample(docs, "doc_id", 0.0).count() == 0)
+    assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() == docs.count())
+  }
+
+  test("membership is stable under corpus growth (subset sampled == superset ∩ subset)") {
+    val subset = docs.where($"doc_id" < 250)
+    val fromSubset = Sampling.deterministicSample(subset, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val fromFull = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .where($"doc_id" < 250).select("doc_id").as[Long].collect().toSet
+    assert(fromSubset == fromFull)
+  }
+
+  test("hashSplit: disjoint, exhaustive, near target fractions, deterministic") {
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == docs.count()) // exhaustive and disjoint
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    val again = Sampling.hashSplit(docs.repartition(5), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == first)
+  }
+
+  test("hashSplit rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("sampling predicate is narrow (no Exchange introduced)") {
+    val plan = Sampling.deterministicSample(docs, "doc_id", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+}
