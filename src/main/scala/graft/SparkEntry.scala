@@ -469,6 +469,128 @@ object SparkEntry {
       graft.operators.Multimodal.extractFeaturesDF(s, media, "doc_id", "mtype", "payload")
         .select(col("media_id").as("doc_id"), col("n_bytes"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── North star temporal join: backward as-of join — each click picks
+    //    up the latest prior purchase by the same user. Union+window
+    //    formulation: ONE shuffle on user_id, no row explosion (the
+    //    crossJoin+filter form would be |clicks|×|purchases| per user).
+    //    Oracle: DuckDB's native ASOF LEFT JOIN ─────────────────────────
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      graft.operators.Joins.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+          tieBreak = Some("purchase_id"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── North star temporal join: point-in-interval range join — error
+    //    events landing in each signup's first 5 minutes, ANY user (no
+    //    equi-key). Time-bucketed: candidates meet in a hash join on the
+    //    bucket id instead of a |signups|×|errors| nested loop ──────────
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val wins = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("w_end"))
+      val errs = ev.where(col("event_type") === "error").select(col("ts"))
+      val counts = graft.operators.Joins
+        .rangeJoinPointInterval(errs, "ts", wins, "w_start", "w_end", bucketSeconds = 300L)
+        .groupBy(col("window_id")).agg(count(lit(1)).as("n_errors"))
+      wins.select("window_id").join(counts, Seq("window_id"), "left")
+        .select(col("window_id"), coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+        .orderBy(col("window_id"))
+    }),
+
+    // ── Incremental load: keyed MERGE/upsert — a 10% price-touch delta
+    //    merged over the full snapshot; row count is invariant, the
+    //    touched keys carry the new price. One anti-join + union; the
+    //    untouched payload never shuffles ────────────────────────────────
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+      val updates = base.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      graft.etl.Warehouse.mergeUpsert(base, updates, Seq("o_orderkey"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // ── North star text analysis: Gopher-style repetition stats — token
+    //    multiplicity and most-repeated-bigram counts per document (the
+    //    raw signals of duplicate-line / repeated-n-gram quality filters).
+    //    Native multiplicity-preserving `ngrams` kernel; one scan, two
+    //    partial-agg shuffles ──────────────────────────────────────────────
+    "q_repetition_stats" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = graft.functions.GraftFunctions.normTokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+          explode_outer(graft.functions.GraftFunctions.ngramsNative(col("text"), 2))
+            .as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          max(col("n_distinct_tokens")).as("n_distinct_tokens"),
+          count(col("bigram")).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          max(col("n_distinct_tokens")).as("n_distinct_tokens"),
+          sum(col("c")).cast("long").as("n_bigrams"),
+          max(col("c")).cast("long").as("max_bigram_count"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── North star text analysis: per-doc top terms (TF ranking without
+    //    floating-point IDF — integer-deterministic across engines) ──────
+    "q_doc_top_terms" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("token"))
+      t(s, dir, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.normTokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // ── North star text analysis: PII redaction. The corpus text has no
+    //    real PII, so each doc is deterministically augmented with a
+    //    synthetic email/phone/URL derived from its id; the redaction
+    //    kernel (shared-regex-subset) then has to scrub exactly those.
+    //    Output pins the full redacted text via md5 ──────────────────────
+    "q_pii_redaction" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val aug = concat(col("text"), lit(" contact user"), id,
+        lit("@example.com or +1-555-000-"), lpad(id, 4, "0"),
+        lit(" visit https://example.com/u/"), id)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(graft.functions.TextAnalysis.redactPii(aug)).as("redacted_fp"),
+          graft.functions.TextAnalysis.piiMatchCount(aug).cast("long").as("n_pii"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Approximate percentile sketch next to the exact quantile, with
+    //    the same in-tolerance-boolean contract as q_approx_distinct ─────
+    "q_approx_percentile" -> ((s, dir) => {
+      def ok(approx: Column, exact: Column): Column =
+        abs(approx - exact) / abs(exact) <= 0.02
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          expr("approx_percentile(o_totalprice, 0.9, 10000)").as("ap90"))
+        .select(col("o_orderstatus"), col("p50"),
+          ok(col("ap50"), col("p50")).as("p50_ok"),
+          ok(col("ap90"), col("p90")).as("p90_ok"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -723,6 +845,55 @@ object SparkEntry {
         "quantile_cont(o_totalprice, 0.5) AS p50, " +
         "quantile_cont(o_totalprice, 0.75) AS p75, " +
         "quantile_cont(o_totalprice, 0.9) AS p90 " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // DuckDB's native ASOF LEFT JOIN is the independent re-statement of the
+    // union+window as-of (latest purchase at-or-before each click).
+    "q_asof_join" ->
+      ("WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'), " +
+        "purch AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type='purchase') " +
+        "SELECT event_id, clicks.user_id AS user_id, purchase_id FROM clicks ASOF LEFT JOIN purch " +
+        "ON clicks.user_id = purch.user_id AND purch.p_ts <= clicks.ts ORDER BY event_id"),
+    "q_range_join" ->
+      ("WITH s AS (SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end FROM events WHERE event_type='signup'), " +
+        "e AS (SELECT ts FROM events WHERE event_type='error') " +
+        "SELECT window_id, count(e.ts) AS n_errors FROM s LEFT JOIN e " +
+        "ON e.ts >= s.w_start AND e.ts < s.w_end GROUP BY window_id ORDER BY window_id"),
+    "q_merge_upsert" ->
+      ("SELECT count(*) AS n_rows, " +
+        "CAST(CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS total " +
+        "FROM orders"),
+    "q_repetition_stats" ->
+      ("WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents), " +
+        "base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens, " +
+        "CASE WHEN len(t) < 2 THEN [] ELSE list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1]) END AS bg FROM tk), " +
+        "bc AS (SELECT doc_id, unnest(bg) AS bigram FROM base), " +
+        "cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bc GROUP BY 1,2), " +
+        "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS max_bigram_count FROM cnt GROUP BY 1) " +
+        "SELECT base.doc_id AS doc_id, n_tokens, n_distinct_tokens, COALESCE(n_bigrams, 0) AS n_bigrams, " +
+        "COALESCE(max_bigram_count, 0) AS max_bigram_count " +
+        "FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id ORDER BY base.doc_id"),
+    "q_doc_top_terms" ->
+      ("WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+')) AS token FROM documents WHERE doc_id < 20), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tk WHERE token <> '' GROUP BY 1,2) " +
+        "SELECT doc_id, token, tf, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS BIGINT) AS rk " +
+        "FROM tf QUALIFY rk <= 3 ORDER BY doc_id, rk"),
+    "q_pii_redaction" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+      "WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or +1-555-000-' || lpad(CAST(doc_id AS VARCHAR),4,'0') || " +
+        "' visit https://example.com/u/' || CAST(doc_id AS VARCHAR) AS t FROM documents) " +
+        s"SELECT doc_id, md5(regexp_replace(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'), " +
+        s"'$url', '<URL>', 'g'), '$phone', '<PHONE>', 'g')) AS redacted_fp, " +
+        s"CAST(len(regexp_extract_all(t, '$email')) " +
+        s"+ len(regexp_extract_all(regexp_replace(t, '$email', '<EMAIL>', 'g'), '$url')) " +
+        s"+ len(regexp_extract_all(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'), '$phone')) AS BIGINT) AS n_pii " +
+        "FROM aug ORDER BY doc_id"
+    },
+    "q_approx_percentile" ->
+      ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50, " +
+        "TRUE AS p50_ok, TRUE AS p90_ok " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
   )
 }

@@ -68,6 +68,29 @@ object Warehouse {
     }
   }
 
+  /** Keyed MERGE/upsert (SCD type 1): rows from `updates` replace
+    * current rows with the same key; unmatched updates insert; everything
+    * else is untouched — the incremental alternative to the reference's
+    * WRITE_TRUNCATE reload (etl_pipeline.py:209) when the warehouse has no
+    * native MERGE.
+    *
+    * Shape: one left-anti equi-join on the key (AQE broadcasts `updates`'
+    * keys when the delta is small — the common case) plus a union; the
+    * current table's payload never shuffles. Pair with
+    * [[overwriteIncrementalPartitions]] to rewrite only the partitions the
+    * delta touches. When `current` reads the same table being rewritten,
+    * stage the merge result first ([[stageParquet]]) — Spark cannot
+    * overwrite a table from a plan that still reads it.
+    */
+  def mergeUpsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeUpsert: at least one key column required")
+    require(current.columns.sorted.sameElements(updates.columns.sorted),
+      "mergeUpsert: current and updates must share a schema")
+    updates.unionByName(
+      current.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti"))
+  }
+
   /** K1 — CSV stage materialization (df.to_csv(index=False),
     * etl_pipeline.py:74). Kept only for reference-shaped interop; the
     * engine's own stage hand-off is the lazy plan (no materialization) or

@@ -21,6 +21,9 @@ object GraftFunctions {
       "shingles", exprs => ShinglesExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams", exprs => NGramsExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_signature", exprs => SignSignature(exprs.head,
@@ -47,6 +50,10 @@ object GraftFunctions {
   /** `shingles(string, n) -> array<string>` as a Column. */
   def shinglesNative(c: Column, n: Int): Column =
     call_function("shingles", c, org.apache.spark.sql.functions.lit(n))
+
+  /** `ngrams(string, n) -> array<string>` as a Column (multiplicity kept). */
+  def ngramsNative(c: Column, n: Int): Column =
+    call_function("ngrams", c, org.apache.spark.sql.functions.lit(n))
 
   /** `cosine_sim(vec, vec) -> double` as a Column. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

@@ -47,6 +47,29 @@ object ShingleUtil {
   def tokensArray(text: UTF8String): GenericArrayData =
     new GenericArrayData(normTokens(text).asInstanceOf[Array[Any]])
 
+  /** Word n-grams (space-joined) with multiplicity and order preserved —
+    * the repetition-analysis counterpart of [[shingles]] (which dedups for
+    * set-similarity). Gopher-style repetition filters need the duplicate
+    * n-grams that set semantics would erase. */
+  def ngrams(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = normTokens(text)
+    if (toks.length < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = toks(i + j)
+        if (j < n - 1) parts(2 * j + 1) = SPACE
+        j += 1
+      }
+      out(i) = UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word n-gram shingles (space-joined), first-occurrence order. */
   def shingles(text: UTF8String, n: Int): GenericArrayData = {
     val toks = normTokens(text)
@@ -80,6 +103,23 @@ case class NormTokens(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.tokensArray($c)")
 
   override protected def withNewChildInternal(newChild: Expression): NormTokens =
+    copy(child = newChild)
+}
+
+/** `ngrams(string, n) -> array<string>` — codegen'd multiplicity-preserving
+  * word n-grams (repetition analysis; [[ShinglesExpr]] dedups instead). */
+case class NGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "ngrams: n must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.ngrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramsExpr =
     copy(child = newChild)
 }
 

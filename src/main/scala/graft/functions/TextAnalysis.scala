@@ -87,6 +87,36 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  // ── PII redaction ─────────────────────────────────────────────────────
+
+  /** Patterns kept to the regex subset whose semantics agree between Java's
+    * engine and RE2-family engines (character classes, greedy bounded
+    * repetition — no backrefs, no lookaround), so the same redaction can be
+    * cross-checked in any SQL engine. Order matters: emails and URLs are
+    * consumed before the phone pattern so their digit runs can't be
+    * re-matched as phone numbers (the placeholder tokens contain no digits). */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe   = "https?://[^ ]+"
+  private val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Redact emails, URLs, and phone-shaped digit runs to typed placeholder
+    * tokens — the standard pre-training scrub pass. Pure codegen'd
+    * `regexp_replace` chain: one narrow scan at corpus scale. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      phoneRe, "<PHONE>")
+
+  /** Count of PII matches a redaction pass would replace (audit metric). */
+  def piiMatchCount(c: Column): Column =
+    coalesce(regexp_count(c, lit(emailRe)), lit(0)) +
+      coalesce(regexp_count(regexp_replace(c, emailRe, "<EMAIL>"), lit(urlRe)), lit(0)) +
+      coalesce(regexp_count(
+        regexp_replace(regexp_replace(c, emailRe, "<EMAIL>"), urlRe, "<URL>"),
+        lit(phoneRe)), lit(0))
+
   // ── quality scoring ───────────────────────────────────────────────────
 
   /** Alphabetic-character ratio of the raw text. */

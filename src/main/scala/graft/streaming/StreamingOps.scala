@@ -57,6 +57,31 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same key whose timestamp lies in [left.ts − `lookback`,
+    * left.ts] — e.g. "purchases attribute to clicks in the last hour".
+    *
+    * Both sides carry a watermark and the join condition bounds event time
+    * on BOTH streams, which is exactly what lets Spark evict buffered rows:
+    * state per side is (watermark + lookback) of data, not the whole
+    * stream. Works identically on batch frames (the spec pins stream ≡
+    * batch).
+    *
+    * Inputs are pre-projected: left = (key, leftTs, left payload...),
+    * right = (key, rightTs, right payload...) with disjoint payload names.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lookback: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Interval string → milliseconds (calendar-day + sub-day parts). */
   private def intervalMillis(interval: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils

@@ -1,0 +1,40 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSparkSession
+
+/** Keyed MERGE/upsert semantics: updates replace, inserts append, the
+  * rest is untouched; composite keys work; schema mismatch is rejected. */
+class MergeUpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  test("mergeUpsert: update wins, insert appends, untouched rows survive") {
+    val current = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val merged = Warehouse.mergeUpsert(current, updates, Seq("k"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(merged == Set(
+      (1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("mergeUpsert: composite key") {
+    val current = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k1", "k2", "v")
+    val updates = Seq((1L, "y", 9.0)).toDF("k1", "k2", "v")
+    val merged = Warehouse.mergeUpsert(current, updates, Seq("k1", "k2"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(merged == Set((1L, "x", 1.0), (1L, "y", 9.0)))
+  }
+
+  test("mergeUpsert: empty delta is a no-op; schema mismatch rejected") {
+    val current = Seq((1L, "a")).toDF("k", "name")
+    val empty = current.where("false")
+    assert(Warehouse.mergeUpsert(current, empty, Seq("k")).count() == 1)
+    val wrong = Seq((1L, "a", 1.0)).toDF("k", "name", "extra")
+    intercept[IllegalArgumentException] {
+      Warehouse.mergeUpsert(current, wrong, Seq("k"))
+    }
+  }
+}

@@ -33,6 +33,34 @@ class ShinglesSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("native ngrams == SQL bigram construction (multiplicity preserved)") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // SQL form: zip each token with its successor, keeping duplicates
+    val t = TextAnalysis.tokens($"text")
+    val sqlBigrams = org.apache.spark.sql.functions.when(
+      org.apache.spark.sql.functions.size(t) < 2,
+      org.apache.spark.sql.functions.array().cast("array<string>"))
+      .otherwise(org.apache.spark.sql.functions.zip_with(
+        org.apache.spark.sql.functions.slice(t,
+          org.apache.spark.sql.functions.lit(1),
+          org.apache.spark.sql.functions.size(t) - 1),
+        org.apache.spark.sql.functions.slice(t,
+          org.apache.spark.sql.functions.lit(2),
+          org.apache.spark.sql.functions.size(t) - 1),
+        (a, b) => org.apache.spark.sql.functions.concat_ws(" ", a, b)))
+    val diff = docs.select(sqlBigrams.as("sql_b"),
+      GraftFunctions.ngramsNative($"text", 2).as("nat_b"))
+      .where($"sql_b" =!= $"nat_b")
+    assert(diff.count() == 0)
+    // ngrams keeps duplicates that shingles would collapse
+    val reps = Seq("go go go go").toDF("text").select(
+      GraftFunctions.ngramsNative($"text", 2).as("n"),
+      GraftFunctions.shinglesNative($"text", 2).as("s")).head()
+    assert(reps.getSeq[String](0) == Seq("go go", "go go", "go go"))
+    assert(reps.getSeq[String](1) == Seq("go go"))
+  }
+
   test("native kernels on edge cases: empty, punctuation-only, unicode, short") {
     GraftFunctions.register(spark)
     val df = Seq("", "!!! ???", "Héllo wörld foo", "a b").toDF("text")

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSparkSession
@@ -88,6 +89,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toMap
     assert(scores("prose") > scores("junk"))
     assert(scores("prose") > 0.5 && scores("junk") < 0.5)
+  }
+
+  test("redactPii scrubs emails, URLs, and phone numbers; clean prose unchanged") {
+    val df = Seq(
+      ("pii", "mail me at jane.doe+spam@corp-mail.co.uk or call +1 (555) 123-4567, docs at https://internal.example.com/a?b=c now"),
+      ("clean", "the quick brown fox jumped over the lazy dog in 1999"))
+      .toDF("kind", "text")
+    val out = df.select($"kind", TextAnalysis.redactPii($"text").as("r"),
+      TextAnalysis.piiMatchCount($"text").as("n"))
+      .as[(String, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("pii")._1 ==
+      "mail me at <EMAIL> or call <PHONE>, docs at <URL> now")
+    assert(out("pii")._2 == 3)
+    assert(out("clean")._1 == "the quick brown fox jumped over the lazy dog in 1999")
+    assert(out("clean")._2 == 0)
+  }
+
+  test("redactPii leaves no raw PII behind on the augmented corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val aug = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com or +1-555-000-"), lpad($"doc_id".cast("string"), 4, "0"),
+      lit(" visit https://example.com/u/"), $"doc_id".cast("string"))
+    val redacted = docs.select(TextAnalysis.redactPii(aug).as("r"))
+    assert(redacted.where($"r".contains("@example.com")).count() == 0)
+    assert(redacted.where($"r".contains("https://")).count() == 0)
+    assert(redacted.where($"r".contains("555-000")).count() == 0)
+    assert(redacted.where($"r".contains("<EMAIL>") && $"r".contains("<URL>") &&
+      $"r".contains("<PHONE>")).count() == docs.count())
   }
 
   test("simhash64 expression: registered SQL function, deterministic, codegen path") {

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSparkSession
+
+/** Temporal-join specs: as-of and range joins are checked against
+  * brute-force ground truth on real event data, plus plan shape (the range
+  * join must hash-join on the time bucket, never nested-loop). */
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  // test session reads parquet TIMESTAMP(NANOS) as long — normalize back
+  private lazy val ev = spark.read
+    .parquet("/root/testdata/sf0.01/events.parquet")
+    .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  test("asOfJoin matches brute-force latest-prior-reference on real events") {
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+
+    val got = Joins.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+        tieBreak = Some("purchase_id"))
+      .select($"event_id", $"purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val ps = purchases.as[(Long, java.sql.Timestamp, Long)].collect()
+    val expected = clicks.as[(Long, Long, java.sql.Timestamp)].collect().map {
+      case (id, u, t) =>
+        val prior = ps.filter(p => p._1 == u && !p._2.after(t))
+        id -> (if (prior.isEmpty) None
+               else Some(prior.maxBy(p => (p._2.getTime, p._3))._3))
+    }.toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
+  test("asOfJoin: inclusive at equal ts; tie among refs goes to max tieBreak") {
+    val probes = Seq((1L, 100L), (2L, 50L)).toDF("probe_id", "t")
+      .withColumn("t", timestamp_micros($"t"))
+    val refs = Seq((10L, 100L), (11L, 100L), (12L, 99L)).toDF("ref_id", "rt")
+      .withColumn("rt", timestamp_micros($"rt"))
+      .withColumn("k", lit(1L))
+    val out = Joins.asOfJoin(
+        probes.withColumn("k", lit(1L)), refs, Seq("k"), "t", "rt",
+        tieBreak = Some("ref_id"))
+      .select($"probe_id", $"ref_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(11L), "equal-ts ref visible; max tieBreak wins")
+    assert(out(2L).isEmpty, "no reference at or before t=50")
+  }
+
+  test("rangeJoinPointInterval matches brute-force, incl. intervals spanning many buckets") {
+    val wins = ev.where($"event_type" === "signup").limit(200)
+      .select($"event_id".as("window_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as("w_end"))
+    val errs = ev.where($"event_type" === "error").select($"ts")
+
+    // bucket smaller than the interval => every interval explodes to 6 buckets
+    for (bucket <- Seq(60L, 300L, 3600L)) {
+      val got = Joins.rangeJoinPointInterval(errs, "ts", wins, "w_start", "w_end", bucket)
+        .groupBy($"window_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val expected = wins.join(errs)
+        .where($"ts" >= $"w_start" && $"ts" < $"w_end")
+        .groupBy($"window_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"bucketSeconds=$bucket")
+    }
+  }
+
+  test("rangeJoinPointInterval: half-open bounds and degenerate intervals") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val pts = Seq(ts(1000000L), ts(2000000L), ts(3000000L)).toDF("ts")
+    val wins = Seq(
+      (1L, ts(1000000L), ts(3000000L)),  // [1s, 3s) -> points at 1s, 2s
+      (2L, ts(2000000L), ts(2000000L)),  // empty interval -> nothing
+      (3L, ts(3000000L), ts(2000000L)))  // end < start -> nothing
+      .toDF("window_id", "w_start", "w_end")
+    val got = Joins.rangeJoinPointInterval(pts, "ts", wins, "w_start", "w_end", 1L)
+      .groupBy($"window_id").count().as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L))
+  }
+
+  test("rangeJoinPointInterval plan is a hash equi-join on the bucket, not a nested loop") {
+    val wins = ev.where($"event_type" === "signup")
+      .select($"event_id".as("window_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as("w_end"))
+    val errs = ev.where($"event_type" === "error").select($"ts")
+    val plan = Joins.rangeJoinPointInterval(errs, "ts", wins, "w_start", "w_end")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+  }
+}

@@ -186,4 +186,27 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.count() == 50)
     assert(streamed.select("event_id").as[Long].collect().toSet.size == 50)
   }
+
+  test("stream-stream interval join: stream result equals batch result") {
+    val clicks = batchEvents.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = batchEvents.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+
+    val clickDir = Files.createTempDirectory("clicks_stream").toString
+    val purchDir = Files.createTempDirectory("purch_stream").toString
+    clicks.repartition(1).write.mode("overwrite").parquet(clickDir)
+    purchases.repartition(1).write.mode("overwrite").parquet(purchDir)
+
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.intervalJoin(
+        StreamingOps.replayParquet(spark, clickDir, clicks.schema, 10),
+        StreamingOps.replayParquet(spark, purchDir, purchases.schema, 10),
+        "user_id", "click_ts", "p_ts", lookback = "1 hour"),
+      "interval_join_out", outputMode = "append")
+    val batch = StreamingOps.intervalJoin(
+      clicks, purchases, "user_id", "click_ts", "p_ts", lookback = "1 hour")
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(streamed.count() > 0, "fixture must produce at least one joined pair")
+  }
 }
