@@ -576,6 +576,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── North star decontamination: corpus docs sharing any 3-gram with
+    //    the benchmark slice (doc_id % 50 == 0). The join key is a 64-bit
+    //    shingle hash — bare (hash, id) pairs shuffle, never shingle
+    //    strings; the exact-string DuckDB oracle agrees because 64-bit
+    //    collisions are absent at any testable scale ─────────────────────
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.contaminationHits(
+        docs.where(col("doc_id") % 50 =!= 0), docs.where(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 3)
+        .select(col("corpus_id").as("doc_id"), col("n_benchmark_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Approximate percentile sketch next to the exact quantile, with
     //    the same in-tolerance-boolean contract as q_approx_distinct ─────
     "q_approx_percentile" -> ((s, dir) => {
@@ -894,6 +908,13 @@ object SparkEntry {
     "q_approx_percentile" ->
       ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50, " +
         "TRUE AS p50_ok, TRUE AS p90_ok " +
-        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_contamination" ->
+      (s"WITH $shingleCte, " +
+        "b AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 50 = 0), " +
+        "c AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 50 <> 0) " +
+        "SELECT c.doc_id AS doc_id, count(*) AS n_benchmark_hits FROM c JOIN b " +
+        "ON len(list_intersect(c.shingles, b.shingles)) > 0 " +
+        "GROUP BY c.doc_id ORDER BY c.doc_id")
   )
 }

@@ -297,4 +297,38 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Benchmark decontamination: per corpus document, the number of
+    * benchmark documents it shares at least one word n-gram with (the
+    * n-gram-overlap test used to scrub eval sets out of training data).
+    *
+    * Scale shape: both sides explode their distinct shingles and join on a
+    * 64-bit shingle HASH — the shuffle carries (8-byte key, id) pairs, not
+    * shingle strings, and is hash-partitioned like every other candidate
+    * join here. The benchmark side is typically tiny but the plan never
+    * assumes it (no broadcast hint — AQE broadcasts when it fits). A hash
+    * collision between a corpus and a benchmark shingle could flag a clean
+    * document; at 64 bits that needs billions of distinct shingles per
+    * side to matter, and decontamination errs on the cautious side by
+    * construction. */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    def sideHashes(df: DataFrame, as: String) =
+      shingleSets(df, textCol, idCol, n)
+        .select(col("id").as(as), explode(col("shingles")).as("_sh"))
+        .select(col(as), xxhash64(col("_sh")).as("_h"))
+    sideHashes(corpus, "corpus_id")
+      .join(sideHashes(benchmark, "bench_id"), Seq("_h"))
+      .select("corpus_id", "bench_id").distinct()
+      .groupBy(col("corpus_id")).agg(count(lit(1)).as("n_benchmark_hits"))
+  }
+
+  /** Drop every corpus document that shares an n-gram with the benchmark
+    * (left-anti on [[contaminationHits]]). */
+  def removeContaminated(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame =
+    corpus.join(
+      contaminationHits(corpus, benchmark, textCol, idCol, n)
+        .select(col("corpus_id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -100,6 +100,25 @@ class DedupSpec extends AnyFunSuite {
     assert(residual == 0, s"$residual near-dup pairs survive resolution")
   }
 
+  test("contaminationHits matches brute-force shingle intersection; removeContaminated drops exactly those") {
+    val bench = docs.where($"doc_id" % 50 === 0)
+    val corpus = docs.where($"doc_id" % 50 =!= 0)
+    val got = Dedup.contaminationHits(corpus, bench, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+
+    def shingleMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[String]] =
+      Dedup.shingleSets(df, "text", "doc_id")
+        .as[(Long, Seq[String])].collect().map { case (id, sh) => id -> sh.toSet }.toMap
+    val bs = shingleMap(bench); val cs = shingleMap(corpus)
+    val expected = cs.map { case (cid, csh) =>
+      cid -> bs.count { case (_, bsh) => (csh & bsh).nonEmpty }.toLong
+    }.filter(_._2 > 0)
+    assert(got == expected)
+
+    val kept = Dedup.removeContaminated(corpus, bench, "text", "doc_id")
+    assert(kept.count() == corpus.count() - expected.size)
+  }
+
   implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
