@@ -83,12 +83,30 @@ object Warehouse {
     * overwrite a table from a plan that still reads it.
     */
   def mergeUpsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "mergeUpsert: at least one key column required")
     require(current.columns.sorted.sameElements(updates.columns.sorted),
-      "mergeUpsert: current and updates must share a schema")
+      "mergeUpsert: current and updates must share a schema " +
+        s"(current: ${current.columns.sorted.mkString(",")}; " +
+        s"updates: ${updates.columns.sorted.mkString(",")})")
+    // Name-only agreement isn't enough: a drifted column TYPE would surface
+    // later as a confusing union error or a silent coercion mid-merge.
+    current.columns.foreach { c =>
+      val (ct, ut) = (current.schema(c).dataType, updates.schema(c).dataType)
+      require(ct == ut,
+        s"mergeUpsert: column $c type drift — current ${ct.simpleString} vs updates ${ut.simpleString}")
+    }
+    // MERGE semantics require at most one source row per key (SQL MERGE
+    // raises on multiple matches; keeping both would duplicate the key in
+    // the result). Enforced with one count over the delta — the delta is
+    // small by contract, and a violation here is a pipeline bug upstream.
+    val dupKeys = updates.groupBy(keys.map(col): _*)
+      .count().where(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"mergeUpsert: updates contain multiple rows for the same key (${keys.mkString(",")}); " +
+        "dedup the delta deterministically before merging")
     updates.unionByName(
-      current.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
-        keys, "left_anti"))
+      current.join(updates.select(keys.map(col): _*), keys, "left_anti"))
   }
 
   /** K1 — CSV stage materialization (df.to_csv(index=False),

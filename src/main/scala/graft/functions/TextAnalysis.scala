@@ -90,32 +90,39 @@ object TextAnalysis {
   // ── PII redaction ─────────────────────────────────────────────────────
 
   /** Patterns kept to the regex subset whose semantics agree between Java's
-    * engine and RE2-family engines (character classes, greedy bounded
-    * repetition — no backrefs, no lookaround), so the same redaction can be
-    * cross-checked in any SQL engine. Order matters: emails and URLs are
-    * consumed before the phone pattern so their digit runs can't be
-    * re-matched as phone numbers (the placeholder tokens contain no digits). */
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val urlRe   = "https?://[^ ]+"
-  private val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+    * engine and RE2-family engines (character classes, word boundaries,
+    * greedy bounded repetition — no backrefs, no lookaround), so the same
+    * redaction can be cross-checked in any SQL engine. Order matters:
+    * emails and URLs are consumed first so their digit runs can't be
+    * re-matched downstream; SSN-shaped ids before phones (an SSN is also a
+    * phone-shaped digit run); placeholders contain no digits, so earlier
+    * replacements never feed later patterns. The URL class stops at ANY
+    * whitespace (`[^\s]` — a bare `[^ ]` would swallow text across
+    * newlines/tabs). */
+  private[graft] val piiClasses: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+"                                -> "<URL>",
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"            -> "<IP>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"                -> "<SSN>",
+    "\\+?[0-9][0-9()\\- ]{6,}[0-9]"                   -> "<PHONE>")
 
-  /** Redact emails, URLs, and phone-shaped digit runs to typed placeholder
-    * tokens — the standard pre-training scrub pass. Pure codegen'd
-    * `regexp_replace` chain: one narrow scan at corpus scale. */
+  /** Redact emails, URLs, IP addresses, SSN-shaped ids, and phone-shaped
+    * digit runs to typed placeholder tokens — the standard pre-training
+    * scrub pass. Pure codegen'd `regexp_replace` chain: one narrow scan at
+    * corpus scale. */
   def redactPii(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(c, emailRe, "<EMAIL>"),
-        urlRe, "<URL>"),
-      phoneRe, "<PHONE>")
+    piiClasses.foldLeft(c) { case (acc, (re, tag)) => regexp_replace(acc, re, tag) }
 
-  /** Count of PII matches a redaction pass would replace (audit metric). */
+  /** Count of PII matches a redaction pass would replace (audit metric) —
+    * each class counted on the text with all EARLIER classes already
+    * redacted, mirroring [[redactPii]]'s consumption order. */
   def piiMatchCount(c: Column): Column =
-    coalesce(regexp_count(c, lit(emailRe)), lit(0)) +
-      coalesce(regexp_count(regexp_replace(c, emailRe, "<EMAIL>"), lit(urlRe)), lit(0)) +
-      coalesce(regexp_count(
-        regexp_replace(regexp_replace(c, emailRe, "<EMAIL>"), urlRe, "<URL>"),
-        lit(phoneRe)), lit(0))
+    piiClasses.indices.map { i =>
+      val prior = piiClasses.take(i).foldLeft(c) {
+        case (acc, (re, tag)) => regexp_replace(acc, re, tag)
+      }
+      coalesce(regexp_count(prior, lit(piiClasses(i)._1)), lit(0))
+    }.reduce(_ + _)
 
   // ── quality scoring ───────────────────────────────────────────────────
 

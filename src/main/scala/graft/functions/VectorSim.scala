@@ -34,20 +34,36 @@ object VectorSimUtil {
     dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
   }
 
+  /** Per-(nPlanes, dim, seed) ±1 plane matrix, memoized per executor JVM:
+    * the weights are a pure function of (plane·dim + d, seed), so the
+    * matrix never ships with the plan — each executor derives it once and
+    * every subsequent row pays only the multiply-adds (a banded-LSH
+    * signature stage hashes ~10⁵ weights per row otherwise). Bounded:
+    * a query uses a handful of (planes, seed) combinations. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def planeWeights(nPlanes: Int, dim: Int, seed: Int): Array[Double] =
+    planeCache.computeIfAbsent((nPlanes, dim, seed), { _ =>
+      Array.tabulate(nPlanes * dim)(i =>
+        if ((Murmur3_x86_32.hashInt(i, seed) & 1) == 1) 1.0 else -1.0)
+    })
+
   /** Sign-LSH signature (random hyperplane, Charikar 2002): bit p is the
     * sign of the dot product with a deterministic ±1 plane whose entries
     * come from murmur3(p·dim + d, seed) — reproducible across executors,
     * runs, and languages without shipping plane arrays. */
   def signSignature(v: ArrayData, nPlanes: Int, seed: Int, isFloat: Boolean): Long = {
     val dim = v.numElements()
+    val w = planeWeights(nPlanes, dim, seed)
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
       var dot = 0.0
+      val base = p * dim
       var d = 0
       while (d < dim) {
-        val w = if ((Murmur3_x86_32.hashInt(p * dim + d, seed) & 1) == 1) 1.0 else -1.0
-        dot += elem(v, d, isFloat) * w
+        dot += elem(v, d, isFloat) * w(base + d)
         d += 1
       }
       if (dot > 0) sig |= (1L << p)

@@ -53,6 +53,18 @@ object Dedup {
   private[operators] def cpuParallelism(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** Cut lineage and materialize a reused subtree exactly once. RELIABLE
+    * `checkpoint()` (HDFS/object-store) whenever the session has a
+    * checkpoint dir configured — `localCheckpoint` pins blocks in executor
+    * storage and dies with an executor: fine on local[n], fatal mid-job on
+    * a 1000-node cluster — with `localCheckpoint` as the no-dir fallback.
+    * Every operator that re-reads a subtree goes through HERE so the
+    * policy can't drift per call site (round-2 had unconditional
+    * localCheckpoints in two dedup hot paths). */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** EXACT n-gram Jaccard pairs above a threshold, via prefix-filtering
     * set-similarity join (Vernica/Carey/Li, "Efficient Parallel
     * Set-Similarity Joins Using MapReduce", SIGMOD 2010 — public
@@ -75,15 +87,14 @@ object Dedup {
     // when frequent tokens land in prefixes).
     val tokens = sh.select(col("id"), explode(col("shingles")).as("tok"))
     val docFreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
-    // Materialized once (localCheckpoint): this subtree otherwise
-    // re-executes for the prefix explode AND each verify join side —
-    // 3× the corpus's heaviest stage. Blocks are evicted by the
-    // ContextCleaner when the plan is garbage-collected.
-    val ordered = tokens.join(docFreq, Seq("tok"))
+    // Materialized once: this subtree otherwise re-executes for the
+    // prefix explode AND each verify join side — 3× the corpus's
+    // heaviest stage. Blocks are evicted by the ContextCleaner when the
+    // plan is garbage-collected.
+    val ordered = materialize(tokens.join(docFreq, Seq("tok"))
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      .select(col("id"), transform(col("ord"), x => x.getField("tok")).as("sh"))
-      .localCheckpoint()
+      .select(col("id"), transform(col("ord"), x => x.getField("tok")).as("sh")))
     val prefixLen = (size(col("sh")).cast("double") -
       ceil(size(col("sh")).cast("double") * lit(threshold)) + 1).cast("int")
     val prefixTokens = ordered
@@ -130,6 +141,30 @@ object Dedup {
     shingled.withColumn("sig", GraftFunctions.minhashSig(col("shingles"), k))
   }
 
+  /** (rowsPerBand, nBands) for MinHash LSH, derived from the Jaccard
+    * threshold: the LARGEST r (a divisor of k, for selectivity — false
+    * candidates collide per band at ~jʳ) whose banding still catches a
+    * pair at exactly `threshold` with probability ≥ recallTarget,
+    * P[candidate] = 1 − (1 − τʳ)^(k/r). The default target (0.85 at
+    * EXACTLY τ) sits on the S-curve's steep flank: at J = τ + 0.05 recall
+    * is already ≳ 0.99, and real near-dup pairs live above the threshold
+    * — while a higher at-τ target would force narrow bands (r ≤ 2) whose
+    * background collision rate (~j²) floods candidate generation from the
+    * moderately-similar bulk. Falls back to r=1 (every minhash value its
+    * own band — maximal recall, minimal pruning) when even r=2 misses the
+    * target: low thresholds inherently trade pruning for recall, exactly
+    * like [[Similarity.signBands]] at moderate cosine. */
+  def minHashBands(threshold: Double, k: Int = 128,
+      recallTarget: Double = 0.85): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"minHashBands: threshold must be in (0,1), got $threshold")
+    val feasible = (1 to k).filter(k % _ == 0).filter { r =>
+      1.0 - math.pow(1.0 - math.pow(threshold, r), (k / r).toDouble) >= recallTarget
+    }
+    val r = if (feasible.nonEmpty) feasible.max else 1
+    (r, k / r)
+  }
+
   /** MinHash + LSH near-duplicate pairs (shingle → minhash → band →
     * bucket-join → exact-Jaccard verify):
     *
@@ -139,23 +174,26 @@ object Dedup {
     *     key — hash-partitioned, no all-pairs);
     *  4. verify candidates with exact shingle Jaccard and threshold.
     *
-    * Defaults (k=128, r=4 ⇒ b=32) give P[candidate] ≈ 1 − (1 − j⁴)³² —
-    * ≈ 1 for j ≥ 0.8, ≈ 0.87 at j = 0.5, ≈ 0.05 at j = 0.2.
+    * Banding derives from the threshold ([[minHashBands]]) so the S-curve
+    * midpoint tracks the requested similarity instead of silently
+    * weakening the recall guarantee when a caller moves the threshold
+    * (round-2 fixed r=4/b=32 regardless). Pass `r > 0` to override.
     * Returns (id_a, id_b, jaccard), exact-verified. */
   def nearDupPairsMinHash(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, n: Int = 3, k: Int = 128, r: Int = 4): DataFrame = {
-    val b = k / r
+      threshold: Double = 0.8, n: Int = 3, k: Int = 128, r: Int = 0): DataFrame = {
+    val rr = if (r > 0) r else minHashBands(threshold, k)._1
+    require(k % rr == 0, s"nearDupPairsMinHash: band width $rr must divide k=$k")
+    val b = k / rr
     // Materialized once — reused by the signature/banding self-join (2×)
     // and both verify join sides (2×); see exactJaccardPairs.
-    val sh = shingleSets(df, textCol, idCol, n)
-      .select(col("id"), array_sort(col("shingles")).as("sh"))
-      .localCheckpoint()
+    val sh = materialize(shingleSets(df, textCol, idCol, n)
+      .select(col("id"), array_sort(col("shingles")).as("sh")))
     val sig = minHashSignatures(sh.withColumnRenamed("sh", "shingles"), k)
     // Bands carry ONLY (band, band_key, id): the shingle arrays never ride
     // the candidate shuffle — they are re-joined per side for the verify.
     val banded = sig.select(col("id"),
       posexplode(array((0 until b).map(j =>
-        hash(slice(col("sig"), j * r + 1, r), lit(j))): _*)))
+        hash(slice(col("sig"), j * rr + 1, rr), lit(j))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
     val candidates = banded.as("a")
@@ -212,7 +250,8 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs — delegates candidate
-    * generation + verification to [[Similarity.cosinePairs]]. */
+    * generation + verification to [[Similarity.cosinePairs]] (banded
+    * sign-LSH, threshold-derived r/b, exact verify). */
   def nearDupPairsEmbedding(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95): DataFrame =
     Similarity.cosinePairs(df, vecCol, idCol, threshold)
@@ -235,9 +274,6 @@ object Dedup {
     * and dies with an executor, fine on local[n], fatal on a 1000-node
     * job — with `localCheckpoint` as the no-dir fallback. */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    def materialize(df: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the pair detection ONCE — the union's two branches (and
     // every CC round) would otherwise re-run the whole upstream pipeline
     val p = materialize(pairs)
@@ -282,13 +318,14 @@ object Dedup {
   }
 
   /** Embedding-space near-duplicate REMOVAL — the same detect → cluster →
-    * min-id-survivor composition over cosine similarity. `exact = true`
-    * (default) detects with the all-pairs ground truth
-    * ([[Similarity.cosinePairsExact]]); `exact = false` takes the sign-LSH
-    * scale path, whose recall is partial at moderate thresholds (use it at
-    * the ≥0.9 near-dup thresholds it is designed for). */
+    * min-id-survivor composition over cosine similarity. The default
+    * detection is the banded sign-LSH scale path
+    * ([[Similarity.cosinePairs]]: threshold-derived bands, recall ≥
+    * 0.999 at the threshold, every pair exact-verified); `exact = true`
+    * swaps in the all-pairs ground truth ([[Similarity.cosinePairsExact]])
+    * for test-side comparison — never for a corpus-scale run. */
   def removeNearDuplicatesByEmbedding(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.95, exact: Boolean = true): DataFrame = {
+      threshold: Double = 0.95, exact: Boolean = false): DataFrame = {
     val pairs =
       if (exact) Similarity.cosinePairsExact(df, vecCol, idCol, threshold)
       else Similarity.cosinePairs(df, vecCol, idCol, threshold)

@@ -28,10 +28,15 @@ object Joins {
     * Mechanics: tag both inputs, union them, sort each key's timeline once
     * (window over (ts, isProbe) — references order BEFORE probes at equal
     * ts, which is what makes the match inclusive), and carry the last
-    * non-null payload forward. Ties among references at the same (key, ts)
-    * resolve to the row with the greatest `tieBreak` (pass a unique id for
-    * full determinism; event streams with sub-microsecond collisions are
-    * the only case that needs it).
+    * reference row forward AS ONE STRUCT — the matched row's payload
+    * columns travel together, so a NULL inside the matched row STAYS null
+    * instead of being backfilled per-column from an older reference
+    * (per-column `last(ignoreNulls)` could stitch different reference rows
+    * together; DuckDB ASOF / merge_asof attach the matched row intact).
+    * Ties among references at the same (key, ts) resolve to the row with
+    * the greatest `tieBreak` (pass a unique id for full determinism;
+    * event streams with sub-microsecond collisions are the only case that
+    * needs it).
     *
     * Every non-key, non-timestamp reference column comes back as a payload
     * column, so `refs` should be pre-projected to what the caller wants —
@@ -43,35 +48,51 @@ object Joins {
     val probeCols = probes.columns
     require(payloadCols.intersect(probeCols).isEmpty,
       s"asOfJoin: payload columns ${payloadCols.mkString(",")} collide with probe columns")
+    // A non-orderable tie column would cast to null and silently disable
+    // the tie-break the caller asked for — fail fast instead.
+    tieBreak.foreach { c =>
+      val dt = refs.schema(c).dataType
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+        s"asOfJoin: tieBreak column $c of type ${dt.simpleString} is not orderable")
+    }
 
-    val tieCol = tieBreak.map(col).getOrElse(lit(null).cast("long"))
-    val refSchema = refs.schema
+    if (payloadCols.isEmpty) return probes
+
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => refs.schema(refs.schema.fieldIndex(c))))
     val pTagged = probes
       .withColumn("_g_ts", col(probeTs))
       .withColumn("_g_probe", lit(1))
-      .withColumn("_g_tie", lit(null).cast("long"))
-      .select(keys.map(col) ++ Seq(col("_g_ts"), col("_g_probe"), col("_g_tie")) ++
-        probeCols.filterNot(keys.contains).map(col) ++
-        payloadCols.map(c => lit(null).cast(refSchema(c).dataType).as(c)): _*)
+      .withColumn("_g_tie", tieBreak.map(c => lit(null).cast(refs.schema(c).dataType))
+        .getOrElse(lit(null).cast("long")))
+      .withColumn("_g_payload", lit(null).cast(payloadType))
+      .select(keys.map(col) ++
+        Seq(col("_g_ts"), col("_g_probe"), col("_g_tie"), col("_g_payload")) ++
+        probeCols.filterNot(keys.contains).map(col): _*)
     val rTagged = refs
       .withColumn("_g_ts", col(refTs))
       .withColumn("_g_probe", lit(0))
-      .withColumn("_g_tie", tieCol.cast("long"))
-      .select(keys.map(col) ++ Seq(col("_g_ts"), col("_g_probe"), col("_g_tie")) ++
+      .withColumn("_g_tie", tieBreak.map(col).getOrElse(lit(null).cast("long")))
+      .withColumn("_g_payload", struct(payloadCols.map(col): _*))
+      .select(keys.map(col) ++
+        Seq(col("_g_ts"), col("_g_probe"), col("_g_tie"), col("_g_payload")) ++
         probeCols.filterNot(keys.contains)
-          .map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
+          .map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
 
     // asc_nulls_first on the tie column keeps probe rows (null tie) stable;
     // among same-ts references the greatest tie value lands last and wins.
+    // The whole matched row rides ONE last(ignoreNulls) — probe rows carry
+    // a null struct, reference rows a non-null one (even when every field
+    // inside is null), so "latest reference row" and "non-null value"
+    // coincide exactly.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_g_ts").asc, col("_g_probe").asc, col("_g_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(pTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.where(col("_g_probe") === 1)
-      .select(probeCols.map(col) ++ payloadCols.map(col): _*)
+    pTagged.unionByName(rTagged)
+      .withColumn("_g_payload", last(col("_g_payload"), ignoreNulls = true).over(w))
+      .where(col("_g_probe") === 1)
+      .select(probeCols.map(col) ++
+        payloadCols.map(c => col("_g_payload").getField(c).as(c)): _*)
   }
 
   /** Point-in-interval range join: every (interval, point) pair with

@@ -64,47 +64,80 @@ object Similarity {
 
   // ── sign-LSH (random hyperplane) scale path ──────────────────────────
 
-  /** Deterministic ±1 hyperplanes (seeded — plans must be reproducible
-    * across executors and runs; no runtime randomness in a query plan). */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
-    val rng = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(array(Seq.fill(dim)(lit(if (rng.nextBoolean()) 1.0 else -1.0)): _*))
-  }
-
   /** Pack sign bits of plane dot products into a long signature. Cosine-
-    * similar vectors agree on most sign bits (P[bit agree] = 1 − θ/π). */
-  def signSignature(v: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val vd = asDouble(v)
-    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
-      when(dotCol(vd, p) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * similar vectors agree on most sign bits (P[bit agree] = 1 − θ/π).
+    * Pure-Column reference form of [[graft.functions.SignSignature]]
+    * (parity pinned by SimilaritySpec); the operators use the kernel. */
+  def signSignature(v: Column, nPlanes: Int, seed: Int = 42): Column = {
+    graft.functions.GraftFunctions.signSignature(v, nPlanes, seed)
   }
 
-  /** Near-duplicate pairs by cosine ≥ threshold: sign-LSH bucket join for
-    * candidates (a pair is a candidate when any 4-bit chunk of the 16-bit
-    * signature matches — pigeonhole covers Hamming ≤ 3 exactly), then
-    * exact cosine verification. Candidate generation is an equi-join on
-    * (chunk, chunk_key): hash-partitioned, never all-pairs. */
+  /** (bitsPerBand, nBands) for banded sign-LSH, derived from the cosine
+    * threshold — the MinHash band trick applied to hyperplane sign bits.
+    *
+    * A pair at exactly `threshold` agrees on each sign bit with
+    * p₁ = 1 − arccos(τ)/π, collides in one r-bit band with p₁ʳ, and is
+    * missed by all b bands with (1 − p₁ʳ)ᵇ — so b is the smallest count
+    * driving that below 1 − recallTarget, and r is the LARGEST width whose
+    * b fits the plane budget (wider bands ⇒ exponentially fewer false
+    * candidates from the uncorrelated bulk, which collides per band at
+    * ~2⁻ʳ; that selectivity is what keeps candidate volume sub-quadratic
+    * at 100 TB). Honesty at low thresholds: recall-feasible bandings exist
+    * down to tiny τ, but expected background collisions per uncorrelated
+    * pair (≈ b·2⁻ʳ) rise toward — and past — 1 as τ falls (the
+    * hyperplane-LSH exponent ρ = ln p₁ / ln ½ approaching 1): at τ ≲ 0.3
+    * LSH prunes little over all-pairs. That is a property of the angle
+    * geometry, not this implementation; dedup workloads live at τ ≥ 0.8,
+    * where b·2⁻ʳ ≈ 10⁻⁴. */
+  def signBands(threshold: Double, recallTarget: Double = 0.999,
+      maxPlanes: Int = 4096): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"signBands: threshold must be in (0,1), got $threshold")
+    require(recallTarget > 0.0 && recallTarget < 1.0,
+      s"signBands: recallTarget must be in (0,1), got $recallTarget")
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    val feasible = (4 to 48).flatMap { r =>
+      val pr = math.pow(p1, r)
+      val b = math.max(1L, math.ceil(math.log1p(-recallTarget) / math.log1p(-pr)).toLong)
+      if (b * r <= maxPlanes) Some((r, b.toInt)) else None
+    }
+    require(feasible.nonEmpty,
+      s"signBands: cosine threshold $threshold is below the sign-LSH-prunable " +
+        s"regime for a $maxPlanes-plane budget (hyperplane LSH cannot separate " +
+        "moderate-angle pairs cheaply); use cosinePairsExact")
+    feasible.maxBy(_._1)
+  }
+
+  /** Near-duplicate pairs by cosine ≥ threshold: banded sign-LSH candidate
+    * generation (b independent r-bit signatures, r/b derived from the
+    * threshold by [[signBands]]), then exact cosine verification. A pair is
+    * a candidate when ANY band's full r-bit signature matches — an
+    * equi-join on (band, band_key): hash-partitioned, never all-pairs.
+    * Candidates travel as bare ID pairs; vectors re-join per side for the
+    * verify, so the arrays never ride the bucket shuffle. Every emitted
+    * pair is exact-verified; recall at the threshold is ≥ recallTarget by
+    * the band calculus (and complete on the test corpus, pinned by
+    * SimilaritySpec against [[cosinePairsExact]]). */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, dim: Int = 64): DataFrame = {
+      threshold: Double, recallTarget: Double = 0.999, seed: Int = 42): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val nPlanes = 16
+    val (r, b) = signBands(threshold, recallTarget)
     // Keyed repartition before the signature stage: parallelism must not
     // depend on the input's file count.
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(Dedup.cpuParallelism(df), col("id"))
-    val sig = vecs.select(col("id"),
-      graft.functions.GraftFunctions.signSignature(col("vec"), nPlanes, 42).as("sig"))
-    // Candidates travel as bare ID pairs; vectors are re-joined per side
-    // for the exact-cosine verify (the arrays never ride the bucket shuffle).
-    val chunked = sig.select(col("id"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("sig"), j * 4).bitwiseAND(lit(0xfL))): _*)))
-      .withColumnRenamed("pos", "chunk")
-      .withColumnRenamed("col", "chunk_key")
-    val candidates = chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.chunk_key") === col("b.chunk_key") &&
+    // One r-plane signature per band, independent planes via the seed —
+    // no bit-slicing of a shared signature (slices of one signature are
+    // what the round-2 fixed 4×4 chunking did; independent bands make the
+    // (1 − p₁ʳ)ᵇ recall bound exact).
+    val banded = vecs.select(col("id"),
+      posexplode(array((0 until b).map(j =>
+        graft.functions.GraftFunctions.signSignature(col("vec"), r, seed + j)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -122,10 +155,10 @@ object Similarity {
     * [[graft.operators.Dedup.exactJaccardPairs]] plays for text, except
     * dense low-dim embeddings admit no exact prefix-filter: every
     * coordinate is nonzero, so sparse-join pruning degenerates to
-    * all-pairs anyway). [[cosinePairs]] is the approximate-recall scale
-    * path; at moderate thresholds (θ ≳ 60°) sign-LSH recall is inherently
-    * partial — measured 10/14 at τ=0.45 on the test corpus — which is why
-    * the oracle-checked driver query uses THIS exact form. */
+    * all-pairs anyway). Test-side ground truth ONLY — the production path
+    * is [[cosinePairs]] (banded sign-LSH, recall ≥ recallTarget at the
+    * threshold by construction); SimilaritySpec pins LSH recall against
+    * this form. Never register this plan for a corpus-scale query. */
   def cosinePairsExact(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -163,41 +196,83 @@ object Similarity {
         explode(transform(col("_near"), x => x.getField("list"))).as("list"))
   }
 
+  /** Lloyd refinement of driver-held centroids (spherical k-means shape —
+    * cosine assignment is scale-invariant, so centroid means need no
+    * normalization for argmax purposes). Each iteration: assign every
+    * vector to its nearest centroid via the narrow codegen'd
+    * [[assignLists]] projection, then recompute per-list dimension means
+    * with one (list, dim) partial aggregation — the shuffle carries
+    * nLists × dim scalar rows, and the driver collect is the same
+    * nLists-row k-means-training shape as the init. Empty lists keep
+    * their previous centroid. Deterministic end to end. */
+  private[operators] def lloydRefine(vecs: DataFrame,
+      init: Array[(Int, Array[Float])], iters: Int): Array[(Int, Array[Float])] = {
+    var centers = init
+    for (_ <- 1 to iters) {
+      val assigned = assignLists(vecs, "vec", "id", centers, "id", "vec", keep = 1)
+      val means = assigned.select(col("list"), posexplode(col("vec")))
+        .groupBy(col("list"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (list, rows) =>
+          val dim = rows.length
+          val c = new Array[Float](dim)
+          rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+          list -> c
+        }
+      centers = centers.map { case (list, old) => (list, means.getOrElse(list, old)) }
+    }
+    centers
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of
     * `nLists` centroids partitions the corpus into inverted lists; each
     * probe scores ONLY the `nProbe` lists whose centroids it is closest
     * to — the classic IVF trade (visit nProbe/nLists of the corpus).
     *
-    * Centroids are chosen deterministically from the corpus (first vector
-    * of each hash stratum) in one pass; production k-means centroids drop
-    * into the same shape. Building the index collects the nLists centroid
-    * rows to the driver ONCE (the k-means-training shape — centers are
-    * driver state by construction) and embeds them as plan literals, so
-    * list assignment is a narrow codegen'd projection: the only shuffles
-    * in the whole plan are the candidate dedup and the final per-probe
-    * ranking. */
+    * Centroids: deterministic one-pass seeds (first vector of each hash
+    * stratum) refined by `lloydIters` Lloyd iterations ([[lloydRefine]]).
+    * Building the index collects the nLists centroid rows to the driver
+    * (the k-means-training shape — centers are driver state by
+    * construction) and embeds them as plan literals, so list assignment is
+    * a narrow codegen'd projection: the only shuffles in the whole plan
+    * are the per-iteration (list, dim) mean, the candidate dedup, and the
+    * final per-probe ranking. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
-      idCol: String, k: Int = 10, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+      idCol: String, k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 3, corpusSpill: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     def cosine(a: Column, b: Column) = graft.functions.GraftFunctions.cosineSim(a, b)
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .repartition(Dedup.cpuParallelism(corpus), col("id"))
+    // Materialized once — the seed collect, every Lloyd iteration, and the
+    // final list build each re-run this subtree otherwise.
+    val vecs = Dedup.materialize(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .repartition(Dedup.cpuParallelism(corpus), col("id")))
 
-    // deterministic one-pass centroids: first vector per hash stratum
+    // deterministic one-pass centroid seeds: first vector per hash stratum
     val wStratum = Window.partitionBy(col("stratum")).orderBy(col("id"))
-    val centroids: Array[(Int, Array[Float])] = vecs
+    val seeds: Array[(Int, Array[Float])] = vecs
       .withColumn("stratum", pmod(hash(col("id")), lit(nLists)))
       .withColumn("rn", row_number().over(wStratum))
       .where(col("rn") === 1)
       .select(col("stratum").as("list"), col("vec").as("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    if (centroids.isEmpty)
+    if (seeds.isEmpty)
       // empty corpus ⇒ empty result, with the output schema intact
       return probes.select(col(idCol).as("q_id"), col(idCol).as("c_id"),
         lit(0.0).as("cosine"), lit(1).as("rank")).limit(0)
+    val centroids = lloydRefine(vecs, seeds, lloydIters)
 
-    val corpusLists = assignLists(vecs, "vec", "id", centroids, "c_id", "c_vec", keep = 1)
+    // Multi-assignment: each corpus vector spills into its `corpusSpill`
+    // nearest lists (FAISS-style redundancy) — a probe whose true neighbor
+    // sits just across a Voronoi boundary still meets it, at corpusSpill×
+    // index size. With near-uniform corpora (no cluster structure — IVF's
+    // hardest case) this is what carries recall; clustered corpora can run
+    // corpusSpill = 1.
+    val corpusLists = assignLists(vecs, "vec", "id", centroids, "c_id", "c_vec",
+      keep = corpusSpill)
     val probeLists = assignLists(
       probes.select(col(idCol).as("id"), col(vecCol).as("vec")),
       "vec", "id", centroids, "q_id", "q_vec", keep = nProbe)

@@ -15,9 +15,12 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Supported cell types: shared strings (`t="s"`), inline strings
   * (`t="inlineStr"`), formula strings (`t="str"`), booleans (`t="b"`),
-  * and numbers (no `t`). Dates surface as their raw serial numbers —
-  * downstream coercion is the transform layer's job, exactly as it is for
-  * the CSV hop the reference itself degrades to (etl_pipeline.py:73–74). */
+  * and numbers (no `t`). Numeric cells whose STYLE renders as a date
+  * (xl/styles.xml numFmt — what pandas uses to produce datetime64) are
+  * converted from Excel serials to "yyyy-MM-dd HH:mm:ss" strings; typed
+  * coercion to TimestampType remains the transform layer's job, exactly
+  * as it is for the CSV hop the reference itself degrades to
+  * (etl_pipeline.py:73–74). */
 object XlsxParser {
 
   private val factory = {
@@ -70,6 +73,102 @@ object XlsxParser {
       }
     } finally r.close()
     out.toIndexedSeq
+  }
+
+  // ── date-styled numeric cells ─────────────────────────────────────────
+
+  /** Built-in OOXML numFmtIds that render as dates/times (ECMA-376 §18.8.30:
+    * 14–22 date/time, 45–47 elapsed-time). */
+  private def isBuiltinDateFmt(id: Int): Boolean =
+    (id >= 14 && id <= 22) || (id >= 45 && id <= 47)
+
+  /** Heuristic for CUSTOM format codes (the pandas/openpyxl test): after
+    * stripping bracketed sections, quoted literals, and escaped chars, any
+    * of y/m/d/h/s marks a date-time format. */
+  private[sources] def isDateFormatCode(code: String): Boolean = {
+    val sb = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < code.length) {
+      code.charAt(i) match {
+        case '"'              => inQuote = !inQuote
+        case '\\' if !inQuote => i += 1 // skip escaped char
+        case '[' if !inQuote  =>
+          while (i < code.length && code.charAt(i) != ']') i += 1
+        case ch if !inQuote   => sb.append(ch)
+        case _                =>
+      }
+      i += 1
+    }
+    sb.toString.toLowerCase.exists("ymdhs".contains(_))
+  }
+
+  /** Per-style-index "renders as a date" flags from xl/styles.xml: custom
+    * `numFmt` codes plus `cellXfs` xf → numFmtId (document order puts
+    * numFmts before cellXfs, so one StAX pass suffices). Empty when the
+    * part is absent (every style then falls back to raw serials). */
+  private def dateStyles(zip: ZipFile): Array[Boolean] = {
+    val entry = zip.getEntry("xl/styles.xml")
+    if (entry == null) return Array.empty
+    val customDate = scala.collection.mutable.HashSet.empty[Int]
+    val xfIsDate = ArrayBuffer.empty[Boolean]
+    var inCellXfs = false
+    val r = factory.createXMLStreamReader(zip.getInputStream(entry))
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "numFmt" =>
+                val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.trim.toInt)
+                val code = Option(r.getAttributeValue(null, "formatCode"))
+                if (id.isDefined && code.exists(isDateFormatCode)) customDate += id.get
+              case "cellXfs" => inCellXfs = true
+              case "xf" if inCellXfs =>
+                val fmt = Option(r.getAttributeValue(null, "numFmtId"))
+                  .map(_.trim.toInt).getOrElse(0)
+                xfIsDate += (isBuiltinDateFmt(fmt) || customDate.contains(fmt))
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ =>
+        }
+      }
+    } finally r.close()
+    xfIsDate.toArray
+  }
+
+  /** Whether the workbook uses the 1904 date system (Mac-origin workbooks;
+    * xl/workbook.xml workbookPr/@date1904). */
+  private def isDate1904(zip: ZipFile): Boolean = {
+    val entry = zip.getEntry("xl/workbook.xml")
+    if (entry == null) return false
+    val r = factory.createXMLStreamReader(zip.getInputStream(entry))
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "workbookPr") {
+          val v = Option(r.getAttributeValue(null, "date1904")).getOrElse("")
+          return v == "1" || v.equalsIgnoreCase("true")
+        }
+      }
+      false
+    } finally r.close()
+  }
+
+  /** Excel serial → "yyyy-MM-dd HH:mm:ss" (the string form the transform
+    * layer's datetime coercion parses into TimestampType). 1900 system
+    * epoch is 1899-12-30 — the standard convention that absorbs Excel's
+    * phantom 1900-02-29 for all modern dates; fractional days round to the
+    * nearest second, as pandas/openpyxl render. */
+  private[sources] def serialToDatetime(serial: Double, date1904: Boolean): String = {
+    val epoch = if (date1904) java.time.LocalDate.of(1904, 1, 1)
+      else java.time.LocalDate.of(1899, 12, 30)
+    val days = math.floor(serial).toLong
+    val secs = math.round((serial - days) * 86400.0)
+    epoch.atStartOfDay.plusDays(days).plusSeconds(secs)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
   }
 
   private val RelNs =
@@ -139,11 +238,15 @@ object XlsxParser {
   }
 
   /** All rows of the first sheet as string cells (null = empty cell),
-    * each padded/truncated to `width` when `width > 0`. */
+    * each padded/truncated to `width` when `width > 0`. Numeric cells whose
+    * style renders as a date surface as "yyyy-MM-dd HH:mm:ss" strings (the
+    * pandas `read_excel` datetime64 family), not raw serials. */
   def rows(path: String, width: Int = -1): Vector[Array[String]] = {
     val zip = new ZipFile(path)
     try {
       val strings = sharedStrings(zip)
+      val dateStyle = dateStyles(zip)
+      val use1904 = isDate1904(zip)
       val sheet = zip.getEntry(firstSheetPath(zip))
       val r = factory.createXMLStreamReader(zip.getInputStream(sheet))
       val out = ArrayBuffer.empty[Array[String]]
@@ -151,6 +254,7 @@ object XlsxParser {
         var row: ArrayBuffer[String] = null
         var cellCol = -1
         var cellType = ""
+        var cellStyle = -1
         var inV = false
         var text = new StringBuilder
         while (r.hasNext) {
@@ -162,6 +266,8 @@ object XlsxParser {
                   val ref = Option(r.getAttributeValue(null, "r"))
                   cellCol = ref.map(colIndex).getOrElse(row.length)
                   cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+                  cellStyle = Option(r.getAttributeValue(null, "s"))
+                    .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(-1)
                 case "v" | "t" => inV = true; text = new StringBuilder
                 case _ =>
               }
@@ -177,10 +283,14 @@ object XlsxParser {
                     row(cellCol) = cellType match {
                       case "s"   => strings(raw.trim.toInt)
                       case "b"   => if (raw.trim == "1") "true" else "false"
+                      case "" | "n" if cellStyle >= 0 && cellStyle < dateStyle.length &&
+                          dateStyle(cellStyle) =>
+                        scala.util.Try(raw.trim.toDouble).toOption
+                          .map(serialToDatetime(_, use1904)).getOrElse(raw)
                       case _     => raw // n, str, inlineStr's t handled here too
                     }
                   }
-                case "c" => cellCol = -1; cellType = ""
+                case "c" => cellCol = -1; cellType = ""; cellStyle = -1
                 case "row" =>
                   if (row != null) {
                     val w = if (width > 0) width else row.length

@@ -37,4 +37,22 @@ class MergeUpsertSpec extends AnyFunSuite {
       Warehouse.mergeUpsert(current, wrong, Seq("k"))
     }
   }
+
+  test("mergeUpsert: duplicate source keys rejected (MERGE multi-match semantics)") {
+    val current = Seq((1L, "a")).toDF("k", "name")
+    val dupDelta = Seq((2L, "x"), (2L, "y")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.mergeUpsert(current, dupDelta, Seq("k"))
+    }
+    assert(e.getMessage.contains("multiple rows for the same key"))
+  }
+
+  test("mergeUpsert: column type drift rejected, not silently coerced") {
+    val current = Seq((1L, 10.0)).toDF("k", "v")
+    val drifted = Seq((2L, "11")).toDF("k", "v") // v: double vs string
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.mergeUpsert(current, drifted, Seq("k"))
+    }
+    assert(e.getMessage.contains("type drift"))
+  }
 }

@@ -106,6 +106,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out("clean")._2 == 0)
   }
 
+  test("redactPii: IP addresses and SSN-shaped ids; URLs stop at any whitespace") {
+    val df = Seq(
+      ("ip", "server at 192.168.0.12 and 10.0.0.1 responded"),
+      ("ssn", "applicant 078-05-1120 approved"),
+      // ssn-shaped run inside a phone number must NOT be double-matched:
+      // the longer phone-class run is consumed as one phone
+      ("url_nl", "see https://example.com/path\nnext line stays intact"),
+      ("ver", "version 1.2.3 unchanged")) // not 4 octets → not an IP
+      .toDF("kind", "text")
+    val out = df.select($"kind", TextAnalysis.redactPii($"text").as("r"),
+      TextAnalysis.piiMatchCount($"text").as("n"))
+      .as[(String, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("ip") == ("server at <IP> and <IP> responded", 2))
+    assert(out("ssn") == ("applicant <SSN> approved", 1))
+    assert(out("url_nl") == ("see <URL>\nnext line stays intact", 1),
+      "a URL followed by a newline must not swallow the next line")
+    assert(out("ver") == ("version 1.2.3 unchanged", 0))
+  }
+
   test("redactPii leaves no raw PII behind on the augmented corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val aug = concat($"text", lit(" contact user"), $"doc_id".cast("string"),

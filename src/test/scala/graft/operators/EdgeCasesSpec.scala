@@ -43,7 +43,7 @@ class EdgeCasesSpec extends AnyFunSuite {
 
   test("similarity family on empty and trivial inputs") {
     val one = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
-    assert(Similarity.cosinePairs(emptyVecs, "embedding", "vec_id", 0.5, dim = 2).count() == 0)
+    assert(Similarity.cosinePairs(emptyVecs, "embedding", "vec_id", 0.5).count() == 0)
     assert(Similarity.bruteForceTopK(one, one, "embedding", "vec_id", 5).count() == 0) // no non-self neighbor
     assert(Similarity.ivfTopK(emptyVecs, emptyVecs, "embedding", "vec_id", 5, nLists = 4, nProbe = 2).count() == 0)
   }

@@ -53,6 +53,43 @@ class JoinsSpec extends AnyFunSuite {
     assert(out(2L).isEmpty, "no reference at or before t=50")
   }
 
+  test("asOfJoin: matched row travels intact — a NULL payload field stays NULL") {
+    // ref at t=90 has price but NULL qty; ref at t=80 has both. The t=100
+    // probe matches the t=90 row, whose NULL qty must NOT be backfilled
+    // from the older row (per-column last(ignoreNulls) would stitch the
+    // two reference rows together).
+    val probes = Seq((1L, 100L)).toDF("probe_id", "t")
+      .withColumn("t", timestamp_micros($"t")).withColumn("k", lit(1L))
+    val refs = Seq(
+      (80L, Some(5.0), Some(10L)),
+      (90L, Some(7.0), Option.empty[Long])).toDF("rt", "price", "qty")
+      .withColumn("rt", timestamp_micros($"rt")).withColumn("k", lit(1L))
+    val out = Joins.asOfJoin(probes, refs, Seq("k"), "t", "rt")
+      .select($"probe_id", $"price", $"qty")
+      .as[(Long, Option[Double], Option[Long])].collect()
+    assert(out.toSeq == Seq((1L, Some(7.0), None)),
+      "matched reference row must attach as-is, nulls included")
+  }
+
+  test("asOfJoin: non-orderable tieBreak column is rejected, string keys order correctly") {
+    val probes = Seq((1L, 100L)).toDF("probe_id", "t")
+      .withColumn("t", timestamp_micros($"t")).withColumn("k", lit(1L))
+    val refs = Seq((100L, "b", 1.0), (100L, "a", 2.0)).toDF("rt", "tag", "v")
+      .withColumn("rt", timestamp_micros($"rt")).withColumn("k", lit(1L))
+    // a STRING tie column is orderable and must break the tie by its raw
+    // ordering (round-2 cast it to long → null → silent nondeterminism)
+    val out = Joins.asOfJoin(probes, refs.select($"k", $"rt", $"tag"), Seq("k"),
+        "t", "rt", tieBreak = Some("tag"))
+      .select($"tag").as[String].collect()
+    assert(out.toSeq == Seq("b"), "greatest raw string tie value must win")
+    // a MAP-typed tie column is not orderable → fail fast
+    val badRefs = refs.withColumn("m", map(lit("x"), lit(1)))
+      .select($"k", $"rt", $"m", $"v")
+    assertThrows[IllegalArgumentException] {
+      Joins.asOfJoin(probes, badRefs, Seq("k"), "t", "rt", tieBreak = Some("m"))
+    }
+  }
+
   test("rangeJoinPointInterval matches brute-force, incl. intervals spanning many buckets") {
     val wins = ev.where($"event_type" === "signup").limit(200)
       .select($"event_id".as("window_id"), $"ts".as("w_start"),

@@ -123,6 +123,51 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(r.getString(0) == "y" && r.getString(1) == "x" && r.getString(2) == "z")
   }
 
+  test("date-styled numeric cells round-trip to TimestampType via the coerce transform") {
+    val dir = Files.createDirectories(java.nio.file.Paths.get("target/fixtures")).toString
+    val path = s"$dir/dated.xlsx"
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>""")
+    // style 0 = general; style 1 = builtin date (numFmtId 14); style 2 =
+    // CUSTOM date-time code (164); style 3 = custom non-date code (165)
+    entry("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet>""" +
+        """<numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd hh:mm"/>""" +
+        """<numFmt numFmtId="165" formatCode="#,##0.00"/></numFmts>""" +
+        """<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14"/>""" +
+        """<xf numFmtId="164"/><xf numFmtId="165"/></cellXfs></styleSheet>""")
+    // 45301 = 2024-01-10 (1900 system); .5 = noon. One date-styled integer
+    // serial, one date-styled fractional serial, one PLAIN numeric with a
+    // non-date custom style (must stay a raw number).
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>sold_at</t></is></c>""" +
+        """<c r="B1" t="inlineStr"><is><t>updated</t></is></c>""" +
+        """<c r="C1" t="inlineStr"><is><t>amount</t></is></c></row>""" +
+        """<row r="2"><c r="A2" s="1"><v>45301</v></c>""" +
+        """<c r="B2" s="2"><v>45301.5</v></c>""" +
+        """<c r="C2" s="3"><v>19.98</v></c></row>""" +
+        "</sheetData></worksheet>")
+    zos.close()
+    val df = Sources.excel(spark, path)
+    val raw = df.head()
+    assert(raw.getString(0) == "2024-01-10 00:00:00")
+    assert(raw.getString(1) == "2024-01-10 12:00:00") // custom date code detected
+    assert(raw.getString(2) == "19.98") // non-date custom style untouched
+    val typed = graft.etl.Transforms.coerceTimestamp(
+      graft.etl.Transforms.coerceTimestamp(df, "sold_at"), "updated")
+    assert(typed.schema("sold_at").dataType.typeName == "timestamp")
+    val ts = typed.select("sold_at", "updated").head()
+    assert(ts.getTimestamp(0).toString.startsWith("2024-01-10 00:00:00"))
+    assert(ts.getTimestamp(1).toString.startsWith("2024-01-10 12:00:00"))
+  }
+
   test("E2E: pipeline ingests xlsx directly (S1 without the CSV degrade)") {
     val products = {
       val p = java.nio.file.Paths.get("target/fixtures/xlsx_products.json")
