@@ -55,6 +55,14 @@ object Bench {
             case e: Throwable =>
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           }
+          // UNTIMED between-query hygiene: evict blocks pinned by the
+          // finished plan (localCheckpoint materializations wait on the
+          // ContextCleaner, which lags driver GC) — without this, query
+          // N+1 is measured under query N's storage-memory pressure and
+          // a 1.5 s query reads 4+ s in a 54-query pass. No completed
+          // plan is ever re-read across queries, so eviction is safe.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
       }
     }
