@@ -448,6 +448,26 @@ object SparkEntry {
         kept.agg(count(lit(1)).as("n_kept")))
     }),
 
+    // ── North star dedup: INCREMENTAL near-dup removal — dedup a new
+    //    batch against an existing corpus (and within itself) without
+    //    ever generating existing↔existing pairs: the daily-increment
+    //    shape at 100 TB. The 300-split exercises both resolution paths
+    //    on this corpus: clusters touching the existing side (all
+    //    incoming members drop, incl. a 3-node chain through two
+    //    existing docs) and purely-incoming clusters (min-id survivor).
+    //    Oracle: exact pairs restricted to incoming-membered pairs +
+    //    recursive-CTE CC + the same taint rule ─────────────────────────
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.where(col("doc_id") < 300)
+      val incoming = docs.where(col("doc_id") >= 300)
+      val kept = graft.operators.Dedup.removeNearDuplicatesIncremental(
+        existing, incoming, "text", "doc_id", threshold = 0.5)
+      incoming.agg(count(lit(1)).as("n_incoming")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_checksum")))
+    }),
+
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
     //    shuffle carries one row per distinct token per task) ───────────
@@ -470,6 +490,72 @@ object SparkEntry {
       docs.agg(count(lit(1)).as("n_docs")).crossJoin(
         sampled.agg(count(lit(1)).as("n_sampled"),
           sum(col("doc_id")).cast("long").as("id_checksum")))
+    }),
+
+    // ── North star sampling: STRATIFIED deterministic sample (per-lang
+    //    keep rates — the training-mix rebalancing pass). Same key-pure
+    //    md5 bucket as q_deterministic_sample; the identical CASE
+    //    predicate runs in the oracle, and the checksum pins exact
+    //    membership per stratum ──────────────────────────────────────────
+    "q_stratified_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sampled = graft.operators.Sampling.stratifiedSample(
+        docs, "doc_id", "lang",
+        rates = Map("en" -> 0.5, "zh" -> 0.25), defaultFraction = 0.1)
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy(col("lang"))
+    }),
+
+    // ── Event funnel: clicks converting to a purchase within 10 minutes,
+    //    per user — the KEYED range join (candidates meet on
+    //    (user_id, time-bucket), so bucket fan-out is per-user local,
+    //    never an event-storm × all-users product) ──────────────────────
+    "q_event_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("c_end"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val converted = graft.operators.Joins.rangeJoinPointInterval(
+          purchases, "p_ts", clicks, "c_start", "c_end",
+          bucketSeconds = 600, keys = Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("click_id")).as("n_converted"))
+      clicks.groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+        .join(converted, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_clicks"),
+          coalesce(col("n_converted"), lit(0L)).as("n_converted"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── North star text analysis: TF-IDF top terms per document —
+    //    explode → (doc, token) tf → token df join → smooth-idf score,
+    //    per-doc top-3. Ranking uses the 9-decimal-rounded score so an
+    //    engine's last-ulp ln() difference can't reorder; the emitted
+    //    columns are integer-exact ─────────────────────────────────────
+    "q_tfidf_top_terms" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.normTokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("token")).crossJoin(total)
+        .where(col("doc_id") < 20)
+        .withColumn("tfidf",
+          round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 9))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
     }),
 
     // ── North star sampling: reproducible train/val/test split ────────
@@ -848,6 +934,25 @@ object SparkEntry {
     "q_approx_distinct" ->
       ("SELECT count(DISTINCT l_partkey) AS exact_parts, " +
         "TRUE AS approx_parts_ok, TRUE AS approx_orders_ok FROM lineitem"),
+    // Incremental dedup ground truth: exact pairs restricted to those with
+    // an incoming (id >= 300) member — the same edge set the one-sided
+    // band probe can produce — then CC and the taint rule: clusters with
+    // any existing member drop all incoming; pure-incoming keep min id.
+    "q_incremental_dedup" ->
+      (s"WITH RECURSIVE $shingleCte, " +
+        "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE b.doc_id >= 300 AND " +
+        "len(list_intersect(a.shingles,b.shingles))*1.0/greatest(len(list_distinct(list_concat(a.shingles,b.shingles))),1) >= 0.5), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+        "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+        "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+        "tainted AS (SELECT DISTINCT label FROM lab WHERE id < 300), " +
+        "losers AS (SELECT id FROM lab WHERE id >= 300 AND " +
+        "(label IN (SELECT label FROM tainted) OR id <> label)), " +
+        "kept AS (SELECT doc_id FROM documents WHERE doc_id >= 300 " +
+        "AND doc_id NOT IN (SELECT id FROM losers)) " +
+        "SELECT (SELECT count(*) FROM documents WHERE doc_id >= 300) AS n_incoming, " +
+        "count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept"),
     // Same deterministic augmentation as the Spark side: one jittered copy
     // per vec_id % 10 == 0, ±0.025 per dimension keyed by md5(vec_id||'-'||i)
     // (DuckDB list lambdas index from 1; the Spark transform uses i+1 to
@@ -872,6 +977,34 @@ object SparkEntry {
       ("SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_sampled, " +
         "CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '40000000'"),
+    // Same md5-bucket predicate, per-stratum threshold (0.5 → 80000000,
+    // 0.25 → 40000000, default 0.1 → 1999999a — thresholdHex values).
+    "q_stratified_sample" ->
+      ("SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_checksum " +
+        "FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < " +
+        "CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '40000000' ELSE '1999999a' END " +
+        "GROUP BY lang ORDER BY lang"),
+    "q_event_funnel" ->
+      ("WITH clicks AS (SELECT event_id AS click_id, user_id, ts AS c_start, " +
+        "ts + INTERVAL 10 MINUTE AS c_end FROM events WHERE event_type='click'), " +
+        "p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type='purchase'), " +
+        "conv AS (SELECT c.user_id AS user_id, count(DISTINCT c.click_id) AS n_converted " +
+        "FROM clicks c JOIN p ON p.user_id = c.user_id AND p.p_ts >= c.c_start AND p.p_ts < c.c_end " +
+        "GROUP BY c.user_id), " +
+        "cl AS (SELECT user_id, count(*) AS n_clicks FROM clicks GROUP BY user_id) " +
+        "SELECT cl.user_id AS user_id, n_clicks, COALESCE(n_converted, 0) AS n_converted " +
+        "FROM cl LEFT JOIN conv ON conv.user_id = cl.user_id ORDER BY user_id"),
+    "q_tfidf_top_terms" ->
+      ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1,2), " +
+        "dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "sc AS (SELECT doc_id, tf.token AS token, tf.tf AS tf, dfreq.df AS df, " +
+        "round(tf.tf * (ln((n_docs + 1.0)/(dfreq.df + 1.0)) + 1.0), 9) AS tfidf " +
+        "FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n WHERE doc_id < 20) " +
+        "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rk " +
+        "FROM sc QUALIFY rk <= 3 ORDER BY doc_id, rk"),
     "q_hash_split" ->
       ("SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' " +

@@ -335,6 +335,80 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** INCREMENTAL near-duplicate removal — the daily-increment shape: dedup
+    * a new `incoming` batch against an `existing` corpus (and within
+    * itself) WITHOUT ever generating existing↔existing pairs. At 100 TB
+    * this is the difference between |Δ|·b band rows probing a corpus
+    * index and re-pairing the whole corpus every day.
+    *
+    * Mechanics: both sides shingle + minhash + band (threshold-derived
+    * r/b, as [[nearDupPairsMinHash]]); candidates come from ONE equi-join
+    * of the incoming bands against ALL bands (incoming ∪ existing) — the
+    * join's output can only contain pairs with an incoming member.
+    * Candidates are exact-Jaccard-verified, clustered (CC over verified
+    * pairs), and resolved: a cluster containing ANY existing document
+    * drops all its incoming members (they duplicate corpus content); a
+    * purely-incoming cluster keeps its min-id survivor. Requires the two
+    * id spaces to be disjoint (checked).
+    *
+    * Returns the surviving `incoming` rows. The existing corpus's
+    * shingle/signature subtree is the per-batch index-build cost;
+    * persist it across batches in production. */
+  def removeNearDuplicatesIncremental(existing: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.8,
+      n: Int = 3, k: Int = 128): DataFrame = {
+    val (rr, b) = minHashBands(threshold, k)
+    def prep(df: DataFrame) = materialize(
+      shingleSets(df, textCol, idCol, n)
+        .select(col("id"), array_sort(col("shingles")).as("sh")))
+    val shIn = prep(incoming)
+    val shEx = prep(existing)
+    val overlap = shIn.select(col("id")).join(shEx.select(col("id")), Seq("id"), "left_semi")
+    require(overlap.isEmpty,
+      s"removeNearDuplicatesIncremental: incoming and existing share ids " +
+        s"(e.g. ${overlap.limit(3).collect().mkString(",")}) — id spaces must be disjoint")
+    def bands(sh: DataFrame) = {
+      val sig = minHashSignatures(sh.withColumnRenamed("sh", "shingles"), k)
+      sig.select(col("id"),
+        posexplode(array((0 until b).map(j =>
+          hash(slice(col("sig"), j * rr + 1, rr), lit(j))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key")
+    }
+    // one-sided probe: incoming bands × all bands — existing↔existing
+    // pairs are unrepresentable in this join's output
+    val newBands = bands(shIn)
+    val allBands = newBands.unionByName(bands(shEx))
+    val candidates = newBands.as("a")
+      .join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") =!= col("b.id"))
+      // canonical orientation so (A,B)/(B,A) dedup to one pair
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val shAll = shIn.unionByName(shEx)
+    val pairs = candidates
+      .join(shAll.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shAll.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .where(GraftFunctions.jaccardSim(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = resolveClusters(pairs)
+    // clusters touching the existing corpus drop ALL their incoming
+    // members; purely-incoming clusters keep the min-id survivor
+    val incomingLabeled = labels.join(shIn.select(col("id")), Seq("id"), "left_semi")
+    val taintedLabels = labels.join(shEx.select(col("id")), Seq("id"), "left_semi")
+      .select(col("label")).distinct()
+    val losers = incomingLabeled.join(taintedLabels, Seq("label"), "left_semi")
+      .select(col("id"))
+      .unionByName(
+        incomingLabeled.join(taintedLabels, Seq("label"), "left_anti")
+          .where(col("id") =!= col("label")).select(col("id")))
+      .distinct()
+      .select(col("id").as(idCol))
+    incoming.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: per corpus document, the number of
     * benchmark documents it shares at least one word n-gram with (the
     * n-gram-overlap test used to scrub eval sets out of training data).

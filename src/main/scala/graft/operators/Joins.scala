@@ -111,7 +111,7 @@ object Joins {
     */
   def rangeJoinPointInterval(points: DataFrame, pointTs: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketSeconds: Long = 300L): DataFrame = {
+      bucketSeconds: Long = 300L, keys: Seq[String] = Seq.empty): DataFrame = {
     require(bucketSeconds > 0, "rangeJoin: bucketSeconds must be positive")
     val bucketMicros = bucketSeconds * 1000000L
     def bucketOf(ts: Column): Column = floor(unix_micros(ts) / bucketMicros)
@@ -124,7 +124,11 @@ object Joins {
       .withColumn("_g_bucket",
         explode(sequence(bucketOf(col(startCol)),
           bucketOf(col(endCol) - expr("INTERVAL 1 MICROSECOND")))))
-    i.join(p, Seq("_g_bucket"))
+    // Keyed variant: candidates meet on (keys, bucket) so per-bucket
+    // fan-out is per-KEY local — without this, a keyed range join would
+    // cross every key's points with every key's intervals inside a
+    // bucket (an event-storm bucket times |keys| at 100 TB).
+    i.join(p, keys :+ "_g_bucket")
       .where(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("_g_bucket")
   }

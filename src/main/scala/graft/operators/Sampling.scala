@@ -34,6 +34,29 @@ object Sampling {
     else df.where(bucketHex(col(keyCol)) < lit(thresholdHex(fraction)))
   }
 
+  /** STRATIFIED deterministic sample: a per-stratum keep fraction (e.g.
+    * rebalancing languages or sources in a training mix), with the same
+    * key-pure md5 bucket as [[deterministicSample]] — membership depends
+    * only on (key, its stratum's rate), so it is partition-, retry-, and
+    * growth-stable, and the identical CASE predicate runs in any SQL
+    * engine. Strata absent from `rates` keep `defaultFraction`. Narrow
+    * predicate: one codegen'd scan stage, no shuffle, no RNG state —
+    * exactly what a 100 TB rebalancing pass should compile to. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions out of [0,1]: $rates / $defaultFraction")
+    val hex = bucketHex(col(keyCol))
+    val bound = rates.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (stratum, f)) =>
+        val cond = col(strataCol) === lit(stratum)
+        val th = lit(thresholdHex(f))
+        Some(acc.fold(when(cond, th))(_.when(cond, th)))
+      }
+      .fold(lit(thresholdHex(defaultFraction)))(_.otherwise(thresholdHex(defaultFraction)))
+    df.where(hex < bound)
+  }
+
   /** Disjoint named splits covering the whole keyspace, e.g.
     * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)` — the last
     * split absorbs rounding remainder. Adds a `split` column. */

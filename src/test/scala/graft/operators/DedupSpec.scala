@@ -126,6 +126,51 @@ class DedupSpec extends AnyFunSuite {
     assert(residual == 0, s"$residual near-dup pairs survive resolution")
   }
 
+  test("incremental dedup: corpus-duplicate incoming drops, pure-incoming clusters keep min id, existing never pairs with itself") {
+    val existing = docs.where($"doc_id" < 300)
+    val incoming = docs.where($"doc_id" >= 300)
+    val kept = Dedup.removeNearDuplicatesIncremental(
+      existing, incoming, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+
+    // brute-force ground truth: exact pairs over the WHOLE corpus
+    // restricted to pairs with an incoming member (the only edges the
+    // one-sided probe can produce), CC by hand, taint rule applied
+    val pairs = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (_, b) => b >= 300 }
+    // union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val clusters = members.groupBy(find)
+    val expectedLosers = clusters.values.flatMap { m =>
+      val inc = m.filter(_ >= 300)
+      if (m.exists(_ < 300)) inc else inc.filterNot(_ == inc.min)
+    }.toSet
+    val incomingIds = incoming.select("doc_id").as[Long].collect().toSet
+    assert(kept == incomingIds -- expectedLosers)
+    assert(expectedLosers.nonEmpty, "fixture should exercise removals")
+    // both resolution paths exercised on this corpus
+    assert(clusters.values.exists(m => m.exists(_ < 300) && m.exists(_ >= 300)),
+      "fixture should have a cross cluster")
+    assert(clusters.values.exists(m => m.forall(_ >= 300)),
+      "fixture should have a pure-incoming cluster")
+  }
+
+  test("incremental dedup: overlapping id spaces rejected") {
+    intercept[IllegalArgumentException] {
+      Dedup.removeNearDuplicatesIncremental(
+        docs.where($"doc_id" < 300), docs.where($"doc_id" < 10), "text", "doc_id")
+        .count()
+    }
+  }
+
   test("contaminationHits matches brute-force shingle intersection; removeContaminated drops exactly those") {
     val bench = docs.where($"doc_id" % 50 === 0)
     val corpus = docs.where($"doc_id" % 50 =!= 0)

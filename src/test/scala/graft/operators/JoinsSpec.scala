@@ -109,6 +109,31 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed rangeJoinPointInterval: equi-key rides the bucket join, matches brute force") {
+    val clicks = ev.where($"event_type" === "click").limit(150)
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_start"),
+        ($"ts" + expr("INTERVAL 10 MINUTES")).as("c_end"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    val got = Joins.rangeJoinPointInterval(purchases, "p_ts", clicks,
+        "c_start", "c_end", bucketSeconds = 600, keys = Seq("user_id"))
+      .select($"click_id", $"p_ts").as[(Long, java.sql.Timestamp)].collect().toSet
+    val cs = clicks.as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect()
+    val ps = purchases.as[(Long, java.sql.Timestamp)].collect()
+    val expected = (for {
+      (cid, u, s, e) <- cs
+      (pu, pt) <- ps
+      if pu == u && !pt.before(s) && pt.before(e)
+    } yield (cid, pt)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture should contain conversions")
+    // the key is part of the equi-join (bucket fan-out is per-key local)
+    val plan = Joins.rangeJoinPointInterval(purchases, "p_ts", clicks,
+      "c_start", "c_end", bucketSeconds = 600, keys = Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("user_id"), plan)
+  }
+
   test("rangeJoinPointInterval: half-open bounds and degenerate intervals") {
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
     val pts = Seq(ts(1000000L), ts(2000000L), ts(3000000L)).toDF("ts")

@@ -53,6 +53,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("stratifiedSample: per-stratum rates honored, key-pure, consistent with the flat sampler") {
+    val rates = Map("en" -> 0.5, "zh" -> 0.25)
+    val s = Sampling.stratifiedSample(docs, "doc_id", "lang", rates, defaultFraction = 0.1)
+    val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, n) =>
+      val target = rates.getOrElse(lang, 0.1)
+      val got = byLang.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(got - target) < 0.12, s"$lang: got $got, target $target")
+    }
+    // a stratum at rate f contains EXACTLY the flat f-sample of that
+    // stratum (same key-pure bucket => composable with deterministicSample)
+    val enFlat = Sampling.deterministicSample(docs.where($"lang" === "en"), "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val enStrat = s.where($"lang" === "en").select("doc_id").as[Long].collect().toSet
+    assert(enStrat == enFlat)
+    // partitioning-independent
+    val s2 = Sampling.stratifiedSample(docs.repartition(7), "doc_id", "lang", rates, 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == s.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("hashSplit rejects fractions that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
