@@ -558,6 +558,35 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // ── North star chunking: overlapping fixed-size token windows (the
+    //    pre-tokenization pass before packing) — one narrow codegen'd
+    //    scan stage, no shuffle. chunk_fp = md5(chunk text) pins exact
+    //    window content without shipping the text ───────────────────────
+    "q_doc_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.chunkByTokens(
+        t(s, dir, "documents"), "text", "doc_id", chunkTokens = 64, overlapTokens = 16)
+        .withColumn("chunk_fp", md5(col("chunk_text"))).drop("chunk_text")
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // ── North star quality: unigram log-probability score (the CCNet-ish
+    //    LM-filtering proxy) — corpus unigram frequencies joined back to
+    //    token occurrences; per-token ln rounds into DECIMAL(25,12) so
+    //    the per-doc sum is EXACT and order-independent (a double sum
+    //    would drift across partitionings and engines) ──────────────────
+    "q_unigram_logprob" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val toksE = t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.normTokens(col("text"))).as("token"))
+      val vocab = toksE.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val total = toksE.agg(count(lit(1)).as("n_total"))
+      toksE.join(vocab, Seq("token")).crossJoin(total)
+        .withColumn("lp", log(col("tf") / col("n_total")).cast(DecimalType(25, 12)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("lp")).cast("double"), 6).as("logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── North star sampling: reproducible train/val/test split ────────
     "q_hash_split" -> ((s, dir) =>
       graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
@@ -1005,6 +1034,27 @@ object SparkEntry {
         "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rk " +
         "FROM sc QUALIFY rk <= 3 ORDER BY doc_id, rk"),
+    // Chunk windows restated: starts = range(0, n, stride) with the
+    // no-new-tokens tail filter; slice is 1-based inclusive in DuckDB,
+    // matching Spark's slice(arr, s+1, chunkTokens).
+    "q_doc_chunks" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM documents), " +
+        "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s " +
+        "FROM tk WHERE len(t) > 0) " +
+        "SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx, " +
+        "CAST(len(list_slice(t, s + 1, s + 64)) AS BIGINT) AS n_chunk_tokens, " +
+        "md5(array_to_string(list_slice(t, s + 1, s + 64), ' ')) AS chunk_fp " +
+        "FROM st ORDER BY doc_id, chunk_idx"),
+    "q_unigram_logprob" ->
+      ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+')) AS token FROM documents), " +
+        "tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''), " +
+        "vocab AS (SELECT token, count(*) AS tf FROM tok2 GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_total FROM tok2), " +
+        "pt AS (SELECT doc_id, CAST(ln(tf * 1.0 / n_total) AS DECIMAL(25,12)) AS lp " +
+        "FROM tok2 JOIN vocab ON tok2.token = vocab.token CROSS JOIN n) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "round(CAST(sum(lp) AS DOUBLE), 6) AS logprob " +
+        "FROM pt GROUP BY doc_id ORDER BY doc_id"),
     "q_hash_split" ->
       ("SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' " +
