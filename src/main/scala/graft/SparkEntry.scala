@@ -558,6 +558,34 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // ── Skew mitigation, oracle-checked: two-stage salted aggregation
+    //    over the 5-hot-key events table — stage 1 spreads each key over
+    //    32 salt reducers with DECIMAL partials (decomposable ⇒ the merge
+    //    on the true key is EXACT, so salting is invisible in results,
+    //    which is precisely what the oracle asserts) ─────────────────────
+    "q_skew_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedAggregate(
+        events(s, dir), Seq("event_type"), saltBuckets = 32,
+        partials = Seq(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(25, 10))).as("v")),
+        merges = Seq(sum(col("n")).as("n_events"),
+          sum(col("v")).cast(DecimalType(18, 4)).cast("double").as("value_sum")))
+        .orderBy(col("event_type"))),
+
+    // ── Event analytics: daily retention cohorts — each user's cohort is
+    //    their first-activity day; one (cohort_day, activity_day) cell
+    //    counts distinct active users. Two shuffles (per-user min, then
+    //    cell count-distinct), both on keys that scale with users ───────
+    "q_retention_cohorts" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), col("day"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("day"))
+    }),
+
     // ── North star chunking: overlapping fixed-size token windows (the
     //    pre-tokenization pass before packing) — one narrow codegen'd
     //    scan stage, no shuffle. chunk_fp = md5(chunk text) pins exact
@@ -1034,6 +1062,18 @@ object SparkEntry {
         "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rk " +
         "FROM sc QUALIFY rk <= 3 ORDER BY doc_id, rk"),
+    // The salted aggregate must be INVISIBLE in results — the oracle is
+    // the plain unsalted GROUP BY with the same decimal discipline.
+    "q_skew_salted_agg" ->
+      ("SELECT event_type, COUNT(*) AS n_events, " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS value_sum " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_retention_cohorts" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id) " +
+        "SELECT cohort_day, day, count(DISTINCT ev.user_id) AS n_active " +
+        "FROM ev JOIN cohort ON ev.user_id = cohort.user_id " +
+        "GROUP BY cohort_day, day ORDER BY cohort_day, day"),
     // Chunk windows restated: starts = range(0, n, stride) with the
     // no-new-tokens tail filter; slice is 1-based inclusive in DuckDB,
     // matching Spark's slice(arr, s+1, chunkTokens).
