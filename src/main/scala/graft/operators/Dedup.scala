@@ -99,13 +99,26 @@ object Dedup {
       ceil(size(col("sh")).cast("double") * lit(threshold)) + 1).cast("int")
     val prefixTokens = ordered
       .select(col("id"), size(col("sh")).as("sz"),
-        explode(slice(col("sh"), lit(1), greatest(prefixLen, lit(1)))).as("tok"))
-    // Length filter: J ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ — prune before dedup.
+        posexplode(slice(col("sh"), lit(1), greatest(prefixLen, lit(1)))))
+      .withColumnRenamed("pos", "tpos") // 0-based position within the doc
+      .withColumnRenamed("col", "tok")
+    // Candidate pruning beyond the token-match itself (both public
+    // literature, exact — rewrites, not approximations):
+    //  - length filter: J ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ;
+    //  - POSITIONAL filter (PPJoin, Xiao/Wang/Lin/Yu, WWW 2008): J ≥ τ
+    //    needs overlap α = ⌈τ/(1+τ)·(|A|+|B|)⌉; a shared token at
+    //    0-based positions (pA, pB) caps the achievable overlap at
+    //    1 + min(|A|−pA−1, |B|−pB−1), so pairs whose FIRST collision
+    //    already can't reach α never become candidates at all.
+    val alpha = ceil(lit(threshold) / (1 + threshold) *
+      (col("a.sz") + col("b.sz")).cast("double"))
     val candidates = prefixTokens.as("a")
       .join(prefixTokens.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           col("b.sz") >= col("a.sz") * threshold &&
-          col("a.sz") >= col("b.sz") * threshold)
+          col("a.sz") >= col("b.sz") * threshold &&
+          (lit(1) + least(col("a.sz") - col("a.tpos") - 1,
+            col("b.sz") - col("b.tpos") - 1)) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     verifyJaccard(candidates, ordered, threshold)
