@@ -48,6 +48,31 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Similarity.ivfTopK(emptyVecs, emptyVecs, "embedding", "vec_id", 5, nLists = 4, nProbe = 2).count() == 0)
   }
 
+  test("round-3 operators on empty and degenerate inputs") {
+    val docs = Seq((1L, "alpha beta gamma", "en")).toDF("doc_id", "text", "lang")
+    val emptyDocs = docs.where(org.apache.spark.sql.functions.lit(false))
+    // incremental dedup: empty incoming → empty result; empty existing →
+    // plain within-batch dedup (everything unique survives)
+    assert(Dedup.removeNearDuplicatesIncremental(docs, emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.removeNearDuplicatesIncremental(emptyDocs, docs, "text", "doc_id").count() == 1)
+    // stratified sample: a NULL stratum falls to the default fraction
+    val withNull = Seq((1L, "x", null: String), (2L, "y", "en")).toDF("doc_id", "text", "lang")
+    val kept = Sampling.stratifiedSample(withNull, "doc_id", "lang",
+      Map("en" -> 1.0), defaultFraction = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L), "null stratum must take the default fraction")
+    // chunking on an empty frame
+    assert(Chunking.chunkByTokens(emptyDocs, "text", "doc_id", 8).count() == 0)
+    // keyed range join with no matching keys
+    val pts = Seq((1L, 100L)).toDF("user_id", "ts0")
+      .select($"user_id", org.apache.spark.sql.functions.timestamp_micros($"ts0").as("p_ts"))
+    val ivs = Seq((2L, 50L, 150L)).toDF("user_id", "s0", "e0")
+      .select($"user_id", org.apache.spark.sql.functions.timestamp_micros($"s0").as("st"),
+        org.apache.spark.sql.functions.timestamp_micros($"e0").as("en"))
+    assert(Joins.rangeJoinPointInterval(pts, "p_ts", ivs, "st", "en",
+      bucketSeconds = 1, keys = Seq("user_id")).count() == 0)
+  }
+
   test("whitespace-only and empty text through the text stack") {
     val weird = Seq((1L, ""), (2L, "   \t  "), (3L, "!!!")).toDF("doc_id", "text")
     assert(Dedup.shingleSets(weird, "text", "doc_id").count() == 0) // no shingles
