@@ -389,8 +389,10 @@ object Dedup {
         .withColumnRenamed("col", "band_key")
     }
     // one-sided probe: incoming bands × all bands — existing↔existing
-    // pairs are unrepresentable in this join's output
-    val newBands = bands(shIn)
+    // pairs are unrepresentable in this join's output. The incoming
+    // bands are materialized once: they feed BOTH join sides, and the
+    // minhash signature is the CPU-heavy stage on the delta.
+    val newBands = materialize(bands(shIn))
     val allBands = newBands.unionByName(bands(shEx))
     val candidates = newBands.as("a")
       .join(allBands.as("b"),

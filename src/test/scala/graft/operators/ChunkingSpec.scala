@@ -66,6 +66,24 @@ class ChunkingSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("reconstruction property: dropping each window's overlap re-concatenates to the token sequence") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val chunks = collectChunks(Chunking.chunkByTokens(docs, "text", "doc_id", 64, 16))
+    val rebuilt = chunks.groupBy(_._1).map { case (id, cs) =>
+      val toks = cs.sortBy(_._2).zipWithIndex.flatMap { case ((_, _, text, _), i) =>
+        val ws = text.split(" ").toSeq
+        if (i == 0) ws else ws.drop(16) // strip the overlap of every later window
+      }
+      id -> toks.mkString(" ")
+    }
+    val expected = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().map { case (id, text) =>
+        id -> text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+          .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      }.filter(_._2.nonEmpty).toMap
+    assert(rebuilt == expected, "chunks must losslessly cover the token sequence")
+  }
+
   test("parameter validation") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Chunking.chunkByTokens(df, "text", "doc_id", 0))
