@@ -197,6 +197,52 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Continuous keyed MERGE into a catalog table via `foreachBatch` — the
+    * standard streaming→warehouse sink when the warehouse has no native
+    * streaming MERGE (composes [[graft.etl.Warehouse.mergeUpsert]]).
+    *
+    * Semantics per micro-batch: rows replace same-key table rows,
+    * unmatched rows insert. In-batch duplicate keys resolve
+    * DETERMINISTICALLY to the row with the greatest `versionCol` (ties by
+    * the greatest full-row struct — never `dropDuplicates`, whose
+    * survivor is partition-order-dependent). Restart safety: replaying a
+    * micro-batch re-applies the same keyed last-write-wins upsert, so the
+    * sink is idempotent by key+version, which is what checkpointed
+    * exactly-once delivery needs from its sink. The merged result stages
+    * through parquet before the table overwrite — Spark cannot overwrite
+    * a table from a plan that still reads it. */
+  def mergeStreamIntoTable(streamed: DataFrame, fqTable: String,
+      keys: Seq[String], versionCol: String, stageDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch hands each batch a CLONED session; refreshing only the
+    // clone's catalog would leave the owning session's cached relation
+    // pointing at deleted pre-overwrite files.
+    val owner = streamed.sparkSession
+    streamed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(versionCol).desc,
+            struct(batch.columns.map(col).toIndexedSeq: _*).desc)
+        val src = batch.withColumn("_g_rn", row_number().over(w))
+          .where(col("_g_rn") === 1).drop("_g_rn")
+        val merged =
+          if (spark.catalog.tableExists(fqTable))
+            graft.etl.Warehouse.mergeUpsert(spark.table(fqTable), src, keys)
+          else src
+        graft.etl.Warehouse.stageParquet(merged, s"$stageDir/batch_$batchId")
+        graft.etl.Warehouse.overwriteTable(
+          spark.read.parquet(s"$stageDir/batch_$batchId"), fqTable)
+        // the overwrite replaced the table's files; downstream readers in
+        // either session must not serve the pre-overwrite file listing
+        spark.catalog.refreshTable(fqTable)
+        owner.catalog.refreshTable(fqTable)
+        ()
+      }
+      .start()
+  }
+
   /** Replay a parquet directory as a file stream (test/dev harness:
     * batch parquet in, stream semantics out; `maxFilesPerTrigger` paces
     * the replay). */

@@ -187,6 +187,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.select("event_id").as[Long].collect().toSet.size == 50)
   }
 
+  test("mergeStreamIntoTable: continuous keyed upsert equals the last-write-wins table") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, Double, Long)]
+    val updates = source.toDF().toDF("k", "name", "v", "version")
+    val stage = Files.createTempDirectory("merge_stage").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_stream_merge")
+    spark.sql("DROP TABLE IF EXISTS test_stream_merge.t")
+    val q = StreamingOps.mergeStreamIntoTable(
+      updates, "test_stream_merge.t", Seq("k"), "version", stage)
+    try {
+      // batch 1 carries an in-batch duplicate key: version 1 must win
+      // deterministically over version 0
+      source.addData((1L, "a", 1.0, 1L), (2L, "b", 2.0, 1L), (2L, "b0", 0.5, 0L))
+      q.processAllAvailable()
+      val after1 = spark.table("test_stream_merge.t")
+        .as[(Long, String, Double, Long)].collect().toSet
+      assert(after1 == Set((1L, "a", 1.0, 1L), (2L, "b", 2.0, 1L)))
+      // batch 2: update key 2, insert key 3; key 1 untouched
+      source.addData((2L, "B", 9.0, 2L), (3L, "c", 3.0, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("test_stream_merge.t")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == Set((1L, "a", 1.0, 1L), (2L, "B", 9.0, 2L), (3L, "c", 3.0, 1L)))
+  }
+
   test("stream-stream interval join: stream result equals batch result") {
     val clicks = batchEvents.where(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
