@@ -22,9 +22,14 @@ object Sampling {
     * string comparison ≡ numeric comparison at fixed width). */
   def bucketHex(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
 
-  /** Cumulative fraction → inclusive-exclusive hex threshold. */
+  /** Cumulative fraction → inclusive-exclusive hex threshold. A fraction
+    * of exactly 1.0 maps to "g" — lexicographically above every 8-hex
+    * bucket, so `bucket < threshold` keeps ALL keys (capping at
+    * "ffffffff" would silently drop keys hashing to exactly that
+    * bucket). Works identically as a SQL string literal. */
   private def thresholdHex(cum: Double): String =
-    f"${math.min(math.round(cum * 4294967296.0), 4294967295L)}%08x"
+    if (cum >= 1.0) "g"
+    else f"${math.min(math.round(cum * 4294967296.0), 4294967295L)}%08x"
 
   /** Keep ≈`fraction` of rows, deterministically by key. */
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
