@@ -598,9 +598,13 @@ object SparkEntry {
 
     // ── North star quality: unigram log-probability score (the CCNet-ish
     //    LM-filtering proxy) — corpus unigram frequencies joined back to
-    //    token occurrences; per-token ln rounds into DECIMAL(25,12) so
+    //    token occurrences; per-token ln rounds into DECIMAL(25,9) so
     //    the per-doc sum is EXACT and order-independent (a double sum
-    //    would drift across partitionings and engines) ──────────────────
+    //    would drift across partitionings and engines). Scale 9, not 12:
+    //    a 10k-token doc's scaled-integer sum stays ≪ 2⁵³, keeping the
+    //    final decimal→double cast exact in BOTH engines (DuckDB's
+    //    wide-decimal→double conversion is not correctly rounded — the
+    //    same bound the dsum discipline pins) ───────────────────────────
     "q_unigram_logprob" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val toksE = t(s, dir, "documents").select(col("doc_id"),
@@ -608,7 +612,7 @@ object SparkEntry {
       val vocab = toksE.groupBy(col("token")).agg(count(lit(1)).as("tf"))
       val total = toksE.agg(count(lit(1)).as("n_total"))
       toksE.join(vocab, Seq("token")).crossJoin(total)
-        .withColumn("lp", log(col("tf") / col("n_total")).cast(DecimalType(25, 12)))
+        .withColumn("lp", log(col("tf") / col("n_total")).cast(DecimalType(25, 9)))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           round(sum(col("lp")).cast("double"), 6).as("logprob"))
@@ -1090,7 +1094,7 @@ object SparkEntry {
         "tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''), " +
         "vocab AS (SELECT token, count(*) AS tf FROM tok2 GROUP BY 1), " +
         "n AS (SELECT count(*) AS n_total FROM tok2), " +
-        "pt AS (SELECT doc_id, CAST(ln(tf * 1.0 / n_total) AS DECIMAL(25,12)) AS lp " +
+        "pt AS (SELECT doc_id, CAST(ln(tf * 1.0 / n_total) AS DECIMAL(25,9)) AS lp " +
         "FROM tok2 JOIN vocab ON tok2.token = vocab.token CROSS JOIN n) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
         "round(CAST(sum(lp) AS DOUBLE), 6) AS logprob " +

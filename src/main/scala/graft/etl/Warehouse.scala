@@ -82,8 +82,15 @@ object Warehouse {
     * stage the merge result first ([[stageParquet]]) — Spark cannot
     * overwrite a table from a plan that still reads it.
     */
-  def mergeUpsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+  /** See class doc; `checkKeyUniqueness = false` skips the eager
+    * duplicate-source-key scan for callers that guarantee key-unique
+    * deltas by construction (e.g. the streaming MERGE sink's versioned
+    * in-batch dedup) — the check runs ONE extra job over the delta at
+    * call time, which is the right default for interactive merges but
+    * pure overhead on a per-micro-batch hot path. */
+  def mergeUpsert(current: DataFrame, updates: DataFrame, keys: Seq[String],
+      checkKeyUniqueness: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
     require(keys.nonEmpty, "mergeUpsert: at least one key column required")
     require(current.columns.sorted.sameElements(updates.columns.sorted),
       "mergeUpsert: current and updates must share a schema " +
@@ -96,15 +103,17 @@ object Warehouse {
       require(ct == ut,
         s"mergeUpsert: column $c type drift — current ${ct.simpleString} vs updates ${ut.simpleString}")
     }
-    // MERGE semantics require at most one source row per key (SQL MERGE
-    // raises on multiple matches; keeping both would duplicate the key in
-    // the result). Enforced with one count over the delta — the delta is
-    // small by contract, and a violation here is a pipeline bug upstream.
-    val dupKeys = updates.groupBy(keys.map(col): _*)
-      .count().where(col("count") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"mergeUpsert: updates contain multiple rows for the same key (${keys.mkString(",")}); " +
-        "dedup the delta deterministically before merging")
+    if (checkKeyUniqueness) {
+      // MERGE semantics require at most one source row per key (SQL MERGE
+      // raises on multiple matches; keeping both would duplicate the key
+      // in the result). The count aliases to a reserved name so a key
+      // column literally called "count" cannot collide.
+      val dupKeys = updates.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_g_cnt")).where(col("_g_cnt") > 1).limit(1).count()
+      require(dupKeys == 0,
+        s"mergeUpsert: updates contain multiple rows for the same key (${keys.mkString(",")}); " +
+          "dedup the delta deterministically before merging")
+    }
     updates.unionByName(
       current.join(updates.select(keys.map(col): _*), keys, "left_anti"))
   }

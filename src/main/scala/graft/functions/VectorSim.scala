@@ -43,11 +43,20 @@ object VectorSimUtil {
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
 
-  private def planeWeights(nPlanes: Int, dim: Int, seed: Int): Array[Double] =
+  /** Cap on memoized plane matrices: a banded-LSH query uses one seed per
+    * band (hundreds of entries), but a long-lived executor serving many
+    * different (threshold, dim, seed) combinations would otherwise grow
+    * the cache without bound. Recomputing a matrix is microseconds, so a
+    * full clear on overflow is cheaper than LRU bookkeeping. */
+  private val MaxPlaneCacheEntries = 4096
+
+  private def planeWeights(nPlanes: Int, dim: Int, seed: Int): Array[Double] = {
+    if (planeCache.size > MaxPlaneCacheEntries) planeCache.clear()
     planeCache.computeIfAbsent((nPlanes, dim, seed), { _ =>
       Array.tabulate(nPlanes * dim)(i =>
         if ((Murmur3_x86_32.hashInt(i, seed) & 1) == 1) 1.0 else -1.0)
     })
+  }
 
   /** Sign-LSH signature (random hyperplane, Charikar 2002): bit p is the
     * sign of the dot product with a deterministic ±1 plane whose entries

@@ -106,19 +106,26 @@ object Dedup {
     // literature, exact — rewrites, not approximations):
     //  - length filter: J ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ;
     //  - POSITIONAL filter (PPJoin, Xiao/Wang/Lin/Yu, WWW 2008): J ≥ τ
-    //    needs overlap α = ⌈τ/(1+τ)·(|A|+|B|)⌉; a shared token at
+    //    needs overlap α ≥ τ/(1+τ)·(|A|+|B|); a shared token at
     //    0-based positions (pA, pB) caps the achievable overlap at
     //    1 + min(|A|−pA−1, |B|−pB−1), so pairs whose FIRST collision
     //    already can't reach α never become candidates at all.
-    val alpha = ceil(lit(threshold) / (1 + threshold) *
-      (col("a.sz") + col("b.sz")).cast("double"))
+    //    The integer cap is compared against the RAW real bound minus a
+    //    1e-9 slack, never a floating ⌈·⌉: ceil of a double product can
+    //    land one above the true integer bound when the exact value IS an
+    //    integer (e.g. τ=0.43, |A|+|B|=143 → 43.000000000000014 → ⌈·⌉=44),
+    //    which would silently drop a qualifying pair from this EXACT
+    //    operator. The slack only loosens pruning; the Jaccard verify is
+    //    exact regardless.
+    val tauFrac = threshold / (1.0 + threshold)
     val candidates = prefixTokens.as("a")
       .join(prefixTokens.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           col("b.sz") >= col("a.sz") * threshold &&
           col("a.sz") >= col("b.sz") * threshold &&
           (lit(1) + least(col("a.sz") - col("a.tpos") - 1,
-            col("b.sz") - col("b.tpos") - 1)) >= alpha)
+            col("b.sz") - col("b.tpos") - 1)).cast("double") >=
+            lit(tauFrac) * (col("a.sz") + col("b.sz")) - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     verifyJaccard(candidates, ordered, threshold)
@@ -152,6 +159,21 @@ object Dedup {
   def minHashSignatures(shingled: DataFrame, k: Int = 128): DataFrame = {
     GraftFunctions.register(shingled.sparkSession)
     shingled.withColumn("sig", GraftFunctions.minhashSig(col("shingles"), k))
+  }
+
+  /** (id, band, band_key) rows for an (id, sh)-shaped frame: k-minhash
+    * signature split into b bands of `rr` values, band key =
+    * hash(band slice, band index). The ONE banding projection shared by
+    * the batch ([[nearDupPairsMinHash]]) and incremental
+    * ([[removeNearDuplicatesIncremental]]) detectors — band semantics
+    * must never diverge between them. */
+  private def minHashBandRows(sh: DataFrame, k: Int, rr: Int, b: Int): DataFrame = {
+    val sig = minHashSignatures(sh.withColumnRenamed("sh", "shingles"), k)
+    sig.select(col("id"),
+      posexplode(array((0 until b).map(j =>
+        hash(slice(col("sig"), j * rr + 1, rr), lit(j))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
   }
 
   /** (rowsPerBand, nBands) for MinHash LSH, derived from the Jaccard
@@ -201,14 +223,9 @@ object Dedup {
     // and both verify join sides (2×); see exactJaccardPairs.
     val sh = materialize(shingleSets(df, textCol, idCol, n)
       .select(col("id"), array_sort(col("shingles")).as("sh")))
-    val sig = minHashSignatures(sh.withColumnRenamed("sh", "shingles"), k)
     // Bands carry ONLY (band, band_key, id): the shingle arrays never ride
     // the candidate shuffle — they are re-joined per side for the verify.
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until b).map(j =>
-        hash(slice(col("sig"), j * rr + 1, rr), lit(j))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+    val banded = minHashBandRows(sh, k, rr, b)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -380,20 +397,12 @@ object Dedup {
     require(overlap.isEmpty,
       s"removeNearDuplicatesIncremental: incoming and existing share ids " +
         s"(e.g. ${overlap.limit(3).collect().mkString(",")}) — id spaces must be disjoint")
-    def bands(sh: DataFrame) = {
-      val sig = minHashSignatures(sh.withColumnRenamed("sh", "shingles"), k)
-      sig.select(col("id"),
-        posexplode(array((0 until b).map(j =>
-          hash(slice(col("sig"), j * rr + 1, rr), lit(j))): _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_key")
-    }
     // one-sided probe: incoming bands × all bands — existing↔existing
     // pairs are unrepresentable in this join's output. The incoming
     // bands are materialized once: they feed BOTH join sides, and the
     // minhash signature is the CPU-heavy stage on the delta.
-    val newBands = materialize(bands(shIn))
-    val allBands = newBands.unionByName(bands(shEx))
+    val newBands = materialize(minHashBandRows(shIn, k, rr, b))
+    val allBands = newBands.unionByName(minHashBandRows(shEx, k, rr, b))
     val candidates = newBands.as("a")
       .join(allBands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -403,10 +412,7 @@ object Dedup {
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val shAll = shIn.unionByName(shEx)
-    val pairs = candidates
-      .join(shAll.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shAll.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .where(GraftFunctions.jaccardSim(col("sh_a"), col("sh_b")) >= threshold)
+    val pairs = verifyJaccard(candidates, shAll, threshold)
       .select(col("id_a"), col("id_b"))
     val labels = resolveClusters(pairs)
     // clusters touching the existing corpus drop ALL their incoming

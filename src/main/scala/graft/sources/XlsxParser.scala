@@ -77,15 +77,22 @@ object XlsxParser {
 
   // ── date-styled numeric cells ─────────────────────────────────────────
 
-  /** Built-in OOXML numFmtIds that render as dates/times (ECMA-376 §18.8.30:
-    * 14–22 date/time, 45–47 elapsed-time). */
-  private def isBuiltinDateFmt(id: Int): Boolean =
-    (id >= 14 && id <= 22) || (id >= 45 && id <= 47)
+  /** Built-in OOXML numFmtIds that render as CALENDAR dates/times
+    * (ECMA-376 §18.8.30: 14–22). 45–47 are ELAPSED-time formats
+    * ([h]:mm:ss family) — a duration, not a point in time; converting
+    * their serials through the date epoch would fabricate 1899/1904
+    * dates, so they stay raw (as pandas surfaces them as timedeltas,
+    * not datetimes). */
+  private def isBuiltinDateFmt(id: Int): Boolean = id >= 14 && id <= 22
 
   /** Heuristic for CUSTOM format codes (the pandas/openpyxl test): after
     * stripping bracketed sections, quoted literals, and escaped chars, any
-    * of y/m/d/h/s marks a date-time format. */
+    * of y/m/d/h/s marks a date-time format — EXCEPT elapsed-time codes
+    * (`[h]`, `[m]`, `[s]` brackets), which are durations and stay raw. */
   private[sources] def isDateFormatCode(code: String): Boolean = {
+    val lower = code.toLowerCase
+    if (lower.contains("[h") || lower.contains("[m") || lower.contains("[s"))
+      return false
     val sb = new StringBuilder
     var i = 0
     var inQuote = false

@@ -207,18 +207,23 @@ object StreamingOps {
     * the greatest full-row struct — never `dropDuplicates`, whose
     * survivor is partition-order-dependent). Restart safety: replaying a
     * micro-batch re-applies the same keyed last-write-wins upsert, so the
-    * sink is idempotent by key+version, which is what checkpointed
-    * exactly-once delivery needs from its sink. The merged result stages
-    * through parquet before the table overwrite — Spark cannot overwrite
-    * a table from a plan that still reads it. */
+    * sink is idempotent by key+version — pass `checkpointDir` to make
+    * that restart story real (without a durable checkpoint Spark uses a
+    * TEMPORARY one and cannot resume from committed offsets after a
+    * crash). The merged result stages through parquet before the table
+    * overwrite — Spark cannot overwrite a table from a plan that still
+    * reads it — and each batch's stage directory is deleted after its
+    * overwrite commits (the stage is a scratch copy; leaking one full
+    * table image per micro-batch would fill the volume). */
   def mergeStreamIntoTable(streamed: DataFrame, fqTable: String,
-      keys: Seq[String], versionCol: String, stageDir: String)
+      keys: Seq[String], versionCol: String, stageDir: String,
+      checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // foreachBatch hands each batch a CLONED session; refreshing only the
     // clone's catalog would leave the owning session's cached relation
     // pointing at deleted pre-overwrite files.
     val owner = streamed.sparkSession
-    streamed.writeStream
+    val writer = streamed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val w = org.apache.spark.sql.expressions.Window
@@ -229,17 +234,25 @@ object StreamingOps {
           .where(col("_g_rn") === 1).drop("_g_rn")
         val merged =
           if (spark.catalog.tableExists(fqTable))
-            graft.etl.Warehouse.mergeUpsert(spark.table(fqTable), src, keys)
+            // src is key-unique by construction (the window dedup above)
+            graft.etl.Warehouse.mergeUpsert(spark.table(fqTable), src, keys,
+              checkKeyUniqueness = false)
           else src
-        graft.etl.Warehouse.stageParquet(merged, s"$stageDir/batch_$batchId")
-        graft.etl.Warehouse.overwriteTable(
-          spark.read.parquet(s"$stageDir/batch_$batchId"), fqTable)
+        val batchStage = s"$stageDir/batch_$batchId"
+        graft.etl.Warehouse.stageParquet(merged, batchStage)
+        graft.etl.Warehouse.overwriteTable(spark.read.parquet(batchStage), fqTable)
         // the overwrite replaced the table's files; downstream readers in
         // either session must not serve the pre-overwrite file listing
         spark.catalog.refreshTable(fqTable)
         owner.catalog.refreshTable(fqTable)
+        // the overwrite copied the data into the warehouse — drop the
+        // scratch image so the stage volume stays O(1) batches
+        val p = new org.apache.hadoop.fs.Path(batchStage)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
         ()
       }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
   }
 

@@ -44,6 +44,20 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed=${exact -- lsh} spurious=${lsh -- exact}")
   }
 
+  test("positional filter: at-threshold pair where the float ceil of the overlap bound overshoots") {
+    // τ=0.43, |A|=71, |B|=72 shingles sharing exactly 43 ⇒ J = 43/100 =
+    // exactly τ, and τ/(1+τ)·143 = 43.000000000000014 in doubles — a
+    // floating ⌈·⌉ would demand overlap 44 and silently drop this
+    // qualifying pair from the EXACT operator (found in review, round 3).
+    val shared = (1 to 45).map(i => s"w$i")
+    val a = (shared ++ (1 to 28).map(i => s"a$i")).mkString(" ") // 73 toks → 71 shingles
+    val b = (shared ++ (1 to 29).map(i => s"b$i")).mkString(" ") // 74 toks → 72 shingles
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.exactJaccardPairs(df, "text", "doc_id", 0.43)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 0.43)), s"got ${got.mkString(",")}")
+  }
+
   test("minHashBands: derived from the threshold, recall bound holds, r divides k") {
     Seq(0.5, 0.6, 0.7, 0.8, 0.9).foreach { tau =>
       val (r, b) = Dedup.minHashBands(tau)

@@ -135,24 +135,33 @@ class ExcelSourceSpec extends AnyFunSuite {
     entry("xl/workbook.xml",
       """<?xml version="1.0"?><workbook><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>""")
     // style 0 = general; style 1 = builtin date (numFmtId 14); style 2 =
-    // CUSTOM date-time code (164); style 3 = custom non-date code (165)
+    // CUSTOM date-time code (164); style 3 = custom non-date code (165);
+    // style 4 = builtin ELAPSED time (46, [h]:mm:ss — a duration);
+    // style 5 = custom elapsed code (166)
     entry("xl/styles.xml",
       """<?xml version="1.0"?><styleSheet>""" +
-        """<numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd hh:mm"/>""" +
-        """<numFmt numFmtId="165" formatCode="#,##0.00"/></numFmts>""" +
-        """<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14"/>""" +
-        """<xf numFmtId="164"/><xf numFmtId="165"/></cellXfs></styleSheet>""")
+        """<numFmts count="3"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd hh:mm"/>""" +
+        """<numFmt numFmtId="165" formatCode="#,##0.00"/>""" +
+        """<numFmt numFmtId="166" formatCode="[h]:mm:ss"/></numFmts>""" +
+        """<cellXfs count="6"><xf numFmtId="0"/><xf numFmtId="14"/>""" +
+        """<xf numFmtId="164"/><xf numFmtId="165"/>""" +
+        """<xf numFmtId="46"/><xf numFmtId="166"/></cellXfs></styleSheet>""")
     // 45301 = 2024-01-10 (1900 system); .5 = noon. One date-styled integer
     // serial, one date-styled fractional serial, one PLAIN numeric with a
-    // non-date custom style (must stay a raw number).
+    // non-date custom style, and two ELAPSED-styled durations (1.25 =
+    // 30 hours) that must stay raw serials, never 1899 dates.
     entry("xl/worksheets/sheet1.xml",
       """<?xml version="1.0"?><worksheet><sheetData>""" +
         """<row r="1"><c r="A1" t="inlineStr"><is><t>sold_at</t></is></c>""" +
         """<c r="B1" t="inlineStr"><is><t>updated</t></is></c>""" +
-        """<c r="C1" t="inlineStr"><is><t>amount</t></is></c></row>""" +
+        """<c r="C1" t="inlineStr"><is><t>amount</t></is></c>""" +
+        """<c r="D1" t="inlineStr"><is><t>elapsed_b</t></is></c>""" +
+        """<c r="E1" t="inlineStr"><is><t>elapsed_c</t></is></c></row>""" +
         """<row r="2"><c r="A2" s="1"><v>45301</v></c>""" +
         """<c r="B2" s="2"><v>45301.5</v></c>""" +
-        """<c r="C2" s="3"><v>19.98</v></c></row>""" +
+        """<c r="C2" s="3"><v>19.98</v></c>""" +
+        """<c r="D2" s="4"><v>1.25</v></c>""" +
+        """<c r="E2" s="5"><v>1.25</v></c></row>""" +
         "</sheetData></worksheet>")
     zos.close()
     val df = Sources.excel(spark, path)
@@ -160,6 +169,8 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(raw.getString(0) == "2024-01-10 00:00:00")
     assert(raw.getString(1) == "2024-01-10 12:00:00") // custom date code detected
     assert(raw.getString(2) == "19.98") // non-date custom style untouched
+    assert(raw.getString(3) == "1.25") // builtin elapsed (46): duration stays raw
+    assert(raw.getString(4) == "1.25") // custom [h]:mm:ss: duration stays raw
     val typed = graft.etl.Transforms.coerceTimestamp(
       graft.etl.Transforms.coerceTimestamp(df, "sold_at"), "updated")
     assert(typed.schema("sold_at").dataType.typeName == "timestamp")
