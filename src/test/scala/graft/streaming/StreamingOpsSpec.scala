@@ -215,6 +215,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, "a", 1.0, 1L), (2L, "B", 9.0, 2L), (3L, "c", 3.0, 1L)))
   }
 
+  test("mergeStreamIntoTable: resumes from a checkpoint across a restart without double-applying") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("merge_restart_src").toString
+    val ckpt = Files.createTempDirectory("merge_restart_ckpt").toString
+    val stage = Files.createTempDirectory("merge_restart_stage").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_stream_merge")
+    spark.sql("DROP TABLE IF EXISTS test_stream_merge.t2")
+    def writeFile(n: Int, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("k", "name", "version").repartition(1)
+        .write.mode("append").parquet(src)
+    writeFile(0, Seq((1L, "a", 1L), (2L, "b", 1L)))
+    val schema = spark.read.parquet(src).schema
+    def start() = StreamingOps.mergeStreamIntoTable(
+      StreamingOps.replayParquet(spark, src, schema, maxFilesPerTrigger = 1),
+      "test_stream_merge.t2", Seq("k"), "version", stage, Some(ckpt))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table("test_stream_merge.t2").count() == 2)
+    // new data lands while the query is DOWN; restart must pick up ONLY
+    // the unprocessed file (committed offsets live in the checkpoint)
+    writeFile(1, Seq((2L, "B", 2L), (3L, "c", 1L)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.table("test_stream_merge.t2")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 1L)))
+  }
+
   test("stream-stream interval join: stream result equals batch result") {
     val clicks = batchEvents.where(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
