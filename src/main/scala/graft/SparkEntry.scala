@@ -572,6 +572,29 @@ object SparkEntry {
           sum(col("v")).cast(DecimalType(18, 4)).cast("double").as("value_sum")))
         .orderBy(col("event_type"))),
 
+    // ── Skew mitigation, oracle-checked (join form): the big side gets a
+    //    random salt, the small side replicates saltBuckets×, the join key
+    //    becomes (key, salt) so one hot key spreads over 8 reducers — and
+    //    the result must be indistinguishable from the plain join ───────
+    "q_skew_salted_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dim = ev.groupBy(col("event_type"))
+        .agg(dsum(col("value")).as("type_value_sum"))
+      graft.operators.Skew.saltedJoin(ev, dim, "event_type", saltBuckets = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("type_value_sum")).as("type_value_sum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── North star quality: the composite document quality score —
+    //    the same component formulas as q_text_stats, clamped and
+    //    averaged; identical arithmetic order in both engines ⇒ the raw
+    //    doubles hash-match ──────────────────────────────────────────────
+    "q_quality_composite" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
     // ── Event analytics: daily retention cohorts — each user's cohort is
     //    their first-activity day; one (cohort_day, activity_day) cell
     //    counts distinct active users. Two shuffles (per-user min, then
@@ -1072,6 +1095,28 @@ object SparkEntry {
       ("SELECT event_type, COUNT(*) AS n_events, " +
         "CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS value_sum " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // The salted join must be invisible: oracle is the plain join.
+    "q_skew_salted_join" ->
+      ("WITH d AS (SELECT event_type, " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DECIMAL(18,4)) AS DOUBLE) AS type_value_sum " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT e.event_type AS event_type, count(*) AS n_events, max(d.type_value_sum) AS type_value_sum " +
+        "FROM events e JOIN d ON e.event_type = d.event_type " +
+        "GROUP BY e.event_type ORDER BY e.event_type"),
+    // Composite quality score restated with the exact component formulas
+    // and summation order of TextAnalysis.qualityScore.
+    "q_quality_composite" ->
+      ("WITH n AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
+        "tk AS (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS tok FROM n), " +
+        "c AS (SELECT doc_id, " +
+        "least(len(tok)/100.0, 1.0) AS length_score, " +
+        "least((length(regexp_replace(text,'[^A-Za-z]','','g'))*1.0/greatest(length(text),1))/0.7, 1.0) AS alpha_score, " +
+        "CASE WHEN (length(replace(norm,' ',''))*1.0/greatest(len(tok),1)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END AS word_len_score, " +
+        "least((len(list_filter(tok, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x)))*1.0" +
+        "/greatest(len(tok),1))/0.2, 1.0) AS stop_score " +
+        "FROM tk) " +
+        "SELECT doc_id, (length_score + alpha_score + word_len_score + stop_score)/4.0 AS quality " +
+        "FROM c ORDER BY doc_id"),
     "q_retention_cohorts" ->
       ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id) " +
