@@ -102,6 +102,52 @@ object Multimodal {
     }
   }
 
+  /** Output of [[resizeImages]]: the (possibly re-encoded) payload plus a
+    * flag — non-image and undecodable payloads pass through unchanged. */
+  final case class ResizedMedia(media_id: Long, media_type: String,
+      content: Array[Byte], resized: Boolean)
+
+  /** REAL image resize (JDK-only): decode via `javax.imageio`, bilinear
+    * Graphics2D scale to (targetW, targetH), re-encode as PNG — the
+    * normalize-resolution pass before vision-model training. Runs as the
+    * same batched per-partition transform as [[extractFeatures]] (codec
+    * setup amortizes per batch; narrow, no shuffle). Non-image media and
+    * bytes no installed reader understands pass through untouched with
+    * `resized = false` — a resize pass must never destroy payloads it
+    * cannot parse. Headless-safe (BufferedImage needs no display). */
+  def resizeImages(ds: Dataset[MediaRecord], targetW: Int = 64, targetH: Int = 64,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0, s"resize target must be positive: ${targetW}x$targetH")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val decoded =
+            if (m.media_type != null && m.media_type.startsWith("image"))
+              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            else None
+          decoded match {
+            case Some(im) =>
+              val out = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(im, 0, 0, targetW, targetH, null)
+              } finally g.dispose()
+              val bytes = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bytes)
+              ResizedMedia(m.media_id, "image/png", bytes.toByteArray, resized = true)
+            case None =>
+              ResizedMedia(m.media_id, m.media_type, m.content, resized = false)
+          }
+        }
+      }
+    }
+  }
+
   /** STUB frame sampler — keeps every `everyN`-th fixed-size slice of the
     * payload (a real implementation would demux video frames). Shape and
     * determinism are what matter for the plumbing. */

@@ -72,6 +72,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.extractFeatures(junk).head().feature.length == 8)
   }
 
+  test("resizeImages: real decode → bilinear scale → PNG re-encode; non-images pass through") {
+    val records = Seq(
+      MediaRecord(1L, "image/png", imageBytes("png", 100, 40, 0xff0000)),
+      MediaRecord(2L, "image/jpeg", imageBytes("jpg", 16, 16, 0x00ff00)),
+      MediaRecord(3L, "audio/wav", Array.tabulate(64)(_.toByte)),
+      MediaRecord(4L, "image/png", Array.tabulate(16)(_.toByte))) // garbage bytes
+      .toDS()
+    val out = Multimodal.resizeImages(records, targetW = 32, targetH = 32)
+      .collect().map(r => r.media_id -> r).toMap
+    // resized payloads decode back to exactly the target resolution
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).resized && out(id).media_type == "image/png")
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out(id).content))
+      assert(im.getWidth == 32 && im.getHeight == 32, s"media $id")
+    }
+    // a solid-color source stays that color after bilinear scaling
+    val im1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).content))
+    assert((im1.getRGB(16, 16) & 0xffffff) == 0xff0000)
+    // non-image and undecodable payloads pass through byte-identical
+    assert(!out(3L).resized &&
+      out(3L).content.sameElements(Array.tabulate(64)(_.toByte)))
+    assert(!out(4L).resized && out(4L).content.length == 16)
+  }
+
   test("sampleFrames keeps every Nth fixed-size slice") {
     val df = Seq(Tuple1(Array.tabulate(5000)(_.toByte))).toDF("content")
     val frames = Multimodal.sampleFrames(df, "content", everyN = 2, frameBytes = 1024)
