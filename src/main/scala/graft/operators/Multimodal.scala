@@ -25,6 +25,24 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, media_type: String,
       n_bytes: Long, feature: Array[Float])
 
+  /** ImageIO's default stream cache spools every read/write through a
+    * temp FILE on local disk — per-record disk I/O in a pure in-memory
+    * transform. Disabled once per JVM before any ImageIO use here. */
+  private lazy val imageIOCacheDisabled: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** The ONE decode-attempt policy (type gate + guarded `ImageIO.read`)
+    * shared by [[decodeImage]] and [[resizeImages]] — what counts as a
+    * decodable image must not drift between the feature and resize
+    * paths. */
+  private def tryDecodeImage(m: MediaRecord): Option[java.awt.image.BufferedImage] = {
+    imageIOCacheDisabled
+    if (m.media_type == null || !m.media_type.startsWith("image")) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** REAL image decode via `javax.imageio` (JDK built-in: PNG, JPEG, BMP,
     * GIF, WBMP). Features (padded/truncated to `featureDim`):
     * [width, height, nChannels, meanR, meanG, meanB, meanLuma, aspect].
@@ -33,10 +51,7 @@ object Multimodal {
     * iterator walks a 100 TB corpus. Returns None for bytes no installed
     * reader understands (caller falls back to [[stubDecode]]). */
   def decodeImage(m: MediaRecord, featureDim: Int = 8): Option[MediaFeatures] = {
-    val img =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
-      catch { case scala.util.control.NonFatal(_) => None }
-    img.map { im =>
+    tryDecodeImage(m).map { im =>
       val w = im.getWidth
       val h = im.getHeight
       val stepX = math.max(1, w / 64)
@@ -67,9 +82,7 @@ object Multimodal {
   /** Per-record dispatch: image payloads decode for real; everything else
     * (and undecodable image bytes) takes the deterministic stub. */
   def decode(m: MediaRecord, featureDim: Int = 8): MediaFeatures =
-    if (m.media_type != null && m.media_type.startsWith("image"))
-      decodeImage(m, featureDim).getOrElse(stubDecode(m, featureDim))
-    else stubDecode(m, featureDim)
+    decodeImage(m, featureDim).getOrElse(stubDecode(m, featureDim))
 
   /** STUB decode kernel — stands in for a real audio/video decoder.
     * Deterministic: features are an FNV-1a rolling digest of the payload,
@@ -122,12 +135,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val decoded =
-            if (m.media_type != null && m.media_type.startsWith("image"))
-              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
-              catch { case scala.util.control.NonFatal(_) => None }
-            else None
-          decoded match {
+          tryDecodeImage(m) match {
             case Some(im) =>
               val out = new java.awt.image.BufferedImage(
                 targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)

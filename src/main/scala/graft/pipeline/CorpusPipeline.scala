@@ -38,6 +38,7 @@ object CorpusPipeline {
       minAlphaRatio: Double = 0.4,
       dedupThreshold: Double = 0.8,
       shingleN: Int = 3,
+      decontaminateN: Int = 8,
       chunkTokens: Int = 512,
       overlapTokens: Int = 64,
       splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
@@ -65,20 +66,28 @@ object CorpusPipeline {
     val nearDeduped = Dedup.removeNearDuplicates(
       exactDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN)
 
-    // 4. benchmark decontamination (n-gram overlap scrub)
+    // 4. benchmark decontamination. DELIBERATELY a larger n than the
+    //    dedup shingles: any-single-trigram overlap would scrub nearly
+    //    every English document (common trigrams are everywhere); the
+    //    standard decontamination window is ~8–13 contiguous tokens —
+    //    long enough that sharing one is real benchmark leakage.
     val clean = benchmark.fold(nearDeduped)(b =>
-      Dedup.removeContaminated(nearDeduped, b, cfg.textCol, cfg.idCol, cfg.shingleN))
+      Dedup.removeContaminated(nearDeduped, b, cfg.textCol, cfg.idCol,
+        cfg.decontaminateN))
 
     // 5. PII redaction + 6. per-DOCUMENT split assignment
     val documents = Sampling.hashSplit(
       clean.withColumn(cfg.textCol, TextAnalysis.redactPii(text)),
       cfg.idCol, cfg.splits)
 
-    // 7. chunks inherit the document's split by id (broadcastable join
-    //    key projection; the chunker itself never shuffles)
-    val chunks = Chunking.chunkByTokens(
-        documents, cfg.textCol, cfg.idCol, cfg.chunkTokens, cfg.overlapTokens)
-      .join(documents.select(col(cfg.idCol), col("split")), Seq(cfg.idCol))
+    // 7. chunks get the SAME split: it is a pure function of the id
+    //    (md5 bucket), so re-deriving it on the chunker's output is a
+    //    narrow projection that matches the document's split exactly —
+    //    no join, and the documents subtree evaluates once, not twice
+    val chunks = Sampling.hashSplit(
+      Chunking.chunkByTokens(
+        documents, cfg.textCol, cfg.idCol, cfg.chunkTokens, cfg.overlapTokens),
+      cfg.idCol, cfg.splits)
 
     Prepared(documents, chunks)
   }

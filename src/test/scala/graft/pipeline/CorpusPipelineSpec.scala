@@ -46,7 +46,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // contamination probe finds nothing (compare on the PRE-redaction
     // text via ids — redaction may alter shingles)
     val preRedaction = corpus.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-    assert(Dedup.contaminationHits(preRedaction, benchmark, "text", "doc_id").count() == 0)
+    assert(Dedup.contaminationHits(preRedaction, benchmark, "text", "doc_id",
+      n = cfg.decontaminateN).count() == 0)
 
     // PII is gone from every surviving text
     assert(kept.where($"text".contains("@example.org")).count() == 0)

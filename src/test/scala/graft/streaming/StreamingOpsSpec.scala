@@ -222,10 +222,10 @@ class StreamingOpsSpec extends AnyFunSuite {
     val stage = Files.createTempDirectory("merge_restart_stage").toString
     spark.sql("CREATE DATABASE IF NOT EXISTS test_stream_merge")
     spark.sql("DROP TABLE IF EXISTS test_stream_merge.t2")
-    def writeFile(n: Int, rows: Seq[(Long, String, Long)]): Unit =
+    def writeFile(rows: Seq[(Long, String, Long)]): Unit =
       rows.toDF("k", "name", "version").repartition(1)
         .write.mode("append").parquet(src)
-    writeFile(0, Seq((1L, "a", 1L), (2L, "b", 1L)))
+    writeFile(Seq((1L, "a", 1L), (2L, "b", 1L)))
     val schema = spark.read.parquet(src).schema
     def start() = StreamingOps.mergeStreamIntoTable(
       StreamingOps.replayParquet(spark, src, schema, maxFilesPerTrigger = 1),
@@ -235,7 +235,7 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(spark.table("test_stream_merge.t2").count() == 2)
     // new data lands while the query is DOWN; restart must pick up ONLY
     // the unprocessed file (committed offsets live in the checkpoint)
-    writeFile(1, Seq((2L, "B", 2L), (3L, "c", 1L)))
+    writeFile(Seq((2L, "B", 2L), (3L, "c", 1L)))
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val got = spark.table("test_stream_merge.t2")
