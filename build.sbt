@@ -23,8 +23,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 24g default: local[32] runs driver + all 32 executor threads in ONE
+// JVM — shuffle buffers, storage blocks, and 32 tasks' worth of
+// interpreted-HOF allocations share the heap, and an 8g ceiling turns a
+// multi-query bench pass into GC churn that inflates later queries
+// (round-3 driver pass: one heavy query ×3.7 with collateral ×2–5 on
+// trivial ones). The bench box has 128 GiB.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -61,8 +61,17 @@ object Bench {
           // N+1 is measured under query N's storage-memory pressure and
           // a 1.5 s query reads 4+ s in a 54-query pass. No completed
           // plan is ever re-read across queries, so eviction is safe.
+          // BLOCKING unpersist (async removal races the next query's
+          // timed window), then an explicit GC: the old-gen garbage a
+          // heavy query leaves behind (interpreted-HOF arrays, shuffle
+          // buffers) otherwise surfaces as collection pauses INSIDE the
+          // next queries' timed windows — the round-3 driver pass showed
+          // exactly that signature (one heavy query ×3.7, scattered ×2–5
+          // inflation of untouched trivial queries).
           spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache()
+          System.gc()
         }
       }
     }

@@ -358,9 +358,14 @@ object SparkEntry {
     // ── North star similarity: EXACT cosine pairs (oracle-checked; IDs
     //    only — membership is stable because no corpus pair sits within
     //    ~5e-4 of the threshold, far beyond cross-engine float drift).
-    //    The sign-LSH scale path (Similarity.cosinePairs) is spec-tested;
-    //    at τ=0.45 (θ≈63°) its recall is inherently partial (10/14 on
-    //    this corpus), so the driver query runs the exact form ──────────
+    //    DELIBERATELY the all-pairs exact form: at τ=0.45 the
+    //    threshold-derived sign-LSH banding is r=9/b=337 with background
+    //    collision b·2⁻ʳ ≈ 0.66 — candidates ≈ the full upper triangle
+    //    plus 337× band rows, i.e. strictly MORE work than the exact scan
+    //    (see Similarity.cosinePairsExact's regime scaladoc). The banded
+    //    path owns the τ ≥ 0.8 dedup regime (q_embedding_dedup_resolved);
+    //    moderate-τ search at scale is ivfTopK's job, not pair
+    //    enumeration ──────────
     "q_embedding_similar_pairs" -> ((s, dir) =>
       graft.operators.Similarity.cosinePairsExact(
         t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.45)

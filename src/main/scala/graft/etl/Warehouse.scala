@@ -98,9 +98,15 @@ object Warehouse {
         s"updates: ${updates.columns.sorted.mkString(",")})")
     // Name-only agreement isn't enough: a drifted column TYPE would surface
     // later as a confusing union error or a silent coercion mid-merge.
+    // Nullability-INSENSITIVE comparison (catalogString carries the full
+    // nested type but no nullable flags): nested nullability differences
+    // (ArrayType.containsNull, struct-field nullable, MapType.
+    // valueContainsNull) are not drift — unionByName merges them fine,
+    // and a parquet-read current table routinely differs from a
+    // freshly-built delta in exactly those flags.
     current.columns.foreach { c =>
       val (ct, ut) = (current.schema(c).dataType, updates.schema(c).dataType)
-      require(ct == ut,
+      require(ct.catalogString == ut.catalogString,
         s"mergeUpsert: column $c type drift — current ${ct.simpleString} vs updates ${ut.simpleString}")
     }
     if (checkKeyUniqueness) {

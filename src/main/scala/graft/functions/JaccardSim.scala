@@ -24,7 +24,16 @@ object JaccardSimUtil {
     (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
   }
 
-  def jaccard(a: ArrayData, b: ArrayData): Double = {
+  def jaccard(a: ArrayData, b: ArrayData): Double = jaccardImpl(a, b, longElems = false)
+
+  /** `array<long>` variant — elements are ALREADY 64-bit hashes (the
+    * pre-hashed shingle representation [[graft.operators.Dedup]] uses to
+    * keep strings out of its candidate shuffles), so membership hashing
+    * is the identity. Same collision model as the string path (the string
+    * path hashes to 64 bits internally anyway). */
+  def jaccardLongs(a: ArrayData, b: ArrayData): Double = jaccardImpl(a, b, longElems = true)
+
+  private def jaccardImpl(a: ArrayData, b: ArrayData, longElems: Boolean): Double = {
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 && nb == 0) return 0.0
@@ -40,7 +49,7 @@ object JaccardSimUtil {
     var i = 0
     while (i < ns) {
       if (!small.isNullAt(i)) {
-        val h = hash64(small.getUTF8String(i))
+        val h = if (longElems) small.getLong(i) else hash64(small.getUTF8String(i))
         var idx = (h.toInt & mask)
         while (used(idx) && table(idx) != h) idx = (idx + 1) & mask
         table(idx) = h
@@ -53,7 +62,7 @@ object JaccardSimUtil {
     i = 0
     while (i < nbg) {
       if (!big.isNullAt(i)) {
-        val h = hash64(big.getUTF8String(i))
+        val h = if (longElems) big.getLong(i) else hash64(big.getUTF8String(i))
         var idx = (h.toInt & mask)
         while (used(idx) && table(idx) != h) idx = (idx + 1) & mask
         if (used(idx) && !matched(idx)) {
@@ -71,18 +80,30 @@ object JaccardSimUtil {
 }
 
 /** Catalyst expression: `jaccard_sim(array<string>, array<string>) ->
-  * double`, whole-stage-codegen'd via a static call. Inputs must be
-  * distinct-element arrays (shingle sets are). */
+  * double` (or `array<long>` inputs whose elements are pre-computed
+  * 64-bit hashes), whole-stage-codegen'd via a static call. Inputs must
+  * be distinct-element arrays (shingle sets are). */
 case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
 
+  /** Static dispatch on the ELEMENT type at plan time — long arrays carry
+    * pre-hashed elements, string arrays hash internally. */
+  private lazy val implName: String = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      "jaccardLongs"
+    case _ => "jaccard"
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any =
-    JaccardSimUtil.jaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (implName == "jaccardLongs")
+      JaccardSimUtil.jaccardLongs(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    else
+      JaccardSimUtil.jaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardSimUtil.jaccard($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardSimUtil.$implName($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =
     copy(left = newLeft, right = newRight)

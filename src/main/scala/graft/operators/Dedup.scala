@@ -79,13 +79,23 @@ object Dedup {
   def exactJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
     val sh = shingleSets(df, textCol, idCol, n)
+    // Shingle STRINGS are hashed to 64-bit longs at the source and never
+    // seen again: the df count, the ordered-set arrays, the prefix
+    // self-join, and the Jaccard verify all run on 8-byte keys instead of
+    // ~25-byte n-gram text — the dominant shuffle/heap cost of this
+    // operator at corpus scale. Set semantics are preserved up to 64-bit
+    // collisions WITHIN one document pair (~|doc|²/2⁶⁴ — the same
+    // collision model the string kernel already uses internally, and the
+    // same argument [[contaminationHits]] documents).
+    //
     // Global token order = ascending document frequency (rarest first),
-    // ties by token value — the load-bearing part of prefix filtering:
+    // ties by token hash — the load-bearing part of prefix filtering:
     // prefixes then hold each doc's RAREST shingles, so the candidate
     // equi-join buckets stay small even on corpora with skewed token
     // frequencies (lexicographic ordering degenerates to near-all-pairs
     // when frequent tokens land in prefixes).
-    val tokens = sh.select(col("id"), explode(col("shingles")).as("tok"))
+    val tokens = sh.select(col("id"), explode(col("shingles")).as("_s"))
+      .select(col("id"), xxhash64(col("_s")).as("tok"))
     val docFreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
     // Materialized once: this subtree otherwise re-executes for the
     // prefix explode AND each verify join side — 3× the corpus's
@@ -331,6 +341,16 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // Returning silently-unconverged labels would UNDER-MERGE: two docs in
+    // one duplicate cluster keep different labels, so both survive a
+    // min-id-survivor dedup — invisible in the output of a 100 TB run.
+    // Label propagation needs `graph diameter` rounds; near-dup clusters
+    // are shallow, so hitting maxIter means an adversarial chain (A≈B≈C≈…
+    // at the threshold) — fail loudly and let the caller raise maxIter.
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters: label propagation did not converge in $maxIter " +
+        "rounds (cluster-graph diameter exceeds maxIter; labels would " +
+        "under-merge). Raise maxIter.")
     labels
   }
 
@@ -386,17 +406,24 @@ object Dedup {
     * persist it across batches in production. */
   def removeNearDuplicatesIncremental(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.8,
-      n: Int = 3, k: Int = 128): DataFrame = {
+      n: Int = 3, k: Int = 128, checkDisjointIds: Boolean = true): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
     def prep(df: DataFrame) = materialize(
       shingleSets(df, textCol, idCol, n)
         .select(col("id"), array_sort(col("shingles")).as("sh")))
     val shIn = prep(incoming)
     val shEx = prep(existing)
-    val overlap = shIn.select(col("id")).join(shEx.select(col("id")), Seq("id"), "left_semi")
-    require(overlap.isEmpty,
-      s"removeNearDuplicatesIncremental: incoming and existing share ids " +
-        s"(e.g. ${overlap.limit(3).collect().mkString(",")}) — id spaces must be disjoint")
+    // Default-on eager validation (one id-only semi-join job); callers
+    // that guarantee disjoint id spaces by construction (a sequence-
+    // assigned ingest id, a date-prefixed batch id) pass false to skip it
+    // on the per-batch hot path — mirroring mergeUpsert's
+    // checkKeyUniqueness.
+    if (checkDisjointIds) {
+      val overlap = shIn.select(col("id")).join(shEx.select(col("id")), Seq("id"), "left_semi")
+      require(overlap.isEmpty,
+        s"removeNearDuplicatesIncremental: incoming and existing share ids " +
+          s"(e.g. ${overlap.limit(3).collect().mkString(",")}) — id spaces must be disjoint")
+    }
     // one-sided probe: incoming bands × all bands — existing↔existing
     // pairs are unrepresentable in this join's output. The incoming
     // bands are materialized once: they feed BOTH join sides, and the

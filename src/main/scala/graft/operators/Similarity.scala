@@ -155,10 +155,21 @@ object Similarity {
     * [[graft.operators.Dedup.exactJaccardPairs]] plays for text, except
     * dense low-dim embeddings admit no exact prefix-filter: every
     * coordinate is nonzero, so sparse-join pruning degenerates to
-    * all-pairs anyway). Test-side ground truth ONLY — the production path
-    * is [[cosinePairs]] (banded sign-LSH, recall ≥ recallTarget at the
-    * threshold by construction); SimilaritySpec pins LSH recall against
-    * this form. Never register this plan for a corpus-scale query. */
+    * all-pairs anyway).
+    *
+    * When to register which plan: in the NEAR-DUP regime (τ ≳ 0.8, where
+    * embedding dedup lives) always use [[cosinePairs]] — banded sign-LSH
+    * prunes the uncorrelated bulk to ~b·2⁻ʳ ≈ 10⁻⁴ of all pairs there,
+    * and this quadratic form is the scale-killer round 2 removed. In the
+    * MODERATE-threshold regime (τ ≲ 0.6) the geometry inverts: the
+    * threshold-derived banding degenerates (at τ = 0.45 it is r=9/b=337,
+    * background collision b·2⁻ʳ ≈ 0.66 — candidate volume ≈ the full
+    * upper triangle PLUS 337× band rows and a dedup shuffle on top), so
+    * the all-pairs scan IS the rational exact plan; a moderate-τ
+    * similarity query over a large corpus should go through [[ivfTopK]] /
+    * top-k instead of a pair enumeration, whose output is itself
+    * near-quadratic at low τ. SimilaritySpec pins LSH recall against this
+    * form. */
   def cosinePairsExact(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

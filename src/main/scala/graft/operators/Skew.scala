@@ -11,6 +11,28 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** ROW-pure salt in [0, saltBuckets): a hash of the full row content
+    * (every hashable column), not `rand()`. rand(seed) is deterministic
+    * per PARTITIONING but reshuffles under task retry / repartition /
+    * input-split changes; a content hash gives each row the same salt on
+    * every run and layout (bit-stable stage retries) while still varying
+    * WITHIN a hot key — which is the whole point of salting. Map-typed
+    * columns are excluded (Spark's hash expressions reject MapType);
+    * byte-identical duplicate rows share a salt, which only weakens
+    * spreading for exact-duplicate skew, never correctness. */
+  private def rowSalt(df: DataFrame, saltBuckets: Int, seed: Int = 42): Column = {
+    import org.apache.spark.sql.types._
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType      => true
+      case ArrayType(e, _) => containsMap(e)
+      case StructType(fs)  => fs.exists(f => containsMap(f.dataType))
+      case _               => false
+    }
+    val hashable = df.columns.filter(c => !containsMap(df.schema(c).dataType))
+    pmod(xxhash64((hashable.map(col) :+ lit(seed)).toIndexedSeq: _*),
+      lit(saltBuckets.toLong)).cast("int")
+  }
+
   /** Two-stage salted aggregation: stage 1 aggregates on (keys, salt) —
     * spreading a hot key over `saltBuckets` reducers — stage 2 merges the
     * partials on the true keys. `partials` must be decomposable
@@ -26,8 +48,7 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       partials: Seq[Column], merges: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("_salt",
-      (rand(seed = 42) * saltBuckets).cast("int"))
+    val salted = df.withColumn("_salt", rowSalt(df, saltBuckets))
     val stage1 = salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(partials.head, partials.tail: _*)
@@ -51,8 +72,7 @@ object Skew {
     require(Set("inner", "left", "leftouter", "left_outer")
       .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins only, got '$joinType'")
-    val saltedBig = big.withColumn("_salt",
-      (rand(seed = 42) * saltBuckets).cast("int"))
+    val saltedBig = big.withColumn("_salt", rowSalt(big, saltBuckets))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "_salt"), joinType).drop("_salt")

@@ -226,10 +226,22 @@ object StreamingOps {
     val writer = streamed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // Tie-break struct from ORDERABLE columns only: one MapType column
+        // in the batch schema would otherwise fail the window analysis and
+        // brick the sink even for schemas where versionCol never ties.
+        // Deterministic regardless: the orderable subset is a fixed column
+        // list, and rows tying on version + every orderable column are
+        // interchangeable for last-write-wins.
+        val orderable = batch.columns.filter { c =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(batch.schema(c).dataType)
+        }
+        val tieBreak =
+          if (orderable.isEmpty) lit(1)
+          else struct(orderable.map(col).toIndexedSeq: _*)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
-          .orderBy(col(versionCol).desc,
-            struct(batch.columns.map(col).toIndexedSeq: _*).desc)
+          .orderBy(col(versionCol).desc, tieBreak.desc)
         val src = batch.withColumn("_g_rn", row_number().over(w))
           .where(col("_g_rn") === 1).drop("_g_rn")
         val merged =

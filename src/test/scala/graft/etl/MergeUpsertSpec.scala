@@ -55,4 +55,23 @@ class MergeUpsertSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("type drift"))
   }
+
+  test("mergeUpsert: nested NULLABILITY differences are not drift") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // a parquet-read current table has containsNull=true arrays; a
+    // freshly-built delta from non-null literals has containsNull=false —
+    // unionByName merges these fine, so the drift guard must not reject
+    val cur = spark.createDataFrame(
+      java.util.List.of(Row(1L, Seq("a", "b"))),
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("tags", ArrayType(StringType, containsNull = true)))))
+    val upd = spark.createDataFrame(
+      java.util.List.of(Row(1L, Seq("z")), Row(2L, Seq("c"))),
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("tags", ArrayType(StringType, containsNull = false)))))
+    val merged = Warehouse.mergeUpsert(cur, upd, Seq("k"))
+      .as[(Long, Seq[String])].collect().toSet
+    assert(merged == Set((1L, Seq("z")), (2L, Seq("c"))))
+  }
 }

@@ -126,4 +126,31 @@ class WarehouseScaleSpec extends AnyFunSuite {
       .select("k", "payload", "name").as[(Long, Long, String)].collect().toSet
     assert(salted == plain)
   }
+
+  test("salt is ROW-pure: identical results and per-bucket assignment across partition layouts") {
+    // rand(seed)-based salting is deterministic per PARTITIONING only — a
+    // repartition or task retry reshuffles which rows land in which salt
+    // bucket. The content-hash salt must give every row the same bucket in
+    // any layout, making stage retries bit-stable.
+    val df = spark.range(0, 4000)
+      .select((col("id") % 5).as("k"), col("id").cast("double").as("v"))
+    def saltedCounts(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      graft.operators.Skew.saltedAggregate(d, Seq("k"), 16,
+        partials = Seq(count(lit(1)).as("n"), sum($"v").as("s")),
+        merges = Seq(sum($"n").as("n"), sum($"s").as("s")))
+        .as[(Long, Long, Double)].collect().toSet
+    val layouts = Seq(df, df.repartition(17), df.repartition(3, col("v")), df.coalesce(1))
+    assert(layouts.map(saltedCounts).distinct.size == 1)
+
+    // assignment itself (not just the merged result) is layout-invariant:
+    // expose stage-1 groups by aggregating to (k, salt-bucket count sets)
+    def stage1Shape(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      graft.operators.Skew.saltedAggregate(d, Seq("k"), 16,
+        partials = Seq(count(lit(1)).as("n")),
+        merges = Seq(count(lit(1)).as("n_buckets")))
+        .as[(Long, Long)].collect().toSet
+    assert(layouts.map(stage1Shape).distinct.size == 1)
+    // and the hot key actually spreads over multiple buckets
+    assert(stage1Shape(df).forall(_._2 > 1), "salt should spread each key")
+  }
 }

@@ -32,6 +32,17 @@ object KernelProps extends Properties("graft.kernels") {
     a.isEmpty || JaccardSimUtil.jaccard(arr(a), arr(a)) == 1.0
   }
 
+  private def larr(xs: Seq[Long]): GenericArrayData =
+    new GenericArrayData(xs.map(x => x: Any).toArray)
+
+  property("jaccardLongs: equals set-arithmetic definition on pre-hashed sets") =
+    forAll(Gen.listOf(Gen.long).map(_.distinct), Gen.listOf(Gen.long).map(_.distinct)) { (a, b) =>
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val expected = if (union == 0) 0.0 else inter.toDouble / union
+      JaccardSimUtil.jaccardLongs(larr(a), larr(b)) == expected
+    }
+
   property("jaccard: equals set-arithmetic definition") =
     forAll(tokenSet, tokenSet) { (a, b) =>
       val inter = a.toSet.intersect(b.toSet).size

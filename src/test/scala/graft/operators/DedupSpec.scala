@@ -185,6 +185,59 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: checkDisjointIds=false skips the eager validation job and result is unchanged") {
+    val existing = docs.where($"doc_id" < 300)
+    val incoming = docs.where($"doc_id" >= 300)
+    val checked = Dedup.removeNearDuplicatesIncremental(
+      existing, incoming, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+
+    // Count Spark jobs launched while BUILDING the plan (the disjointness
+    // require and the materialize calls are the only eager work): with the
+    // flag off, plan construction must launch strictly fewer jobs.
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(500) } // let the async listener bus drain
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    var planChecked: org.apache.spark.sql.DataFrame = null
+    var planUnchecked: org.apache.spark.sql.DataFrame = null
+    val jobsWithCheck = jobsDuring {
+      planChecked = Dedup.removeNearDuplicatesIncremental(
+        existing, incoming, "text", "doc_id", threshold = 0.5)
+    }
+    val jobsWithout = jobsDuring {
+      planUnchecked = Dedup.removeNearDuplicatesIncremental(
+        existing, incoming, "text", "doc_id", threshold = 0.5,
+        checkDisjointIds = false)
+    }
+    assert(jobsWithout < jobsWithCheck,
+      s"flag off should skip the validation job(s): $jobsWithout !< $jobsWithCheck")
+    assert(planUnchecked.select("doc_id").as[Long].collect().toSet == checked)
+  }
+
+  test("resolveClusters: throws instead of silently under-merging when maxIter < cluster diameter") {
+    // A 30-node path graph: min-label propagation moves the label one hop
+    // per round, so maxIter=3 cannot converge — returning would leave the
+    // chain split into several phantom clusters.
+    val chain = (1L to 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.resolveClusters(chain, maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and the same graph converges fine when maxIter covers the diameter
+    val labels = Dedup.resolveClusters(chain, maxIter = 40)
+      .as[(Long, Long)].collect()
+    assert(labels.forall(_._2 == 1L))
+  }
+
   test("contaminationHits matches brute-force shingle intersection; removeContaminated drops exactly those") {
     val bench = docs.where($"doc_id" % 50 === 0)
     val corpus = docs.where($"doc_id" % 50 =!= 0)
