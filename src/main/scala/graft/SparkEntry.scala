@@ -624,6 +624,27 @@ object SparkEntry {
         .withColumn("chunk_fp", md5(col("chunk_text"))).drop("chunk_text")
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // ── North star packing: greedy token-budget packing of chunks into
+    //    fixed-length training examples (the stage after chunking in a
+    //    pre-training pipeline). Deterministic end to end: key-pure md5
+    //    shard, (doc_id, chunk_idx) in-shard order, pure greedy fold —
+    //    restated verbatim as a DuckDB recursive CTE (one lockstep
+    //    iteration advances every (split, shard) group by one chunk).
+    //    Examples never cross splits (a train/test-mixing example would
+    //    leak through the pack) ─────────────────────────────────────────
+    "q_packed_examples" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val chunks = graft.operators.Chunking.chunkByTokens(
+        docs, "text", "doc_id", chunkTokens = 64, overlapTokens = 16)
+      val splits = graft.operators.Sampling.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))
+      graft.operators.Packing.packExamples(
+        chunks.join(splits, Seq("doc_id")), tokenBudget = 256,
+        splitCol = Some("split"))
+        .orderBy(col("example_id"))
+    }),
+
     // ── North star quality: unigram log-probability score (the CCNet-ish
     //    LM-filtering proxy) — corpus unigram frequencies joined back to
     //    token occurrences; per-token ln rounds into DECIMAL(25,9) so
@@ -1139,6 +1160,32 @@ object SparkEntry {
         "CAST(len(list_slice(t, s + 1, s + 64)) AS BIGINT) AS n_chunk_tokens, " +
         "md5(array_to_string(list_slice(t, s + 1, s + 64), ' ')) AS chunk_fp " +
         "FROM st ORDER BY doc_id, chunk_idx"),
+    // Greedy packing restated as a recursive CTE: chunks (the q_doc_chunks
+    // windows) join their doc's hash-split, rank within (split, shard) by
+    // (doc_id, chunk_idx), and the recursion advances EVERY group one chunk
+    // per iteration carrying (example idx, running tokens) — the exact
+    // greedy rule of Packing.assignExamples (boundary only when tok > 0 and
+    // tok + n would exceed the budget; an oversized chunk packs alone).
+    "q_packed_examples" ->
+      ("WITH RECURSIVE tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM documents), " +
+        "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM tk WHERE len(t) > 0), " +
+        "ch AS (SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx, CAST(len(list_slice(t, s + 1, s + 64)) AS BIGINT) AS n FROM st), " +
+        "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM documents), " +
+        "ordered AS (SELECT sp.split AS split, substr(md5(CAST(ch.doc_id AS VARCHAR)),1,1) AS shard, " +
+        "ch.doc_id AS doc_id, ch.chunk_idx AS chunk_idx, ch.n AS n, " +
+        "row_number() OVER (PARTITION BY sp.split, substr(md5(CAST(ch.doc_id AS VARCHAR)),1,1) ORDER BY ch.doc_id, ch.chunk_idx) AS rn " +
+        "FROM ch JOIN sp ON ch.doc_id = sp.doc_id), " +
+        "packed AS (SELECT split, shard, doc_id, chunk_idx, n, rn, CAST(0 AS BIGINT) AS ex, n AS tok FROM ordered WHERE rn = 1 " +
+        "UNION ALL SELECT o.split, o.shard, o.doc_id, o.chunk_idx, o.n, o.rn, " +
+        "CASE WHEN p.tok > 0 AND p.tok + o.n > 256 THEN p.ex + 1 ELSE p.ex END, " +
+        "CASE WHEN p.tok > 0 AND p.tok + o.n > 256 THEN o.n ELSE p.tok + o.n END " +
+        "FROM packed p JOIN ordered o ON o.split = p.split AND o.shard = p.shard AND o.rn = p.rn + 1) " +
+        "SELECT split || '/' || shard || '/' || CAST(ex AS VARCHAR) AS example_id, split, " +
+        "count(*) AS n_chunks, CAST(sum(n) AS BIGINT) AS n_tokens, " +
+        "CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / 256.0 AS fill_ratio, " +
+        "string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR), ',' ORDER BY doc_id, chunk_idx) AS members " +
+        "FROM packed GROUP BY split, shard, ex ORDER BY example_id"),
     "q_unigram_logprob" ->
       ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+')) AS token FROM documents), " +
         "tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''), " +

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -87,6 +88,22 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
+
+  /** Both sides must be arrays of the SAME supported element type —
+    * mixed `array<long>`/`array<string>` inputs would otherwise silently
+    * take the long path on one side's string data (garbage similarities
+    * instead of an analysis error). */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(le, _), ArrayType(re, _))
+          if le == re && (le == StringType || le == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> or two array<long> " +
+          s"arguments, got ${l.simpleString} and ${r.simpleString}")
+    }
+  }
 
   /** Static dispatch on the ELEMENT type at plan time — long arrays carry
     * pre-hashed elements, string arrays hash internally. */

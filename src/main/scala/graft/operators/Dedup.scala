@@ -359,9 +359,9 @@ object Dedup {
     * (minimum id). Everything the detection found goes; the rest of the
     * corpus passes through untouched (left-anti on the loser ids). */
   def removeNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, n: Int = 3): DataFrame = {
+      threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20): DataFrame = {
     val pairs = nearDupPairsMinHash(df, textCol, idCol, threshold, n)
-    val losers = resolveClusters(pairs)
+    val losers = resolveClusters(pairs, maxIter)
       .where(col("label") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -375,11 +375,11 @@ object Dedup {
     * swaps in the all-pairs ground truth ([[Similarity.cosinePairsExact]])
     * for test-side comparison — never for a corpus-scale run. */
   def removeNearDuplicatesByEmbedding(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.95, exact: Boolean = false): DataFrame = {
+      threshold: Double = 0.95, exact: Boolean = false, maxIter: Int = 20): DataFrame = {
     val pairs =
       if (exact) Similarity.cosinePairsExact(df, vecCol, idCol, threshold)
       else Similarity.cosinePairs(df, vecCol, idCol, threshold)
-    val losers = resolveClusters(pairs)
+    val losers = resolveClusters(pairs, maxIter)
       .where(col("label") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -406,7 +406,8 @@ object Dedup {
     * persist it across batches in production. */
   def removeNearDuplicatesIncremental(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.8,
-      n: Int = 3, k: Int = 128, checkDisjointIds: Boolean = true): DataFrame = {
+      n: Int = 3, k: Int = 128, checkDisjointIds: Boolean = true,
+      maxIter: Int = 20): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
     def prep(df: DataFrame) = materialize(
       shingleSets(df, textCol, idCol, n)
@@ -441,7 +442,7 @@ object Dedup {
     val shAll = shIn.unionByName(shEx)
     val pairs = verifyJaccard(candidates, shAll, threshold)
       .select(col("id_a"), col("id_b"))
-    val labels = resolveClusters(pairs)
+    val labels = resolveClusters(pairs, maxIter)
     // clusters touching the existing corpus drop ALL their incoming
     // members; purely-incoming clusters keep the min-id survivor
     val incomingLabeled = labels.join(shIn.select(col("id")), Seq("id"), "left_semi")

@@ -45,12 +45,23 @@ object Packing {
     require(shardHexDigits >= 1 && shardHexDigits <= 8,
       s"shardHexDigits must be in [1, 8], got $shardHexDigits")
     val splitC = splitCol.map(col).getOrElse(lit("all"))
+    // Validate token counts IN the projection: a null would otherwise
+    // surface as an opaque executor NPE in the greedy pass, and a negative
+    // count would silently corrupt packing (the running total could
+    // decrease, overfilling examples past the budget).
+    val nTok = col(nTokensCol).cast("long")
+    val checkedTok = when(nTok.isNull.or(nTok < 0),
+      raise_error(concat(
+        lit(s"Packing: $nTokensCol must be non-null and >= 0, got "),
+        coalesce(nTok.cast("string"), lit("null")),
+        lit(s" for $idCol="), col(idCol).cast("string"))))
+      .otherwise(nTok)
     val base = chunks.select(
       splitC.cast("string").as("split"),
       substring(md5(col(idCol).cast("string")), 1, shardHexDigits).as("shard"),
       col(idCol),
       col(chunkIdxCol).cast("long").as(chunkIdxCol),
-      col(nTokensCol).cast("long").as(nTokensCol))
+      checkedTok.as(nTokensCol))
     // hash-partition on (split, shard) so each group lands WHOLLY in one
     // task, then sort within partitions — the greedy pass below streams
     // group by group with constant state, no per-group buffering

@@ -226,22 +226,31 @@ object StreamingOps {
     val writer = streamed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // Tie-break struct from ORDERABLE columns only: one MapType column
-        // in the batch schema would otherwise fail the window analysis and
-        // brick the sink even for schemas where versionCol never ties.
-        // Deterministic regardless: the orderable subset is a fixed column
-        // list, and rows tying on version + every orderable column are
-        // interchangeable for last-write-wins.
-        val orderable = batch.columns.filter { c =>
+        // Tie-break struct from ORDERABLE columns directly: one MapType
+        // column in the batch schema would otherwise fail the window
+        // analysis and brick the sink even for schemas where versionCol
+        // never ties. Non-orderable columns are NOT interchangeable for
+        // last-write-wins, so they join the tie-break through a stable
+        // encoding — xxhash64 of their JSON serialization — making the
+        // winner a pure function of row VALUES on every schema. (Two rows
+        // whose maps are semantically equal but stored in different key
+        // order encode differently and order arbitrarily-but-stably; a
+        // 64-bit hash collision between genuinely different maps falls
+        // back to an arbitrary winner — both strictly narrower gaps than
+        // ignoring the columns entirely.)
+        val (orderable, nonOrderable) = batch.columns.partition { c =>
           org.apache.spark.sql.catalyst.expressions.RowOrdering
             .isOrderable(batch.schema(c).dataType)
         }
         val tieBreak =
           if (orderable.isEmpty) lit(1)
           else struct(orderable.map(col).toIndexedSeq: _*)
+        val nonOrderableTieBreak =
+          if (nonOrderable.isEmpty) lit(1)
+          else xxhash64(to_json(struct(nonOrderable.map(col).toIndexedSeq: _*)))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
-          .orderBy(col(versionCol).desc, tieBreak.desc)
+          .orderBy(col(versionCol).desc, tieBreak.desc, nonOrderableTieBreak.desc)
         val src = batch.withColumn("_g_rn", row_number().over(w))
           .where(col("_g_rn") === 1).drop("_g_rn")
         val merged =
