@@ -473,6 +473,62 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("id_checksum")))
     }),
 
+    // ── North star dedup: incremental removal probing a PERSISTED index —
+    //    the existing corpus's (id, sh) shingle index and (id, band,
+    //    band_key) band index are written once and round-tripped through
+    //    parquet; the batch path never re-reads the corpus text. Same
+    //    oracle as q_incremental_dedup: the stored-index probe must be
+    //    result-identical to the recompute path ─────────────────────────
+    "q_incremental_dedup_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.where(col("doc_id") < 300)
+      val incoming = docs.where(col("doc_id") >= 300)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+      graft.etl.Warehouse.stageParquet(
+        graft.operators.Dedup.shingleIndex(existing, "text", "doc_id"),
+        s"$idx/shingles")
+      val shStored = s.read.parquet(s"$idx/shingles")
+      graft.etl.Warehouse.stageParquet(
+        graft.operators.Dedup.minHashBandIndex(shStored, threshold = 0.5),
+        s"$idx/bands")
+      val bandsStored = s.read.parquet(s"$idx/bands")
+      val kept = graft.operators.Dedup.removeNearDuplicatesIncrementalIndexed(
+        bandsStored, shStored, incoming, "text", "doc_id", threshold = 0.5)
+      incoming.agg(count(lit(1)).as("n_incoming")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_checksum")))
+    }),
+
+    // ── North star: the WHOLE pre-training pipeline end to end — quality
+    //    gate → exact dedup → near-dup removal → benchmark
+    //    decontamination → PII redaction → split → chunking, one row of
+    //    per-stage kept counts + survivor id checksum + chunk totals.
+    //    The single highest-value integration check: every stage's DuckDB
+    //    restatement (each already oracle-proven in isolation) composed
+    //    into one ground-truth CTE chain ─────────────────────────────────
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val cfg = graft.pipeline.CorpusPipeline.Config(
+        langs = Set("en"), minTokens = 10, maxTokens = 100000,
+        minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+        decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
+        splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val p = graft.pipeline.CorpusPipeline.prepare(docs, Some(bench), cfg)
+      val stageCounts = p.stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as(s"n_$name"))
+      }.reduce(_.crossJoin(_))
+      val docStats = p.documents.agg(
+        sum(col("doc_id")).cast("long").as("id_checksum"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
+      val chunkStats = p.chunks.agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
+      stageCounts.crossJoin(docStats).crossJoin(chunkStats)
+    }),
+
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
     //    shuffle carries one row per distinct token per task) ───────────
@@ -831,6 +887,82 @@ object SparkEntry {
   /** DuckDB CTE producing (doc_id, shingles): distinct 3-gram shingles of
     * the normalized text — the oracle-side mirror of
     * [[graft.operators.Dedup.shingleSets]], shared by every dedup oracle. */
+  private lazy val incrementalDedupOracle: String =
+    s"WITH RECURSIVE $shingleCte, " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE b.doc_id >= 300 AND " +
+      "len(list_intersect(a.shingles,b.shingles))*1.0/greatest(len(list_distinct(list_concat(a.shingles,b.shingles))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "tainted AS (SELECT DISTINCT label FROM lab WHERE id < 300), " +
+      "losers AS (SELECT id FROM lab WHERE id >= 300 AND " +
+      "(label IN (SELECT label FROM tainted) OR id <> label)), " +
+      "kept AS (SELECT doc_id FROM documents WHERE doc_id >= 300 " +
+      "AND doc_id NOT IN (SELECT id FROM losers)) " +
+      "SELECT (SELECT count(*) FROM documents WHERE doc_id >= 300) AS n_incoming, " +
+      "count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept"
+
+  /** Ground truth for q_corpus_pipeline: every stage's already-proven
+    * DuckDB restatement (lang-ID voting, norm-text exact dedup, trigram
+    * Jaccard pairs + recursive-CTE CC, 8-gram decontamination, the
+    * piiClasses redaction chain, md5 hash-split, chunk windows) composed
+    * into one CTE chain over the documents fixture. */
+  private lazy val corpusPipelineOracle: String = {
+    // redaction chain generated FROM piiClasses — patterns cannot drift
+    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
+      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
+    }
+    def gram8(src: String): String =
+      s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
+        s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+    "WITH RECURSIVE " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
+      "tok AS (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
+      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
+      "(SELECT doc_id, text, greatest(" +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      "q1 AS (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3")}), " +
+      s"sh8b AS (${gram8("tok")} WHERE doc_id % 50 = 0), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      s"red AS (SELECT doc_id, $redact AS rt FROM q4), " +
+      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
+      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
+      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q4) " +
+      "SELECT (SELECT count(*) FROM documents) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
   private val shingleCte: String =
     "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
       "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS shingles " +
@@ -1048,21 +1180,11 @@ object SparkEntry {
     // an incoming (id >= 300) member — the same edge set the one-sided
     // band probe can produce — then CC and the taint rule: clusters with
     // any existing member drop all incoming; pure-incoming keep min id.
-    "q_incremental_dedup" ->
-      (s"WITH RECURSIVE $shingleCte, " +
-        "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-        "WHERE b.doc_id >= 300 AND " +
-        "len(list_intersect(a.shingles,b.shingles))*1.0/greatest(len(list_distinct(list_concat(a.shingles,b.shingles))),1) >= 0.5), " +
-        "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
-        "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
-        "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
-        "tainted AS (SELECT DISTINCT label FROM lab WHERE id < 300), " +
-        "losers AS (SELECT id FROM lab WHERE id >= 300 AND " +
-        "(label IN (SELECT label FROM tainted) OR id <> label)), " +
-        "kept AS (SELECT doc_id FROM documents WHERE doc_id >= 300 " +
-        "AND doc_id NOT IN (SELECT id FROM losers)) " +
-        "SELECT (SELECT count(*) FROM documents WHERE doc_id >= 300) AS n_incoming, " +
-        "count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept"),
+    "q_incremental_dedup" -> incrementalDedupOracle,
+    // The stored-index probe must be result-IDENTICAL to the recompute
+    // path — one ground truth for both.
+    "q_incremental_dedup_indexed" -> incrementalDedupOracle,
+    "q_corpus_pipeline" -> corpusPipelineOracle,
     // Same deterministic augmentation as the Spark side: one jittered copy
     // per vec_id % 10 == 0, ±0.025 per dimension keyed by md5(vec_id||'-'||i)
     // (DuckDB list lambdas index from 1; the Spark transform uses i+1 to

@@ -402,18 +402,69 @@ object Dedup {
     * id spaces to be disjoint (checked).
     *
     * Returns the surviving `incoming` rows. The existing corpus's
-    * shingle/signature subtree is the per-batch index-build cost;
-    * persist it across batches in production. */
+    * shingle/signature subtree is the per-batch index-build cost; persist
+    * it with [[shingleIndex]]/[[minHashBandIndex]] and probe the stored
+    * artifacts via [[removeNearDuplicatesIncrementalIndexed]] to pay it
+    * once per corpus version instead of per batch. */
   def removeNearDuplicatesIncremental(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.8,
       n: Int = 3, k: Int = 128, checkDisjointIds: Boolean = true,
       maxIter: Int = 20): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
-    def prep(df: DataFrame) = materialize(
-      shingleSets(df, textCol, idCol, n)
-        .select(col("id"), array_sort(col("shingles")).as("sh")))
-    val shIn = prep(incoming)
-    val shEx = prep(existing)
+    val shEx = materialize(shingleIndex(existing, textCol, idCol, n))
+    removeIncrementalFrom(minHashBandRows(shEx, k, rr, b), shEx, incoming,
+      textCol, idCol, threshold, n, k, checkDisjointIds, maxIter)
+  }
+
+  /** (id, sh) shingle-index projection — the per-corpus-version artifact a
+    * production incremental-dedup pipeline persists ONCE (parquet / a
+    * warehouse table) instead of re-shingling 100 TB every daily batch.
+    * `sh` is the sorted distinct word-n-gram array [[shingleSets]]
+    * produces; [[minHashBandIndex]] derives the band index from it. */
+  def shingleIndex(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame =
+    shingleSets(df, textCol, idCol, n)
+      .select(col("id"), array_sort(col("shingles")).as("sh"))
+
+  /** (id, band, band_key) band-index projection over a STORED shingle
+    * index — the other persisted half of the incremental-dedup index.
+    * Band geometry derives from (threshold, k) exactly as the batch
+    * detector's ([[minHashBands]]), so a stored index is only valid for
+    * the (threshold, k, n) it was built with — rebuild on parameter
+    * change. Persist bucketed on `band_key`
+    * ([[graft.etl.Warehouse.overwriteBucketedTable]]) so daily probe
+    * joins co-locate against the index without reshuffling it. */
+  def minHashBandIndex(shingles: DataFrame, threshold: Double = 0.8,
+      k: Int = 128): DataFrame = {
+    val (rr, b) = minHashBands(threshold, k)
+    minHashBandRows(shingles, k, rr, b)
+  }
+
+  /** [[removeNearDuplicatesIncremental]] probing a PERSISTED index: the
+    * existing corpus arrives as its stored (id, band, band_key) band index
+    * and (id, sh) shingle index ([[minHashBandIndex]]/[[shingleIndex]]
+    * round-tripped through parquet or a warehouse table) — the corpus
+    * text is never re-read, re-shingled, or re-hashed on the batch path.
+    * `threshold`/`k`/`n` MUST match the index build (band geometry and
+    * shingle width are baked into the stored rows). Result is identical
+    * to the recompute path on the same corpus (spec-proven). */
+  def removeNearDuplicatesIncrementalIndexed(existingBands: DataFrame,
+      existingShingles: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.8,
+      n: Int = 3, k: Int = 128, checkDisjointIds: Boolean = true,
+      maxIter: Int = 20): DataFrame =
+    removeIncrementalFrom(existingBands, existingShingles, incoming,
+      textCol, idCol, threshold, n, k, checkDisjointIds, maxIter)
+
+  /** Shared incremental-removal core: one-sided band probe of `incoming`
+    * against an existing corpus given as (band index, shingle index) —
+    * computed fresh by [[removeNearDuplicatesIncremental]], read from
+    * storage by [[removeNearDuplicatesIncrementalIndexed]]. */
+  private def removeIncrementalFrom(exBands: DataFrame, shEx: DataFrame,
+      incoming: DataFrame, textCol: String, idCol: String, threshold: Double,
+      n: Int, k: Int, checkDisjointIds: Boolean, maxIter: Int): DataFrame = {
+    val (rr, b) = minHashBands(threshold, k)
+    val shIn = materialize(shingleIndex(incoming, textCol, idCol, n))
     // Default-on eager validation (one id-only semi-join job); callers
     // that guarantee disjoint id spaces by construction (a sequence-
     // assigned ingest id, a date-prefixed batch id) pass false to skip it
@@ -430,7 +481,7 @@ object Dedup {
     // bands are materialized once: they feed BOTH join sides, and the
     // minhash signature is the CPU-heavy stage on the delta.
     val newBands = materialize(minHashBandRows(shIn, k, rr, b))
-    val allBands = newBands.unionByName(minHashBandRows(shEx, k, rr, b))
+    val allBands = newBands.unionByName(exBands)
     val candidates = newBands.as("a")
       .join(allBands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&

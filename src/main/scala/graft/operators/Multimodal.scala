@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: [[decodeImage]] reads PNG/JPEG/BMP/GIF payloads
   * with `javax.imageio` (JDK-only, no external codec) into dimension +
-  * pixel-statistic features. AUDIO/VIDEO decode remains an honest STUB —
-  * no such codecs ship in this container — with [[stubDecode]] deriving
-  * deterministic fake features from the bytes; a real codec drops into
-  * the same dispatch without touching the plan. The batched-iterator
-  * shape mirrors arrow-batch UDF execution (decode cost amortized per
-  * batch, not per row).
+  * pixel-statistic features. AUDIO decode is REAL for PCM WAV/AIFF/AU:
+  * [[decodeAudio]] parses them with `javax.sound.sampled` (also JDK-only)
+  * into duration/rate/channel + amplitude-statistic features. VIDEO (and
+  * compressed audio — no MP3/Vorbis codec ships in this container)
+  * remains an honest STUB, with [[stubDecode]] deriving deterministic
+  * fake features from the bytes; a real codec drops into the same
+  * dispatch without touching the plan. The batched-iterator shape mirrors
+  * arrow-batch UDF execution (decode cost amortized per batch, not per
+  * row).
   */
 object Multimodal {
 
@@ -79,10 +82,74 @@ object Multimodal {
     }
   }
 
-  /** Per-record dispatch: image payloads decode for real; everything else
-    * (and undecodable image bytes) takes the deterministic stub. */
+  /** REAL audio decode for PCM payloads in the containers the JDK's
+    * `javax.sound.sampled` parses natively (WAV, AIFF, AU — no external
+    * codec). Features (padded/truncated to `featureDim`):
+    * [durationSec, sampleRate, channels, sampleBits, nFrames, rms, peak,
+    * meanAbs] — the amplitude statistics over ALL samples normalized to
+    * [−1, 1] across channels. One linear pass over the payload (same
+    * asymptotic cost as the stub digest). Returns None for non-audio
+    * types, compressed encodings (MP3/Vorbis — no codec in this
+    * container), or bytes the parser rejects: the caller falls back to
+    * [[stubDecode]], so a resize-style pass never throws on undecodable
+    * media. */
+  def decodeAudio(m: MediaRecord, featureDim: Int = 8): Option[MediaFeatures] = {
+    if (m.media_type == null || !m.media_type.startsWith("audio")) return None
+    val parsed =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val pcm = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = fmt.getSampleSizeInBits
+          if (pcm && bits > 0 && bits % 8 == 0 && bits <= 32)
+            Some((fmt, in.readAllBytes()))
+          else None
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    parsed.map { case (fmt, data) =>
+      val bits = fmt.getSampleSizeInBits
+      val bps = bits / 8
+      val signed =
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val big = fmt.isBigEndian
+      val shift = 32 - bits
+      val full = (1L << (bits - 1)).toDouble
+      var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
+      var nSamples = 0L
+      var i = 0
+      while (i + bps <= data.length) {
+        var v = 0
+        if (big) { var j = 0; while (j < bps) { v = (v << 8) | (data(i + j) & 0xff); j += 1 } }
+        else { var j = bps - 1; while (j >= 0) { v = (v << 8) | (data(i + j) & 0xff); j -= 1 } }
+        val s = if (signed) (v << shift) >> shift else v - (1 << (bits - 1))
+        val x = s / full
+        sumSq += x * x; sumAbs += math.abs(x)
+        if (math.abs(x) > peak) peak = math.abs(x)
+        nSamples += 1
+        i += bps
+      }
+      val n = math.max(nSamples, 1L).toDouble
+      val nFrames = data.length / math.max(fmt.getFrameSize, 1)
+      val raw = Array[Float](
+        (nFrames / fmt.getFrameRate).toFloat, fmt.getSampleRate,
+        fmt.getChannels.toFloat, bits.toFloat, nFrames.toFloat,
+        math.sqrt(sumSq / n).toFloat, peak.toFloat, (sumAbs / n).toFloat)
+      MediaFeatures(m.media_id, m.media_type, m.content.length.toLong,
+        java.util.Arrays.copyOf(raw, featureDim))
+    }
+  }
+
+  /** Per-record dispatch: image and PCM-audio payloads decode for real;
+    * everything else (and undecodable bytes) takes the deterministic
+    * stub. */
   def decode(m: MediaRecord, featureDim: Int = 8): MediaFeatures =
-    decodeImage(m, featureDim).getOrElse(stubDecode(m, featureDim))
+    decodeImage(m, featureDim)
+      .orElse(decodeAudio(m, featureDim))
+      .getOrElse(stubDecode(m, featureDim))
 
   /** STUB decode kernel — stands in for a real audio/video decoder.
     * Deterministic: features are an FNV-1a rolling digest of the payload,

@@ -45,8 +45,13 @@ object CorpusPipeline {
 
   /** The kept documents (post-filter/dedup/decontaminate, text redacted,
     * `split` assigned) and their chunks (split inherited from the
-    * document; (idCol, chunk_idx, chunk_text, n_chunk_tokens, split)). */
-  final case class Prepared(documents: DataFrame, chunks: DataFrame)
+    * document; (idCol, chunk_idx, chunk_text, n_chunk_tokens, split)).
+    * `stages` exposes each intermediate frame by name (input, quality,
+    * exact_dedup, near_dedup, decontaminated) — the per-stage kept
+    * counts every production corpus run reports; counting them re-runs
+    * only cheap narrow scans, the dedup materializations are shared. */
+  final case class Prepared(documents: DataFrame, chunks: DataFrame,
+      stages: Seq[(String, DataFrame)] = Nil)
 
   def prepare(corpus: DataFrame, benchmark: Option[DataFrame] = None,
       cfg: Config = Config()): Prepared = {
@@ -89,6 +94,8 @@ object CorpusPipeline {
         documents, cfg.textCol, cfg.idCol, cfg.chunkTokens, cfg.overlapTokens),
       cfg.idCol, cfg.splits)
 
-    Prepared(documents, chunks)
+    Prepared(documents, chunks, Seq(
+      "input" -> corpus, "quality" -> filtered, "exact_dedup" -> exactDeduped,
+      "near_dedup" -> nearDeduped, "decontaminated" -> clean))
   }
 }

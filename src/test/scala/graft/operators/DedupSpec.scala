@@ -177,6 +177,28 @@ class DedupSpec extends AnyFunSuite {
       "fixture should have a pure-incoming cluster")
   }
 
+  test("incremental dedup: stored-index path is result-identical to the recompute path") {
+    val existing = docs.where($"doc_id" < 300)
+    val incoming = docs.where($"doc_id" >= 300)
+    val recomputed = Dedup.removeNearDuplicatesIncremental(
+      existing, incoming, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+
+    // build the persistent index once and round-trip it through parquet —
+    // the batch path then never touches the existing corpus text
+    val idx = java.nio.file.Files.createTempDirectory("graft_ndidx_spec").toString
+    Dedup.shingleIndex(existing, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$idx/shingles")
+    val shStored = spark.read.parquet(s"$idx/shingles")
+    Dedup.minHashBandIndex(shStored, threshold = 0.5)
+      .write.mode("overwrite").parquet(s"$idx/bands")
+    val bandsStored = spark.read.parquet(s"$idx/bands")
+    val fromIndex = Dedup.removeNearDuplicatesIncrementalIndexed(
+      bandsStored, shStored, incoming, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fromIndex == recomputed)
+  }
+
   test("incremental dedup: overlapping id spaces rejected") {
     intercept[IllegalArgumentException] {
       Dedup.removeNearDuplicatesIncremental(

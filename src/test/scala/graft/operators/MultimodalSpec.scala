@@ -6,9 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSparkSession
 import graft.operators.Multimodal.MediaRecord
 
-/** Multimodal plumbing specs: schema, batching shape, determinism, and the
-  * REAL javax.imageio decode path (audio/video remain a documented stub —
-  * no such codecs in-container). */
+/** Multimodal plumbing specs: schema, batching shape, determinism, the
+  * REAL javax.imageio image decode path, and the REAL javax.sound.sampled
+  * PCM WAV decode path (video and compressed audio remain a documented
+  * stub — no such codecs in-container). */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSparkSession.spark
   import spark.implicits._
@@ -96,6 +97,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(3L).resized &&
       out(3L).content.sameElements(Array.tabulate(64)(_.toByte)))
     assert(!out(4L).resized && out(4L).content.length == 16)
+  }
+
+  /** Encode 16-bit signed little-endian mono PCM samples as a real WAV
+    * via the JDK writer. */
+  private def wavBytes(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real WAV decode: duration/rate/channels + hand-computed RMS and peak") {
+    // 8000 samples at 8 kHz = 1 s, alternating ±16384 (amplitude 0.5):
+    // rms = peak = meanAbs = 0.5 exactly
+    val samples = Array.tabulate(8000)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    val wav = wavBytes(samples, 8000f)
+    val out = Multimodal.extractFeatures(
+      Seq(MediaRecord(1L, "audio/wav", wav)).toDS()).collect().head
+    val Array(dur, rate, ch, bits, nFrames, rms, peak) = out.feature.take(7)
+    assert(rate == 8000f && ch == 1f && bits == 16f && nFrames == 8000f)
+    assert(math.abs(dur - 1.0f) < 1e-6, s"duration $dur")
+    assert(math.abs(rms - 0.5f) < 1e-6, s"rms $rms")
+    assert(math.abs(peak - 0.5f) < 1e-6, s"peak $peak")
+    assert(out.n_bytes == wav.length.toLong)
+  }
+
+  test("WAV decode: stereo sine RMS matches A/sqrt(2); garbage audio falls back to stub") {
+    // 0.25-amplitude sine, 2 channels carrying the same signal: RMS over
+    // interleaved samples is still 0.25/sqrt(2)
+    val n = 4096
+    val mono = Array.tabulate(n)(i =>
+      math.round(0.25 * 32768.0 * math.sin(2 * math.Pi * i / 64.0)).toShort)
+    val inter = new Array[Byte](n * 4)
+    mono.zipWithIndex.foreach { case (s, i) =>
+      for (c <- 0 to 1) {
+        inter(4 * i + 2 * c) = (s & 0xff).toByte
+        inter(4 * i + 2 * c + 1) = ((s >> 8) & 0xff).toByte
+      }
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(inter), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val decoded = Multimodal.extractFeatures(
+      Seq(MediaRecord(7L, "audio/wav", out.toByteArray)).toDS()).collect().head
+    val rms = decoded.feature(5)
+    val expected = 0.25 / math.sqrt(2.0)
+    assert(math.abs(rms - expected) < 1e-3, s"stereo sine rms $rms vs $expected")
+    assert(decoded.feature(2) == 2f && decoded.feature(1) == 16000f)
+
+    // garbage "audio" bytes: parser rejects → deterministic stub features
+    val junk = MediaRecord(8L, "audio/wav", Array.tabulate(64)(_.toByte))
+    val viaDispatch = Multimodal.decode(junk)
+    assert(viaDispatch.feature.sameElements(Multimodal.stubDecode(junk).feature))
   }
 
   test("sampleFrames keeps every Nth fixed-size slice") {
