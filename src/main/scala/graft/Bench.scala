@@ -71,6 +71,14 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
           spark.catalog.clearCache()
+          // Two GC passes with a short pause between: the first enqueues
+          // the dead plans' weak/phantom references, the pause lets the
+          // ContextCleaner thread drain its reference queue (it lags a
+          // single gc — broadcast/shuffle cleanup would otherwise land
+          // INSIDE the next query's timed window), and the second pass
+          // collects what the cleaner just released.
+          System.gc()
+          Thread.sleep(150)
           System.gc()
         }
       }
