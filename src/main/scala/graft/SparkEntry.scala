@@ -584,6 +584,62 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ── North star sampling: temperature-based training-mix resampling
+    //    (q_s ∝ p_s^α, α=0.5 flattening toward rare languages, expected
+    //    total ≈ half the corpus). Rates are derived from the lang
+    //    histogram, 4-decimal-rounded (the pow/float-parity discipline),
+    //    and applied through the same key-pure md5 predicate — the oracle
+    //    re-derives the rates and thresholds entirely in SQL ─────────────
+    "q_temperature_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling.temperatureResample(
+        docs, "doc_id", "lang", alpha = 0.5, targetFraction = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy(col("lang"))
+    }),
+
+    // ── North star dedup: line-level (paragraph) boilerplate removal —
+    //    lines appearing in ≥ 2 distinct docs are scrubbed from ALL docs.
+    //    The corpus has no natural line structure, so each doc gains a
+    //    shared copyright footer (doc_id % 2 == 0) and a unique footer
+    //    (the deterministic-augmentation pattern, restated in the
+    //    oracle); the dedup must remove exactly the shared line ──────────
+    "q_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\ncopyright footer all rights reserved")).otherwise(lit("")),
+          lit("\ndoc "), col("doc_id").cast("string"), lit(" unique footer"))
+          .as("text"))
+      graft.operators.LineDedup.removeDuplicatedLines(aug, "text", "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_fp"),
+          when(length(col("text")) === 0, lit(0L))
+            .otherwise(size(split(col("text"), "\n")).cast("long"))
+            .as("n_lines_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── North star selection: quality-first curation under a global
+    //    token budget — greedy prefix of the (quality DESC, id) order.
+    //    The plan is the distributed prefix sum (range partition →
+    //    per-partition totals → broadcast offsets → local window), NEVER
+    //    a single-partition global window; the oracle is the equivalent
+    //    one-window cumsum in DuckDB ────────────────────────────────────
+    "q_budget_selection" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Selection.selectUnderTokenBudget(
+        scored, "quality", "n_tokens", "doc_id", budget = 20000L)
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("doc_id")).cast("long").as("id_checksum"),
+          sum(col("n_tokens")).cast("long").as("token_total"))
+    }),
+
     // ── Event funnel: clicks converting to a purchase within 10 minutes,
     //    per user — the KEYED range join (candidates meet on
     //    (user_id, time-bucket), so bucket fan-out is per-user local,
@@ -1231,6 +1287,61 @@ object SparkEntry {
         "FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < " +
         "CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '40000000' ELSE '1999999a' END " +
         "GROUP BY lang ORDER BY lang"),
+    // Temperature resampling ground truth: the rate derivation re-run in
+    // SQL — lang histogram, w = p^0.5, normalizer summed in lang-sorted
+    // order (list_reduce over an ORDER BY list pins the float summation
+    // order to match the Scala foldLeft), rates rounded to 4 decimals,
+    // then the same md5 thresholds Sampling.thresholdHex builds
+    // (round-half-up, capped at ffffffff, rate 1.0 → 'g' above every
+    // bucket).
+    "q_temperature_resample" ->
+      ("WITH hist AS (SELECT CAST(lang AS VARCHAR) AS s, count(*) AS n FROM documents GROUP BY lang), " +
+        "tot AS (SELECT sum(n) AS total FROM hist), " +
+        "wts AS (SELECT s, n, pow(n * 1.0 / total, 0.5) AS w FROM hist CROSS JOIN tot), " +
+        "z AS (SELECT list_reduce(list(w ORDER BY s), (a, b) -> a + b) AS z FROM wts), " +
+        "rates AS (SELECT s, round(least(1.0, w / z * (0.5 * total) / n), 4) AS r " +
+        "FROM wts CROSS JOIN z CROSS JOIN tot), " +
+        "th AS (SELECT s, CASE WHEN r >= 1.0 THEN 'g' ELSE " +
+        "lpad(lower(hex(CAST(least(round(r * 4294967296.0), 4294967295) AS BIGINT))),8,'0') END AS th FROM rates) " +
+        "SELECT d.lang AS lang, count(*) AS n_sampled, CAST(sum(d.doc_id) AS BIGINT) AS id_checksum " +
+        "FROM documents d JOIN th ON CAST(d.lang AS VARCHAR) = th.s " +
+        "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)),1,8) < th.th " +
+        "GROUP BY d.lang ORDER BY d.lang"),
+    // Line-dedup ground truth over the same augmented corpus: exact line
+    // strings (the Spark side joins on 64-bit line hashes — collision-free
+    // at any testable scale, the contamination argument), distinct-doc
+    // counts, blank lines exempt, order-preserving reassembly.
+    "q_line_dedup" ->
+      ("WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 2 = 0 " +
+        "THEN chr(10) || 'copyright footer all rights reserved' ELSE '' END || " +
+        "chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' unique footer' AS t FROM documents), " +
+        "ls AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, " +
+        "generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM aug), " +
+        "dups AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM ls WHERE trim(line) <> '') " +
+        "GROUP BY line HAVING count(*) >= 2), " +
+        "kept AS (SELECT doc_id, line, pos FROM ls WHERE trim(line) = '' OR line NOT IN (SELECT line FROM dups)), " +
+        "reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2, count(*) AS nk FROM kept GROUP BY doc_id) " +
+        "SELECT a.doc_id AS doc_id, md5(COALESCE(reb.t2, '')) AS text_fp, " +
+        "CAST(COALESCE(reb.nk, 0) AS BIGINT) AS n_lines_kept " +
+        "FROM aug a LEFT JOIN reb ON a.doc_id = reb.doc_id ORDER BY doc_id"),
+    // Budget selection ground truth: the quality composite (the proven
+    // q_quality_composite formula) + token counts, one global window
+    // cumsum — the semantic the distributed prefix sum must reproduce
+    // exactly.
+    "q_budget_selection" ->
+      ("WITH n AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
+        "tk AS (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS tok FROM n), " +
+        "c AS (SELECT doc_id, len(tok) AS n_tokens, " +
+        "least(len(tok)/100.0, 1.0) AS length_score, " +
+        "least((length(regexp_replace(text,'[^A-Za-z]','','g'))*1.0/greatest(length(text),1))/0.7, 1.0) AS alpha_score, " +
+        "CASE WHEN (length(replace(norm,' ',''))*1.0/greatest(len(tok),1)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END AS word_len_score, " +
+        "least((len(list_filter(tok, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x)))*1.0" +
+        "/greatest(len(tok),1))/0.2, 1.0) AS stop_score FROM tk), " +
+        "q AS (SELECT doc_id, n_tokens, (length_score + alpha_score + word_len_score + stop_score)/4.0 AS quality FROM c), " +
+        "sel AS (SELECT doc_id, n_tokens FROM q " +
+        "QUALIFY sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) <= 20000) " +
+        "SELECT count(*) AS n_selected, CAST(sum(doc_id) AS BIGINT) AS id_checksum, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS token_total FROM sel"),
     "q_event_funnel" ->
       ("WITH clicks AS (SELECT event_id AS click_id, user_id, ts AS c_start, " +
         "ts + INTERVAL 10 MINUTE AS c_end FROM events WHERE event_type='click'), " +

@@ -62,6 +62,45 @@ object Sampling {
     df.where(hex < bound)
   }
 
+  /** Temperature-based training-mix resampling (the multilingual-LM
+    * standard: sampling weight q_s ∝ p_s^α for stratum share p_s = n_s/N,
+    * α < 1 flattening the distribution toward rare strata — public
+    * literature, XLM/mBERT-style). Per-stratum keep rates are derived so
+    * the EXPECTED kept total is ≈ `targetFraction · N` distributed by q,
+    * capped at 1 (a stratum is never upsampled — this is a filter, not a
+    * generator), then applied with the key-pure [[stratifiedSample]]
+    * predicate, so membership stays partition/retry/growth-stable.
+    *
+    * The stratum histogram is |strata| rows collected to the driver —
+    * driver state by construction, like k-means centroids. Rates are
+    * rounded to 4 decimals before thresholding: the rate arithmetic runs
+    * through `pow`, whose last-ulp behavior is libm-specific, and the
+    * rounding makes the derived md5 thresholds — and therefore exact
+    * membership — reproducible across engines (the established
+    * cross-engine float-parity discipline; a 4-decimal rate step moves
+    * thresholds by ~430k buckets, dwarfing any ulp drift). The weight
+    * normalizer is summed in stratum-sorted order so even its float
+    * rounding is deterministic. */
+  def temperatureResample(df: DataFrame, keyCol: String, strataCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    val hist = df.groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val total = hist.map(_._2).sum.toDouble
+    val weights = hist.map { case (s, n) => s -> math.pow(n / total, alpha) }
+    val z = weights.foldLeft(0.0)(_ + _._2) // stratum-sorted summation order
+    val target = targetFraction * total
+    val rates = weights.map { case (s, w) =>
+      val n = hist.toMap.apply(s).toDouble
+      s -> math.rint(math.min(1.0, w / z * target / n) * 1e4) / 1e4
+    }.toMap
+    stratifiedSample(df, keyCol, strataCol, rates, defaultFraction = 0.0)
+  }
+
   /** Disjoint named splits covering the whole keyspace, e.g.
     * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)` — the last
     * split absorbs rounding remainder. Adds a `split` column. */

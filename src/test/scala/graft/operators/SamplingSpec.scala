@@ -75,6 +75,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(s2 == s.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("temperatureResample: alpha=1 is a uniform targetFraction sample; alpha<1 flattens toward rare strata") {
+    // alpha = 1: q_s = p_s, so every stratum's rate collapses to exactly
+    // targetFraction — the resampler degenerates to a flat sample
+    val flat = Sampling.temperatureResample(docs, "doc_id", "lang", alpha = 1.0,
+      targetFraction = 0.5)
+    val expect = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flat.select("doc_id").as[Long].collect().toSet == expect)
+
+    // alpha < 1: the dominant stratum's keep rate is strictly below a
+    // rare stratum's (flattening), and the overall kept total lands near
+    // targetFraction * N
+    val t = Sampling.temperatureResample(docs, "doc_id", "lang", alpha = 0.5,
+      targetFraction = 0.5)
+    val byLang = t.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val dominant = totals.maxBy(_._2)._1
+    val rare = totals.minBy(_._2)._1
+    val rDom = byLang.getOrElse(dominant, 0L).toDouble / totals(dominant)
+    val rRare = byLang.getOrElse(rare, 0L).toDouble / totals(rare)
+    assert(rDom < rRare,
+      s"alpha<1 must downsample '$dominant' ($rDom) harder than '$rare' ($rRare)")
+    val frac = t.count().toDouble / docs.count()
+    assert(frac > 0.35 && frac < 0.65, s"overall kept fraction $frac far from 0.5")
+
+    // key-pure: partitioning-independent membership
+    val t2 = Sampling.temperatureResample(docs.repartition(9), "doc_id", "lang",
+      alpha = 0.5, targetFraction = 0.5)
+    assert(t2.select("doc_id").as[Long].collect().toSet ==
+      t.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("hashSplit rejects fractions that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
