@@ -1420,7 +1420,10 @@ object SparkEntry {
         "ch AS (SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx, CAST(len(list_slice(t, s + 1, s + 64)) AS BIGINT) AS n FROM st), " +
         "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM documents), " +
-        "ordered AS (SELECT sp.split AS split, substr(md5(CAST(ch.doc_id AS VARCHAR)),1,1) AS shard, " +
+        // MATERIALIZED: without it DuckDB re-inlines this CTE into every
+        // recursion step, turning O(maxGroupSize) iterations into repeated
+        // full window recomputes (~160 s at sf0.1; instant materialized)
+        "ordered AS MATERIALIZED (SELECT sp.split AS split, substr(md5(CAST(ch.doc_id AS VARCHAR)),1,1) AS shard, " +
         "ch.doc_id AS doc_id, ch.chunk_idx AS chunk_idx, ch.n AS n, " +
         "row_number() OVER (PARTITION BY sp.split, substr(md5(CAST(ch.doc_id AS VARCHAR)),1,1) ORDER BY ch.doc_id, ch.chunk_idx) AS rn " +
         "FROM ch JOIN sp ON ch.doc_id = sp.doc_id), " +
