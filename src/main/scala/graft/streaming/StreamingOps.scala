@@ -280,6 +280,76 @@ object StreamingOps {
   /** Replay a parquet directory as a file stream (test/dev harness:
     * batch parquet in, stream semantics out; `maxFilesPerTrigger` paces
     * the replay). */
+  /** Continuous corpus ingestion with near-duplicate suppression — the
+    * streaming form of the daily-increment dedup shape: each micro-batch
+    * is deduped against the PERSISTED index of everything already
+    * ingested ([[graft.operators.Dedup.removeNearDuplicatesIncrementalIndexed]]
+    * — the corpus text is never re-read), survivors append to the corpus
+    * directory, and their shingle/band projections append to the index so
+    * LATER batches dedupe against them. The first batch (no index yet)
+    * self-dedupes with the batch detector.
+    *
+    * Restart safety by construction: every batch writes its survivors and
+    * index projections into its OWN `batch_id=<id>` partition directory
+    * with overwrite semantics, so a replayed batch overwrites exactly its
+    * previous (possibly partial) output instead of appending duplicates —
+    * the standard idempotent-foreachBatch layout. The index probe
+    * excludes the batch's own partition (a replay after a partial write
+    * would otherwise find its own half-written rows and trip the
+    * disjoint-id check). Pass `checkpointDir` so restarts resume from
+    * committed offsets at all.
+    *
+    * Scale notes: per batch this probes |Δ|·b band rows against the
+    * index — the index side is a parquet scan, never recomputed; one
+    * partition directory lands per batch (compact on the same cadence you
+    * compact any streaming sink). Incoming ids must be disjoint from
+    * every previous batch's (enforced per batch by the incremental
+    * operator's id check; ingest-assigned ids satisfy it by
+    * construction). */
+  def dedupStreamIntoCorpus(streamed: DataFrame, corpusDir: String,
+      indexDir: String, textCol: String, idCol: String,
+      threshold: Double = 0.8, n: Int = 3, k: Int = 128,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val writer = streamed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        def exists(p: String) =
+          new org.apache.hadoop.fs.Path(p)
+            .getFileSystem(conf).exists(new org.apache.hadoop.fs.Path(p))
+        if (!batch.isEmpty) {
+          val bandsPath = s"$indexDir/bands"
+          val shPath = s"$indexDir/shingles"
+          // partition-discovery read adds the batch_id column; drop the
+          // batch's OWN partition (replay safety), then the column
+          def readIndex(p: String) =
+            spark.read.parquet(p)
+              .where(col("batch_id") =!= batchId).drop("batch_id")
+          val survivors =
+            if (exists(bandsPath) && exists(shPath))
+              Dedup.removeNearDuplicatesIncrementalIndexed(
+                readIndex(bandsPath), readIndex(shPath),
+                batch, textCol, idCol, threshold, n, k)
+            else
+              Dedup.removeNearDuplicates(batch, textCol, idCol, threshold, n)
+          // one materialization: survivors feed the corpus write AND two
+          // index projections
+          val kept = Dedup.materialize(survivors)
+          kept.write.mode("overwrite")
+            .parquet(s"$corpusDir/batch_id=$batchId")
+          val sh = Dedup.materialize(Dedup.shingleIndex(kept, textCol, idCol, n))
+          sh.write.mode("overwrite").parquet(s"$shPath/batch_id=$batchId")
+          Dedup.minHashBandIndex(sh, threshold, k)
+            .write.mode("overwrite").parquet(s"$bandsPath/batch_id=$batchId")
+        }
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   def replayParquet(spark: SparkSession, dir: String, schema: StructType,
       maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream

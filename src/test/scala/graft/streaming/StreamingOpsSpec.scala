@@ -215,6 +215,45 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, "a", 1.0, 1L), (2L, "B", 9.0, 2L), (3L, "c", 3.0, 1L)))
   }
 
+  test("dedupStreamIntoCorpus: later batches dedupe against earlier survivors via the stored index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    val corpus = Files.createTempDirectory("dedup_corpus").toString
+    val index = Files.createTempDirectory("dedup_index").toString
+    val uniqueA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val uniqueB = "completely different prose about distributed query engines and shuffle plans"
+    val nearA = uniqueA.replace("today", "tonight") // high-Jaccard near-dup of A
+    val q = StreamingOps.dedupStreamIntoCorpus(
+      docs, corpus, index, "text", "doc_id", threshold = 0.5)
+    try {
+      // batch 1: one doc + its in-batch near-dup -> min-id survivor only
+      source.addData((1L, uniqueA), (2L, nearA))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L), s"in-batch near-dup must collapse, got $after1")
+      // batch 2: a near-dup of the INDEXED doc (dropped: cluster tainted
+      // by the corpus) + a genuinely new doc (kept)
+      source.addData((3L, nearA), (4L, uniqueB))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(1L, 4L), s"indexed near-dup must drop, got $after2")
+      // the index grew with batch 2's survivor: a batch-3 near-dup of
+      // uniqueB must now drop too
+      val nearB = uniqueB.replace("plans", "graphs")
+      source.addData((5L, nearB))
+      q.processAllAvailable()
+      val after3 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after3 == Set(1L, 4L), s"index must grow per batch, got $after3")
+    } finally q.stop()
+    // the stored index holds exactly the survivors' projections
+    val indexedIds = spark.read.parquet(s"$index/shingles")
+      .select("id").as[Long].collect().toSet
+    assert(indexedIds == Set(1L, 4L))
+  }
+
   test("mergeStreamIntoTable: resumes from a checkpoint across a restart without double-applying") {
     import spark.implicits._
     val src = Files.createTempDirectory("merge_restart_src").toString
