@@ -790,8 +790,43 @@ object SparkEntry {
       toksE.join(vocab, Seq("token")).crossJoin(total)
         .withColumn("lp", log(col("tf") / col("n_total")).cast(DecimalType(25, 9)))
         .groupBy(col("doc_id"))
+        // NO post-round: the scale-9 decimal sum casts to double EXACTLY
+        // in both engines (scaled integer ≪ 2⁵³), while round(·, 6) sits a
+        // half-way-tie away from an engine-specific rounding-mode mismatch
+        // (observed: one sf0.1 doc landing on x.xxx0535 → ±1e-6 split)
         .agg(count(lit(1)).as("n_tokens"),
-          round(sum(col("lp")).cast("double"), 6).as("logprob"))
+          sum(col("lp")).cast("double").as("logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── North star quality: bigram LM score — add-one-smoothed
+    //    conditional log-prob P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) summed per
+    //    doc, completing the n-gram LM family next to q_unigram_logprob.
+    //    Same decimal discipline (per-term ln → DECIMAL(25,9) ⇒ exact
+    //    order-independent sums); count shuffles are keyed on the grams,
+    //    the per-doc rollup on doc_id — all hash-partitioned ─────────────
+    "q_bigram_logprob" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val bigrams = docs.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.ngramsNative(col("text"), 2)).as("bg"))
+      val toks = docs.select(
+        explode(graft.functions.GraftFunctions.normTokens(col("text"))).as("token"))
+      val uniC = toks.groupBy("token").agg(count(lit(1)).as("uc"))
+      val biC = bigrams.groupBy("bg").agg(count(lit(1)).as("bc"))
+      val vocab = uniC.agg(count(lit(1)).as("v"))
+      bigrams
+        .withColumn("token", split(col("bg"), " ").getItem(0))
+        .join(biC, Seq("bg"))
+        .join(uniC, Seq("token"))
+        .crossJoin(vocab)
+        .withColumn("lp",
+          log((col("bc") + lit(1).cast("double")) / (col("uc") + col("v")))
+            .cast(DecimalType(25, 9)))
+        .groupBy(col("doc_id"))
+        // exact decimal→double cast, no lossy round — see q_unigram_logprob
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp")).cast("double").as("logprob"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1445,8 +1480,24 @@ object SparkEntry {
         "pt AS (SELECT doc_id, CAST(ln(tf * 1.0 / n_total) AS DECIMAL(25,9)) AS lp " +
         "FROM tok2 JOIN vocab ON tok2.token = vocab.token CROSS JOIN n) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
-        "round(CAST(sum(lp) AS DOUBLE), 6) AS logprob " +
+        "CAST(sum(lp) AS DOUBLE) AS logprob " +
         "FROM pt GROUP BY doc_id ORDER BY doc_id"),
+    // Bigram LM ground truth: the proven q_repetition_stats bigram
+    // restatement (filtered tokens, list_transform windows) + the
+    // unigram-logprob decimal discipline.
+    "q_bigram_logprob" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(t) AS token FROM tk), " +
+        "uc AS (SELECT token, count(*) AS uc FROM tok GROUP BY 1), " +
+        "v AS (SELECT count(*) AS v FROM uc), " +
+        "bgs AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [] ELSE " +
+        "list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1]) END) AS bg FROM tk), " +
+        "bc AS (SELECT bg, count(*) AS bc FROM bgs GROUP BY 1), " +
+        "per AS (SELECT g.doc_id AS doc_id, CAST(ln((bc.bc + 1.0)/(uc.uc + v.v)) AS DECIMAL(25,9)) AS lp " +
+        "FROM bgs g JOIN bc ON g.bg = bc.bg JOIN uc ON split_part(g.bg, ' ', 1) = uc.token CROSS JOIN v) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(lp) AS DOUBLE) AS logprob " +
+        "FROM per GROUP BY doc_id ORDER BY doc_id"),
     "q_hash_split" ->
       ("SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' " +

@@ -61,15 +61,20 @@ object Selection {
       .map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1)
     val offsets = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init).toMap
-    val offsetExpr = totals.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
-      when(col("_pid") === pid, lit(offsets(pid))).otherwise(acc)
-    }
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    // offsets ride back as a BROADCAST join on the partition id — a
+    // when-chain or map literal over partition count would compile a
+    // #partitions-deep expression tree (10k+ on a real cluster, past
+    // codegen limits); a broadcast hash join is O(1) depth at any scale
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("_pid", "_offset")
     val w = Window.partitionBy(col("_pid"))
       .orderBy(col(qualityCol).desc, col(idCol).asc)
     ranged
-      .withColumn("_run", sum(col(tokensCol)).over(w) + offsetExpr)
+      .join(broadcast(offsetsDf), Seq("_pid"))
+      .withColumn("_run", sum(col(tokensCol)).over(w) + col("_offset"))
       .where(col("_run") <= budget)
-      .drop("_pid", "_run")
+      .drop("_pid", "_offset", "_run")
   }
 }
