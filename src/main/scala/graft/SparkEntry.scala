@@ -622,6 +622,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── North star dedup: span-level (substring) removal — every 8-token
+    //    window occurring ≥ 2 times corpus-wide is scrubbed from ALL its
+    //    occurrences (Lee et al. ACL 2022 semantics, windowed-hash form).
+    //    A 13-token boilerplate sentence is planted in every third doc
+    //    (longer than n → the overlapping-window union must reconstruct
+    //    it) plus a per-doc unique tail that must survive; the oracle
+    //    rediscovers spans from exact strings where Spark uses xxhash64
+    //    (collision-free at any testable scale — the documented
+    //    contamination bound) ───────────────────────────────────────────
+    "q_span_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(
+            " shared sponsor message please subscribe to our newsletter" +
+            " for updates and offers today")).otherwise(lit("")),
+          lit(" doc "), col("doc_id").cast("string"), lit(" unique tail"))
+          .as("text"))
+      graft.operators.SpanDedup.removeDuplicatedSpans(
+          aug, "text", "doc_id", n = 8)
+        .select(col("doc_id"), md5(col("text")).as("text_fp"),
+          when(length(col("text")) === 0, lit(0L))
+            .otherwise(size(split(col("text"), " ")).cast("long"))
+            .as("n_tokens_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── North star selection: quality-first curation under a global
     //    token budget — greedy prefix of the (quality DESC, id) order.
     //    The plan is the distributed prefix sum (range partition →
@@ -1358,6 +1385,29 @@ object SparkEntry {
         "reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2, count(*) AS nk FROM kept GROUP BY doc_id) " +
         "SELECT a.doc_id AS doc_id, md5(COALESCE(reb.t2, '')) AS text_fp, " +
         "CAST(COALESCE(reb.nk, 0) AS BIGINT) AS n_lines_kept " +
+        "FROM aug a LEFT JOIN reb ON a.doc_id = reb.doc_id ORDER BY doc_id"),
+    // Span-dedup ground truth over the same augmented corpus: every
+    // 8-token window of the normalized stream is a span (exact strings
+    // here vs 64-bit hashes in Spark — the collision argument), total
+    // occurrences >= 2 mark all their positions covered, survivors
+    // reassemble in order. 1-based list positions throughout; DuckDB
+    // slices are inclusive, so [pos:pos+7] is the 8-token window.
+    "q_span_dedup" ->
+      ("WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 " +
+        "THEN ' shared sponsor message please subscribe to our newsletter for updates and offers today' ELSE '' END || " +
+        "' doc ' || CAST(doc_id AS VARCHAR) || ' unique tail' AS t FROM documents), " +
+        "tk AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(t),'[^a-z0-9]+',' ','g')),'\\s+') AS tok FROM aug), " +
+        "sp AS (SELECT doc_id, tok, unnest(generate_series(1, len(tok)-7)) AS pos FROM tk WHERE len(tok) >= 8), " +
+        "sp2 AS (SELECT doc_id, pos, array_to_string(tok[pos:pos+7], ' ') AS span FROM sp), " +
+        "dups AS (SELECT span FROM sp2 GROUP BY span HAVING count(*) >= 2), " +
+        "covered AS (SELECT DISTINCT doc_id, tpos FROM (SELECT doc_id, unnest(generate_series(pos, pos+7)) AS tpos " +
+        "FROM sp2 WHERE span IN (SELECT span FROM dups))), " +
+        "toks AS (SELECT doc_id, unnest(tok) AS tkn, generate_subscripts(tok,1) AS tpos FROM tk), " +
+        "kept AS (SELECT t.doc_id, t.tkn, t.tpos FROM toks t LEFT JOIN covered c " +
+        "ON c.doc_id = t.doc_id AND c.tpos = t.tpos WHERE c.tpos IS NULL), " +
+        "reb AS (SELECT doc_id, string_agg(tkn, ' ' ORDER BY tpos) AS t2, count(*) AS nk FROM kept GROUP BY doc_id) " +
+        "SELECT a.doc_id AS doc_id, md5(COALESCE(reb.t2, '')) AS text_fp, " +
+        "CAST(COALESCE(reb.nk, 0) AS BIGINT) AS n_tokens_kept " +
         "FROM aug a LEFT JOIN reb ON a.doc_id = reb.doc_id ORDER BY doc_id"),
     // Budget selection ground truth: the quality composite (the proven
     // q_quality_composite formula) + token counts, one global window
