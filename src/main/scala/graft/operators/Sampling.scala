@@ -22,6 +22,15 @@ object Sampling {
     * string comparison ≡ numeric comparison at fixed width). */
   def bucketHex(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
 
+  /** Half-UP rounding to 4 decimals for a non-negative rate —
+    * `floor(x·1e4 + 0.5)`, which for positive inputs is exactly DuckDB's
+    * `round(x, 4)` (half-away-from-zero). `math.rint`'s half-to-even
+    * would flip an exact .5 tie the other way and change cross-engine
+    * sample membership — the very drift the 4-decimal rounding exists to
+    * prevent. */
+  private[operators] def roundRate4(x: Double): Double =
+    math.floor(x * 1e4 + 0.5) / 1e4
+
   /** Cumulative fraction → inclusive-exclusive hex threshold. A fraction
     * of exactly 1.0 maps to "g" — lexicographically above every 8-hex
     * bucket, so `bucket < threshold` keeps ALL keys (capping at
@@ -96,7 +105,7 @@ object Sampling {
     val target = targetFraction * total
     val rates = weights.map { case (s, w) =>
       val n = hist.toMap.apply(s).toDouble
-      s -> math.rint(math.min(1.0, w / z * target / n) * 1e4) / 1e4
+      s -> roundRate4(math.min(1.0, w / z * target / n))
     }.toMap
     stratifiedSample(df, keyCol, strataCol, rates, defaultFraction = 0.0)
   }

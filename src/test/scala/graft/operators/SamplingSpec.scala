@@ -107,6 +107,22 @@ class SamplingSpec extends AnyFunSuite {
       t.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("roundRate4 rounds half-UP (DuckDB round parity), not half-to-even") {
+    // 0.15625 = 2.5/16 is exactly representable and 0.15625 * 1e4 = 1562.5
+    // exactly — a true .5 tie at the 4th decimal. Half-even (math.rint)
+    // gives 0.1562; DuckDB's round(x, 4) gives 0.1563. Membership parity
+    // requires the half-up answer.
+    assert(Sampling.roundRate4(0.15625) == 0.1563)
+    assert(math.rint(0.15625 * 1e4) / 1e4 == 0.1562, "tie fixture must discriminate")
+    // another exact tie, rounding the other even-ness: 1562.5 vs 937.5
+    assert(Sampling.roundRate4(0.09375) == 0.0938) // 937.5 → 938 both ways
+    // non-tie values are unaffected
+    assert(Sampling.roundRate4(0.123449) == 0.1234)
+    assert(Sampling.roundRate4(0.123451) == 0.1235)
+    assert(Sampling.roundRate4(0.0) == 0.0)
+    assert(Sampling.roundRate4(1.0) == 1.0)
+  }
+
   test("hashSplit rejects fractions that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
