@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * with `javax.imageio` (JDK-only, no external codec) into dimension +
   * pixel-statistic features. AUDIO decode is REAL for PCM WAV/AIFF/AU:
   * [[decodeAudio]] parses them with `javax.sound.sampled` (also JDK-only)
-  * into duration/rate/channel + amplitude-statistic features. VIDEO (and
-  * compressed audio — no MP3/Vorbis codec ships in this container)
-  * remains an honest STUB, with [[stubDecode]] deriving deterministic
-  * fake features from the bytes; a real codec drops into the same
-  * dispatch without touching the plan. The batched-iterator shape mirrors
-  * arrow-batch UDF execution (decode cost amortized per batch, not per
-  * row).
+  * into duration/rate/channel + amplitude-statistic features. VIDEO
+  * container METADATA is REAL for MP4/ISO-BMFF: [[decodeVideoMeta]]
+  * box-walks `moov` for duration, dimensions, and track count with zero
+  * dependencies; FRAME decode (and compressed audio — no H.264/MP3/
+  * Vorbis codec ships in this container) remains an honest STUB, with
+  * [[stubDecode]] deriving deterministic fake features from the bytes; a
+  * real codec drops into the same dispatch without touching the plan.
+  * The batched-iterator shape mirrors arrow-batch UDF execution (decode
+  * cost amortized per batch, not per row).
   */
 object Multimodal {
 
@@ -116,16 +118,20 @@ object Multimodal {
       val signed =
         fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
       val big = fmt.isBigEndian
-      val shift = 32 - bits
+      // Samples reconstruct in LONG: at bits == 32 an Int accumulator
+      // wraps (and `1 << 31` is Int.MinValue), turning the unsigned
+      // re-centering into garbage amplitudes. 64-bit arithmetic is exact
+      // for every allowed width (8/16/24/32).
+      val shift = 64 - bits
       val full = (1L << (bits - 1)).toDouble
       var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
       var nSamples = 0L
       var i = 0
       while (i + bps <= data.length) {
-        var v = 0
-        if (big) { var j = 0; while (j < bps) { v = (v << 8) | (data(i + j) & 0xff); j += 1 } }
-        else { var j = bps - 1; while (j >= 0) { v = (v << 8) | (data(i + j) & 0xff); j -= 1 } }
-        val s = if (signed) (v << shift) >> shift else v - (1 << (bits - 1))
+        var v = 0L
+        if (big) { var j = 0; while (j < bps) { v = (v << 8) | (data(i + j) & 0xffL); j += 1 } }
+        else { var j = bps - 1; while (j >= 0) { v = (v << 8) | (data(i + j) & 0xffL); j -= 1 } }
+        val s = if (signed) (v << shift) >> shift else v - (1L << (bits - 1))
         val x = s / full
         sumSq += x * x; sumAbs += math.abs(x)
         if (math.abs(x) > peak) peak = math.abs(x)
@@ -143,12 +149,86 @@ object Multimodal {
     }
   }
 
-  /** Per-record dispatch: image and PCM-audio payloads decode for real;
-    * everything else (and undecodable bytes) takes the deterministic
-    * stub. */
+  /** REAL video container METADATA for MP4/ISO-BMFF payloads — a
+    * JDK-only box walk (the same zero-dep trick as the xlsx source's
+    * OOXML parse): `moov/mvhd` duration÷timescale, the first video
+    * track's `tkhd` width/height (16.16 fixed point; audio tracks carry
+    * 0×0), and the `trak` count. FRAME decode remains a labeled stub
+    * ([[stubDecode]]) — no video codec ships in this container — but
+    * duration/dimension/track metadata is exactly what corpus-level
+    * filtering and budgeting needs, and it needs no codec. Features
+    * (padded to `featureDim`):
+    * [durationSec, timescale, nTracks, width, height].
+    * Returns None for non-video types or bytes without a parseable
+    * `moov` (caller falls back to [[stubDecode]]). */
+  def decodeVideoMeta(m: MediaRecord, featureDim: Int = 8): Option[MediaFeatures] = {
+    if (m.media_type == null || !m.media_type.startsWith("video")) return None
+    try {
+      val top = isoBoxes(m.content, 0, m.content.length)
+      top.collectFirst { case ("moov", off, len) =>
+        val kids = isoBoxes(m.content, off, len)
+        val mvhd = kids.collectFirst { case ("mvhd", o, _) =>
+          val ver = m.content(o) & 0xff
+          // fullbox verflags(4) then v0: creation(4) mod(4) ts(4) dur(4)
+          //                        v1: creation(8) mod(8) ts(4) dur(8)
+          if (ver == 1) (be32(m.content, o + 20), be64(m.content, o + 24).toDouble)
+          else (be32(m.content, o + 12), be32(m.content, o + 16).toDouble)
+        }
+        val traks = kids.collect { case ("trak", o, l) => (o, l) }
+        val dims = traks.iterator.flatMap { case (o, l) =>
+          isoBoxes(m.content, o, l).collectFirst { case ("tkhd", to, _) =>
+            val ver = m.content(to) & 0xff
+            val wOff = to + (if (ver == 1) 4 + 84 else 4 + 72)
+            // 16.16 fixed point
+            (be32(m.content, wOff) / 65536.0f, be32(m.content, wOff + 4) / 65536.0f)
+          }
+        }.find { case (w, h) => w > 0 && h > 0 }
+        val (ts, dur) = mvhd.getOrElse((0L, 0.0))
+        val raw = Array[Float](
+          if (ts > 0) (dur / ts).toFloat else 0f, ts.toFloat, traks.size.toFloat,
+          dims.map(_._1).getOrElse(0f), dims.map(_._2).getOrElse(0f))
+        MediaFeatures(m.media_id, m.media_type, m.content.length.toLong,
+          java.util.Arrays.copyOf(raw, featureDim))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  /** Walk the ISO-BMFF boxes in `bytes[start, start+len)`: returns
+    * (type, payloadOffset, payloadLength) per box. Handles 64-bit
+    * `largesize` (size == 1) and to-end-of-enclosure (size == 0) boxes;
+    * stops at the first malformed length rather than throwing. */
+  private def isoBoxes(bytes: Array[Byte], start: Int, len: Int): Seq[(String, Int, Int)] = {
+    val end = start + len
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    var p = start
+    while (p + 8 <= end) {
+      val size32 = be32(bytes, p)
+      val typ = new String(bytes, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val (payloadOff, boxEnd) =
+        if (size32 == 1L && p + 16 <= end) (p + 16, p + be64(bytes, p + 8))
+        else if (size32 == 0L) (p + 8, end.toLong)
+        else (p + 8, p + size32)
+      if (boxEnd < payloadOff || boxEnd > end) return out.toSeq // malformed: stop
+      out += ((typ, payloadOff, (boxEnd - payloadOff).toInt))
+      p = boxEnd.toInt
+    }
+    out.toSeq
+  }
+
+  /** Per-record dispatch: image, PCM-audio, and MP4-container payloads
+    * decode for real (metadata-level for video); everything else (and
+    * undecodable bytes) takes the deterministic stub. */
   def decode(m: MediaRecord, featureDim: Int = 8): MediaFeatures =
     decodeImage(m, featureDim)
       .orElse(decodeAudio(m, featureDim))
+      .orElse(decodeVideoMeta(m, featureDim))
       .getOrElse(stubDecode(m, featureDim))
 
   /** STUB decode kernel — stands in for a real audio/video decoder.

@@ -164,6 +164,101 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaDispatch.feature.sameElements(Multimodal.stubDecode(junk).feature))
   }
 
+  test("WAV decode: 32-bit signed and 8-bit unsigned PCM reconstruct exactly (Long arithmetic)") {
+    // 32-bit signed: alternating ±2^30 (amplitude 0.5). An Int-accumulator
+    // implementation wraps at this width; the Long path is exact.
+    val n32 = 1024
+    val data32 = new Array[Byte](n32 * 4)
+    for (i <- 0 until n32) {
+      val s = if (i % 2 == 0) (1 << 30) else -(1 << 30)
+      data32(4 * i) = (s & 0xff).toByte
+      data32(4 * i + 1) = ((s >> 8) & 0xff).toByte
+      data32(4 * i + 2) = ((s >> 16) & 0xff).toByte
+      data32(4 * i + 3) = ((s >> 24) & 0xff).toByte
+    }
+    val fmt32 = new javax.sound.sampled.AudioFormat(8000f, 32, 1, true, false)
+    val ais32 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data32), fmt32, n32.toLong)
+    val out32 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais32,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out32)
+    val dec32 = Multimodal.extractFeatures(
+      Seq(MediaRecord(31L, "audio/wav", out32.toByteArray)).toDS()).collect().head
+    assert(dec32.feature(3) == 32f, "must take the real decode path, not the stub")
+    assert(math.abs(dec32.feature(5) - 0.5f) < 1e-6, s"32-bit rms ${dec32.feature(5)}")
+    assert(math.abs(dec32.feature(6) - 0.5f) < 1e-6, s"32-bit peak ${dec32.feature(6)}")
+
+    // 8-bit unsigned (the one unsigned width WAV actually uses): constant
+    // 192 = midpoint 128 + 64 → every sample re-centers to +0.5 exactly
+    val n8 = 512
+    val data8 = Array.fill(n8)(192.toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data8), fmt8, n8.toLong)
+    val out8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais8,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out8)
+    val dec8 = Multimodal.extractFeatures(
+      Seq(MediaRecord(32L, "audio/wav", out8.toByteArray)).toDS()).collect().head
+    assert(dec8.feature(3) == 8f, "must take the real decode path, not the stub")
+    assert(math.abs(dec8.feature(5) - 0.5f) < 1e-6, s"8-bit unsigned rms ${dec8.feature(5)}")
+    assert(math.abs(dec8.feature(6) - 0.5f) < 1e-6, s"8-bit unsigned peak ${dec8.feature(6)}")
+  }
+
+  /** Minimal ISO-BMFF fixture: ftyp + moov(mvhd + video trak + audio
+    * trak), authored field by field (same spirit as the WAV fixture). */
+  private def mp4Bytes(timescale: Int, duration: Long, w: Int, h: Int,
+      version1: Boolean): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(if (version1) 112 else 100)
+      if (version1) {
+        p.put(0, 1.toByte) // version 1: 64-bit creation/mod/duration
+        p.position(20); p.putInt(timescale); p.putLong(duration)
+      } else {
+        p.position(12); p.putInt(timescale); p.putInt(duration.toInt)
+      }
+      box("mvhd", p.array())
+    }
+    def trak(w: Int, h: Int) = {
+      val p = java.nio.ByteBuffer.allocate(if (version1) 96 else 84)
+      if (version1) p.put(0, 1.toByte)
+      p.position(4 + (if (version1) 84 else 72))
+      p.putInt(w << 16); p.putInt(h << 16) // 16.16 fixed point
+      box("trak", box("tkhd", p.array()))
+    }
+    box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0)) ++
+      box("moov", mvhd ++ trak(w, h) ++ trak(0, 0))
+  }
+
+  test("MP4 container metadata: duration, dimensions, track count from the box walk") {
+    for (v1 <- Seq(false, true)) {
+      val bytes = mp4Bytes(timescale = 1000, duration = 5500L, w = 640, h = 360,
+        version1 = v1)
+      val out = Multimodal.extractFeatures(
+        Seq(MediaRecord(9L, "video/mp4", bytes)).toDS()).collect().head
+      val Array(dur, ts, nTracks, w, h) = out.feature.take(5)
+      assert(math.abs(dur - 5.5f) < 1e-6, s"v1=$v1 duration $dur")
+      assert(ts == 1000f && nTracks == 2f, s"v1=$v1 ts=$ts tracks=$nTracks")
+      assert(w == 640f && h == 360f, s"v1=$v1 dims ${w}x$h (audio trak's 0x0 must be skipped)")
+    }
+    // junk video payload: no parseable moov -> deterministic stub fallback
+    val junk = MediaRecord(10L, "video/mp4", Array.tabulate(64)(_.toByte))
+    assert(Multimodal.decode(junk).feature
+      .sameElements(Multimodal.stubDecode(junk).feature))
+    // a non-video type never takes the box walk even if bytes parse
+    val relabeled = MediaRecord(11L, "application/octet-stream",
+      mp4Bytes(1000, 1000L, 64, 64, version1 = false))
+    assert(Multimodal.decode(relabeled).feature
+      .sameElements(Multimodal.stubDecode(relabeled).feature))
+  }
+
   test("sampleFrames keeps every Nth fixed-size slice") {
     val df = Seq(Tuple1(Array.tabulate(5000)(_.toByte))).toDF("content")
     val frames = Multimodal.sampleFrames(df, "content", everyN = 2, frameBytes = 1024)
