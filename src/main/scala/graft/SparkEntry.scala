@@ -522,11 +522,22 @@ object SparkEntry {
     //    restatement (each already oracle-proven in isolation) composed
     //    into one ground-truth CTE chain ─────────────────────────────────
     "q_corpus_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val raw = t(s, dir, "documents")
+      // Plant a shared boilerplate footer on even ids so the line-dedup
+      // stage has real cross-document structure to scrub (the corpus has
+      // no natural line structure; the same deterministic augmentation is
+      // restated in the oracle). The footer's removal is witnessed
+      // end-to-end by text_len_sum / chunk_token_sum.
+      val docs = raw.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\ncopyright footer all rights reserved")).otherwise(lit("")))
+          .as("text"))
       val bench = docs.where(col("doc_id") % 50 === 0)
       val cfg = graft.pipeline.CorpusPipeline.Config(
         langs = Set("en"), minTokens = 10, maxTokens = 100000,
-        minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+        minAlphaRatio = 0.4, lineDedupMinDocs = Some(2),
+        dedupThreshold = 0.5, shingleN = 3,
         decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
         splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       val p = graft.pipeline.CorpusPipeline.prepare(docs, Some(bench), cfg)
@@ -535,6 +546,7 @@ object SparkEntry {
       }.reduce(_.crossJoin(_))
       val docStats = p.documents.agg(
         sum(col("doc_id")).cast("long").as("id_checksum"),
+        sum(length(col("text"))).cast("long").as("text_len_sum"),
         sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
         sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
         sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
@@ -1037,10 +1049,11 @@ object SparkEntry {
       "count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept"
 
   /** Ground truth for q_corpus_pipeline: every stage's already-proven
-    * DuckDB restatement (lang-ID voting, norm-text exact dedup, trigram
-    * Jaccard pairs + recursive-CTE CC, 8-gram decontamination, the
-    * piiClasses redaction chain, md5 hash-split, chunk windows) composed
-    * into one CTE chain over the documents fixture. */
+    * DuckDB restatement (lang-ID voting, norm-text exact dedup, the
+    * q_line_dedup line-scrub + reassembly, trigram Jaccard pairs +
+    * recursive-CTE CC, 8-gram decontamination, the piiClasses redaction
+    * chain, md5 hash-split, chunk windows) composed into one CTE chain
+    * over the footer-augmented documents fixture. */
   private lazy val corpusPipelineOracle: String = {
     // redaction chain generated FROM piiClasses — patterns cannot drift
     val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
@@ -1049,8 +1062,12 @@ object SparkEntry {
     def gram8(src: String): String =
       s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
         s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+    val renorm = "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
     "WITH RECURSIVE " +
-      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
+      // the same even-id shared-footer augmentation the Spark side plants
+      "doc0 AS (SELECT doc_id, text || CASE WHEN doc_id % 2 = 0 " +
+      "THEN chr(10) || 'copyright footer all rights reserved' ELSE '' END AS text FROM documents), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM doc0), " +
       "tok AS (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
       "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
       "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
@@ -1065,14 +1082,27 @@ object SparkEntry {
       "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
       "AND lang.lang = 'en'), " +
       "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      // line-level dedup (the q_line_dedup restatement): lines in >= 2
+      // distinct docs are scrubbed from all docs, blank lines exempt,
+      // order-preserving reassembly; then the minTokens re-gate on the
+      // recomputed token stream (the rewrite can empty a document)
+      "lls AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+      "generate_subscripts(string_split(text, chr(10)), 1) AS lpos FROM q2), " +
+      "ldup AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lls WHERE trim(line) <> '') " +
+      "GROUP BY line HAVING count(*) >= 2), " +
+      "lkept AS (SELECT doc_id, line, lpos FROM lls WHERE trim(line) = '' OR line NOT IN (SELECT line FROM ldup)), " +
+      "lreb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY lpos) AS t2 FROM lkept GROUP BY doc_id), " +
+      "q2l0 AS (SELECT q2.doc_id AS doc_id, COALESCE(lreb.t2, '') AS text FROM q2 LEFT JOIN lreb ON q2.doc_id = lreb.doc_id), " +
+      s"q2l AS (SELECT doc_id, text, $renorm AS norm, regexp_split_to_array($renorm,'\\s+') AS t " +
+      s"FROM q2l0 WHERE len(regexp_split_to_array($renorm,'\\s+')) >= 10), " +
       "sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
-      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2l), " +
       "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
       "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
       "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
       "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
       "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
-      "q3 AS (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      "q3 AS (SELECT * FROM q2l WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
       s"sh8c AS (${gram8("q3")}), " +
       s"sh8b AS (${gram8("tok")} WHERE doc_id % 50 = 0), " +
       "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
@@ -1086,9 +1116,11 @@ object SparkEntry {
       "SELECT (SELECT count(*) FROM documents) AS n_input, " +
       "(SELECT count(*) FROM q1) AS n_quality, " +
       "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q2l) AS n_line_dedup, " +
       "(SELECT count(*) FROM q3) AS n_near_dedup, " +
       "(SELECT count(*) FROM q4) AS n_decontaminated, " +
       "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
       "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
       "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
       "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +

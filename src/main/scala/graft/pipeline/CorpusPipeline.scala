@@ -4,18 +4,29 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Chunking, Dedup, Sampling}
+import graft.operators.{Chunking, Dedup, LineDedup, Sampling, SpanDedup}
 
 /** End-to-end pre-training corpus preparation — the canonical chain every
   * LLM data pipeline runs, composed from the engine's operators:
   *
-  *   quality filter → language filter → exact content dedup → near-dup
-  *   removal → benchmark decontamination → PII redaction → document
-  *   chunking → train/val/test split.
+  *   quality filter → language filter → exact content dedup → [line-level
+  *   dedup] → [span-level dedup] → near-dup removal → benchmark
+  *   decontamination → PII redaction → document chunking →
+  *   train/val/test split.
   *
   * Composition notes (the order is load-bearing):
   *  - cheap narrow filters (quality, language) run FIRST so the expensive
   *    dedup stages see the smallest possible corpus;
+  *  - the optional line/span stages run BETWEEN exact and near-dup:
+  *    after exact (no point scrubbing boilerplate from byte-identical
+  *    copies a cheaper stage already removes) and before near-dup
+  *    (scrubbing boilerplate CHANGES shingle sets — two pages that are
+  *    near-dups only because they share a footer must stop being
+  *    near-dups once the footer is gone);
+  *  - line/span rewrite text, so each is followed by a re-application of
+  *    the `minTokens` gate: a document scrubbed down to nothing (or to
+  *    fewer than `minTokens` tokens) drops here, exactly as the operator
+  *    contracts prescribe ("the caller's quality gate drops it");
   *  - dedup runs BEFORE redaction: redaction placeholders would otherwise
   *    make distinct documents look identical (`<EMAIL>` ≠ the emails it
   *    replaced);
@@ -36,6 +47,9 @@ object CorpusPipeline {
       minTokens: Int = 10,
       maxTokens: Int = 100000,
       minAlphaRatio: Double = 0.4,
+      lineDedupMinDocs: Option[Int] = None,
+      spanDedupN: Option[Int] = None,
+      spanDedupMinCount: Int = 2,
       dedupThreshold: Double = 0.8,
       shingleN: Int = 3,
       decontaminateN: Int = 8,
@@ -47,7 +61,9 @@ object CorpusPipeline {
     * `split` assigned) and their chunks (split inherited from the
     * document; (idCol, chunk_idx, chunk_text, n_chunk_tokens, split)).
     * `stages` exposes each intermediate frame by name (input, quality,
-    * exact_dedup, near_dedup, decontaminated) — the per-stage kept
+    * exact_dedup, [line_dedup], [span_dedup], near_dedup,
+    * decontaminated; the bracketed stages appear iff enabled) — the
+    * per-stage kept
     * counts every production corpus run reports; counting them re-runs
     * only cheap narrow scans, the dedup materializations are shared. */
   final case class Prepared(documents: DataFrame, chunks: DataFrame,
@@ -67,9 +83,25 @@ object CorpusPipeline {
     // 2. exact content dedup (min-id survivor per normalized text)
     val exactDeduped = Dedup.exactByContent(filtered, cfg.textCol, cfg.idCol)
 
+    // 2b/2c. optional line- then span-level dedup. Both REWRITE text, so
+    //    each re-applies the minTokens gate (a doc scrubbed below the
+    //    floor drops — the operators themselves never delete documents),
+    //    and both run BEFORE near-dup: removing shared boilerplate
+    //    changes shingle sets, and the near-dup decision must be made on
+    //    the text that will actually be trained on.
+    val lineDeduped = cfg.lineDedupMinDocs.fold(exactDeduped) { m =>
+      LineDedup.removeDuplicatedLines(exactDeduped, cfg.textCol, cfg.idCol, m)
+        .where(TextAnalysis.tokenCount(text) >= cfg.minTokens)
+    }
+    val spanDeduped = cfg.spanDedupN.fold(lineDeduped) { n =>
+      SpanDedup.removeDuplicatedSpans(lineDeduped, cfg.textCol, cfg.idCol, n,
+        cfg.spanDedupMinCount)
+        .where(TextAnalysis.tokenCount(text) >= cfg.minTokens)
+    }
+
     // 3. near-dup removal (MinHash+LSH detect → CC → min-id survivor)
     val nearDeduped = Dedup.removeNearDuplicates(
-      exactDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN)
+      spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN)
 
     // 4. benchmark decontamination. DELIBERATELY a larger n than the
     //    dedup shingles: any-single-trigram overlap would scrub nearly
@@ -95,7 +127,9 @@ object CorpusPipeline {
       cfg.idCol, cfg.splits)
 
     Prepared(documents, chunks, Seq(
-      "input" -> corpus, "quality" -> filtered, "exact_dedup" -> exactDeduped,
+      "input" -> corpus, "quality" -> filtered, "exact_dedup" -> exactDeduped) ++
+      cfg.lineDedupMinDocs.map(_ => "line_dedup" -> lineDeduped) ++
+      cfg.spanDedupN.map(_ => "span_dedup" -> spanDeduped) ++ Seq(
       "near_dedup" -> nearDeduped, "decontaminated" -> clean))
   }
 }

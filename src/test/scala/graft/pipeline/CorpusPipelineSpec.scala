@@ -70,4 +70,72 @@ class CorpusPipelineSpec extends AnyFunSuite {
       kept.select("doc_id", "split").as[(Long, String)].collect().toSet)
     kept.unpersist(); chunks.unpersist()
   }
+
+  test("optional line/span stages: boilerplate scrubbed before near-dup, emptied docs re-gated") {
+    // two long, genuinely distinct English docs that share (a) a
+    // boilerplate footer LINE and (b) a 10-token boilerplate SPAN that
+    // does not align with any line boundary; plus a doc that is nothing
+    // but the shared footer repeated (must drop at the re-gate)
+    val prose1 = "the quick brown fox jumps over the lazy dog and then " +
+      "walks along the river bank watching the morning light on the water " +
+      ("while the birds sing " * 10).trim
+    val prose2 = "a completely different story about ships and harbors where " +
+      "sailors tell tales of distant storms and quiet nights far from home " +
+      ("as the waves roll on " * 10).trim
+    val footer = "copyright footer all rights reserved by the site owner today"
+    val span = "please subscribe to our newsletter for updates and offers now"
+    val corpus = Seq(
+      (1L, s"$prose1 $span more of the first story continues here\n$footer"),
+      (2L, s"$prose2 $span more of the second story continues here\n$footer"),
+      (3L, s"$footer\n$footer\n$footer")).toDF("doc_id", "text")
+
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      lineDedupMinDocs = Some(2), spanDedupN = Some(8),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 1.0))
+    val out = CorpusPipeline.prepare(corpus, None, cfg)
+    val kept = out.documents.cache()
+    val texts = kept.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+
+    // both prose docs survive (they are NOT near-dups once the shared
+    // boilerplate is scrubbed), the footer-only doc drops at the re-gate
+    assert(texts.keySet == Set(1L, 2L),
+      s"expected docs 1 and 2 to survive, got ${texts.keySet}")
+    // the shared footer line and the shared span are gone from survivors
+    texts.values.foreach { t =>
+      assert(!t.contains("copyright footer"), s"footer line must be scrubbed: $t")
+      assert(!t.contains("please subscribe to our newsletter"),
+        s"shared span must be scrubbed: $t")
+    }
+    // unique prose survives the scrubbing (span dedup normalizes text, so
+    // check on normalized tokens)
+    assert(texts(1L).contains("quick brown fox"))
+    assert(texts(2L).contains("ships and harbors"))
+
+    // stage bookkeeping: the optional stages appear, in pipeline order
+    val stageNames = out.stages.map(_._1)
+    assert(stageNames == Seq("input", "quality", "exact_dedup",
+      "line_dedup", "span_dedup", "near_dedup", "decontaminated"))
+    // line stage dropped the footer-only doc; span stage dropped none
+    val counts = out.stages.toMap.map { case (k, v) => k -> v.count() }
+    assert(counts("exact_dedup") == 3L)
+    assert(counts("line_dedup") == 2L, "footer-only doc must drop at the line-stage re-gate")
+    assert(counts("span_dedup") == 2L)
+    assert(counts("near_dedup") == 2L)
+
+    // defaults (None/None) leave the chain unchanged: without the line
+    // stage the two docs ARE near-dups of nothing here (distinct prose),
+    // but the footer/span survive untouched
+    val plain = CorpusPipeline.prepare(corpus, None, CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      chunkTokens = 64, overlapTokens = 16, splits = Seq("train" -> 1.0)))
+    assert(plain.stages.map(_._1) ==
+      Seq("input", "quality", "exact_dedup", "near_dedup", "decontaminated"))
+    val plainTexts = plain.documents.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    assert(plainTexts.values.exists(_.contains("copyright footer")),
+      "without the line stage the footer must survive")
+    kept.unpersist()
+  }
 }
