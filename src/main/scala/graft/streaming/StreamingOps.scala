@@ -301,8 +301,9 @@ object StreamingOps {
     *
     * Scale notes: per batch this probes |Δ|·b band rows against the
     * index — the index side is a parquet scan, never recomputed; one
-    * partition directory lands per batch (compact on the same cadence you
-    * compact any streaming sink). Incoming ids must be disjoint from
+    * partition directory lands per batch — run [[compactCorpus]] on the
+    * cadence you compact any streaming sink to fold them into one
+    * consolidated partition. Incoming ids must be disjoint from
     * every previous batch's (enforced per batch by the incremental
     * operator's id check; ingest-assigned ids satisfy it by
     * construction). */
@@ -348,6 +349,68 @@ object StreamingOps {
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
+  }
+
+  /** The reserved partition compacted data lands in. Streaming batch ids
+    * are non-negative, so −1 never collides with a live batch, and the
+    * ingestion probe's `batch_id =!= currentBatch` replay guard keeps
+    * matching it (−1 ≠ any real batch id ⇒ compacted rows are always
+    * probed). */
+  private val CompactedBatchId = -1L
+
+  /** Compact the per-batch partition directories [[dedupStreamIntoCorpus]]
+    * accrues — corpus, shingle index, band index — into ONE consolidated
+    * `batch_id=-1` partition of `filesPerDir` files each. At daily-batch
+    * cadence a year of ingestion is 365 small-file partitions per
+    * directory; after compaction every probe scans O(filesPerDir) files
+    * with IDENTICAL contents (rows are moved, never rewritten), so
+    * survivor sets are bit-equal before and after — the probe-equivalence
+    * the spec pins.
+    *
+    * Contract: run while ingestion is QUIESCED (no concurrent
+    * foreachBatch writes) — the same contract as compacting any streaming
+    * sink. Crash safety is two-phase: the consolidated copy is first
+    * written to a dot-prefixed staging dir (invisible to parquet
+    * directory listings) and only after a successful write (job-committed
+    * `_SUCCESS` marker) are the source partitions deleted and the staging
+    * dir renamed in. A rerun after a crash either discards an incomplete
+    * staging write and starts over, or — if staging committed but the
+    * swap was interrupted — completes the swap instead of re-reading
+    * half-deleted sources. */
+  def compactCorpus(spark: SparkSession, corpusDir: String, indexDir: String,
+      filesPerDir: Int = 1): Unit = {
+    require(filesPerDir > 0, s"filesPerDir must be positive, got $filesPerDir")
+    Seq(corpusDir, s"$indexDir/shingles", s"$indexDir/bands")
+      .foreach(d => compactPartitionedDir(spark, d, filesPerDir))
+  }
+
+  private def compactPartitionedDir(spark: SparkSession, dir: String,
+      filesPerDir: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    def listParts() = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    val staging = new Path(root, ".compact_staging")
+    // recovery: a committed staging dir means a prior compaction wrote the
+    // full consolidated copy but died mid-swap — finish the swap (sources
+    // still present are already contained in staging); an uncommitted one
+    // is garbage from an aborted write — discard it
+    if (fs.exists(new Path(staging, "_SUCCESS"))) {
+      listParts().foreach(p => fs.delete(p.getPath, true))
+      fs.rename(staging, new Path(root, s"batch_id=$CompactedBatchId"))
+      return
+    }
+    fs.delete(staging, true)
+    val parts = listParts()
+    if (parts.length <= 1) return // nothing to consolidate
+    spark.read.parquet(dir).drop("batch_id")
+      .repartition(filesPerDir)
+      .write.parquet(staging.toString)
+    // phase 2: staging is committed (_SUCCESS) — swap it in
+    parts.foreach(p => fs.delete(p.getPath, true))
+    fs.rename(staging, new Path(root, s"batch_id=$CompactedBatchId"))
   }
 
   def replayParquet(spark: SparkSession, dir: String, schema: StructType,

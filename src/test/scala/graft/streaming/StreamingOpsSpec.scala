@@ -254,6 +254,74 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(indexedIds == Set(1L, 4L))
   }
 
+  test("compactCorpus: survivor sets identical to the uncompacted run; file count drops to O(1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val uniqueA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val uniqueB = "completely different prose about distributed query engines and shuffle plans"
+    val uniqueC = "a third unrelated document describing harbor lights and evening tides calmly"
+    val nearA = uniqueA.replace("today", "tonight")
+    val nearB = uniqueB.replace("plans", "graphs")
+
+    // run the same 4-batch ingestion twice: one run compacts after batch 2,
+    // the control run never compacts — survivor sets must be identical
+    def ingest(compactAfterBatch2: Boolean): (String, String) = {
+      val corpus = Files.createTempDirectory("compact_corpus").toString
+      val index = Files.createTempDirectory("compact_index").toString
+      val source = MemoryStream[(Long, String)]
+      val q = StreamingOps.dedupStreamIntoCorpus(
+        source.toDF().toDF("doc_id", "text"), corpus, index,
+        "text", "doc_id", threshold = 0.5)
+      try {
+        source.addData((1L, uniqueA), (2L, nearA)); q.processAllAvailable()
+        source.addData((3L, uniqueB)); q.processAllAvailable()
+        if (compactAfterBatch2)
+          StreamingOps.compactCorpus(spark, corpus, index)
+        // post-compaction batches must still dedupe against EVERYTHING
+        // ingested before the compaction (the probe-equivalence property)
+        source.addData((4L, nearA), (5L, nearB), (6L, uniqueC))
+        q.processAllAvailable()
+      } finally q.stop()
+      (corpus, index)
+    }
+
+    def parquetFiles(dir: String): Seq[String] = {
+      val root = java.nio.file.Paths.get(dir)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (p.toString.endsWith(".parquet")) out += p.toString
+      }
+      out.toSeq
+    }
+
+    val (corpusC, indexC) = ingest(compactAfterBatch2 = true)
+    val (corpusU, indexU) = ingest(compactAfterBatch2 = false)
+    val survC = spark.read.parquet(corpusC).select("doc_id").as[Long].collect().toSet
+    val survU = spark.read.parquet(corpusU).select("doc_id").as[Long].collect().toSet
+    assert(survU == Set(1L, 3L, 6L), s"control run survivors wrong: $survU")
+    assert(survC == survU, s"compaction changed survivors: $survC vs $survU")
+
+    // final compaction folds everything: one partition dir, filesPerDir
+    // parquet files per directory, contents unchanged
+    StreamingOps.compactCorpus(spark, corpusC, indexC)
+    assert(spark.read.parquet(corpusC).select("doc_id").as[Long].collect().toSet == survC)
+    Seq(corpusC, s"$indexC/shingles", s"$indexC/bands").foreach { d =>
+      assert(parquetFiles(d).size == 1, s"$d not compacted: ${parquetFiles(d)}")
+      val parts = new java.io.File(d).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+      assert(parts == Set("batch_id=-1"), s"$d partitions: $parts")
+    }
+    // the index after compaction still holds exactly the survivors
+    val indexedIds = spark.read.parquet(s"$indexC/shingles")
+      .select("id").as[Long].collect().toSet
+    assert(indexedIds == survC)
+
+    // idempotent: recompacting a compacted layout is a no-op
+    StreamingOps.compactCorpus(spark, corpusC, indexC)
+    assert(spark.read.parquet(corpusC).select("doc_id").as[Long].collect().toSet == survC)
+  }
+
   test("mergeStreamIntoTable: resumes from a checkpoint across a restart without double-applying") {
     import spark.implicits._
     val src = Files.createTempDirectory("merge_restart_src").toString
