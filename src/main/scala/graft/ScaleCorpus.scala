@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility: build a ×`factor` scaled copy of a testdata `documents`
+  * table for the scaling measurements recorded in BASELINE.md.
+  *
+  * Replication transform (the round-3 methodology, made GATE-PRESERVING):
+  * each document is replicated `factor`× with the replica ordinal
+  * appended to EVERY token as `_<k>`. Under the engine's normalization
+  * (`[^a-z0-9]+` → separator) the underscore splits off, so replica k of
+  * "the quick fox" normalizes to "the k quick k fox k":
+  *
+  *  - cross-replica shingle sets are disjoint (every n-gram window
+  *    contains the replica ordinal), so near-dup pair counts grow
+  *    LINEARLY with the factor — the property the scaling tables need;
+  *  - stopword TOKENS survive intact, so language-ID still votes 'en'
+  *    on English documents and the corpus-pipeline quality gate passes
+  *    at its natural rate (the round-5 token-suffix corpus glued the
+  *    ordinal onto the token — "thek" matches no stopword list — and
+  *    lang-ID collapsed to 'und', defeating the gate; that is the †
+  *    caveat this tool replaces);
+  *  - within-replica near-dup structure is preserved (the interleaved
+  *    stream maps original bigram/unigram overlap through a per-replica
+  *    bijection — similar pairs stay similar, dissimilar stay
+  *    dissimilar);
+  *  - replicas are never exact dups of each other (the ordinal differs),
+  *    and ids are remapped `doc_id * factor + k` so min-id survivor
+  *    semantics stay deterministic.
+  *
+  * Usage: `runMain graft.ScaleCorpus <srcSfDir> <outDir> <factor>`; the
+  * other sf tables are NOT copied — symlink them into `outDir` if a
+  * query under measurement needs them.
+  */
+object ScaleCorpus {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleCorpus <srcSfDir> <outDir> <factor>")
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 2, s"factor must be >= 2, got $factor")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val reps = spark.range(0, factor.toLong).select(col("id").cast("int").as("_k"))
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") * factor + col("_k")).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), "\\s+"),
+          t => concat(t, lit("_"), col("_k")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val n = spark.read.parquet(s"$out/documents.parquet").count()
+    println(s"[scale] wrote $n documents to $out/documents.parquet (factor $factor)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility: per-STAGE wall-clock splits for the dedup-family scaling
+  * tables in BASELINE.md (the "which stage dominates, and is it still
+  * growing linearly?" evidence the 100× question needs — a total alone
+  * can hide a quadratic stage behind a shrinking constant one).
+  *
+  * Decomposition is by the public operator APIs, so each stage is timed
+  * as its own action (detect re-runs inside the total — stages do NOT
+  * sum to the total; they are independent measurements of each span).
+  * Run one JVM per scale dir (the BASELINE.md isolation methodology):
+  * `SPARK_GRAFT_SF_DIR=<dir> runMain graft.ScaleProfile`.
+  */
+object ScaleProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(0, 1000000L).selectExpr("sum(id)").collect() // JIT warmup
+    import graft.operators.{Chunking, Dedup, LineDedup, Packing, Sampling}
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[profile] $name%-48s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    // ── q_dedup_resolved: detect → CC → full removal ──────────────────
+    timed("dedup.detect(nearDupPairsMinHash tau=0.5)") {
+      Dedup.nearDupPairsMinHash(docs, "text", "doc_id", 0.5).count()
+    }
+    val pairs = Dedup.materialize(
+      Dedup.nearDupPairsMinHash(docs, "text", "doc_id", 0.5))
+    timed("dedup.cc(resolveClusters on materialized pairs)") {
+      Dedup.resolveClusters(pairs).count()
+    }
+    timed("dedup.total(removeNearDuplicates)") {
+      Dedup.removeNearDuplicates(docs, "text", "doc_id", 0.5).count()
+    }
+
+    // ── q_incremental_dedup_indexed: index build vs probe ─────────────
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val delta = docs.where(col("doc_id") % 10 === 0)
+    val idxDir = java.nio.file.Files.createTempDirectory("scale_idx").toString
+    timed("indexed.build(shingleIndex + bandIndex, once per corpus)") {
+      val sh = Dedup.materialize(Dedup.shingleIndex(corpus, "text", "doc_id"))
+      sh.write.mode("overwrite").parquet(s"$idxDir/shingles")
+      Dedup.minHashBandIndex(spark.read.parquet(s"$idxDir/shingles"), threshold = 0.5)
+        .write.mode("overwrite").parquet(s"$idxDir/bands")
+      spark.read.parquet(s"$idxDir/bands").count()
+    }
+    timed("indexed.probe(removeNearDuplicatesIncrementalIndexed)") {
+      Dedup.removeNearDuplicatesIncrementalIndexed(
+        spark.read.parquet(s"$idxDir/bands"), spark.read.parquet(s"$idxDir/shingles"),
+        delta, "text", "doc_id", threshold = 0.5).count()
+    }
+
+    // ── q_line_dedup: duplicate-line discovery vs full rewrite ────────
+    // (the query's footer augmentation, so the duplicate set is non-empty)
+    val aug = docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit("\ncopyright footer all rights reserved")).otherwise(lit("")),
+        lit("\ndoc "), col("doc_id").cast("string"), lit(" unique footer"))
+        .as("text"))
+    timed("linededup.discover(duplicate line hashes only)") {
+      val lines = aug.select(col("doc_id"),
+        explode(split(col("text"), "\n")).as("_line"))
+      lines.where(trim(col("_line")) =!= "")
+        .select(xxhash64(col("_line")).as("_h"), col("doc_id")).distinct()
+        .groupBy(col("_h")).agg(count(lit(1)).as("_nd"))
+        .where(col("_nd") >= 2).count()
+    }
+    timed("linededup.total(removeDuplicatedLines)") {
+      LineDedup.removeDuplicatedLines(aug, "text", "doc_id").count()
+    }
+
+    // ── q_packed_examples: chunk+split input vs full pack ─────────────
+    val chunks = Chunking.chunkByTokens(docs, "text", "doc_id", 64, 16)
+    val splits = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("split"))
+    timed("packing.input(chunk + split join only)") {
+      chunks.join(splits, Seq("doc_id")).count()
+    }
+    timed("packing.total(packExamples budget=256)") {
+      Packing.packExamples(chunks.join(splits, Seq("doc_id")),
+        tokenBudget = 256, splitCol = Some("split")).count()
+    }
+    spark.stop()
+  }
+}

@@ -31,7 +31,17 @@ object LineDedup {
     * never counted as duplicates and always survive. Line order is
     * preserved; a document whose every line is boilerplate comes back
     * with empty text (the caller's quality gate drops it). All other
-    * columns pass through unchanged. */
+    * columns pass through unchanged.
+    *
+    * Memory bound: the order-preserving reassembly aggregates one
+    * document's surviving lines into a single `collect_list` buffer, so
+    * peak per-row memory is O(largest document) — the same bound as any
+    * whole-document transform here ([[Chunking.chunkByTokens]]'s token
+    * array, [[SpanDedup.removeDuplicatedSpans]]'s token reassembly). A
+    * pathological 1 GiB document materializes in one aggregation buffer;
+    * normal corpus documents (≤ tens of MB) are orders of magnitude
+    * below executor memory. Cap document size upstream if the source can
+    * produce such rows. */
   def removeDuplicatedLines(df: DataFrame, textCol: String, idCol: String,
       minDocs: Int = 2, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")

@@ -63,7 +63,17 @@ object SpanDedup {
     * span boundaries are only defined on it. Token order is preserved; a
     * document whose every token is covered comes back with empty text
     * (the caller's quality gate drops it). All other columns pass
-    * through unchanged. */
+    * through unchanged.
+    *
+    * Memory bound: the order-preserving reassembly aggregates one
+    * document's surviving tokens into a single `collect_list` buffer, so
+    * peak per-row memory is O(largest document) — the same bound as any
+    * whole-document transform here ([[Chunking.chunkByTokens]]'s token
+    * array, [[LineDedup.removeDuplicatedLines]]'s line reassembly). A
+    * pathological 1 GiB document materializes in one aggregation buffer;
+    * normal corpus documents (≤ tens of MB) are orders of magnitude
+    * below executor memory. Cap document size upstream if the source can
+    * produce such rows. */
   def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
       n: Int = 8, minCount: Int = 2): DataFrame = {
     val dup = duplicatedSpans(df, textCol, idCol, n, minCount)

@@ -83,6 +83,24 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(hashed.count() == 3) // simhash of zero tokens = 0L, no throw
   }
 
+  test("oversized document flows through line/span dedup reassembly (single-buffer bound)") {
+    // the documented per-doc collect_list bound: one document far above
+    // corpus-typical size (100k tokens, ~700 KB) reassembles correctly —
+    // the guard that the single-buffer aggregation is a stated contract,
+    // not an accident that breaks at the first big row
+    val bigTokens = Array.tabulate(100000)(i => s"w$i")
+    val bigLines = bigTokens.grouped(20).map(_.mkString(" ")).mkString("\n")
+    val docs = Seq((1L, bigLines), (2L, "short other doc with its own words"))
+      .toDF("doc_id", "text")
+    val lineOut = LineDedup.removeDuplicatedLines(docs, "text", "doc_id")
+      .where($"doc_id" === 1L).head().getAs[String]("text")
+    assert(lineOut == bigLines, "no duplicated lines -> big doc unchanged")
+    val spanOut = SpanDedup.removeDuplicatedSpans(docs, "text", "doc_id")
+      .where($"doc_id" === 1L).head().getAs[String]("text")
+    assert(spanOut == bigTokens.mkString(" "),
+      "all-unique tokens -> normalized stream survives intact")
+  }
+
   test("checks on empty tables report failure, not exceptions") {
     import graft.quality.Checks
     val sales = emptyDocs.select($"doc_id".as("product_id"), $"text".as("date"))
