@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
 object ScaleProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional args: profile only the named sections
+    // (dedup | detect_split | indexed | linededup | packing).
+    val sections: Set[String] =
+      if (args.nonEmpty) args.toSet
+      else Set("dedup", "detect_split", "indexed", "linededup", "packing")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -36,19 +41,49 @@ object ScaleProfile {
     }
 
     // ── q_dedup_resolved: detect → CC → full removal ──────────────────
-    timed("dedup.detect(nearDupPairsMinHash tau=0.5)") {
-      Dedup.nearDupPairsMinHash(docs, "text", "doc_id", 0.5).count()
+    if (sections("dedup")) {
+      timed("dedup.detect(nearDupPairsMinHash tau=0.5)") {
+        Dedup.nearDupPairsMinHash(docs, "text", "doc_id", 0.5).count()
+      }
+      val pairs = Dedup.materialize(
+        Dedup.nearDupPairsMinHash(docs, "text", "doc_id", 0.5))
+      timed("dedup.cc(resolveClusters on materialized pairs)") {
+        Dedup.resolveClusters(pairs).count()
+      }
+      timed("dedup.total(removeNearDuplicates)") {
+        Dedup.removeNearDuplicates(docs, "text", "doc_id", 0.5).count()
+      }
     }
-    val pairs = Dedup.materialize(
-      Dedup.nearDupPairsMinHash(docs, "text", "doc_id", 0.5))
-    timed("dedup.cc(resolveClusters on materialized pairs)") {
-      Dedup.resolveClusters(pairs).count()
-    }
-    timed("dedup.total(removeNearDuplicates)") {
-      Dedup.removeNearDuplicates(docs, "text", "doc_id", 0.5).count()
+
+    // ── detect, decomposed: where does band-join time go? ─────────────
+    // (shingle+sign / band self-join candidate volume / array-payload
+    //  verify — the three spans whose relative growth says whether a
+    //  scale-up is drowning in background LSH collisions or in the
+    //  verify join's shingle shuffle)
+    if (sections("detect_split")) {
+      import org.apache.spark.sql.functions.array_sort
+      val (rr, b) = Dedup.minHashBands(0.5)
+      val sh = Dedup.materialize(
+        Dedup.shingleSets(docs, "text", "doc_id")
+          .select(col("id"), array_sort(col("shingles")).as("sh")))
+      timed("detect.shingle+sign(materialize shingle sets)") { sh.count() }
+      val banded = Dedup.materialize(Dedup.minHashBandRows(sh, 128, rr, b))
+      timed(s"detect.bands(minHashBandRows r=$rr b=$b)") { banded.count() }
+      val candidates = Dedup.materialize(
+        banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b"))
+      timed("detect.candidates(band self-join + pair dedup)") { candidates.count() }
+      timed("detect.verify(shingle-array join + exact jaccard)") {
+        Dedup.verifyJaccard(candidates, sh, 0.5).count()
+      }
     }
 
     // ── q_incremental_dedup_indexed: index build vs probe ─────────────
+    if (sections("indexed")) {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val delta = docs.where(col("doc_id") % 10 === 0)
     val idxDir = java.nio.file.Files.createTempDirectory("scale_idx").toString
@@ -64,9 +99,11 @@ object ScaleProfile {
         spark.read.parquet(s"$idxDir/bands"), spark.read.parquet(s"$idxDir/shingles"),
         delta, "text", "doc_id", threshold = 0.5).count()
     }
+    }
 
     // ── q_line_dedup: duplicate-line discovery vs full rewrite ────────
     // (the query's footer augmentation, so the duplicate set is non-empty)
+    if (sections("linededup")) {
     val aug = docs.select(col("doc_id"),
       concat(col("text"),
         when(col("doc_id") % 2 === 0,
@@ -84,8 +121,10 @@ object ScaleProfile {
     timed("linededup.total(removeDuplicatedLines)") {
       LineDedup.removeDuplicatedLines(aug, "text", "doc_id").count()
     }
+    }
 
     // ── q_packed_examples: chunk+split input vs full pack ─────────────
+    if (sections("packing")) {
     val chunks = Chunking.chunkByTokens(docs, "text", "doc_id", 64, 16)
     val splits = Sampling.hashSplit(docs, "doc_id",
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
@@ -96,6 +135,7 @@ object ScaleProfile {
     timed("packing.total(packExamples budget=256)") {
       Packing.packExamples(chunks.join(splits, Seq("doc_id")),
         tokenBudget = 256, splitCol = Some("split")).count()
+    }
     }
     spark.stop()
   }

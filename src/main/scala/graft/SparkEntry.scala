@@ -997,6 +997,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Web-crawl HTML stripping: each document wrapped in a
+    //    deterministic HTML shell (script/style bodies with tag-shaped
+    //    code, a conditional comment, attributes, named+numeric
+    //    entities — restated byte-identically in the oracle). The chain
+    //    (TextAnalysis.htmlStripStages, one table drives Spark AND the
+    //    oracle) removes blocks wholesale, then tags, then
+    //    single-decodes entities; collapseWhitespace folds the runs.
+    //    One narrow codegen'd scan stage — no shuffle at any scale ──────
+    "q_html_strip" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val aug = concat(
+        lit("<!DOCTYPE html><html><head><title>doc "), id,
+        lit("</title><style type=\"text/css\">body { color: #fff; }</style>"),
+        lit("<script>var x = 1 < 2 && 2 > 1; /* <p>not a tag</p> */</script></head><body>"),
+        when(col("doc_id") % 3 === 0, lit("<!-- tracked <b>id</b> -->")).otherwise(lit("")),
+        lit("<p class=\"main\" id=\"p"), id, lit("\">"), col("text"),
+        lit("</p><br/><div>&amp;copy; footer &lt;tag&gt;&nbsp;&#39;quoted&#39; &quot;q&quot;</div></body></html>"))
+      val cleaned = graft.functions.TextAnalysis.collapseWhitespace(
+        graft.functions.TextAnalysis.stripHtml(aug))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(cleaned).as("clean_fp"),
+          length(cleaned).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── North star decontamination: corpus docs sharing any 3-gram with
     //    the benchmark slice (doc_id % 50 == 0). The join key is a 64-bit
     //    shingle hash — bare (hash, id) pairs shuffle, never shingle
@@ -1005,6 +1030,22 @@ object SparkEntry {
     "q_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.operators.Dedup.contaminationHits(
+        docs.where(col("doc_id") % 50 =!= 0), docs.where(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 3)
+        .select(col("corpus_id").as("doc_id"), col("n_benchmark_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-prefiltered decontamination: same results as q_contamination
+    // BY CONSTRUCTION (exact confirm join scrubs bloom false positives) —
+    // the oracle is literally the same SQL. What changes is the 100 TB
+    // shape: the benchmark's distinct shingle hashes compress into a
+    // ~1.2-byte-per-key bloom probed inside the corpus scan stage, so the
+    // corpus-side shuffle carries only true hits + fpp noise instead of
+    // every shingle (Dedup.contaminationHitsBloom scaladoc).
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.contaminationHitsBloom(
         docs.where(col("doc_id") % 50 =!= 0), docs.where(col("doc_id") % 50 === 0),
         "text", "doc_id", n = 3)
         .select(col("corpus_id").as("doc_id"), col("n_benchmark_hits"))
@@ -1687,16 +1728,40 @@ object SparkEntry {
         s"CAST($counts AS BIGINT) AS n_pii " +
         "FROM aug ORDER BY doc_id"
     },
+    "q_html_strip" -> {
+      // chain generated FROM htmlStripStages — patterns cannot drift
+      def sq(s: String): String = s.replace("'", "''")
+      val chain = graft.functions.TextAnalysis.htmlStripStages.foldLeft("t") {
+        case (acc, (re, repl)) =>
+          s"regexp_replace($acc, '${sq(re)}', '${sq(repl)}', 'g')"
+      }
+      val cleaned = s"trim(regexp_replace($chain, '\\s+', ' ', 'g'))"
+      "WITH aug AS (SELECT doc_id, '<!DOCTYPE html><html><head><title>doc ' || " +
+        "CAST(doc_id AS VARCHAR) || " +
+        "'</title><style type=\"text/css\">body { color: #fff; }</style>' || " +
+        "'<script>var x = 1 < 2 && 2 > 1; /* <p>not a tag</p> */</script></head><body>' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '<!-- tracked <b>id</b> -->' ELSE '' END || " +
+        "'<p class=\"main\" id=\"p' || CAST(doc_id AS VARCHAR) || '\">' || text || " +
+        "'</p><br/><div>&amp;copy; footer &lt;tag&gt;&nbsp;&#39;quoted&#39; " +
+        "&quot;q&quot;</div></body></html>' AS t FROM documents) " +
+        s"SELECT doc_id, md5($cleaned) AS clean_fp, " +
+        s"CAST(length($cleaned) AS BIGINT) AS clean_len FROM aug ORDER BY doc_id"
+    },
     "q_approx_percentile" ->
       ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50, " +
         "TRUE AS p50_ok, TRUE AS p90_ok " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
-    "q_contamination" ->
-      (s"WITH $shingleCte, " +
-        "b AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 50 = 0), " +
-        "c AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 50 <> 0) " +
-        "SELECT c.doc_id AS doc_id, count(*) AS n_benchmark_hits FROM c JOIN b " +
-        "ON len(list_intersect(c.shingles, b.shingles)) > 0 " +
-        "GROUP BY c.doc_id ORDER BY c.doc_id")
+    "q_contamination" -> contaminationOracle,
+    // identical results to the exact detector by construction: the bloom
+    // is a prefilter, the confirm join restores exactness for any fpp
+    "q_contamination_bloom" -> contaminationOracle
   )
+
+  private lazy val contaminationOracle: String =
+    s"WITH $shingleCte, " +
+      "b AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 50 = 0), " +
+      "c AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 50 <> 0) " +
+      "SELECT c.doc_id AS doc_id, count(*) AS n_benchmark_hits FROM c JOIN b " +
+      "ON len(list_intersect(c.shingles, b.shingles)) > 0 " +
+      "GROUP BY c.doc_id ORDER BY c.doc_id"
 }

@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions.{call_function, lit}
 
 /** Registration point for graft's native Catalyst expressions. Idempotent —
   * safe to call per query; also usable from `spark.sql` once registered. */
@@ -31,6 +33,18 @@ object GraftFunctions {
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", exprs => LangIdExpr(exprs.head), "built-in")
+    // Spark's own runtime-filter bloom pair, surfaced as callable
+    // functions (they are not in FunctionRegistry by default). Using the
+    // engine's pair — not a re-implementation — guarantees the serialized
+    // binary format and the long-hash discipline agree between build and
+    // probe, exactly as they do inside injected runtime filters.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", exprs =>
+        new BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+          .toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain", exprs =>
+        BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
   }
 
   /** `simhash64(array<string>) -> long` as a Column (session must be
@@ -67,4 +81,19 @@ object GraftFunctions {
     call_function("sign_signature", v,
       org.apache.spark.sql.functions.lit(nPlanes),
       org.apache.spark.sql.functions.lit(seed))
+
+  /** `graft_bloom_agg(long_col) -> binary`: serialized bloom filter over a
+    * LONG column, sized for `nItems` at false-positive rate `fpp`. */
+  def bloomAgg(c: Column, nItems: Long, fpp: Double): Column =
+    call_function("graft_bloom_agg", c, lit(nItems),
+      lit(org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)))
+
+  /** `graft_bloom_might_contain(bloom_binary, long_col) -> boolean` with
+    * the serialized bloom embedded as a plan literal — the probe side of
+    * [[bloomAgg]]. The literal is the right shape for a driver-built
+    * bloom of a SMALL reference set (decontamination benchmarks); a
+    * bloom over a large set should arrive via a scalar subquery instead
+    * (how Spark's own runtime filters inject it). */
+  def bloomMightContain(bloom: Array[Byte], c: Column): Column =
+    call_function("graft_bloom_might_contain", lit(bloom), c)
 }

@@ -124,6 +124,52 @@ object TextAnalysis {
       coalesce(regexp_count(prior, lit(piiClasses(i)._1)), lit(0))
     }.reduce(_ + _)
 
+  // ── HTML stripping / text normalization ──────────────────────────────
+
+  /** Ordered (pattern, replacement) stages of [[stripHtml]] — one table
+    * drives BOTH the Spark chain and the DuckDB oracle (the piiClasses
+    * discipline: generated, so they cannot drift). Patterns stay in the
+    * Java ∩ RE2 regex subset (inline `(?is)` flags, non-greedy `.*?`, no
+    * backrefs/lookaround). Order is load-bearing:
+    *  - script/style blocks (CONTENT included) go first — their bodies
+    *    legally contain `<`/`>` that must not be parsed as tags (`var x =
+    *    1 < 2`), and a generic tag pass would strip only their markers;
+    *  - comments next (may contain tag-shaped text);
+    *  - then every remaining tag, open or close;
+    *  - entities decode LAST, `&amp;` after the angle-bracket entities —
+    *    single-decode semantics: `&amp;lt;` means the four characters
+    *    `&lt;`, not `<`, exactly as a browser renders it. Decoding after
+    *    tag removal also means a decoded `&lt;p&gt;` can never be eaten
+    *    by the tag pass. */
+  private[graft] val htmlStripStages: Seq[(String, String)] = Seq(
+    "(?is)<script\\b[^>]*>.*?</script\\s*>" -> " ",
+    "(?is)<style\\b[^>]*>.*?</style\\s*>"   -> " ",
+    "(?s)<!--.*?-->"                        -> " ",
+    "(?s)<[!/]?[A-Za-z][^>]*>"              -> " ", // tags + <!DOCTYPE …>
+    "&lt;"                                  -> "<",
+    "&gt;"                                  -> ">",
+    "&quot;"                                -> "\"",
+    "&#39;"                                 -> "'",
+    "&apos;"                                -> "'",
+    "&nbsp;"                                -> " ",
+    "&amp;"                                 -> "&")
+
+  /** Strip HTML down to its text content: script/style/comment blocks
+    * removed wholesale, tags replaced by spaces, the common named/numeric
+    * entities decoded. A codegen'd `regexp_replace` chain — one narrow
+    * scan stage at corpus scale, the web-crawl preprocessing step that
+    * precedes every quality/dedup pass. Follow with
+    * [[collapseWhitespace]] to fold the leftover runs. */
+  def stripHtml(c: Column): Column =
+    htmlStripStages.foldLeft(c) { case (acc, (re, repl)) =>
+      regexp_replace(acc, re, repl)
+    }
+
+  /** Collapse all whitespace runs to single spaces and trim — the
+    * canonical post-[[stripHtml]] cleanup (also useful alone). */
+  def collapseWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
   // ── quality scoring ───────────────────────────────────────────────────
 
   /** Alphabetic-character ratio of the raw text. */

@@ -146,7 +146,7 @@ object Dedup {
     * this point — the arrays are only shuffled once per side, keyed by id.
     * The Jaccard itself is the native [[graft.functions.JaccardSim]]
     * kernel (same math as [[jaccardCol]], codegen'd O(n+m)). */
-  private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
+  private[graft] def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
       threshold: Double): DataFrame = {
     GraftFunctions.register(shingled.sparkSession)
     candidates
@@ -177,7 +177,7 @@ object Dedup {
     * the batch ([[nearDupPairsMinHash]]) and incremental
     * ([[removeNearDuplicatesIncremental]]) detectors — band semantics
     * must never diverge between them. */
-  private def minHashBandRows(sh: DataFrame, k: Int, rr: Int, b: Int): DataFrame = {
+  private[graft] def minHashBandRows(sh: DataFrame, k: Int, rr: Int, b: Int): DataFrame = {
     val sig = minHashSignatures(sh.withColumnRenamed("sh", "shingles"), k)
     sig.select(col("id"),
       posexplode(array((0 until b).map(j =>
@@ -540,6 +540,66 @@ object Dedup {
       textCol: String, idCol: String, n: Int = 3): DataFrame =
     corpus.join(
       contaminationHits(corpus, benchmark, textCol, idCol, n)
+        .select(col("corpus_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** [[contaminationHits]] with a BLOOM prefilter on the corpus side —
+    * identical results (the exact confirm join removes bloom false
+    * positives), different 100 TB shape.
+    *
+    * Why: the exact path shuffles EVERY corpus shingle hash into the
+    * equi-join unless the planner broadcasts the benchmark side, and a
+    * benchmark suite of tens of millions of distinct 8-grams is too big
+    * for a broadcast HASH RELATION (~16–32 bytes/key of map overhead)
+    * while its bloom at `fpp` is ~10–20× smaller (`-n·ln p/ln²2` bits ≈
+    * 1.2 B/key at 0.001). So: build the bloom over the benchmark's
+    * distinct shingle hashes once (one tiny aggregate — Spark's own
+    * BloomFilterAggregate/BloomFilterMightContain runtime-filter pair),
+    * probe it INSIDE the corpus scan stage (a codegen'd predicate — no
+    * exchange), and only the ~fpp-sized surviving sliver of (hash, id)
+    * rows reaches the exact confirm join. At 100 TB the corpus-side
+    * shuffle goes from "all shingles" to "true hits + fpp noise".
+    *
+    * The confirm join keeps the output EXACTLY equal to
+    * [[contaminationHits]] for any fpp — fpp trades prefilter
+    * selectivity, never correctness (DedupSpec pins parity at fpp=0.5). */
+  def contaminationHitsBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      fpp: Double = 0.001): DataFrame = {
+    // Benchmark hashes feed the bloom build AND the confirm join:
+    // materialize once (benchmarks are small; this is the cheap side).
+    val bench = materialize(
+      shingleSets(benchmark, textCol, idCol, n)
+        .select(col("id").as("bench_id"), explode(col("shingles")).as("_sh"))
+        .select(col("bench_id"), xxhash64(col("_sh")).as("_h")))
+    val distinctH = bench.select(col("_h")).distinct()
+    val nItems = distinctH.count()
+    if (nItems == 0L) {
+      // Empty benchmark: no document can be contaminated. (Also the one
+      // case BloomFilterAggregate yields NULL instead of a bloom.)
+      return corpus.sparkSession.emptyDataFrame
+        .withColumn("corpus_id", lit(null).cast("long"))
+        .withColumn("n_benchmark_hits", lit(null).cast("long"))
+    }
+    val bloom = distinctH
+      .agg(GraftFunctions.bloomAgg(col("_h"), nItems, fpp).as("_bf"))
+      .head().getAs[Array[Byte]]("_bf")
+    shingleSets(corpus, textCol, idCol, n)
+      .select(col("id").as("corpus_id"), explode(col("shingles")).as("_sh"))
+      .select(col("corpus_id"), xxhash64(col("_sh")).as("_h"))
+      .where(GraftFunctions.bloomMightContain(bloom, col("_h")))
+      .join(bench, Seq("_h")) // exact confirm: false positives drop here
+      .select("corpus_id", "bench_id").distinct()
+      .groupBy(col("corpus_id")).agg(count(lit(1)).as("n_benchmark_hits"))
+  }
+
+  /** [[removeContaminated]] via the bloom-prefiltered hit detector —
+    * identical survivors, corpus-side-narrow plan. */
+  def removeContaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      fpp: Double = 0.001): DataFrame =
+    corpus.join(
+      contaminationHitsBloom(corpus, benchmark, textCol, idCol, n, fpp)
         .select(col("corpus_id").as(idCol)),
       Seq(idCol), "left_anti")
 }

@@ -138,6 +138,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       $"r".contains("<PHONE>")).count() == docs.count())
   }
 
+  test("stripHtml: blocks removed wholesale, tags stripped, entities single-decoded") {
+    def strip(s: String): String =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.collapseWhitespace(TextAnalysis.stripHtml($"t")))
+        .head().getString(0)
+    // script/style bodies removed even when they contain tag-shaped code
+    assert(strip("a<script>var x = 1 < 2 && 2 > 1;</script>b") == "a b")
+    assert(strip("a<style>p > span { color: red }</style>b") == "a b")
+    // case-insensitive, attributes, self-closing, close-tag whitespace
+    assert(strip("<P CLASS=\"x\">hi</P><br/>there</ScRiPt >") == "hi there")
+    assert(strip("x<SCRIPT type=\"a\">alert('y')</SCRIPT >z") == "x z")
+    // comments may contain tag-shaped text
+    assert(strip("a<!-- <b>bold</b> \n multi-line -->b") == "a b")
+    // entities: single decode — &amp;lt; is the TEXT "&lt;", not "<"
+    assert(strip("1 &lt; 2 &amp;&amp; 2 &gt; 1") == "1 < 2 && 2 > 1")
+    assert(strip("&amp;lt;not-a-tag&amp;gt;") == "&lt;not-a-tag&gt;")
+    assert(strip("&quot;q&quot; &#39;a&#39; &apos;b&apos; c&nbsp;d") ==
+      "\"q\" 'a' 'b' c d")
+    // a decoded &lt;p&gt; is never re-eaten by the tag pass
+    assert(strip("&lt;p&gt;literal&lt;/p&gt;") == "<p>literal</p>")
+    // plain text with a stray less-than survives (not tag-shaped: no letter)
+    assert(strip("1 < 2 and 2 > 1") == "1 < 2 and 2 > 1")
+    // full shell
+    assert(strip("<!DOCTYPE html><html><head><title>t</title></head>" +
+      "<body><p>hello <em>world</em></p></body></html>") == "t hello world")
+  }
+
   test("simhash64 expression: registered SQL function, deterministic, codegen path") {
     GraftFunctions.register(spark)
     val df = Seq("spark is fast", "spark is fast", "totally different words here")

@@ -279,6 +279,34 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.count() == corpus.count() - expected.size)
   }
 
+  test("bloom-prefiltered contamination ≡ exact path, at tight AND sloppy fpp") {
+    val bench = docs.where($"doc_id" % 50 === 0)
+    val corpus = docs.where($"doc_id" % 50 =!= 0)
+    val exact = Dedup.contaminationHits(corpus, bench, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    // fpp trades prefilter selectivity, never correctness: at fpp=0.5 the
+    // bloom passes roughly half of all clean shingles and the confirm
+    // join must scrub every one of them.
+    for (fpp <- Seq(0.001, 0.5)) {
+      val got = Dedup.contaminationHitsBloom(corpus, bench, "text", "doc_id",
+        fpp = fpp).as[(Long, Long)].collect().toMap
+      assert(got == exact, s"fpp=$fpp")
+    }
+    val kept = Dedup.removeContaminatedBloom(corpus, bench, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val keptExact = Dedup.removeContaminated(corpus, bench, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == keptExact)
+  }
+
+  test("bloom contamination: empty benchmark flags nothing, removes nothing") {
+    val bench = docs.where(org.apache.spark.sql.functions.lit(false))
+    val corpus = docs.limit(20)
+    assert(Dedup.contaminationHitsBloom(corpus, bench, "text", "doc_id").isEmpty)
+    assert(Dedup.removeContaminatedBloom(corpus, bench, "text", "doc_id").count()
+      == corpus.count())
+  }
+
   implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
