@@ -131,8 +131,12 @@ object Dedup {
     val candidates = prefixTokens.as("a")
       .join(prefixTokens.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          col("b.sz") >= col("a.sz") * threshold &&
-          col("a.sz") >= col("b.sz") * threshold &&
+          // 1e-9 slack, same rationale as the positional filter below: at
+          // e.g. τ=0.8, |A|=5 ⊃ |B|=4 the pair sits at J = 0.8 EXACTLY,
+          // but 5*0.8 floats to 4.0000000000000004 and a slack-free ≥
+          // would silently drop a qualifying pair from this EXACT operator
+          col("b.sz") >= col("a.sz") * threshold - lit(1e-9) &&
+          col("a.sz") >= col("b.sz") * threshold - lit(1e-9) &&
           (lit(1) + least(col("a.sz") - col("a.tpos") - 1,
             col("b.sz") - col("b.tpos") - 1)).cast("double") >=
             lit(tauFrac) * (col("a.sz") + col("b.sz")) - lit(1e-9))
@@ -144,8 +148,11 @@ object Dedup {
   /** Join candidate (id_a, id_b) pairs back to their shingle sets and keep
     * exact Jaccard ≥ threshold. Candidates travel as bare ID pairs until
     * this point — the arrays are only shuffled once per side, keyed by id.
-    * The Jaccard itself is the native [[graft.functions.JaccardSim]]
-    * kernel (same math as [[jaccardCol]], codegen'd O(n+m)). */
+    * Callers pass 64-bit-hashed shingle arrays ([[hashShingles]], or
+    * hashed at source like [[exactJaccardPairs]]) so the per-pair payload
+    * is 8 bytes/element. The Jaccard itself is the native
+    * [[graft.functions.JaccardSim]] kernel (same math as [[jaccardCol]],
+    * codegen'd O(n+m), string and long element types). */
   private[graft] def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
       threshold: Double): DataFrame = {
     GraftFunctions.register(shingled.sparkSession)
@@ -179,7 +186,12 @@ object Dedup {
     * must never diverge between them. */
   private[graft] def minHashBandRows(sh: DataFrame, k: Int, rr: Int, b: Int): DataFrame = {
     val sig = minHashSignatures(sh.withColumnRenamed("sh", "shingles"), k)
-    sig.select(col("id"),
+    // `sz` (shingle-set size) rides every band row: it makes the length
+    // filter FREE at candidate-generation time — J ≥ τ forces
+    // min(|A|,|B|) ≥ τ·max(|A|,|B|), and pruning on it BEFORE the pair
+    // dedup + verify joins is where background LSH collisions (which pair
+    // arbitrary-sized docs) get cut without touching a shingle array.
+    sig.select(col("id"), size(col("shingles")).as("sz"),
       posexplode(array((0 until b).map(j =>
         hash(slice(col("sig"), j * rr + 1, rr), lit(j))): _*)))
       .withColumnRenamed("pos", "band")
@@ -236,14 +248,32 @@ object Dedup {
     // Bands carry ONLY (band, band_key, id): the shingle arrays never ride
     // the candidate shuffle — they are re-joined per side for the verify.
     val banded = minHashBandRows(sh, k, rr, b)
+    // Length filter inside the band join (J ≥ τ ⇒ min·1 ≥ τ·max; 1e-9
+    // slack so a pair at exactly τ never falls to float rounding): at
+    // corpus scale background band collisions outnumber true pairs
+    // ~1000:1 (measured, BASELINE.md third-decade table) and pair
+    // arbitrary sizes, so this cuts them before the pair-dedup shuffle
+    // and the array-payload verify ever see them.
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            greatest(col("a.sz"), col("b.sz")) * threshold - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccard(candidates, hashShingles(sh), threshold)
   }
+
+  /** (id, sh: array<string>) → (id, sh: array<long>): 64-bit-hash each
+    * shingle ONCE PER DOCUMENT so the per-candidate-pair verify joins
+    * shuffle 8-byte elements instead of ~25-byte n-gram text — the same
+    * at-the-source hashing [[exactJaccardPairs]] does (and the same
+    * within-pair collision model, ~|doc|²/2⁶⁴, that
+    * [[graft.functions.JaccardSimUtil]] already carries internally:
+    * Jaccard values are unchanged). */
+  private def hashShingles(sh: DataFrame): DataFrame =
+    sh.select(col("id"), transform(col("sh"), s => xxhash64(s)).as("sh"))
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (native Catalyst
     * expression), LSH on `maxHamming + 1` disjoint bit chunks — by
@@ -426,8 +456,11 @@ object Dedup {
     shingleSets(df, textCol, idCol, n)
       .select(col("id"), array_sort(col("shingles")).as("sh"))
 
-  /** (id, band, band_key) band-index projection over a STORED shingle
-    * index — the other persisted half of the incremental-dedup index.
+  /** (id, sz, band, band_key) band-index projection over a STORED shingle
+    * index — the other persisted half of the incremental-dedup index
+    * (`sz` = shingle-set size, carried so probes length-filter candidates
+    * for free; indexes persisted before `sz` existed are backfilled from
+    * the shingle index at probe time).
     * Band geometry derives from (threshold, k) exactly as the batch
     * detector's ([[minHashBands]]), so a stored index is only valid for
     * the (threshold, k, n) it was built with — rebuild on parameter
@@ -481,17 +514,27 @@ object Dedup {
     // bands are materialized once: they feed BOTH join sides, and the
     // minhash signature is the CPU-heavy stage on the delta.
     val newBands = materialize(minHashBandRows(shIn, k, rr, b))
-    val allBands = newBands.unionByName(exBands)
+    // Band indexes persisted before `sz` rode the band rows lack the
+    // column; backfill it from the shingle index (one cheap join, planned
+    // only on the legacy path) instead of invalidating stored artifacts.
+    val exB =
+      if (exBands.columns.contains("sz")) exBands
+      else exBands.join(shEx.select(col("id"), size(col("sh")).as("sz")), Seq("id"))
+    val allBands = newBands.unionByName(exB.select(newBands.columns.map(col): _*))
+    // same length filter as nearDupPairsMinHash: kill background band
+    // collisions before the pair-dedup shuffle and the verify joins
     val candidates = newBands.as("a")
       .join(allBands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.id") =!= col("b.id"))
+          col("a.id") =!= col("b.id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            greatest(col("a.sz"), col("b.sz")) * threshold - lit(1e-9))
       // canonical orientation so (A,B)/(B,A) dedup to one pair
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val shAll = shIn.unionByName(shEx)
-    val pairs = verifyJaccard(candidates, shAll, threshold)
+    val pairs = verifyJaccard(candidates, hashShingles(shAll), threshold)
       .select(col("id_a"), col("id_b"))
     val labels = resolveClusters(pairs, maxIter)
     // clusters touching the existing corpus drop ALL their incoming

@@ -197,6 +197,15 @@ class DedupSpec extends AnyFunSuite {
       bandsStored, shStored, incoming, "text", "doc_id", threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(fromIndex == recomputed)
+
+    // LEGACY index shape: band rows persisted before `sz` existed — the
+    // probe backfills the size from the shingle index and must still be
+    // result-identical (stored artifacts are never invalidated by the
+    // length-filter addition)
+    val fromLegacy = Dedup.removeNearDuplicatesIncrementalIndexed(
+      bandsStored.drop("sz"), shStored, incoming, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fromLegacy == recomputed)
   }
 
   test("incremental dedup: overlapping id spaces rejected") {
