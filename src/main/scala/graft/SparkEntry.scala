@@ -361,6 +361,23 @@ object SparkEntry {
         .orderBy(col("q_id"))
     }),
 
+    // ── SQ8-quantized ANN: the corpus side scores DECODED 8-bit codes
+    //    (asymmetric distance — probe stays full precision), ~4× less
+    //    corpus memory/IO than the float baseline. The oracle re-derives
+    //    the per-dimension [lo, hi] range, the round-clamp encode, and
+    //    the decode in SQL, so the two engines rank the SAME quantized
+    //    vectors; output is IDs only (argmax gaps dwarf cross-engine
+    //    float drift, as q_ann_top1 established) ─────────────────────────
+    "q_ann_sq8_top1" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.operators.Similarity.sq8Train(emb, "embedding")
+      val enc = graft.operators.Similarity.sq8Encode(emb, "embedding", "vec_id", idx)
+      graft.operators.Similarity.sq8TopK(
+        enc, emb.where(col("vec_id") < 20), "embedding", "vec_id", idx, k = 1)
+        .select(col("q_id"), col("c_id").as("nn_id"))
+        .orderBy(col("q_id"))
+    }),
+
     // ── North star similarity: EXACT cosine pairs (oracle-checked; IDs
     //    only — membership is stable because no corpus pair sits within
     //    ~5e-4 of the threshold, far beyond cross-engine float drift).
@@ -1654,6 +1671,26 @@ object SparkEntry {
         "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id " +
         "ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id LIMIT 1) AS nn_id " +
         "FROM embeddings a WHERE a.vec_id < 20 ORDER BY q_id"),
+    // same train → encode (round-clamp to [0,255]) → decode chain as
+    // Similarity.sq8Train/sq8Codes/sq8Decode; zipped unnest derives the
+    // per-dimension range, the probe stays full precision
+    "q_ann_sq8_top1" ->
+      ("WITH s0 AS (SELECT unnest(embedding) AS x, " +
+        "unnest(range(1, len(embedding)+1)) AS dim FROM embeddings), " +
+        "s AS (SELECT dim, min(CAST(x AS DOUBLE)) AS lo, max(CAST(x AS DOUBLE)) AS hi " +
+        "FROM s0 GROUP BY dim), " +
+        "slist AS (SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM s), " +
+        "dec AS (SELECT vec_id, list_transform(range(1, len(embedding)+1), i -> " +
+        "CASE WHEN his[i] = los[i] THEN los[i] " +
+        "ELSE los[i] + CAST(least(greatest(round((CAST(embedding[i] AS DOUBLE)-los[i])" +
+        "/(his[i]-los[i])*255),0),255) AS BIGINT)/255.0*(his[i]-los[i]) END) AS dvec " +
+        "FROM embeddings, slist), " +
+        "p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pvec " +
+        "FROM embeddings WHERE vec_id < 20) " +
+        "SELECT p.vec_id AS q_id, " +
+        "(SELECT d.vec_id FROM dec d WHERE d.vec_id <> p.vec_id " +
+        "ORDER BY list_cosine_similarity(p.pvec, d.dvec) DESC, d.vec_id LIMIT 1) AS nn_id " +
+        "FROM p ORDER BY q_id"),
     "q_text_stats" ->
       ("WITH n AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
         "tk AS (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS tok FROM n) " +

@@ -16,16 +16,19 @@ object VectorSimUtil {
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
   /** cosine(a, b) with zero-vector guard (denominator clamped at 1e-12,
-    * matching the Column form's `greatest(..., 1e-12)`). */
-  def cosine(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    * matching the Column form's `greatest(..., 1e-12)`). Per-side element
+    * flags: a full-precision float probe legitimately scores against a
+    * double decoded-from-codes corpus vector (the SQ8 asymmetric-distance
+    * shape) — a single shared flag would mis-read one side. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = elem(a, i, isFloat)
-      val y = elem(b, i, isFloat)
+      val x = elem(a, i, aFloat)
+      val y = elem(b, i, bFloat)
       dot += x * y
       na += x * x
       nb += y * y
@@ -87,15 +90,18 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  private lazy val isFloat: Boolean =
+  private lazy val leftIsFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(l: Any, r: Any): Any =
-    VectorSimUtil.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], isFloat)
+    VectorSimUtil.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorSimUtil.cosine($a, $b, $isFloat)")
+      s"graft.functions.VectorSimUtil.cosine($a, $b, $leftIsFloat, $rightIsFloat)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)

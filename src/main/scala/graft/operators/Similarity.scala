@@ -301,6 +301,96 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  // ── SQ8 scalar quantization (memory-compressed ANN) ──────────────────
+
+  /** Driver-held per-dimension quantization range — the SQ8 "codebook".
+    * |dim| pairs of doubles: the same k-means-training-sized driver state
+    * as IVF centroids, by construction. */
+  final case class Sq8Index(lo: Array[Double], hi: Array[Double]) {
+    require(lo.length == hi.length, "sq8: lo/hi dimension mismatch")
+    def dim: Int = lo.length
+  }
+
+  /** Train the SQ8 range: per-dimension global [min, max] over the corpus
+    * — ONE (dim)-keyed partial aggregation (the shuffle carries
+    * |dim| × |tasks| scalar rows), |dim| rows collected to the driver. */
+  def sq8Train(corpus: DataFrame, vecCol: String): Sq8Index = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .groupBy(col("dim"))
+      .agg(min(col("_x").cast("double")).as("lo"),
+        max(col("_x").cast("double")).as("hi"))
+      .collect()
+    require(rows.nonEmpty, "sq8Train: empty corpus")
+    val d = rows.map(_.getInt(0)).max + 1
+    val lo = new Array[Double](d)
+    val hi = new Array[Double](d)
+    rows.foreach { r => lo(r.getInt(0)) = r.getDouble(1); hi(r.getInt(0)) = r.getDouble(2) }
+    Sq8Index(lo, hi)
+  }
+
+  /** 8-bit code per dimension: round((x − lo)/(hi − lo) · 255) clamped to
+    * [0, 255]; a constant dimension (hi == lo) codes to 0. The codes are
+    * the PERSISTED form of a quantized corpus — 1 byte of information per
+    * dimension against 4 for the float (the int array type here keeps the
+    * artifact engine-portable; a production sink packs it to `binary`).
+    * Quantization error per dimension ≤ (hi − lo)/510 by construction. */
+  def sq8Codes(v: Column, idx: Sq8Index): Column = {
+    val lo = array(idx.lo.map(lit(_)): _*)
+    val hi = array(idx.hi.map(lit(_)): _*)
+    transform(v, (x, i) => {
+      val l = element_at(lo, i + lit(1))
+      val h = element_at(hi, i + lit(1))
+      when(h === l, lit(0)).otherwise(
+        least(greatest(round((x.cast("double") - l) / (h - l) * lit(255.0)),
+          lit(0.0)), lit(255.0)).cast("int"))
+    })
+  }
+
+  /** (id, codes) projection — the artifact a production pipeline persists
+    * next to (or instead of) the raw vectors. */
+  def sq8Encode(df: DataFrame, vecCol: String, idCol: String,
+      idx: Sq8Index): DataFrame =
+    df.select(col(idCol).as("id"), sq8Codes(col(vecCol), idx).as("codes"))
+
+  /** Reconstruct the quantized vector: lo + code/255 · (hi − lo), doubles. */
+  def sq8Decode(codes: Column, idx: Sq8Index): Column = {
+    val lo = array(idx.lo.map(lit(_)): _*)
+    val hi = array(idx.hi.map(lit(_)): _*)
+    transform(codes, (c, i) => {
+      val l = element_at(lo, i + lit(1))
+      val h = element_at(hi, i + lit(1))
+      l + c.cast("double") / lit(255.0) * (h - l)
+    })
+  }
+
+  /** Approximate top-k over an SQ8-ENCODED corpus — asymmetric distance:
+    * the probe stays full-precision, the corpus side is decoded from its
+    * 8-bit codes (the standard ADC trade: ~4× less corpus memory/IO for a
+    * small recall cost; SimilaritySpec pins top-1 recall vs
+    * [[bruteForceTopK]]). Same plan shape as the brute-force baseline —
+    * broadcast probes, one narrow corpus scan (decode is a codegen'd
+    * per-row projection), per-probe heap ranking — so the quantization
+    * changes WHAT the scan reads (codes, not floats), not how it
+    * parallelizes. Composes with [[ivfTopK]]'s list pruning: quantization
+    * compresses the scan, inverted lists shrink it. */
+  def sq8TopK(encodedCorpus: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, idx: Sq8Index, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(encodedCorpus.sparkSession)
+    val p = probes.select(col(idCol).as("q_id"),
+      transform(col(vecCol), x => x.cast("double")).as("q_vec"))
+    val c = encodedCorpus
+      .select(col("id").as("c_id"), sq8Decode(col("codes"), idx).as("c_vec"))
+      .repartition(Dedup.cpuParallelism(encodedCorpus), col("c_id"))
+    val scored = c.join(broadcast(p), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.GraftFunctions.cosineSim(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Approximate top-k: probes only score candidates sharing a signature
     * chunk (the IVF-ish restriction of [[bruteForceTopK]] — each probe
     * visits ~|corpus| / 2⁴ of the data per chunk instead of all of it). */

@@ -110,8 +110,8 @@ object KernelProps extends Properties("graft.kernels") {
   private def varr(v: Array[Double]) = new GenericArrayData(v.map(x => x: Any))
 
   property("cosine: symmetric and bounded") = forAll(vec, vec) { (a, b) =>
-    val c1 = VectorSimUtil.cosine(varr(a), varr(b), isFloat = false)
-    val c2 = VectorSimUtil.cosine(varr(b), varr(a), isFloat = false)
+    val c1 = VectorSimUtil.cosine(varr(a), varr(b), aFloat = false, bFloat = false)
+    val c2 = VectorSimUtil.cosine(varr(b), varr(a), aFloat = false, bFloat = false)
     c1 == c2 && c1 >= -1.0000001 && c1 <= 1.0000001
   }
 
@@ -119,7 +119,7 @@ object KernelProps extends Properties("graft.kernels") {
     val nonZero = a.exists(_ != 0.0)
     val scaled = a.map(_ * 2.0)
     !nonZero || math.abs(
-      VectorSimUtil.cosine(varr(a), varr(scaled), isFloat = false) - 1.0) < 1e-9
+      VectorSimUtil.cosine(varr(a), varr(scaled), aFloat = false, bFloat = false) - 1.0) < 1e-9
   }
 
   property("signSignature: deterministic, opposite vectors flip all used bits") =

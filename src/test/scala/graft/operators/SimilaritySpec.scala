@@ -161,4 +161,52 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(brute((q, c)) - cos) < 1e-12)
     }
   }
+
+  test("sq8: codes clamp to [0,255], constant dims code to 0, decode error within bound") {
+    val vecs = Seq(
+      (1L, Array(0f, 5f, -2f, 7f)),
+      (2L, Array(10f, 5f, 2f, -3f)),
+      (3L, Array(5f, 5f, 0f, 2f))).toDF("vec_id", "embedding")
+    val idx = Similarity.sq8Train(vecs, "embedding")
+    assert(idx.lo.toSeq == Seq(0.0, 5.0, -2.0, -3.0))
+    assert(idx.hi.toSeq == Seq(10.0, 5.0, 2.0, 7.0))
+    val enc = Similarity.sq8Encode(vecs, "embedding", "vec_id", idx)
+    val codes = enc.as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    assert(codes.values.forall(_(1) == 0), "constant dimension must code to 0")
+    // round-trip error ≤ half a quantization step per dimension
+    val decoded = enc.select($"id",
+      Similarity.sq8Decode($"codes", idx).as("d")).as[(Long, Seq[Double])].collect().toMap
+    val originals = vecs.as[(Long, Seq[Float])].collect().toMap
+    for ((id, d) <- decoded; i <- d.indices) {
+      val step = (idx.hi(i) - idx.lo(i)) / 255.0
+      assert(math.abs(d(i) - originals(id)(i)) <= step / 2 + 1e-9,
+        s"id=$id dim=$i decoded=${d(i)} orig=${originals(id)(i)}")
+    }
+  }
+
+  test("sq8TopK: strong top-1 recall against the full-precision brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.where($"vec_id" < 20)
+    val idx = Similarity.sq8Train(emb, "embedding")
+    val enc = Similarity.sq8Encode(emb, "embedding", "vec_id", idx)
+    val approx = Similarity.sq8TopK(enc, probes, "embedding", "vec_id", idx, k = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val exact = Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    val recall = approx.count { case (q, c) => exact(q) == c }.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 top-1 recall $recall < 0.9")
+  }
+
+  test("cosine_sim: mixed float/double array inputs read each side correctly") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((Array(1f, 2f, 3f), Array(0.5, -1.0, 2.0))).toDF("f", "d")
+    val got = df.select(
+      graft.functions.GraftFunctions.cosineSim($"f", $"d").as("fd"),
+      graft.functions.GraftFunctions.cosineSim(
+        transform($"f", x => x.cast("double")), $"d").as("dd")).head()
+    assert(got.getDouble(0) == got.getDouble(1),
+      "float-left/double-right must equal the all-double form")
+  }
 }
