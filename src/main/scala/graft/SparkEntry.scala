@@ -1039,6 +1039,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Gopher-style rule gates (Rae et al. 2021): seven boolean rules
+    //    per document over a deterministic augmentation that exercises
+    //    each rule (bullet walls on %17, ellipsis lines on %7, symbol
+    //    runs on %11 — restated byte-identically in the oracle). One
+    //    narrow codegen'd scan stage; every rule re-derived in SQL ───────
+    "q_gopher_quality" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 17 === 0,
+          repeat(lit("\n- bullet item"), 30)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nto be continued...\nand more...")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" ## ### #")).otherwise(lit("")),
+        // prose-like stopword run on a third of docs: without it the
+        // word-salad corpus fails stopword_ok everywhere and the `pass`
+        // conjunction would be constant false — no oracle signal
+        when(col("doc_id") % 3 === 0,
+          lit(" it was the best of days and this is that for you with more time"))
+          .otherwise(lit("")))
+      val f = graft.functions.TextAnalysis.gopherFlags(aug)
+      val names = Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_word_ratio_ok",
+        "stopword_ok")
+      t(s, dir, "documents")
+        .select(col("doc_id") +:
+          names.map(n => f.getField(n).as(n)) :+
+          graft.functions.TextAnalysis.gopherPass(aug).as("pass"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── North star decontamination: corpus docs sharing any 3-gram with
     //    the benchmark slice (doc_id % 50 == 0). The join key is a 64-bit
     //    shingle hash — bare (hash, id) pairs shuffle, never shingle
@@ -1788,6 +1817,47 @@ object SparkEntry {
       ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50, " +
         "TRUE AS p50_ok, TRUE AS p90_ok " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_gopher_quality" -> {
+      // every rule re-derived; stopword list generated from the SAME map
+      // the engine votes with (no drift)
+      val stops = graft.functions.TextAnalysis.stopwords("en")
+        .map(s => s"'$s'").mkString("[", ",", "]")
+      "WITH aug AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 17 = 0 THEN repeat(chr(10) || '- bullet item', 30) ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'and more...' ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN ' ## ### #' ELSE '' END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' it was the best of days and this is that for you with more time' ELSE '' END AS t FROM documents), " +
+        "n AS (SELECT doc_id, t, " +
+        "trim(regexp_replace(lower(t),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
+        "k AS (SELECT doc_id, t, norm, " +
+        "regexp_split_to_array(norm,'\\s+') AS tok, " +
+        "regexp_split_to_array(trim(t),'\\s+') AS words, " +
+        "regexp_split_to_array(t,'\\n') AS lines FROM n) " +
+        "SELECT doc_id, " +
+        "len(tok) BETWEEN 50 AND 100000 AS word_count_ok, " +
+        "length(replace(norm,' ',''))*1.0/greatest(len(tok),1) BETWEEN 3.0 AND 10.0 AS mean_word_len_ok, " +
+        "(len(regexp_extract_all(t,'#')) + len(regexp_extract_all(t,'\\.\\.\\.')))*1.0" +
+        "/greatest(len(words),1) <= 0.1 AS symbol_ratio_ok, " +
+        "len(list_filter(lines, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'•')))*1.0" +
+        "/greatest(len(lines),1) <= 0.9 AS bullet_ratio_ok, " +
+        "len(list_filter(lines, l -> ends_with(l,'...')))*1.0" +
+        "/greatest(len(lines),1) <= 0.3 AS ellipsis_ratio_ok, " +
+        "len(list_filter(words, w -> regexp_matches(w,'[A-Za-z]')))*1.0" +
+        "/greatest(len(words),1) >= 0.8 AS alpha_word_ratio_ok, " +
+        s"len(list_intersect(list_distinct(tok), $stops)) >= 2 AS stopword_ok, " +
+        "(len(tok) BETWEEN 50 AND 100000) AND " +
+        "(length(replace(norm,' ',''))*1.0/greatest(len(tok),1) BETWEEN 3.0 AND 10.0) AND " +
+        "((len(regexp_extract_all(t,'#')) + len(regexp_extract_all(t,'\\.\\.\\.')))*1.0" +
+        "/greatest(len(words),1) <= 0.1) AND " +
+        "(len(list_filter(lines, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'•')))*1.0" +
+        "/greatest(len(lines),1) <= 0.9) AND " +
+        "(len(list_filter(lines, l -> ends_with(l,'...')))*1.0" +
+        "/greatest(len(lines),1) <= 0.3) AND " +
+        "(len(list_filter(words, w -> regexp_matches(w,'[A-Za-z]')))*1.0" +
+        "/greatest(len(words),1) >= 0.8) AND " +
+        s"(len(list_intersect(list_distinct(tok), $stops)) >= 2) AS pass " +
+        "FROM k ORDER BY doc_id"
+    },
     "q_contamination" -> contaminationOracle,
     // identical results to the exact detector by construction: the bloom
     // is a prefilter, the confirm join restores exactness for any fpp

@@ -53,8 +53,9 @@ object TextAnalysis {
   // ── language ID ───────────────────────────────────────────────────────
 
   /** Tiny public stopword lists per language — enough signal for a
-    * coarse-grained heuristic router. */
-  private val stopwords: Map[String, Seq[String]] = Map(
+    * coarse-grained heuristic router. `private[graft]`: oracle SQL for the
+    * stopword-based gates is GENERATED from this map (no-drift). */
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "was", "for", "are", "with", "this"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "ich", "zu", "mit", "auf", "für", "sich"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "se", "no", "los", "las", "por"),
@@ -188,6 +189,56 @@ object TextAnalysis {
   def stopwordRatio(c: Column): Column = {
     val t = tokens(c)
     stopwordHits(t, "en").cast("double") / greatest(size(t), lit(1))
+  }
+
+  /** Gopher-style rule-based quality gates (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * table A1 — public literature; thresholds below are that table's).
+    * One struct of booleans per document, TRUE = the document PASSES that
+    * rule; `gopherPass` is their conjunction. All components are plain
+    * string/regexp Column expressions so the same gates restate in any
+    * SQL engine (the DuckDB oracle re-derives every rule):
+    *
+    *  - word_count_ok:      50 ≤ whitespace words ≤ 100,000
+    *  - mean_word_len_ok:   mean normalized-token length in [3, 10]
+    *  - symbol_ratio_ok:    (# '#' + # '…'-as-'...') / words ≤ 0.1
+    *  - bullet_ratio_ok:    ≤ 90% of lines start with a bullet mark
+    *  - ellipsis_ratio_ok:  ≤ 30% of lines end with '...'
+    *  - alpha_word_ratio_ok: ≥ 80% of words contain an alphabetic char
+    *  - stopword_ok:        ≥ 2 DISTINCT English stopwords present
+    */
+  def gopherFlags(c: Column): Column = {
+    val toks = tokens(c)
+    val nTok = size(toks)
+    val words = split(trim(c), "\\s+")
+    val nWords = greatest(size(words), lit(1))
+    val nSymbols = coalesce(regexp_count(c, lit("#")), lit(0)) +
+      coalesce(regexp_count(c, lit("\\.\\.\\.")), lit(0))
+    val lines = split(c, "\n")
+    val nLines = greatest(size(lines), lit(1))
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val enStops = array(stopwords("en").map(lit): _*)
+    val distinctStops = size(array_intersect(array_distinct(toks), enStops))
+    struct(
+      nTok.between(50, 100000).as("word_count_ok"),
+      meanTokenLength(c).between(3.0, 10.0).as("mean_word_len_ok"),
+      (nSymbols.cast("double") / nWords <= 0.1).as("symbol_ratio_ok"),
+      (bulletLines.cast("double") / nLines <= 0.9).as("bullet_ratio_ok"),
+      (ellipsisLines.cast("double") / nLines <= 0.3).as("ellipsis_ratio_ok"),
+      (alphaWords.cast("double") / nWords >= 0.8).as("alpha_word_ratio_ok"),
+      (distinctStops >= 2).as("stopword_ok"))
+  }
+
+  /** Conjunction of all [[gopherFlags]] — the document survives the
+    * Gopher rule gate. */
+  def gopherPass(c: Column): Column = {
+    val f = gopherFlags(c)
+    Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+      "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_word_ratio_ok",
+      "stopword_ok").map(f.getField).reduce(_ && _)
   }
 
   /** Composite quality score in [0,1] — mean of clamped component signals

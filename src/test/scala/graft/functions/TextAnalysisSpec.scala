@@ -165,6 +165,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       "<body><p>hello <em>world</em></p></body></html>") == "t hello world")
   }
 
+  test("gopherFlags: each rule trips on its planted pathology, prose passes") {
+    val prose = ("the quick brown fox jumps over the lazy dog and it was a " +
+      "good day for all of you with this fine weather in the field ") * 3
+    def flags(s: String): Map[String, Boolean] = {
+      val f = Seq(s).toDF("t")
+        .select(TextAnalysis.gopherFlags($"t").as("f")).select("f.*").head()
+      f.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> f.getBoolean(i) }.toMap
+    }
+    val good = flags(prose)
+    assert(good.values.forall(identity), s"prose must pass all rules: $good")
+    // short text fails the word-count floor
+    assert(!flags("the cat and dog")("word_count_ok"))
+    // symbol wall fails the symbol ratio
+    assert(!flags(prose + " " + "# # # # # # # # # # # # # # # # # # # # " * 5)("symbol_ratio_ok"))
+    // a bullet wall fails the bullet ratio
+    assert(!flags("intro line" + "\n- item" * 20)("bullet_ratio_ok"))
+    // mostly-ellipsis lines fail the ellipsis ratio
+    assert(!flags("one...\ntwo...\nthree")("ellipsis_ratio_ok"))
+    // numeric soup fails the alphabetic-word ratio
+    assert(!flags(("12 345 678 " * 30) + "the end")("alpha_word_ratio_ok"))
+    // single repeated stopword is NOT >= 2 DISTINCT stopwords
+    assert(!flags("the " * 60)("stopword_ok"))
+    // pass is the conjunction
+    assert(Seq(prose).toDF("t")
+      .select(TextAnalysis.gopherPass($"t")).head().getBoolean(0))
+    assert(!Seq("the cat").toDF("t")
+      .select(TextAnalysis.gopherPass($"t")).head().getBoolean(0))
+  }
+
   test("simhash64 expression: registered SQL function, deterministic, codegen path") {
     GraftFunctions.register(spark)
     val df = Seq("spark is fast", "spark is fast", "totally different words here")
