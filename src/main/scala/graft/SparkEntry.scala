@@ -540,24 +540,39 @@ object SparkEntry {
     //    into one ground-truth CTE chain ─────────────────────────────────
     "q_corpus_pipeline" -> ((s, dir) => {
       val raw = t(s, dir, "documents")
-      // Plant a shared boilerplate footer on even ids so the line-dedup
-      // stage has real cross-document structure to scrub (the corpus has
-      // no natural line structure; the same deterministic augmentation is
-      // restated in the oracle). The footer's removal is witnessed
-      // end-to-end by text_len_sum / chunk_token_sum.
+      // Plant (a) a shared boilerplate footer on even ids for the
+      // line-dedup stage, (b) a prose-like stopword run on id%3 so the
+      // Gopher gate passes at a meaningful rate on the word-salad corpus
+      // — then wrap the CORPUS side in an HTML shell the stripHtml stage
+      // must remove before any downstream signal sees the text. The
+      // benchmark side stays the un-wrapped augmentation (eval sets are
+      // clean text), so decontamination semantics are unchanged. All of
+      // it restated byte-identically in the oracle.
+      // the doc_id tokens inside the stopword run keep every shared
+      // contiguous run under 8 tokens — the run must trip the Gopher
+      // stopword rule WITHOUT creating cross-document 8-gram overlap
+      // that the decontamination stage would read as benchmark leakage
       val docs = raw.select(col("doc_id"),
         concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" it was the best of day "), col("doc_id").cast("string"),
+              lit(" and this is that for you with "), col("doc_id").cast("string"),
+              lit(" more time"))).otherwise(lit("")),
           when(col("doc_id") % 2 === 0,
             lit("\ncopyright footer all rights reserved")).otherwise(lit("")))
           .as("text"))
       val bench = docs.where(col("doc_id") % 50 === 0)
+      val corpus = docs.select(col("doc_id"),
+        concat(lit("<html><body><p class=\"d\">"), col("text"),
+          lit("</p><!-- boilerplate --></body></html>")).as("text"))
       val cfg = graft.pipeline.CorpusPipeline.Config(
+        stripHtml = true, gopherRules = true,
         langs = Set("en"), minTokens = 10, maxTokens = 100000,
         minAlphaRatio = 0.4, lineDedupMinDocs = Some(2),
         dedupThreshold = 0.5, shingleN = 3,
         decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
         splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
-      val p = graft.pipeline.CorpusPipeline.prepare(docs, Some(bench), cfg)
+      val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
       val stageCounts = p.stages.map { case (name, df) =>
         df.agg(count(lit(1)).as(s"n_$name"))
       }.reduce(_.crossJoin(_))
@@ -1136,11 +1151,14 @@ object SparkEntry {
       "count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept"
 
   /** Ground truth for q_corpus_pipeline: every stage's already-proven
-    * DuckDB restatement (lang-ID voting, norm-text exact dedup, the
-    * q_line_dedup line-scrub + reassembly, trigram Jaccard pairs +
-    * recursive-CTE CC, 8-gram decontamination, the piiClasses redaction
-    * chain, md5 hash-split, chunk windows) composed into one CTE chain
-    * over the footer-augmented documents fixture. */
+    * DuckDB restatement (the q_html_strip chain + newline-preserving
+    * collapse, lang-ID voting, the seven generated Gopher rules,
+    * norm-text exact dedup, the q_line_dedup line-scrub + reassembly,
+    * trigram Jaccard pairs + recursive-CTE CC, 8-gram decontamination,
+    * the piiClasses redaction chain, md5 hash-split, chunk windows)
+    * composed into one CTE chain over the html-wrapped, footer- and
+    * stopword-augmented documents fixture (benchmark = the un-wrapped
+    * augmentation). */
   private lazy val corpusPipelineOracle: String = {
     // redaction chain generated FROM piiClasses — patterns cannot drift
     val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
@@ -1150,12 +1168,28 @@ object SparkEntry {
       s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
         s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
     val renorm = "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
+    // quality gate = the config gate AND the seven generated Gopher rules
+    val gopher = gopherRuleSqls("tok.text", "tok.t", "tok.norm")
+      .map(r => s"($r)").mkString(" AND ")
     "WITH RECURSIVE " +
-      // the same even-id shared-footer augmentation the Spark side plants
-      "doc0 AS (SELECT doc_id, text || CASE WHEN doc_id % 2 = 0 " +
-      "THEN chr(10) || 'copyright footer all rights reserved' ELSE '' END AS text FROM documents), " +
+      // the same augmentation the Spark side plants: stopword run on id%3,
+      // shared footer on even ids — this un-wrapped form IS the benchmark
+      "aug1 AS MATERIALIZED (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' it was the best of day ' || CAST(doc_id AS VARCHAR) || " +
+      "' and this is that for you with ' || CAST(doc_id AS VARCHAR) || ' more time' ELSE '' END || " +
+      "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'copyright footer all rights reserved' ELSE '' END AS text FROM documents), " +
+      // corpus side: HTML shell, then the generated strip chain + the
+      // newline-preserving collapse (the stage the pipeline runs first).
+      // MATERIALIZED: DuckDB would otherwise inline the 14-regexp chain
+      // into every downstream reference (the recursive CC references its
+      // ancestors many times) — hours instead of seconds
+      "raw0 AS (SELECT doc_id, '<html><body><p class=\"d\">' || text || " +
+      "'</p><!-- boilerplate --></body></html>' AS raw FROM aug1), " +
+      s"doc0 AS MATERIALIZED (SELECT doc_id, ${collapseLineWsSql(htmlStripSql("raw"))} AS text FROM raw0), " +
       "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM doc0), " +
-      "tok AS (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t " +
+      "FROM aug1 WHERE doc_id % 50 = 0), " +
       "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
       "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
       "(SELECT doc_id, text, greatest(" +
@@ -1163,11 +1197,11 @@ object SparkEntry {
       "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
       "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
       "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
-      "q1 AS (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
       "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
       "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
       "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
-      "AND lang.lang = 'en'), " +
+      s"AND lang.lang = 'en' AND $gopher), " +
       "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
       // line-level dedup (the q_line_dedup restatement): lines in >= 2
       // distinct docs are scrubbed from all docs, blank lines exempt,
@@ -1180,7 +1214,7 @@ object SparkEntry {
       "lkept AS (SELECT doc_id, line, lpos FROM lls WHERE trim(line) = '' OR line NOT IN (SELECT line FROM ldup)), " +
       "lreb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY lpos) AS t2 FROM lkept GROUP BY doc_id), " +
       "q2l0 AS (SELECT q2.doc_id AS doc_id, COALESCE(lreb.t2, '') AS text FROM q2 LEFT JOIN lreb ON q2.doc_id = lreb.doc_id), " +
-      s"q2l AS (SELECT doc_id, text, $renorm AS norm, regexp_split_to_array($renorm,'\\s+') AS t " +
+      s"q2l AS MATERIALIZED (SELECT doc_id, text, $renorm AS norm, regexp_split_to_array($renorm,'\\s+') AS t " +
       s"FROM q2l0 WHERE len(regexp_split_to_array($renorm,'\\s+')) >= 10), " +
       "sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
       "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2l), " +
@@ -1191,7 +1225,7 @@ object SparkEntry {
       "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
       "q3 AS (SELECT * FROM q2l WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
       s"sh8c AS (${gram8("q3")}), " +
-      s"sh8b AS (${gram8("tok")} WHERE doc_id % 50 = 0), " +
+      s"sh8b AS (${gram8("btok")}), " +
       "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
       "q4 AS (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
       s"red AS (SELECT doc_id, $redact AS rt FROM q4), " +
@@ -1795,13 +1829,7 @@ object SparkEntry {
         "FROM aug ORDER BY doc_id"
     },
     "q_html_strip" -> {
-      // chain generated FROM htmlStripStages — patterns cannot drift
-      def sq(s: String): String = s.replace("'", "''")
-      val chain = graft.functions.TextAnalysis.htmlStripStages.foldLeft("t") {
-        case (acc, (re, repl)) =>
-          s"regexp_replace($acc, '${sq(re)}', '${sq(repl)}', 'g')"
-      }
-      val cleaned = s"trim(regexp_replace($chain, '\\s+', ' ', 'g'))"
+      val cleaned = s"trim(regexp_replace(${htmlStripSql("t")}, '\\s+', ' ', 'g'))"
       "WITH aug AS (SELECT doc_id, '<!DOCTYPE html><html><head><title>doc ' || " +
         "CAST(doc_id AS VARCHAR) || " +
         "'</title><style type=\"text/css\">body { color: #fff; }</style>' || " +
@@ -1818,10 +1846,15 @@ object SparkEntry {
         "TRUE AS p50_ok, TRUE AS p90_ok " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_gopher_quality" -> {
-      // every rule re-derived; stopword list generated from the SAME map
-      // the engine votes with (no drift)
-      val stops = graft.functions.TextAnalysis.stopwords("en")
-        .map(s => s"'$s'").mkString("[", ",", "]")
+      // every rule generated by gopherRuleSqls — the SAME generator the
+      // corpus-pipeline oracle composes, fed by the engine's own
+      // stopword map (no drift anywhere)
+      val rules = gopherRuleSqls("t", "tok", "norm")
+      val names = Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_word_ratio_ok",
+        "stopword_ok")
+      val flagCols = rules.zip(names).map { case (r, n) => s"$r AS $n" }
+      val pass = rules.map(r => s"($r)").mkString(" AND ")
       "WITH aug AS (SELECT doc_id, text || " +
         "CASE WHEN doc_id % 17 = 0 THEN repeat(chr(10) || '- bullet item', 30) ELSE '' END || " +
         "CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'and more...' ELSE '' END || " +
@@ -1830,32 +1863,8 @@ object SparkEntry {
         "n AS (SELECT doc_id, t, " +
         "trim(regexp_replace(lower(t),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
         "k AS (SELECT doc_id, t, norm, " +
-        "regexp_split_to_array(norm,'\\s+') AS tok, " +
-        "regexp_split_to_array(trim(t),'\\s+') AS words, " +
-        "regexp_split_to_array(t,'\\n') AS lines FROM n) " +
-        "SELECT doc_id, " +
-        "len(tok) BETWEEN 50 AND 100000 AS word_count_ok, " +
-        "length(replace(norm,' ',''))*1.0/greatest(len(tok),1) BETWEEN 3.0 AND 10.0 AS mean_word_len_ok, " +
-        "(len(regexp_extract_all(t,'#')) + len(regexp_extract_all(t,'\\.\\.\\.')))*1.0" +
-        "/greatest(len(words),1) <= 0.1 AS symbol_ratio_ok, " +
-        "len(list_filter(lines, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'•')))*1.0" +
-        "/greatest(len(lines),1) <= 0.9 AS bullet_ratio_ok, " +
-        "len(list_filter(lines, l -> ends_with(l,'...')))*1.0" +
-        "/greatest(len(lines),1) <= 0.3 AS ellipsis_ratio_ok, " +
-        "len(list_filter(words, w -> regexp_matches(w,'[A-Za-z]')))*1.0" +
-        "/greatest(len(words),1) >= 0.8 AS alpha_word_ratio_ok, " +
-        s"len(list_intersect(list_distinct(tok), $stops)) >= 2 AS stopword_ok, " +
-        "(len(tok) BETWEEN 50 AND 100000) AND " +
-        "(length(replace(norm,' ',''))*1.0/greatest(len(tok),1) BETWEEN 3.0 AND 10.0) AND " +
-        "((len(regexp_extract_all(t,'#')) + len(regexp_extract_all(t,'\\.\\.\\.')))*1.0" +
-        "/greatest(len(words),1) <= 0.1) AND " +
-        "(len(list_filter(lines, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'•')))*1.0" +
-        "/greatest(len(lines),1) <= 0.9) AND " +
-        "(len(list_filter(lines, l -> ends_with(l,'...')))*1.0" +
-        "/greatest(len(lines),1) <= 0.3) AND " +
-        "(len(list_filter(words, w -> regexp_matches(w,'[A-Za-z]')))*1.0" +
-        "/greatest(len(words),1) >= 0.8) AND " +
-        s"(len(list_intersect(list_distinct(tok), $stops)) >= 2) AS pass " +
+        "regexp_split_to_array(norm,'\\s+') AS tok FROM n) " +
+        s"SELECT doc_id, ${flagCols.mkString(", ")}, $pass AS pass " +
         "FROM k ORDER BY doc_id"
     },
     "q_contamination" -> contaminationOracle,
@@ -1863,6 +1872,44 @@ object SparkEntry {
     // is a prefilter, the confirm join restores exactness for any fpp
     "q_contamination_bloom" -> contaminationOracle
   )
+
+  /** The [[graft.functions.TextAnalysis.stripHtml]] chain over a SQL text
+    * expression — generated FROM htmlStripStages (no drift). */
+  private def htmlStripSql(src: String): String = {
+    def sq(s: String): String = s.replace("'", "''")
+    graft.functions.TextAnalysis.htmlStripStages.foldLeft(src) {
+      case (acc, (re, repl)) =>
+        s"regexp_replace($acc, '${sq(re)}', '${sq(repl)}', 'g')"
+    }
+  }
+
+  /** [[graft.functions.TextAnalysis.collapseLineWhitespace]] in SQL —
+    * horizontal runs fold, newlines survive (backref keeps the `\n`). */
+  private def collapseLineWsSql(src: String): String =
+    s"trim(regexp_replace(regexp_replace($src, '[ \\t]*(\\n)[ \\t]*', '\\1', 'g'), '[ \\t]+', ' ', 'g'))"
+
+  /** The seven [[graft.functions.TextAnalysis.gopherFlags]] rules over SQL
+    * expressions for the raw text, its normalized token array, and the
+    * normalized text — one generator feeds q_gopher_quality AND the
+    * corpus-pipeline oracle (no drift). Order matches gopherFlags. */
+  private def gopherRuleSqls(text: String, tok: String, norm: String): Seq[String] = {
+    val stops = graft.functions.TextAnalysis.stopwords("en")
+      .map(s => s"'$s'").mkString("[", ",", "]")
+    val words = s"regexp_split_to_array(trim($text),'\\s+')"
+    val lines = s"regexp_split_to_array($text,'\\n')"
+    Seq(
+      s"len($tok) BETWEEN 50 AND 100000",
+      s"length(replace($norm,' ',''))*1.0/greatest(len($tok),1) BETWEEN 3.0 AND 10.0",
+      s"(len(regexp_extract_all($text,'#')) + len(regexp_extract_all($text,'\\.\\.\\.')))*1.0" +
+        s"/greatest(len($words),1) <= 0.1",
+      s"len(list_filter($lines, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'•')))*1.0" +
+        s"/greatest(len($lines),1) <= 0.9",
+      s"len(list_filter($lines, l -> ends_with(l,'...')))*1.0" +
+        s"/greatest(len($lines),1) <= 0.3",
+      s"len(list_filter($words, w -> regexp_matches(w,'[A-Za-z]')))*1.0" +
+        s"/greatest(len($words),1) >= 0.8",
+      s"len(list_intersect(list_distinct($tok), $stops)) >= 2")
+  }
 
   private lazy val contaminationOracle: String =
     s"WITH $shingleCte, " +

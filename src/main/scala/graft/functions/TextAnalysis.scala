@@ -171,6 +171,14 @@ object TextAnalysis {
   def collapseWhitespace(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
+  /** NEWLINE-PRESERVING whitespace collapse: horizontal runs fold to one
+    * space and spaces hugging a newline are dropped, but the line
+    * structure survives — the post-[[stripHtml]] cleanup to use when a
+    * LINE-level stage (boilerplate line dedup) runs downstream, where
+    * [[collapseWhitespace]] would weld every line into one. */
+  def collapseLineWhitespace(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "[ \\t]*\\n[ \\t]*", "\n"), "[ \\t]+", " "))
+
   // ── quality scoring ───────────────────────────────────────────────────
 
   /** Alphabetic-character ratio of the raw text. */

@@ -9,10 +9,10 @@ import graft.operators.{Chunking, Dedup, LineDedup, Sampling, SpanDedup}
 /** End-to-end pre-training corpus preparation — the canonical chain every
   * LLM data pipeline runs, composed from the engine's operators:
   *
-  *   quality filter → language filter → exact content dedup → [line-level
-  *   dedup] → [span-level dedup] → near-dup removal → benchmark
-  *   decontamination → PII redaction → document chunking →
-  *   train/val/test split.
+  *   [HTML strip] → quality filter (+ optional Gopher rule gates) →
+  *   language filter → exact content dedup → [line-level dedup] →
+  *   [span-level dedup] → near-dup removal → benchmark decontamination →
+  *   PII redaction → document chunking → train/val/test split.
   *
   * Composition notes (the order is load-bearing):
   *  - cheap narrow filters (quality, language) run FIRST so the expensive
@@ -43,6 +43,8 @@ object CorpusPipeline {
   final case class Config(
       textCol: String = "text",
       idCol: String = "doc_id",
+      stripHtml: Boolean = false,
+      gopherRules: Boolean = false,
       langs: Set[String] = Set("en"),
       minTokens: Int = 10,
       maxTokens: Int = 100000,
@@ -74,11 +76,22 @@ object CorpusPipeline {
     GraftFunctions.register(corpus.sparkSession)
     val text = col(cfg.textCol)
 
+    // 0. optional HTML stripping — FIRST: every downstream signal (token
+    //    counts, language votes, shingles, lines) must see text, not
+    //    markup. The collapse is the NEWLINE-PRESERVING one: the optional
+    //    line-dedup stage downstream needs the line structure that
+    //    collapseWhitespace would weld away.
+    val source = if (!cfg.stripHtml) corpus else corpus.withColumn(
+      cfg.textCol,
+      TextAnalysis.collapseLineWhitespace(TextAnalysis.stripHtml(text)))
+
     // 1. quality + language gate: one narrow codegen'd scan stage
-    val filtered = corpus.where(
+    //    (+ optional Gopher rule conjunction — same scan, no extra stage)
+    val filtered = source.where(
       TextAnalysis.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
         TextAnalysis.alphaRatio(text) >= cfg.minAlphaRatio &&
-        GraftFunctions.langIdNative(text).isin(cfg.langs.toSeq: _*))
+        GraftFunctions.langIdNative(text).isin(cfg.langs.toSeq: _*) &&
+        (if (cfg.gopherRules) TextAnalysis.gopherPass(text) else lit(true)))
 
     // 2. exact content dedup (min-id survivor per normalized text)
     val exactDeduped = Dedup.exactByContent(filtered, cfg.textCol, cfg.idCol)

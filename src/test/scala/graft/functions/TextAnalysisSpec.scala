@@ -163,6 +163,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     // full shell
     assert(strip("<!DOCTYPE html><html><head><title>t</title></head>" +
       "<body><p>hello <em>world</em></p></body></html>") == "t hello world")
+
+    // newline-preserving variant: horizontal runs fold, lines survive
+    def stripNl(s: String): String =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.collapseLineWhitespace(TextAnalysis.stripHtml($"t")))
+        .head().getString(0)
+    assert(stripNl("<p>line one</p>  \n\t <p>line two</p>") == "line one\nline two")
+    assert(stripNl("a   b\t\tc") == "a b c")
   }
 
   test("gopherFlags: each rule trips on its planted pathology, prose passes") {

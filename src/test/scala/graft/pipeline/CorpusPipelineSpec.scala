@@ -138,4 +138,48 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "without the line stage the footer must survive")
     kept.unpersist()
   }
+
+  test("optional html-strip + gopher stages: markup never reaches downstream signals") {
+    val prose = "the quick brown fox jumps over the lazy dog and it was a " +
+      "good day for all of you with this fine weather in the field " +
+      ("walking along the river bank watching the light " * 5).trim
+    val footer = "copyright footer all rights reserved by the site owner today"
+    // two docs sharing most of their prose (near-dups, NOT exact: each
+    // has a unique tail) whose html shells differ — only stripping lets
+    // the line stage see both footer copies and the near-dup stage see
+    // the shared prose; plus a gopher-failing doc (symbol wall) in clean
+    // html
+    val corpus = Seq(
+      (1L, s"<html><body><p class='a'>$prose first story unique tail here today</p>\n$footer</body></html>"),
+      (2L, s"<HTML><BODY><div id='b'>$prose second tale distinct ending there tomorrow</div>\n$footer</BODY></HTML>"),
+      (3L, s"<p>$prose ${"# # # # # # # # # # " * 20}</p>"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(
+      stripHtml = true, gopherRules = true,
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      lineDedupMinDocs = Some(2),
+      chunkTokens = 64, overlapTokens = 16, splits = Seq("train" -> 1.0))
+    val out = CorpusPipeline.prepare(corpus, None, cfg)
+    val texts = out.documents.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+
+    // doc 3 fails the gopher symbol rule AFTER stripping; docs 1/2 become
+    // EXACT content dups once markup is gone — min-id survivor only
+    assert(texts.keySet == Set(1L), s"expected only doc 1, got ${texts.keySet}")
+    // no markup or entities in the surviving text; line structure (the
+    // footer line) survived the strip for the line stage to scrub
+    assert(!texts(1L).contains("<") && !texts(1L).contains(">"))
+    assert(!texts(1L).contains("copyright footer"),
+      "footer line must still be scrubbed by the line stage after stripping")
+    assert(texts(1L).contains("quick brown fox"))
+
+    // without stripHtml the markup pollutes every downstream artifact:
+    // the surviving text still carries tags (what a training set must
+    // never contain) — the strip stage is what prevents that
+    val plain = CorpusPipeline.prepare(corpus, None, cfg.copy(stripHtml = false))
+    val plainTexts = plain.documents.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    assert(plainTexts.nonEmpty && plainTexts.values.forall(_.contains("<")),
+      "without the strip stage, markup survives into the output text")
+  }
 }
