@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * Replication transform (the round-3 methodology, made GATE-PRESERVING):
   * each document is replicated `factor`× with the replica ordinal
-  * appended to EVERY token as `_<k>`. Under the engine's normalization
+  * appended to EVERY token as `_rep<k>`. Under the engine's normalization
   * (`[^a-z0-9]+` → separator) the underscore splits off, so replica k of
-  * "the quick fox" normalizes to "the k quick k fox k":
+  * "the quick fox" normalizes to "the repk quick repk fox repk" (the
+  * `rep` prefix keeps the interleaved token WORD-SIZED — a bare 1-digit
+  * ordinal would drag the corpus mean token length onto the Gopher
+  * mean-word-length floor of 3.0 and gate out most of the corpus):
   *
   *  - cross-replica shingle sets are disjoint (every n-gram window
   *    contains the replica ordinal), so near-dup pair counts grow
@@ -52,7 +55,7 @@ object ScaleCorpus {
       .select(
         (col("doc_id") * factor + col("_k")).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), "\\s+"),
-          t => concat(t, lit("_"), col("_k")))).as("text"),
+          t => concat(t, lit("_rep"), col("_k")))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)

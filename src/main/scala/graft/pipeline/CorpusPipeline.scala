@@ -87,11 +87,19 @@ object CorpusPipeline {
 
     // 1. quality + language gate: one narrow codegen'd scan stage
     //    (+ optional Gopher rule conjunction — same scan, no extra stage)
-    val filtered = source.where(
+    val gate = source.where(
       TextAnalysis.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
         TextAnalysis.alphaRatio(text) >= cfg.minAlphaRatio &&
         GraftFunctions.langIdNative(text).isin(cfg.langs.toSeq: _*) &&
         (if (cfg.gopherRules) TextAnalysis.gopherPass(text) else lit(true)))
+    // With the optional stages on, the gate scan is no longer cheap (a
+    // 14-regexp strip chain + the seven-rule conjunction per document)
+    // and it feeds every downstream dedup stage PLUS the per-stage count
+    // aggregates `Prepared.stages` exposes — materialize it once instead
+    // of re-running the scan per consumer (the plain-config gate stays a
+    // lazy narrow scan, exactly as before).
+    val filtered =
+      if (cfg.stripHtml || cfg.gopherRules) Dedup.materialize(gate) else gate
 
     // 2. exact content dedup (min-id survivor per normalized text)
     val exactDeduped = Dedup.exactByContent(filtered, cfg.textCol, cfg.idCol)

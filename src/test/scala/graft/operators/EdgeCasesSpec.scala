@@ -107,4 +107,45 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(!Checks.checkNotEmpty("t", Checks.rowCount(sales)).passed)
     assert(Checks.duplicateKeys(sales, Seq("product_id")).count() == 0)
   }
+
+  test("round-6 operators on null / empty / degenerate inputs") {
+    import graft.functions.TextAnalysis
+    // null text: every text function yields null (never throws), so a
+    // pipeline WHERE gate silently drops the row — the right semantics
+    // for a corpus with missing documents
+    val withNull = Seq((1L, "the quick brown fox and the lazy dog again"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = withNull.select(
+      TextAnalysis.collapseWhitespace(TextAnalysis.stripHtml($"text")).as("s"),
+      TextAnalysis.gopherPass($"text").as("g"))
+      .where($"doc_id" === 2L).head()
+    assert(r.isNullAt(0), "string functions propagate null")
+    // the gopher conjunction on null text is null-or-false — either way
+    // a WHERE gate drops the row, which is the contract that matters
+    assert(r.isNullAt(1) || !r.getBoolean(1))
+    assert(graft.pipeline.CorpusPipeline.prepare(withNull,
+      None, graft.pipeline.CorpusPipeline.Config(
+        stripHtml = true, gopherRules = true, minTokens = 1,
+        splits = Seq("train" -> 1.0)))
+      .documents.where($"doc_id" === 2L).isEmpty,
+      "null text must be gated out, not crash the pipeline")
+
+    // bloom decontamination: empty CORPUS (the benchmark side being
+    // empty is already covered in DedupSpec)
+    val bench = Seq((10L, "shared words here for the benchmark"))
+      .toDF("doc_id", "text")
+    assert(Dedup.contaminationHitsBloom(emptyDocs, bench, "text", "doc_id").isEmpty)
+
+    // sq8: empty corpus refuses to train (loudly), single-doc corpus
+    // degenerates to all-constant dims and still round-trips
+    intercept[IllegalArgumentException] {
+      Similarity.sq8Train(
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), "embedding")
+    }
+    val one = Seq((1L, Array(0.5f, -1.5f, 3f))).toDF("vec_id", "embedding")
+    val idx = Similarity.sq8Train(one, "embedding")
+    val dec = Similarity.sq8Encode(one, "embedding", "vec_id", idx)
+      .select(Similarity.sq8Decode($"codes", idx)).head().getSeq[Double](0)
+    assert(dec == Seq(0.5, -1.5, 3.0), "constant dims decode exactly to lo")
+  }
 }
