@@ -83,8 +83,9 @@ object ScaleProfile {
       timed("detect.candidates(band join + length filter + pair dedup)") {
         candidates.count()
       }
+      graft.functions.GraftFunctions.register(spark)
       val shH = sh.select(col("id"),
-        transform(col("sh"), s => xxhash64(s)).as("sh"))
+        graft.functions.GraftFunctions.hashArray64(col("sh")).as("sh"))
       timed("detect.verify(hashed-shingle join + exact jaccard)") {
         Dedup.verifyJaccard(candidates, shH, 0.5).count()
       }

@@ -33,6 +33,8 @@ object GraftFunctions {
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", exprs => LangIdExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash_array64", exprs => HashArray64(exprs.head), "built-in")
     // Spark's own runtime-filter bloom pair, surfaced as callable
     // functions (they are not in FunctionRegistry by default). Using the
     // engine's pair — not a re-implementation — guarantees the serialized
@@ -81,6 +83,10 @@ object GraftFunctions {
     call_function("sign_signature", v,
       org.apache.spark.sql.functions.lit(nPlanes),
       org.apache.spark.sql.functions.lit(seed))
+
+  /** `hash_array64(array<string>) -> array<long>` as a Column — xxhash64
+    * per element in one codegen'd loop (seed 42, matching `xxhash64()`). */
+  def hashArray64(c: Column): Column = call_function("hash_array64", c)
 
   /** `graft_bloom_agg(long_col) -> binary`: serialized bloom filter over a
     * LONG column, sized for `nItems` at false-positive rate `fpp`. */

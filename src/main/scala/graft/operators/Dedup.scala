@@ -271,9 +271,15 @@ object Dedup {
     * at-the-source hashing [[exactJaccardPairs]] does (and the same
     * within-pair collision model, ~|doc|²/2⁶⁴, that
     * [[graft.functions.JaccardSimUtil]] already carries internally:
-    * Jaccard values are unchanged). */
-  private def hashShingles(sh: DataFrame): DataFrame =
-    sh.select(col("id"), transform(col("sh"), s => xxhash64(s)).as("sh"))
+    * Jaccard values are unchanged). The hash is the native
+    * [[graft.functions.HashArray64]] kernel: the interpreted
+    * `transform(sh, xxhash64)` HOF form paid per-element expression
+    * dispatch over |corpus| × |shingles| elements per verify side and
+    * dominated the 500k-doc verify span (BASELINE.md round 6). */
+  private def hashShingles(sh: DataFrame): DataFrame = {
+    GraftFunctions.register(sh.sparkSession)
+    sh.select(col("id"), GraftFunctions.hashArray64(col("sh")).as("sh"))
+  }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (native Catalyst
     * expression), LSH on `maxHamming + 1` disjoint bit chunks — by

@@ -78,4 +78,17 @@ class ShinglesSpec extends AnyFunSuite {
       assert(r.getSeq[String](2) == r.getSeq[String](3), s"shingles mismatch: $r")
     }
   }
+
+  test("native hash_array64 == interpreted transform(xxhash64) bit-for-bit") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{transform, xxhash64}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val diff = docs
+      .select(GraftFunctions.shinglesNative($"text", 3).as("sh"))
+      .select(
+        GraftFunctions.hashArray64($"sh").as("nat"),
+        transform($"sh", s => xxhash64(s)).as("hof"))
+      .where($"nat" =!= $"hof")
+    assert(diff.count() == 0, "kernel must reproduce xxhash64 exactly (seed 42)")
+  }
 }
