@@ -391,6 +391,108 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  // ── Product quantization (PQ — Jégou/Douze/Schmid, TPAMI 2011) ───────
+
+  /** Driver-held PQ codebooks: `codebooks(s)` is subspace `s`'s centroid
+    * list (dense position-indexed), each of `subDim` dimensions. Driver
+    * state is m × k × subDim floats — k-means-training-sized, like the
+    * IVF centroids and the SQ8 ranges. */
+  final case class PqIndex(subDim: Int, codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.headOption.map(_.length).getOrElse(0)
+  }
+
+  /** Train PQ codebooks: split each vector into `m` contiguous
+    * subvectors, run the SAME deterministic spherical k-means the IVF
+    * index uses ([[lloydRefine]]: hash-stratum seeds + Lloyd iterations)
+    * per subspace, `k` centroids each. m × `lloydIters` small jobs — an
+    * INDEX-BUILD cost, paid once per corpus version. Spherical (cosine)
+    * assignment makes this the cosine-PQ variant, matching the engine's
+    * similarity measure. */
+  def pqTrain(corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int = 8, k: Int = 16, lloydIters: Int = 3): PqIndex = {
+    val dimRow = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(dimRow.nonEmpty, "pqTrain: empty corpus")
+    val dim = dimRow.head.getInt(0)
+    require(dim % m == 0, s"pqTrain: dim $dim must be divisible by m=$m")
+    val subDim = dim / m
+    val books = (0 until m).map { s =>
+      val sub = Dedup.materialize(
+        corpus.select(col(idCol).as("id"),
+          slice(col(vecCol), s * subDim + 1, subDim).as("vec"))
+          .repartition(Dedup.cpuParallelism(corpus), col("id")))
+      val wStratum = Window.partitionBy(col("stratum")).orderBy(col("id"))
+      val seeds = sub
+        .withColumn("stratum", pmod(hash(col("id")), lit(k)))
+        .withColumn("rn", row_number().over(wStratum))
+        .where(col("rn") === 1)
+        .select(col("stratum").as("list"), col("vec").as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      // dense position indexing: sort by stratum id, drop the ids — codes
+      // are positions into this order (empty strata simply yield < k
+      // centroids, which is fine: codes stay dense)
+      lloydRefine(sub, seeds, lloydIters).sortBy(_._1).map(_._2)
+    }.toArray
+    PqIndex(subDim, books)
+  }
+
+  /** `m` codes per vector — each subvector's nearest (cosine) codebook
+    * position, computed as ONE narrow projection with the codebooks as
+    * plan literals (the [[assignLists]] trick per subspace; no join, no
+    * shuffle). The literal-codebook form targets moderate k (≤ ~64);
+    * a 256-way codebook should assign via a broadcast join instead. */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+      idx: PqIndex): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val codes = array((0 until idx.m).map { s =>
+      val sub = slice(col(vecCol), s * idx.subDim + 1, idx.subDim)
+      val scored = array(idx.codebooks(s).zipWithIndex.map { case (c, pos) =>
+        struct(
+          (-graft.functions.GraftFunctions.cosineSim(
+            sub, array(c.map(lit(_)): _*))).as("neg"),
+          lit(pos).as("pos"))
+      }: _*)
+      element_at(array_sort(scored), 1).getField("pos")
+    }: _*)
+    df.select(col(idCol).as("id"), codes.as("codes"))
+  }
+
+  /** Reconstruct the quantized vector from its codes: concatenation of
+    * the coded centroid per subspace — a narrow projection over literal
+    * codebooks (PQ's ~(32/⌈log₂k⌉·subDim)× memory compression lives in
+    * the codes; reconstruction happens inside the scoring scan). */
+  def pqReconstruct(codes: Column, idx: PqIndex): Column =
+    concat((0 until idx.m).map { s =>
+      val cents = array(idx.codebooks(s).map(c =>
+        array(c.map(lit(_)): _*)): _*)
+      element_at(cents, element_at(codes, s + 1) + lit(1))
+    }: _*)
+
+  /** Approximate top-k over a PQ-ENCODED corpus — asymmetric distance:
+    * full-precision probes against reconstructed corpus vectors, the
+    * same broadcast-probe narrow-scan plan as [[bruteForceTopK]] /
+    * [[sq8TopK]]. PQ compresses harder than SQ8 (m·log₂k bits per
+    * vector vs 8 bits per dimension) at a correspondingly larger recall
+    * cost on unclustered data; SimilaritySpec pins recall on a clustered
+    * fixture (PQ's design regime) and exactness at the centroids. */
+  def pqTopK(encodedCorpus: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, idx: PqIndex, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(encodedCorpus.sparkSession)
+    val p = probes.select(col(idCol).as("q_id"),
+      transform(col(vecCol), x => x.cast("double")).as("q_vec"))
+    val c = encodedCorpus
+      .select(col("id").as("c_id"), pqReconstruct(col("codes"), idx).as("c_vec"))
+      .repartition(Dedup.cpuParallelism(encodedCorpus), col("c_id"))
+    val scored = c.join(broadcast(p), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.GraftFunctions.cosineSim(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Approximate top-k: probes only score candidates sharing a signature
     * chunk (the IVF-ish restriction of [[bruteForceTopK]] — each probe
     * visits ~|corpus| / 2⁴ of the data per chunk instead of all of it). */

@@ -199,6 +199,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq8 top-1 recall $recall < 0.9")
   }
 
+  test("pq: deterministic dense codes, centroid exactness, strong recall on clustered data") {
+    // PQ's design regime: clustered vectors. 16 deterministic cluster
+    // centers in 64 dims, 10 members each with tiny jitter.
+    val nClusters = 16
+    val dim = 64
+    // near-orthogonal centers: cluster j dominates dim block [4j, 4j+4)
+    // with a small deterministic background — unambiguous neighborhoods
+    def center(j: Int, d: Int): Float =
+      (if (d / 4 == j) 1.0 + 0.1 * math.sin(j * dim + d)
+       else 0.05 * math.sin(j * dim + d)).toFloat
+    val vecs = (for {
+      j <- 0 until nClusters
+      i <- 0 until 10
+    } yield {
+      val id = (j * 10 + i).toLong
+      val v = Array.tabulate(dim)(d =>
+        center(j, d) + 0.01f * math.sin(id * 4096 + d).toFloat)
+      (id, v)
+    }).toDF("vec_id", "embedding")
+
+    // k over-provisioned vs the 16 true clusters: hash-stratum seeding
+    // collides at k == nClusters (birthday) and merges subspace clusters
+    val idx = Similarity.pqTrain(vecs, "embedding", "vec_id", m = 8, k = 32)
+    assert(idx.subDim == 8 && idx.m == 8)
+    val enc = Similarity.pqEncode(vecs, "embedding", "vec_id", idx)
+    val codes = enc.as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(cs => cs.length == 8 &&
+      cs.forall(c => c >= 0 && c < idx.k)))
+    // deterministic: re-train + re-encode yields identical codes
+    val codes2 = Similarity.pqEncode(vecs, "embedding", "vec_id",
+      Similarity.pqTrain(vecs, "embedding", "vec_id", m = 8, k = 32))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes == codes2)
+    // reconstruction stays in the member's cluster cone
+    val cosines = enc.join(vecs.select($"vec_id".as("id"), $"embedding"), Seq("id"))
+      .select(graft.functions.GraftFunctions.cosineSim(
+        Similarity.pqReconstruct($"codes", idx), $"embedding").as("c"))
+      .as[Double].collect()
+    assert(cosines.forall(_ >= 0.97),
+      s"reconstruction must stay in the cluster cone, min=${cosines.min}")
+
+    // Cluster-level top-1 agreement vs full-precision brute force. PQ
+    // quantizes away WITHIN-cluster detail by design — every member of a
+    // cluster encodes to (nearly) the same codes, so exact-id recall@1 is
+    // structurally a tie-break lottery; what PQ must get right is the
+    // NEIGHBORHOOD: the approx top-1 lives in the same cluster as the
+    // true top-1.
+    val probes = vecs.where($"vec_id" % 10 === 0)
+    val approx = Similarity.pqTopK(enc, probes, "embedding", "vec_id", idx, k = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val exact = Similarity.bruteForceTopK(vecs, probes, "embedding", "vec_id", k = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val clusterRecall = approx.count { case (q, c) =>
+      exact(q) / 10 == c / 10
+    }.toDouble / exact.size
+    assert(clusterRecall >= 0.9, s"pq cluster-level recall $clusterRecall < 0.9")
+
+    // dimension guard
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(vecs, "embedding", "vec_id", m = 7)
+    }
+  }
+
   test("cosine_sim: mixed float/double array inputs read each side correctly") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq((Array(1f, 2f, 3f), Array(0.5, -1.0, 2.0))).toDF("f", "d")
