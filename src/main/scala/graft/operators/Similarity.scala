@@ -493,6 +493,46 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF × PQ — the production composition (FAISS's IVFPQ shape): a
+    * coarse quantizer prunes WHICH corpus rows each probe scores
+    * (inverted lists, `nProbe`/`nLists` of the data), PQ codes compress
+    * WHAT those rows cost to read (m·log₂k bits per vector). Lists are
+    * assigned from the FULL-precision vectors at index build (the stored
+    * artifact is (list, id, codes)); scoring reconstructs from codes
+    * inside the probed-list scan — asymmetric distance, like [[pqTopK]].
+    *
+    * `coarse` are the coarse-quantizer centroids, (list, centroid) —
+    * train them once (e.g. via the [[ivfTopK]] seeding + [[lloydRefine]])
+    * and share them between builds; `idx` is the [[pqTrain]] codebook. */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, coarse: Array[(Int, Array[Float])], idx: PqIndex,
+      k: Int = 10, nProbe: Int = 4, corpusSpill: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // index build: (list, c_id, codes) — list from the full vector,
+    // codes from pqEncode; both narrow literal-table projections
+    val lists = assignLists(corpus, vecCol, idCol, coarse, "c_id", "_v",
+      keep = corpusSpill).select(col("list"), col("c_id"))
+    val enc = pqEncode(corpus, vecCol, idCol, idx)
+      .select(col("id").as("c_id"), col("codes"))
+    val index = lists.join(enc, Seq("c_id"))
+    val probeLists = assignLists(
+      probes.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "vec", "id", coarse, "q_id", "q_vec", keep = nProbe)
+      .select(col("list"), col("q_id"),
+        transform(col("q_vec"), x => x.cast("double")).as("q_vec"))
+    val scored = index
+      .join(broadcast(probeLists), Seq("list"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.GraftFunctions.cosineSim(
+          col("q_vec"), pqReconstruct(col("codes"), idx)).as("cosine"))
+      .dropDuplicates("q_id", "c_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Approximate top-k: probes only score candidates sharing a signature
     * chunk (the IVF-ish restriction of [[bruteForceTopK]] — each probe
     * visits ~|corpus| / 2⁴ of the data per chunk instead of all of it). */

@@ -262,6 +262,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: coarse pruning + code compression keep cluster-level recall") {
+    // same near-orthogonal clustered fixture as the PQ test
+    val nClusters = 16
+    val dim = 64
+    def center(j: Int, d: Int): Float =
+      (if (d / 4 == j) 1.0 + 0.1 * math.sin(j * dim + d)
+       else 0.05 * math.sin(j * dim + d)).toFloat
+    val vecs = (for {
+      j <- 0 until nClusters
+      i <- 0 until 10
+    } yield {
+      val id = (j * 10 + i).toLong
+      (id, Array.tabulate(dim)(d =>
+        center(j, d) + 0.01f * math.sin(id * 4096 + d).toFloat))
+    }).toDF("vec_id", "embedding")
+    // coarse quantizer: the cluster centers themselves (the trained-once
+    // shape — ivfTopK's seeding+Lloyd path produces the same artifact)
+    val coarse = Array.tabulate(nClusters)(j =>
+      (j, Array.tabulate(dim)(d => center(j, d))))
+    val idx = Similarity.pqTrain(vecs, "embedding", "vec_id", m = 8, k = 32)
+    val probes = vecs.where($"vec_id" % 10 === 0)
+    val approx = Similarity.ivfPqTopK(vecs, probes, "embedding", "vec_id",
+      coarse, idx, k = 1, nProbe = 2, corpusSpill = 2)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val exact = Similarity.bruteForceTopK(vecs, probes, "embedding", "vec_id", k = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet, "every probe must get a result")
+    val clusterRecall = approx.count { case (q, c) =>
+      exact(q) / 10 == c / 10
+    }.toDouble / exact.size
+    assert(clusterRecall >= 0.9, s"ivf-pq cluster recall $clusterRecall < 0.9")
+  }
+
   test("cosine_sim: mixed float/double array inputs read each side correctly") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq((Array(1f, 2f, 3f), Array(0.5, -1.0, 2.0))).toDF("f", "d")
