@@ -1,0 +1,160 @@
+package graft
+
+import graft.operators.FrozenAnn
+
+/** DuckDB oracle SQL for the frozen-artifact ANN queries — generated
+  * from the SAME [[graft.operators.FrozenAnn]] literals the Spark
+  * queries probe, so the two engines can never drift on the artifact
+  * (the piiClasses / htmlStripStages no-drift pattern).
+  *
+  * What the oracle checks: given the frozen codebooks/centroids, both
+  * engines must agree on encode → reconstruct → asymmetric-score →
+  * argmax end to end (IDs only in the output: per-candidate cosine GAPS
+  * dwarf cross-engine float drift, the q_ann_top1 argument — and
+  * exact-tie candidates, e.g. two corpus rows with identical PQ codes,
+  * reconstruct identically in both engines so the c_id tie-break
+  * agrees). TRAINING (k-means) is deliberately not restated: it is not
+  * SQL-expressible; determinism + recall of training are spec-checked in
+  * SimilaritySpec, and [[graft.FreezeAnn]] pins its output here. */
+object AnnOracles {
+
+  /** Exact decimal of the float's DOUBLE value: `Double.toString`
+    * round-trips, and DuckDB's decimal→double parse is correctly
+    * rounded, so both engines score with bit-identical centroid
+    * values (Spark widens the same floats to double in the kernel). */
+  private def d(f: Float): String = java.lang.Double.toString(f.toDouble)
+
+  private def dlist(a: Array[Float]): String = a.map(d).mkString("[", ",", "]")
+
+  /** Coarse centroid table as a DOUBLE[][] literal; position l+1 holds
+    * list l (FreezeAnn asserts the ids are contiguous 0..n-1). */
+  private def coarseLit: String =
+    FrozenAnn.coarse.sortBy(_._1).map(c => dlist(c._2))
+      .mkString("[", ",", "]") + "::DOUBLE[][]"
+
+  private def pqLit: String =
+    FrozenAnn.pqIndex.codebooks.map(book =>
+      book.map(dlist).mkString("[", ",", "]"))
+      .mkString("[", ",", "]") + "::DOUBLE[][][]"
+
+  /** Full-precision double view of the embeddings table. */
+  private val evCte =
+    "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  /** Probe view: vec_id < 20, full precision — matches the registered
+    * queries' probe set. */
+  private val prCte =
+    "pr AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pvec FROM embeddings WHERE vec_id < 20)"
+
+  /** PQ encode (per-subspace argmax over the codebook, cosine DESC then
+    * position ASC — Similarity.pqEncode's (−cos, pos) struct sort) and
+    * reconstruct (concatenated coded centroids) as CTEs ending in
+    * `rec(vec_id, rvec)`. */
+  private def pqRecCtes: String = {
+    val m = FrozenAnn.pqIndex.m
+    val sub = FrozenAnn.pqIndex.subDim
+    val k = FrozenAnn.pqIndex.k
+    s"cb AS (SELECT $pqLit AS b), " +
+      s"sp AS (SELECT unnest(range(0, $m)) AS s), " +
+      s"ps AS (SELECT unnest(range(0, $k)) AS p), " +
+      "enc AS (SELECT e.vec_id, sp.s, ps.p, " +
+      s"list_cosine_similarity(list_transform(list_slice(e.embedding, sp.s*$sub+1, sp.s*$sub+$sub), " +
+      "x -> CAST(x AS DOUBLE)), b[sp.s+1][ps.p+1]) AS cs " +
+      "FROM embeddings e, sp, ps, cb WHERE ps.p < len(b[sp.s+1])), " +
+      "codes AS (SELECT vec_id, s, p FROM (SELECT vec_id, s, p, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY cs DESC, p) AS rk FROM enc) WHERE rk = 1), " +
+      "rec AS (SELECT vec_id, flatten(list(cent ORDER BY s)) AS rvec FROM " +
+      "(SELECT c.vec_id, c.s, b[c.s+1][c.p+1] AS cent FROM codes c, cb) GROUP BY vec_id)"
+  }
+
+  /** Nearest-`keep` coarse lists per row (cosine DESC, list ASC — the
+    * assignLists ordering), over `cents` from the `co` CTE. */
+  private def assignCte(name: String, keep: Int, filter: String): String =
+    s"$name AS (SELECT vec_id, l FROM (SELECT e.vec_id, ls.l, " +
+      "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), cents[ls.l+1]) DESC, ls.l) AS rk " +
+      s"FROM embeddings e, ls, co$filter) WHERE rk <= $keep)"
+
+  private def top1Tail(scoreCte: String): String =
+    scoreCte +
+      " SELECT q_id, c_id AS nn_id FROM (SELECT q_id, c_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rk FROM sc) " +
+      "WHERE rk = 1 ORDER BY q_id"
+
+  /** q_ann_pq_top1: encode the whole corpus with the frozen PQ codebook,
+    * reconstruct, score full-precision probes against reconstructions
+    * (asymmetric distance), take the top-1 id per probe. (Join+window
+    * form, not a correlated scalar subquery — the correlated form over a
+    * flatten-bearing CTE segfaults DuckDB 1.0.0.) */
+  def pqTop1: String =
+    s"WITH $pqRecCtes, $prCte, " +
+      top1Tail("sc AS (SELECT pr.vec_id AS q_id, r.vec_id AS c_id, " +
+        "list_cosine_similarity(pr.pvec, r.rvec) AS cs " +
+        "FROM pr, rec r WHERE r.vec_id <> pr.vec_id)")
+
+  /** q_ann_ivf_top1: corpus rows spill into their 2 nearest frozen
+    * coarse lists, probes visit their 4 nearest; candidates = list
+    * equi-join; exact full-precision scoring. */
+  def ivfTop1: String = {
+    val n = FrozenAnn.coarse.length
+    s"WITH co AS (SELECT $coarseLit AS cents), " +
+      s"ls AS (SELECT unnest(range(0, $n)) AS l), " +
+      assignCte("ca", keep = 2, filter = "") + ", " +
+      assignCte("pa", keep = 4, filter = " WHERE e.vec_id < 20") + ", " +
+      s"$evCte, " +
+      "cand AS (SELECT DISTINCT pa.vec_id AS q_id, ca.vec_id AS c_id FROM pa JOIN ca ON pa.l = ca.l " +
+      "WHERE pa.vec_id <> ca.vec_id), " +
+      top1Tail("sc AS (SELECT cand.q_id, cand.c_id, list_cosine_similarity(pv.v, cv.v) AS cs " +
+        "FROM cand JOIN ev pv ON pv.vec_id = cand.q_id JOIN ev cv ON cv.vec_id = cand.c_id)")
+  }
+
+  /** q_ann_ivfpq_top1: the FAISS-IVFPQ shape — frozen coarse lists prune
+    * WHICH rows each probe scores, frozen PQ codes compress WHAT those
+    * rows cost; scoring reconstructs from codes (asymmetric distance). */
+  def ivfPqTop1: String = {
+    val n = FrozenAnn.coarse.length
+    s"WITH co AS (SELECT $coarseLit AS cents), " +
+      s"ls AS (SELECT unnest(range(0, $n)) AS l), " +
+      assignCte("ca", keep = 2, filter = "") + ", " +
+      assignCte("pa", keep = 4, filter = " WHERE e.vec_id < 20") + ", " +
+      s"$pqRecCtes, $prCte, " +
+      "cand AS (SELECT DISTINCT pa.vec_id AS q_id, ca.vec_id AS c_id FROM pa JOIN ca ON pa.l = ca.l " +
+      "WHERE pa.vec_id <> ca.vec_id), " +
+      top1Tail("sc AS (SELECT cand.q_id, cand.c_id, list_cosine_similarity(pr.pvec, r.rvec) AS cs " +
+        "FROM cand JOIN pr ON pr.vec_id = cand.q_id JOIN rec r ON r.vec_id = cand.c_id)")
+  }
+
+  /** The embeddings table's dimension — the LSH plane matrix is a pure
+    * function of (nPlanes, dim, seed), so the oracle pins the testdata
+    * table's dim (the Spark side adapts to any dim at runtime). */
+  private val LshDim = 64
+  private val LshPlanes = 16
+  private val LshSeed = 42
+
+  /** The ±1 hyperplane matrix of VectorSimUtil.planeWeights — the SAME
+    * murmur3 parity bits, emitted as literals. */
+  private def planesLit: String =
+    (0 until LshPlanes).map { p =>
+      (0 until LshDim).map { dd =>
+        val i = p * LshDim + dd
+        if ((org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(i, LshSeed) & 1) == 1) "1.0"
+        else "-1.0"
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]") + "::DOUBLE[][]"
+
+  /** q_ann_lsh_top1: 16-bit sign signature (dot > 0 per plane), 4×4-bit
+    * chunk keys, candidates share any chunk key, exact scoring —
+    * Similarity.approxTopKLSH restated over the literal plane matrix. */
+  def lshTop1: String =
+    s"WITH pl AS (SELECT $planesLit AS w), " +
+      s"sg AS (SELECT vec_id, list_transform(range(0, $LshPlanes), p -> CASE WHEN " +
+      "list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), w[p+1]) > 0 THEN 1 ELSE 0 END) AS bits " +
+      "FROM embeddings, pl), " +
+      "cj AS (SELECT unnest(range(0, 4)) AS j), " +
+      "ch AS (SELECT vec_id, j, bits[j*4+1] + 2*bits[j*4+2] + 4*bits[j*4+3] + 8*bits[j*4+4] AS ckey FROM sg, cj), " +
+      "cand AS (SELECT DISTINCT b.vec_id AS q_id, a.vec_id AS c_id FROM ch a JOIN ch b ON a.j = b.j AND a.ckey = b.ckey " +
+      "WHERE b.vec_id < 20 AND a.vec_id <> b.vec_id), " +
+      s"$evCte, " +
+      top1Tail("sc AS (SELECT cand.q_id, cand.c_id, list_cosine_similarity(pv.v, cv.v) AS cs " +
+        "FROM cand JOIN ev pv ON pv.vec_id = cand.q_id JOIN ev cv ON cv.vec_id = cand.c_id)")
+}

@@ -378,6 +378,59 @@ object SparkEntry {
         .orderBy(col("q_id"))
     }),
 
+    // ── PQ-quantized ANN against the FROZEN codebook (FrozenAnn — the
+    //    train-once-probe-daily artifact shape): encode corpus → score
+    //    probes against reconstructions (asymmetric distance). The
+    //    oracle re-derives encode → reconstruct → score → argmax in SQL
+    //    from the SAME literals (AnnOracles.pqTop1); training is frozen
+    //    because k-means is not SQL-expressible (spec-checked instead) ──
+    "q_ann_pq_top1" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.operators.FrozenAnn.pqIndex
+      val enc = graft.operators.Similarity.pqEncode(emb, "embedding", "vec_id", idx)
+      graft.operators.Similarity.pqTopK(
+        enc, emb.where(col("vec_id") < 20), "embedding", "vec_id", idx, k = 1)
+        .select(col("q_id"), col("c_id").as("nn_id"))
+        .orderBy(col("q_id"))
+    }),
+
+    // ── IVF ANN against the frozen coarse quantizer: corpus spills into
+    //    its 2 nearest lists, probes visit 4 of 16 — exact scoring on
+    //    the pruned candidate set only ─────────────────────────────────
+    "q_ann_ivf_top1" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfTopKWith(
+        emb, emb.where(col("vec_id") < 20), "embedding", "vec_id",
+        graft.operators.FrozenAnn.coarse, k = 1, nProbe = 4, corpusSpill = 2)
+        .select(col("q_id"), col("c_id").as("nn_id"))
+        .orderBy(col("q_id"))
+    }),
+
+    // ── IVF × PQ — the production composition (FAISS-IVFPQ shape):
+    //    frozen lists prune WHICH rows are scored, frozen PQ codes
+    //    compress WHAT they cost to score ───────────────────────────────
+    "q_ann_ivfpq_top1" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfPqTopK(
+        emb, emb.where(col("vec_id") < 20), "embedding", "vec_id",
+        graft.operators.FrozenAnn.coarse, graft.operators.FrozenAnn.pqIndex,
+        k = 1, nProbe = 4, corpusSpill = 2)
+        .select(col("q_id"), col("c_id").as("nn_id"))
+        .orderBy(col("q_id"))
+    }),
+
+    // ── Sign-LSH bucketed ANN: 16-bit hyperplane signature, 4×4-bit
+    //    chunk keys, candidates share any chunk. The plane matrix is a
+    //    pure function of (planes, dim, seed) — the oracle emits the
+    //    same murmur3 parity bits as literals (AnnOracles.lshTop1) ─────
+    "q_ann_lsh_top1" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.approxTopKLSH(
+        emb, emb.where(col("vec_id") < 20), "embedding", "vec_id", k = 1)
+        .select(col("q_id"), col("c_id").as("nn_id"))
+        .orderBy(col("q_id"))
+    }),
+
     // ── North star similarity: EXACT cosine pairs (oracle-checked; IDs
     //    only — membership is stable because no corpus pair sits within
     //    ~5e-4 of the threshold, far beyond cross-engine float drift).
@@ -1754,6 +1807,12 @@ object SparkEntry {
         "(SELECT d.vec_id FROM dec d WHERE d.vec_id <> p.vec_id " +
         "ORDER BY list_cosine_similarity(p.pvec, d.dvec) DESC, d.vec_id LIMIT 1) AS nn_id " +
         "FROM p ORDER BY q_id"),
+    // frozen-artifact ANN family: SQL generated from the SAME FrozenAnn
+    // literals the Spark queries probe (AnnOracles — no-drift pattern)
+    "q_ann_pq_top1" -> AnnOracles.pqTop1,
+    "q_ann_ivf_top1" -> AnnOracles.ivfTop1,
+    "q_ann_ivfpq_top1" -> AnnOracles.ivfPqTop1,
+    "q_ann_lsh_top1" -> AnnOracles.lshTop1,
     "q_text_stats" ->
       ("WITH n AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
         "tk AS (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS tok FROM n) " +

@@ -190,7 +190,11 @@ object Similarity {
     * no crossJoin, no per-row window shuffle (round 1 assigned via
     * crossJoin+window: an |corpus|×nLists exchange on the 100 TB path).
     * Ordering matches the window form exactly: cosine desc, list asc.
-    * Output: (idAs, vecAs, list) — one row per kept list. */
+    * Output: (idAs, vecAs, list) — one row per kept list.
+    *
+    * Targets moderate centroid counts (≤ ~64): each centroid is a branch
+    * of one literal array expression, so large codebooks blow up codegen.
+    * [[assignListsBroadcast]] is the k ≳ 64 path. */
   private[operators] def assignLists(df: DataFrame, vecCol: String, idCol: String,
       centroids: Array[(Int, Array[Float])], idAs: String, vecAs: String,
       keep: Int): DataFrame = {
@@ -207,6 +211,45 @@ object Similarity {
         explode(transform(col("_near"), x => x.getField("list"))).as("list"))
   }
 
+  /** [[assignLists]] for LARGE centroid tables (k ≳ 64): the codebook
+    * ships as ONE broadcast row holding an array<struct<list, cent>> and
+    * each input row scores it with a single `transform` loop — a
+    * BroadcastNestedLoopJoin against one row, so the corpus side never
+    * shuffles and the plan carries no k-branch literal expression tree
+    * (a 256-way codebook as literals is ~256 codegen branches per
+    * subspace — past JIT method limits and linear in plan size).
+    * Identical assignment semantics to [[assignLists]]: the same
+    * (−cosine, list) struct sort, the same kernel arithmetic — parity
+    * pinned by SimilaritySpec. */
+  private[operators] def assignListsBroadcast(df: DataFrame, vecCol: String,
+      idCol: String, centroids: Array[(Int, Array[Float])], idAs: String,
+      vecAs: String, keep: Int): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val cb = centroids.toSeq.toDF("list", "cent")
+      .agg(array_sort(collect_list(struct(col("list"), col("cent")))).as("_cb"))
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      .crossJoin(broadcast(cb))
+      .withColumn("_near", slice(array_sort(transform(col("_cb"), c =>
+        struct((-graft.functions.GraftFunctions.cosineSim(
+          col(vecAs), c.getField("cent"))).as("neg"),
+          c.getField("list").as("list")))), 1, keep))
+      .select(col(idAs), col(vecAs),
+        explode(transform(col("_near"), x => x.getField("list"))).as("list"))
+  }
+
+  /** Literal-plan assignment for small centroid tables, broadcast-row
+    * assignment past [[LiteralCentroidLimit]] — one dispatch point so no
+    * caller hand-picks (and mis-picks) the path. */
+  private[operators] val LiteralCentroidLimit = 64
+  private[operators] def assignListsAuto(df: DataFrame, vecCol: String,
+      idCol: String, centroids: Array[(Int, Array[Float])], idAs: String,
+      vecAs: String, keep: Int): DataFrame =
+    if (centroids.length <= LiteralCentroidLimit)
+      assignLists(df, vecCol, idCol, centroids, idAs, vecAs, keep)
+    else assignListsBroadcast(df, vecCol, idCol, centroids, idAs, vecAs, keep)
+
   /** Lloyd refinement of driver-held centroids (spherical k-means shape —
     * cosine assignment is scale-invariant, so centroid means need no
     * normalization for argmax purposes). Each iteration: assign every
@@ -220,7 +263,7 @@ object Similarity {
       init: Array[(Int, Array[Float])], iters: Int): Array[(Int, Array[Float])] = {
     var centers = init
     for (_ <- 1 to iters) {
-      val assigned = assignLists(vecs, "vec", "id", centers, "id", "vec", keep = 1)
+      val assigned = assignListsAuto(vecs, "vec", "id", centers, "id", "vec", keep = 1)
       val means = assigned.select(col("list"), posexplode(col("vec")))
         .groupBy(col("list"), col("pos"))
         .agg(avg(col("col").cast("double")).as("m"))
@@ -254,14 +297,30 @@ object Similarity {
       idCol: String, k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 3, corpusSpill: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    def cosine(a: Column, b: Column) = graft.functions.GraftFunctions.cosineSim(a, b)
     // Materialized once — the seed collect, every Lloyd iteration, and the
     // final list build each re-run this subtree otherwise.
     val vecs = Dedup.materialize(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
         .repartition(Dedup.cpuParallelism(corpus), col("id")))
+    val centroids = trainCoarseCentroids(vecs, "vec", "id", nLists, lloydIters)
+    if (centroids.isEmpty)
+      // empty corpus ⇒ empty result, with the output schema intact
+      return probes.select(col(idCol).as("q_id"), col(idCol).as("c_id"),
+        lit(0.0).as("cosine"), lit(1).as("rank")).limit(0)
+    ivfTopKWith(vecs, probes, "vec", "id", centroids, k, nProbe, corpusSpill,
+      probeVecCol = vecCol, probeIdCol = idCol)
+  }
 
-    // deterministic one-pass centroid seeds: first vector per hash stratum
+  /** Train an IVF coarse quantizer: deterministic one-pass seeds (first
+    * vector of each hash stratum) refined by `lloydIters` Lloyd
+    * iterations — the (list, centroid) artifact [[ivfTopKWith]] and
+    * [[ivfPqTopK]] probe against. Production trains this ONCE per corpus
+    * version and persists it (it is driver-sized: nLists × dim floats);
+    * [[ivfTopK]] retrains per call as the self-contained convenience
+    * form. Returns an empty array on an empty corpus. */
+  def trainCoarseCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+      nLists: Int = 16, lloydIters: Int = 3): Array[(Int, Array[Float])] = {
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val wStratum = Window.partitionBy(col("stratum")).orderBy(col("id"))
     val seeds: Array[(Int, Array[Float])] = vecs
       .withColumn("stratum", pmod(hash(col("id")), lit(nLists)))
@@ -270,22 +329,32 @@ object Similarity {
       .select(col("stratum").as("list"), col("vec").as("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    if (seeds.isEmpty)
-      // empty corpus ⇒ empty result, with the output schema intact
-      return probes.select(col(idCol).as("q_id"), col(idCol).as("c_id"),
-        lit(0.0).as("cosine"), lit(1).as("rank")).limit(0)
-    val centroids = lloydRefine(vecs, seeds, lloydIters)
+    if (seeds.isEmpty) seeds else lloydRefine(vecs, seeds, lloydIters)
+  }
 
-    // Multi-assignment: each corpus vector spills into its `corpusSpill`
-    // nearest lists (FAISS-style redundancy) — a probe whose true neighbor
-    // sits just across a Voronoi boundary still meets it, at corpusSpill×
-    // index size. With near-uniform corpora (no cluster structure — IVF's
-    // hardest case) this is what carries recall; clustered corpora can run
-    // corpusSpill = 1.
-    val corpusLists = assignLists(vecs, "vec", "id", centroids, "c_id", "c_vec",
-      keep = corpusSpill)
-    val probeLists = assignLists(
-      probes.select(col(idCol).as("id"), col(vecCol).as("vec")),
+  /** [[ivfTopK]]'s probe phase against an ALREADY-TRAINED coarse
+    * quantizer — the production shape, where centroids are a frozen
+    * per-corpus-version artifact (train once, probe daily) rather than
+    * retrained per query. `centroids` is the same (list, centroid) table
+    * [[lloydRefine]] emits.
+    *
+    * Multi-assignment: each corpus vector spills into its `corpusSpill`
+    * nearest lists (FAISS-style redundancy) — a probe whose true neighbor
+    * sits just across a Voronoi boundary still meets it, at corpusSpill×
+    * index size. With near-uniform corpora (no cluster structure — IVF's
+    * hardest case) this is what carries recall; clustered corpora can run
+    * corpusSpill = 1. */
+  def ivfTopKWith(corpus: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, centroids: Array[(Int, Array[Float])], k: Int = 10,
+      nProbe: Int = 4, corpusSpill: Int = 2,
+      probeVecCol: String = "", probeIdCol: String = ""): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val pVec = if (probeVecCol.nonEmpty) probeVecCol else vecCol
+    val pId = if (probeIdCol.nonEmpty) probeIdCol else idCol
+    val corpusLists = assignListsAuto(corpus, vecCol, idCol, centroids,
+      "c_id", "c_vec", keep = corpusSpill)
+    val probeLists = assignListsAuto(
+      probes.select(col(pId).as("id"), col(pVec).as("vec")),
       "vec", "id", centroids, "q_id", "q_vec", keep = nProbe)
 
     // probes meet only their nProbe lists — equi-join on the list id
@@ -293,7 +362,8 @@ object Similarity {
       .join(broadcast(probeLists), Seq("list"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+        graft.functions.GraftFunctions.cosineSim(
+          col("q_vec"), col("c_vec")).as("cosine"))
       .dropDuplicates("q_id", "c_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
@@ -438,12 +508,20 @@ object Similarity {
   }
 
   /** `m` codes per vector — each subvector's nearest (cosine) codebook
-    * position, computed as ONE narrow projection with the codebooks as
-    * plan literals (the [[assignLists]] trick per subspace; no join, no
-    * shuffle). The literal-codebook form targets moderate k (≤ ~64);
-    * a 256-way codebook should assign via a broadcast join instead. */
+    * position. Dispatches on codebook size: moderate k (≤ ~64) encodes as
+    * ONE narrow projection with the codebooks as plan literals (the
+    * [[assignLists]] trick per subspace; no join, no shuffle); larger k
+    * (256 is the standard PQ configuration) goes through
+    * [[pqEncodeBroadcast]], where the codebooks ride a broadcast row
+    * instead of a k-branch literal expression tree. Both paths produce
+    * bit-identical codes (SimilaritySpec parity). */
   def pqEncode(df: DataFrame, vecCol: String, idCol: String,
-      idx: PqIndex): DataFrame = {
+      idx: PqIndex): DataFrame =
+    if (idx.k <= LiteralCentroidLimit) pqEncodeLiteral(df, vecCol, idCol, idx)
+    else pqEncodeBroadcast(df, vecCol, idCol, idx)
+
+  private[operators] def pqEncodeLiteral(df: DataFrame, vecCol: String,
+      idCol: String, idx: PqIndex): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val codes = array((0 until idx.m).map { s =>
       val sub = slice(col(vecCol), s * idx.subDim + 1, idx.subDim)
@@ -456,6 +534,34 @@ object Similarity {
       element_at(array_sort(scored), 1).getField("pos")
     }: _*)
     df.select(col(idCol).as("id"), codes.as("codes"))
+  }
+
+  /** Large-k encode: all m codebooks ship as ONE broadcast row
+    * (array-of-arrays-of-centroids), each input row computes its m codes
+    * with nested `transform` loops — a BroadcastNestedLoopJoin against a
+    * single row, so the corpus side stays un-shuffled and the plan size
+    * is O(1) in k (the literal form is O(m·k) expression branches: at
+    * k=256 that is ~2048 codegen branches, past JIT limits). Assignment
+    * semantics identical to [[pqEncodeLiteral]]: same (−cosine, pos)
+    * struct sort, same kernel arithmetic. */
+  private[operators] def pqEncodeBroadcast(df: DataFrame, vecCol: String,
+      idCol: String, idx: PqIndex): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val books: Seq[Seq[Seq[Float]]] =
+      idx.codebooks.toSeq.map(_.toSeq.map(_.toSeq))
+    val cbRow = Seq(Tuple1(books)).toDF("_cbs")
+    df.crossJoin(broadcast(cbRow))
+      .select(col(idCol).as("id"),
+        transform(sequence(lit(0), lit(idx.m - 1)), s => {
+          val sub = slice(col(vecCol), s * lit(idx.subDim) + lit(1), lit(idx.subDim))
+          val scored = transform(element_at(col("_cbs"), s + lit(1)), (c, pos) =>
+            struct(
+              (-graft.functions.GraftFunctions.cosineSim(sub, c)).as("neg"),
+              pos.as("pos")))
+          element_at(array_sort(scored), 1).getField("pos")
+        }).as("codes"))
   }
 
   /** Reconstruct the quantized vector from its codes: concatenation of
@@ -510,12 +616,12 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // index build: (list, c_id, codes) — list from the full vector,
     // codes from pqEncode; both narrow literal-table projections
-    val lists = assignLists(corpus, vecCol, idCol, coarse, "c_id", "_v",
+    val lists = assignListsAuto(corpus, vecCol, idCol, coarse, "c_id", "_v",
       keep = corpusSpill).select(col("list"), col("c_id"))
     val enc = pqEncode(corpus, vecCol, idCol, idx)
       .select(col("id").as("c_id"), col("codes"))
     val index = lists.join(enc, Seq("c_id"))
-    val probeLists = assignLists(
+    val probeLists = assignListsAuto(
       probes.select(col(idCol).as("id"), col(vecCol).as("vec")),
       "vec", "id", coarse, "q_id", "q_vec", keep = nProbe)
       .select(col("list"), col("q_id"),

@@ -295,6 +295,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(clusterRecall >= 0.9, s"ivf-pq cluster recall $clusterRecall < 0.9")
   }
 
+  test("pqEncodeBroadcast == pqEncodeLiteral bit-for-bit (same codes) on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = FrozenAnn.pqIndex
+    val lit = Similarity.pqEncodeLiteral(emb, "embedding", "vec_id", idx)
+      .as[(Long, Seq[Int])].collect().toMap
+    val bc = Similarity.pqEncodeBroadcast(emb, "embedding", "vec_id", idx)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(lit.nonEmpty && lit == bc)
+  }
+
+  test("assignListsBroadcast == assignLists on the frozen coarse centroids") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaLit = Similarity.assignLists(
+      emb, "embedding", "vec_id", FrozenAnn.coarse, "c_id", "c_vec", keep = 4)
+      .select($"c_id", $"list").as[(Long, Int)].collect().toSet
+    val viaBc = Similarity.assignListsBroadcast(
+      emb, "embedding", "vec_id", FrozenAnn.coarse, "c_id", "c_vec", keep = 4)
+      .select($"c_id", $"list").as[(Long, Int)].collect().toSet
+    assert(viaLit.nonEmpty && viaBc == viaLit)
+  }
+
+  test("k=256 PQ: trains and encodes via the broadcast-join path, not a literal tree") {
+    // 256-way codebooks are the standard PQ configuration; the literal
+    // plan would be ~k codegen branches per subspace. The broadcast path
+    // must (a) produce dense in-range codes, (b) carry the codebook as a
+    // BroadcastNestedLoopJoin against one row, (c) plan no Exchange on
+    // the corpus side.
+    val dim = 8
+    val vecs = (0 until 768).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.pqTrain(vecs, "embedding", "vec_id", m = 2, k = 256, lloydIters = 1)
+    assert(idx.k > Similarity.LiteralCentroidLimit,
+      s"fixture must exercise the broadcast path, got k=${idx.k}")
+    val enc = Similarity.pqEncode(vecs, "embedding", "vec_id", idx)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"k=256 encode must broadcast the codebook:\n${plan.take(2000)}")
+    // BroadcastExchange (the codebook ship) is expected; a SHUFFLE of the
+    // corpus (Exchange hashpartitioning/rangepartitioning) is not
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"k=256 encode must not shuffle the corpus:\n${plan.take(2000)}")
+    val codes = enc.as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 768)
+    assert(codes.values.forall(cs => cs.length == 2 && cs.forall(c => c >= 0 && c < idx.k)))
+    // encode is deterministic
+    val codes2 = Similarity.pqEncode(vecs, "embedding", "vec_id", idx)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes == codes2)
+  }
+
+  test("FrozenAnn artifacts have the shape the oracle SQL indexes by") {
+    // AnnOracles emits DuckDB literals assuming contiguous 0-based coarse
+    // list ids and rectangular per-subspace codebooks — regenerating
+    // FrozenAnn (graft.FreezeAnn) must keep these invariants.
+    assert(FrozenAnn.coarse.map(_._1).sorted.toSeq == FrozenAnn.coarse.indices.toSeq)
+    assert(FrozenAnn.coarse.forall(_._2.length == 64))
+    val idx = FrozenAnn.pqIndex
+    assert(idx.m == 8 && idx.subDim == 8)
+    assert(idx.codebooks.forall(_.forall(_.length == idx.subDim)))
+  }
+
   test("cosine_sim: mixed float/double array inputs read each side correctly") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq((Array(1f, 2f, 3f), Array(0.5, -1.0, 2.0))).toDF("f", "d")
