@@ -69,17 +69,9 @@ object ScaleProfile {
       timed("detect.shingle+sign(materialize shingle sets)") { sh.count() }
       val banded = Dedup.materialize(Dedup.minHashBandRows(sh, 128, rr, b))
       timed(s"detect.bands(minHashBandRows r=$rr b=$b)") { banded.count() }
-      // mirrors nearDupPairsMinHash's candidate join exactly, length
-      // filter included — this section must decompose the REAL plan
-      val candidates = Dedup.materialize(
-        banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.id") < col("b.id") &&
-            least(col("a.sz"), col("b.sz")).cast("double") >=
-              greatest(col("a.sz"), col("b.sz")) * 0.5 - lit(1e-9))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .dropDuplicates("id_a", "id_b"))
+      // the SHARED candidate-join construction (Dedup.minHashCandidates)
+      // — this section decomposes the real plan by construction
+      val candidates = Dedup.materialize(Dedup.minHashCandidates(banded, 0.5))
       timed("detect.candidates(band join + length filter + pair dedup)") {
         candidates.count()
       }

@@ -89,10 +89,32 @@ object GraftFunctions {
   def hashArray64(c: Column): Column = call_function("hash_array64", c)
 
   /** `graft_bloom_agg(long_col) -> binary`: serialized bloom filter over a
-    * LONG column, sized for `nItems` at false-positive rate `fpp`. */
-  def bloomAgg(c: Column, nItems: Long, fpp: Double): Column =
-    call_function("graft_bloom_agg", c, lit(nItems),
-      lit(org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)))
+    * LONG column, sized for `nItems` at false-positive rate `fpp`.
+    *
+    * Spark's BloomFilterAggregate silently CLAMPS the requested size to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4M items / 2²⁶ bits). Past the clamp the realized fpp
+    * degrades far above the requested value — results stay EXACT when a
+    * confirm join follows (the contaminationHitsBloom shape), but the
+    * prefilter selectivity the scale story depends on collapses, so the
+    * degradation must be loud: warn with the conf keys to raise. */
+  def bloomAgg(c: Column, nItems: Long, fpp: Double): Column = {
+    val wantBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      def conf(k: String, dflt: Long): Long =
+        try s.conf.getOption(k).map(_.toLong).getOrElse(dflt) catch { case _: NumberFormatException => dflt }
+      val maxBits = conf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 1L << 26)
+      val maxItems = conf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+      if (wantBits > maxBits || nItems > maxItems)
+        System.err.println(
+          s"[graft] WARN bloomAgg: requested $nItems items / $wantBits bits (fpp=$fpp) " +
+            s"exceeds the session clamp (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
+            "the realized false-positive rate will be higher than requested. Raise " +
+            "spark.sql.optimizer.runtime.bloomFilter.maxNumBits/maxNumItems to keep " +
+            "the prefilter selective at this scale.")
+    }
+    call_function("graft_bloom_agg", c, lit(nItems), lit(wantBits))
+  }
 
   /** `graft_bloom_might_contain(bloom_binary, long_col) -> boolean` with
     * the serialized bloom embedded as a plan literal — the probe side of

@@ -135,18 +135,33 @@ object TextAnalysis {
     *  - script/style blocks (CONTENT included) go first — their bodies
     *    legally contain `<`/`>` that must not be parsed as tags (`var x =
     *    1 < 2`), and a generic tag pass would strip only their markers;
+    *  - an UNTERMINATED script/style block (truncated crawl) then strips
+    *    to end-of-input — browser semantics: everything after the opener
+    *    is script, not content (without this, a truncated page's whole
+    *    script tail survived as "text");
     *  - comments next (may contain tag-shaped text);
-    *  - then every remaining tag, open or close;
+    *  - then every remaining tag, open or close. The attribute part
+    *    matches quoted values as units (`"[^"]*"|'[^']*'|[^>]`), so a
+    *    `>` INSIDE an attribute value (`<a title="a>b">`) stays part of
+    *    the tag instead of terminating it early (alternatives are
+    *    disjoint on their first character — no backtracking blowup);
     *  - entities decode LAST, `&amp;` after the angle-bracket entities —
     *    single-decode semantics: `&amp;lt;` means the four characters
     *    `&lt;`, not `<`, exactly as a browser renders it. Decoding after
     *    tag removal also means a decoded `&lt;p&gt;` can never be eaten
-    *    by the tag pass. */
+    *    by the tag pass.
+    *
+    * Known limits of the regex subset (deliberate — a streaming HTML5
+    * parser is not expressible as a regexp chain): CDATA sections and
+    * malformed nesting degrade to the generic tag pass; an unquoted
+    * attribute value containing `>` terminates its tag early. */
   private[graft] val htmlStripStages: Seq[(String, String)] = Seq(
-    "(?is)<script\\b[^>]*>.*?</script\\s*>" -> " ",
-    "(?is)<style\\b[^>]*>.*?</style\\s*>"   -> " ",
-    "(?s)<!--.*?-->"                        -> " ",
-    "(?s)<[!/]?[A-Za-z][^>]*>"              -> " ", // tags + <!DOCTYPE …>
+    "(?is)<script\\b[^>]*>.*?</script\\s*>"          -> " ",
+    "(?is)<style\\b[^>]*>.*?</style\\s*>"            -> " ",
+    "(?is)<script\\b[^>]*>.*"                        -> " ", // unterminated: to EOF
+    "(?is)<style\\b[^>]*>.*"                         -> " ",
+    "(?s)<!--.*?-->"                                 -> " ",
+    "(?s)<[!/]?[A-Za-z](\"[^\"]*\"|'[^']*'|[^>])*>"  -> " ", // tags + <!DOCTYPE …>
     "&lt;"                                  -> "<",
     "&gt;"                                  -> ">",
     "&quot;"                                -> "\"",

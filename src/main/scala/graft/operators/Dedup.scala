@@ -248,13 +248,21 @@ object Dedup {
     // Bands carry ONLY (band, band_key, id): the shingle arrays never ride
     // the candidate shuffle — they are re-joined per side for the verify.
     val banded = minHashBandRows(sh, k, rr, b)
-    // Length filter inside the band join (J ≥ τ ⇒ min·1 ≥ τ·max; 1e-9
-    // slack so a pair at exactly τ never falls to float rounding): at
-    // corpus scale background band collisions outnumber true pairs
-    // ~1000:1 (measured, BASELINE.md third-decade table) and pair
-    // arbitrary sizes, so this cuts them before the pair-dedup shuffle
-    // and the array-payload verify ever see them.
-    val candidates = banded.as("a")
+    verifyJaccard(minHashCandidates(banded, threshold), hashShingles(sh), threshold)
+  }
+
+  /** Band self-join candidate generation: docs sharing any band key, with
+    * the LENGTH FILTER inside the join (J ≥ τ ⇒ min·1 ≥ τ·max; 1e-9
+    * slack so a pair at exactly τ never falls to float rounding) — at
+    * corpus scale background band collisions outnumber true pairs
+    * ~1000:1 (measured, BASELINE.md third-decade table) and pair
+    * arbitrary sizes, so this cuts them before the pair-dedup shuffle
+    * and the array-payload verify ever see them. The ONE candidate-join
+    * construction shared by [[nearDupPairsMinHash]] and the
+    * ScaleProfile detect decomposition — the profiler must decompose the
+    * REAL plan, so the join lives here, not in two hand-synced copies. */
+  private[graft] def minHashCandidates(banded: DataFrame, threshold: Double): DataFrame =
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id") &&
@@ -262,8 +270,6 @@ object Dedup {
             greatest(col("a.sz"), col("b.sz")) * threshold - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(candidates, hashShingles(sh), threshold)
-  }
 
   /** (id, sh: array<string>) → (id, sh: array<long>): 64-bit-hash each
     * shingle ONCE PER DOCUMENT so the per-candidate-pair verify joins
@@ -625,9 +631,13 @@ object Dedup {
     val nItems = distinctH.count()
     if (nItems == 0L) {
       // Empty benchmark: no document can be contaminated. (Also the one
-      // case BloomFilterAggregate yields NULL instead of a bloom.)
+      // case BloomFilterAggregate yields NULL instead of a bloom.) The
+      // empty frame carries the NON-empty path's schema — corpus_id in
+      // the corpus id column's actual type — so output schema never
+      // depends on the benchmark's row count (a long-hardcoded corpus_id
+      // broke downstream unions for non-long id columns).
       return corpus.sparkSession.emptyDataFrame
-        .withColumn("corpus_id", lit(null).cast("long"))
+        .withColumn("corpus_id", lit(null).cast(corpus.schema(idCol).dataType))
         .withColumn("n_benchmark_hits", lit(null).cast("long"))
     }
     val bloom = distinctH

@@ -55,6 +55,8 @@ object CorpusPipeline {
       dedupThreshold: Double = 0.8,
       shingleN: Int = 3,
       decontaminateN: Int = 8,
+      bloomDecontaminate: Boolean = false,
+      bloomFpp: Double = 0.001,
       chunkTokens: Int = 512,
       overlapTokens: Int = 64,
       splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
@@ -80,10 +82,18 @@ object CorpusPipeline {
     //    counts, language votes, shingles, lines) must see text, not
     //    markup. The collapse is the NEWLINE-PRESERVING one: the optional
     //    line-dedup stage downstream needs the line structure that
-    //    collapseWhitespace would weld away.
-    val source = if (!cfg.stripHtml) corpus else corpus.withColumn(
+    //    collapseWhitespace would weld away. The BENCHMARK gets the same
+    //    strip: decontamination compares shingle sets, and a corpus
+    //    expected to be HTML usually means HTML-wrapped eval dumps too —
+    //    markup-shingles vs text-shingles would silently under-detect
+    //    contamination. (On an already-clean benchmark the strip is a
+    //    no-op: shingling normalizes whitespace anyway.)
+    def stripped(df: DataFrame): DataFrame = df.withColumn(
       cfg.textCol,
       TextAnalysis.collapseLineWhitespace(TextAnalysis.stripHtml(text)))
+    val source = if (!cfg.stripHtml) corpus else stripped(corpus)
+    val benchClean =
+      if (!cfg.stripHtml) benchmark else benchmark.map(stripped)
 
     // 1. quality + language gate: one narrow codegen'd scan stage
     //    (+ optional Gopher rule conjunction — same scan, no extra stage)
@@ -129,9 +139,17 @@ object CorpusPipeline {
     //    every English document (common trigrams are everywhere); the
     //    standard decontamination window is ~8–13 contiguous tokens —
     //    long enough that sharing one is real benchmark leakage.
-    val clean = benchmark.fold(nearDeduped)(b =>
-      Dedup.removeContaminated(nearDeduped, b, cfg.textCol, cfg.idCol,
-        cfg.decontaminateN))
+    //    `bloomDecontaminate` selects the bloom-prefiltered scale path
+    //    (the corpus-side shuffle shrinks from "all shingles" to "true
+    //    hits + fpp noise"); survivors are IDENTICAL by construction —
+    //    the exact confirm join removes bloom false positives at any fpp.
+    val clean = benchClean.fold(nearDeduped)(b =>
+      if (cfg.bloomDecontaminate)
+        Dedup.removeContaminatedBloom(nearDeduped, b, cfg.textCol, cfg.idCol,
+          cfg.decontaminateN, cfg.bloomFpp)
+      else
+        Dedup.removeContaminated(nearDeduped, b, cfg.textCol, cfg.idCol,
+          cfg.decontaminateN))
 
     // 5. PII redaction + 6. per-DOCUMENT split assignment
     val documents = Sampling.hashSplit(

@@ -71,6 +71,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
     kept.unpersist(); chunks.unpersist()
   }
 
+  test("bloomDecontaminate: identical survivors to the exact path at any fpp") {
+    // The bloom path is a PREFILTER — the exact confirm join removes
+    // bloom false positives, so survivors must be identical to the
+    // exact-join path by construction, even at an absurd fpp. This pins
+    // the Config wiring end to end (Config → prepare → removeContaminatedBloom).
+    val corpus = docs.select($"doc_id", $"text")
+    val benchmark = docs.where($"doc_id" % 50 === 0).select($"doc_id", $"text")
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      chunkTokens = 64, overlapTokens = 16)
+    val exact = CorpusPipeline.prepare(corpus, Some(benchmark), cfg)
+      .documents.select("doc_id").as[Long].collect().toSet
+    val viaBloom = CorpusPipeline.prepare(corpus, Some(benchmark),
+      cfg.copy(bloomDecontaminate = true))
+      .documents.select("doc_id").as[Long].collect().toSet
+    val viaBloomHighFpp = CorpusPipeline.prepare(corpus, Some(benchmark),
+      cfg.copy(bloomDecontaminate = true, bloomFpp = 0.5))
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(exact.nonEmpty && viaBloom == exact && viaBloomHighFpp == exact)
+  }
+
   test("optional line/span stages: boilerplate scrubbed before near-dup, emptied docs re-gated") {
     // two long, genuinely distinct English docs that share (a) a
     // boilerplate footer LINE and (b) a 10-token boilerplate SPAN that
