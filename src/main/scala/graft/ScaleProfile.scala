@@ -18,10 +18,10 @@ object ScaleProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional args: profile only the named sections
-    // (dedup | detect_split | indexed | linededup | packing).
+    // (dedup | detect_split | detect_tuned | indexed | linededup | packing).
     val sections: Set[String] =
       if (args.nonEmpty) args.toSet
-      else Set("dedup", "detect_split", "indexed", "linededup", "packing")
+      else Set("dedup", "detect_split", "detect_tuned", "indexed", "linededup", "packing")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -79,6 +79,39 @@ object ScaleProfile {
       val shH = sh.select(col("id"),
         graft.functions.GraftFunctions.hashArray64(col("sh")).as("sh"))
       timed("detect.verify(hashed-shingle join + exact jaccard)") {
+        Dedup.verifyJaccard(candidates, shH, 0.5).count()
+      }
+    }
+
+    // ── detect with PER-CORPUS tuned banding: the candidate-volume
+    //    control (minHashBandsTunedFor). Same decomposition as
+    //    detect_split so the candidate counts are directly comparable —
+    //    the BASELINE.md tuned-vs-default table reads both sections. ────
+    if (sections("detect_tuned")) {
+      import org.apache.spark.sql.functions.array_sort
+      val sh = Dedup.materialize(
+        Dedup.shingleSets(docs, "text", "doc_id")
+          .select(col("id"), array_sort(col("shingles")).as("sh")))
+      timed("tuned.shingle(materialize shingle sets)") { sh.count() }
+      val shH = Dedup.materialize(Dedup.hashShingles(sh))
+      val nDocs = sh.count()
+      var est: Dedup.BackgroundEstimate = null
+      timed("tuned.sample(128-doc background estimate)") {
+        est = Dedup.sampleBackgroundJaccard(shH, 128)
+        est.pairJaccards.size.toLong
+      }
+      val (rr, b) = Dedup.minHashBandsTunedFor(0.5, nDocs, est)
+      val js = est.pairJaccards
+      println(f"[profile] tuned.bands: r=$rr b=$b k=${rr * b} " +
+        f"(default ${Dedup.minHashBands(0.5)}) bgJ mean=${js.sum / math.max(js.size, 1)}%.4f " +
+        f"p90=${js.sorted.drop(js.size * 9 / 10).headOption.getOrElse(0.0)}%.4f n=$nDocs")
+      val banded = Dedup.materialize(Dedup.minHashBandRows(sh, rr * b, rr, b))
+      timed(s"tuned.bands(minHashBandRows r=$rr b=$b)") { banded.count() }
+      val candidates = Dedup.materialize(Dedup.minHashCandidates(banded, 0.5))
+      timed("tuned.candidates(band join + length filter + pair dedup)") {
+        candidates.count()
+      }
+      timed("tuned.verify(hashed-shingle join + exact jaccard)") {
         Dedup.verifyJaccard(candidates, shH, 0.5).count()
       }
     }

@@ -282,9 +282,129 @@ object Dedup {
     * `transform(sh, xxhash64)` HOF form paid per-element expression
     * dispatch over |corpus| × |shingles| elements per verify side and
     * dominated the 500k-doc verify span (BASELINE.md round 6). */
-  private def hashShingles(sh: DataFrame): DataFrame = {
+  private[graft] def hashShingles(sh: DataFrame): DataFrame = {
     GraftFunctions.register(sh.sparkSession)
     sh.select(col("id"), GraftFunctions.hashArray64(col("sh")).as("sh"))
+  }
+
+  // ── per-corpus LSH tuning (candidate-volume control) ──────────────────
+
+  /** Sampled background-similarity estimate: pairwise Jaccard over a
+    * deterministic `sampleDocs`-document sample (first docs by id hash),
+    * plus the sample's mean shingle-set size. Driver state is bounded by
+    * construction: `sampleDocs` hashed shingle arrays (≈ sampleDocs ×
+    * avg-doc-shingles × 8 B — the k-means-training shape), and the
+    * O(sampleDocs²) exact Jaccards run on the driver in microseconds.
+    *
+    * Why it exists: the threshold-only banding ([[minHashBands]]) is
+    * blind to the corpus. On a corpus whose "unrelated" pairs still share
+    * vocabulary (measured here: background J ≈ 0.16 on the scale corpora,
+    * 1000:1 band collisions over true pairs at 500k docs), background
+    * candidates grow ~quadratically and dominate the detect cost; wider
+    * bands (larger r) cut them exponentially but cost more hashing. The
+    * sample feeds [[minHashBandsTunedFor]]'s cost model. */
+  final case class BackgroundEstimate(pairJaccards: Seq[Double], meanShingles: Double)
+
+  def sampleBackgroundJaccard(shHashed: DataFrame, sampleDocs: Int = 128): BackgroundEstimate = {
+    val rows = shHashed
+      .withColumn("_h", xxhash64(col("id")))
+      .orderBy(col("_h"), col("id"))
+      .limit(sampleDocs)
+      .select(col("sh"))
+      .collect()
+      .map(_.getSeq[Long](0).toSet)
+    val js = for {
+      i <- rows.indices
+      j <- (i + 1) until rows.length
+    } yield {
+      val inter = (rows(i) & rows(j)).size
+      val uni = rows(i).size + rows(j).size - inter
+      if (uni == 0) 0.0 else inter.toDouble / uni
+    }
+    val meanSz =
+      if (rows.isEmpty) 0.0 else rows.map(_.size).sum.toDouble / rows.length
+    BackgroundEstimate(js, meanSz)
+  }
+
+  /** (rowsPerBand, nBands) TUNED to a corpus: picks the r whose total
+    * detect cost is lowest for THIS corpus size and background-similarity
+    * profile, instead of [[minHashBands]]'s fixed-k threshold-only
+    * derivation.
+    *
+    * Candidate (r, b) options: for each band width r, the minimum b
+    * hitting `recallTarget` at exactly `threshold` (the same S-curve
+    * calculus as [[minHashBands]]), padded up to the standard 128-hash
+    * budget (b = max(b_recall, 128/r)) — padding only RAISES recall, and
+    * keeps small-corpus tunings at the proven default geometry; options
+    * whose r·b exceeds `maxK` are infeasible (hash budget).
+    *
+    * Cost model, in units of one minhash inner-loop op (constants
+    * CALIBRATED from the measured 50k-doc detect_split profile — band
+    * rows ~0.13 µs, candidates ~0.9 µs, hash ops ~0.23 ns; the point is
+    * the crossover, not absolute cost):
+    *   hash       N · S̄ · k           (minhash kernel is O(S̄) per hash)
+    *   band rows  N · b · 400         (a shuffled ~28-byte row)
+    *   candidates nPairs · p̄ · 3000   (pair-dedup shuffle + verify join
+    *                                   + O(S̄) hashed-Jaccard merge)
+    * where p̄ = mean over sampled pair Jaccards of 1 − (1 − jʳ)ᵇ. The
+    * background term grows ~N² while the others grow ~N, so the tuner
+    * slides toward wider bands exactly when the corpus is big enough (or
+    * its background similarity high enough) for candidates to dominate;
+    * on the scale corpora it keeps the default r=4 at 50k docs and picks
+    * wider bands at 500k, holding candidate growth near-linear per
+    * decade (measured: BASELINE.md round 7). Recall at the threshold is
+    * ≥ recallTarget for EVERY option by construction — tuning trades
+    * cost, never recall. */
+  def minHashBandsTunedFor(threshold: Double, nDocs: Long,
+      background: BackgroundEstimate, recallTarget: Double = 0.85,
+      maxK: Int = 1024): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"minHashBandsTunedFor: threshold must be in (0,1), got $threshold")
+    val options = (1 to 32).flatMap { r =>
+      val pr = math.pow(threshold, r)
+      val bRecall =
+        math.max(1L, math.ceil(math.log1p(-recallTarget) / math.log1p(-pr)).toLong)
+      val b = math.max(bRecall, (128 / r).toLong)
+      if (r.toLong * b <= maxK) Some((r, b.toInt)) else None
+    }
+    require(options.nonEmpty,
+      s"minHashBandsTunedFor: no (r,b) within the $maxK-hash budget reaches " +
+        s"recall $recallTarget at threshold $threshold")
+    val sBar = math.max(background.meanShingles, 1.0)
+    val nPairs = nDocs.toDouble * math.max(nDocs - 1, 0).toDouble / 2.0
+    def cost(r: Int, b: Int): Double = {
+      val k = r.toDouble * b
+      val pBar =
+        if (background.pairJaccards.isEmpty) 0.0
+        else background.pairJaccards.iterator.map(j =>
+          1.0 - math.pow(1.0 - math.pow(j, r), b.toDouble)).sum /
+          background.pairJaccards.size
+      nDocs * sBar * k + nDocs * b * 400.0 + nPairs * pBar * 3000.0
+    }
+    options.minBy { case (r, b) => cost(r, b) }
+  }
+
+  /** [[nearDupPairsMinHash]] with PER-CORPUS band tuning: samples the
+    * corpus's background pair similarity, derives (r, b) from corpus size
+    * + background profile ([[minHashBandsTunedFor]]), then runs the same
+    * shingle → minhash → band → candidate → exact-verify plan. Results
+    * are exact-verified like the fixed-banding form; recall at the
+    * threshold is ≥ recallTarget by the option construction. Use on
+    * corpora whose background similarity floods the default banding with
+    * candidates (the ×14.6-per-decade growth measured on the scale
+    * corpora); the fixed form stays the right default when hashing
+    * dominates. */
+  def nearDupPairsMinHashTuned(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, n: Int = 3, recallTarget: Double = 0.85,
+      maxK: Int = 1024, sampleDocs: Int = 128): DataFrame = {
+    val sh = materialize(shingleSets(df, textCol, idCol, n)
+      .select(col("id"), array_sort(col("shingles")).as("sh")))
+    val shH = materialize(hashShingles(sh))
+    val est = sampleBackgroundJaccard(shH, sampleDocs)
+    val nDocs = sh.count()
+    val (rr, b) = minHashBandsTunedFor(threshold, nDocs, est, recallTarget, maxK)
+    val banded = minHashBandRows(sh, rr * b, rr, b)
+    verifyJaccard(minHashCandidates(banded, threshold), shH, threshold)
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (native Catalyst

@@ -83,6 +83,55 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("tuned banding: recall unchanged — tuned LSH == exact ground truth across thresholds") {
+    // the candidate-volume control must never trade recall: for every
+    // threshold the corpus-tuned (r,b) reproduces the exact prefix-filter
+    // join's pairs, exactly as the fixed-banding sweep does
+    Seq(0.5, 0.7, 0.9).foreach { tau =>
+      val exact = Dedup.exactJaccardPairs(docs, "text", "doc_id", tau)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val tuned = Dedup.nearDupPairsMinHashTuned(docs, "text", "doc_id", tau)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(tuned == exact,
+        s"tau=$tau missed=${exact -- tuned} spurious=${tuned -- exact}")
+    }
+  }
+
+  test("minHashBandsTunedFor: recall bound holds for every pick; wide bands only when candidates dominate") {
+    // high-background large corpus (the scale-corpus profile: J≈0.16,
+    // 500k docs) must pick WIDER bands than the small-corpus default...
+    val bgHigh = Dedup.BackgroundEstimate(Seq.fill(1000)(0.16), meanShingles = 200)
+    val (rBig, bBig) = Dedup.minHashBandsTunedFor(0.5, 500000L, bgHigh)
+    val (rSmall, bSmall) = Dedup.minHashBandsTunedFor(0.5, 500L, bgHigh)
+    assert(rBig > rSmall,
+      s"500k docs at J≈0.16 background should widen bands: got ($rBig,$bBig) vs ($rSmall,$bSmall)")
+    // ...and the small-corpus pick stays at the proven default geometry
+    assert((rSmall, bSmall) == Dedup.minHashBands(0.5),
+      s"small corpus should keep the default banding, got ($rSmall,$bSmall)")
+    // every pick satisfies the at-threshold recall bound
+    for (tau <- Seq(0.5, 0.7, 0.9); n <- Seq(500L, 50000L, 5000000L)) {
+      val (r, b) = Dedup.minHashBandsTunedFor(tau, n, bgHigh)
+      assert(1.0 - math.pow(1.0 - math.pow(tau, r), b.toDouble) >= 0.85,
+        s"recall bound violated at tau=$tau n=$n with ($r,$b)")
+      assert(r * b <= 1024, s"hash budget exceeded at tau=$tau n=$n: ($r,$b)")
+    }
+    // empty sample (degenerate corpus) still returns a valid banding
+    val (r0, b0) = Dedup.minHashBandsTunedFor(0.5, 1L,
+      Dedup.BackgroundEstimate(Nil, 0.0))
+    assert(1.0 - math.pow(1.0 - math.pow(0.5, r0), b0.toDouble) >= 0.85)
+  }
+
+  test("sampleBackgroundJaccard: deterministic, bounded driver state, sane values") {
+    val sh = Dedup.shingleIndex(docs, "text", "doc_id")
+    val hashed = Dedup.hashShingles(sh)
+    val e1 = Dedup.sampleBackgroundJaccard(hashed, sampleDocs = 32)
+    val e2 = Dedup.sampleBackgroundJaccard(hashed, sampleDocs = 32)
+    assert(e1.pairJaccards == e2.pairJaccards && e1.meanShingles == e2.meanShingles)
+    assert(e1.pairJaccards.size == 32 * 31 / 2)
+    assert(e1.pairJaccards.forall(j => j >= 0.0 && j <= 1.0))
+    assert(e1.meanShingles > 0)
+  }
+
   test("SimHash: identical texts collide at Hamming 0; near-identical nearby") {
     val df = Seq(
       (1L, "spark makes distributed dataframes fast and simple to use"),
