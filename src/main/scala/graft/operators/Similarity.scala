@@ -520,11 +520,12 @@ object Similarity {
     if (idx.k <= LiteralCentroidLimit) pqEncodeLiteral(df, vecCol, idCol, idx)
     else pqEncodeBroadcast(df, vecCol, idCol, idx)
 
-  private[operators] def pqEncodeLiteral(df: DataFrame, vecCol: String,
-      idCol: String, idx: PqIndex): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val codes = array((0 until idx.m).map { s =>
-      val sub = slice(col(vecCol), s * idx.subDim + 1, idx.subDim)
+  /** The m-code array expression over a vector column, codebooks as plan
+    * literals — shared by [[pqEncodeLiteral]] and the fused index build
+    * ([[buildIvfPqIndex]]), so encode semantics have exactly one home. */
+  private def pqCodesLiteral(vec: Column, idx: PqIndex): Column =
+    array((0 until idx.m).map { s =>
+      val sub = slice(vec, s * idx.subDim + 1, idx.subDim)
       val scored = array(idx.codebooks(s).zipWithIndex.map { case (c, pos) =>
         struct(
           (-graft.functions.GraftFunctions.cosineSim(
@@ -533,7 +534,34 @@ object Similarity {
       }: _*)
       element_at(array_sort(scored), 1).getField("pos")
     }: _*)
-    df.select(col(idCol).as("id"), codes.as("codes"))
+
+  /** The m-code array expression over a vector column with the codebooks
+    * arriving via a broadcast `_cbs` column ([[pqEncodeBroadcast]]'s
+    * one-row crossJoin) — the k > [[LiteralCentroidLimit]] form. */
+  private def pqCodesBroadcast(vec: Column, cbs: Column, idx: PqIndex): Column =
+    transform(sequence(lit(0), lit(idx.m - 1)), s => {
+      val sub = slice(vec, s * lit(idx.subDim) + lit(1), lit(idx.subDim))
+      val scored = transform(element_at(cbs, s + lit(1)), (c, pos) =>
+        struct(
+          (-graft.functions.GraftFunctions.cosineSim(sub, c)).as("neg"),
+          pos.as("pos")))
+      element_at(array_sort(scored), 1).getField("pos")
+    })
+
+  /** One-row DataFrame carrying all m codebooks as `_cbs` — the
+    * broadcast-encode artifact ship. */
+  private def pqCodebookRow(spark: org.apache.spark.sql.SparkSession,
+      idx: PqIndex): DataFrame = {
+    import spark.implicits._
+    val books: Seq[Seq[Seq[Float]]] =
+      idx.codebooks.toSeq.map(_.toSeq.map(_.toSeq))
+    Seq(Tuple1(books)).toDF("_cbs")
+  }
+
+  private[operators] def pqEncodeLiteral(df: DataFrame, vecCol: String,
+      idCol: String, idx: PqIndex): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), pqCodesLiteral(col(vecCol), idx).as("codes"))
   }
 
   /** Large-k encode: all m codebooks ship as ONE broadcast row
@@ -546,22 +574,10 @@ object Similarity {
     * struct sort, same kernel arithmetic. */
   private[operators] def pqEncodeBroadcast(df: DataFrame, vecCol: String,
       idCol: String, idx: PqIndex): DataFrame = {
-    val spark = df.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
-    val books: Seq[Seq[Seq[Float]]] =
-      idx.codebooks.toSeq.map(_.toSeq.map(_.toSeq))
-    val cbRow = Seq(Tuple1(books)).toDF("_cbs")
-    df.crossJoin(broadcast(cbRow))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.crossJoin(broadcast(pqCodebookRow(df.sparkSession, idx)))
       .select(col(idCol).as("id"),
-        transform(sequence(lit(0), lit(idx.m - 1)), s => {
-          val sub = slice(col(vecCol), s * lit(idx.subDim) + lit(1), lit(idx.subDim))
-          val scored = transform(element_at(col("_cbs"), s + lit(1)), (c, pos) =>
-            struct(
-              (-graft.functions.GraftFunctions.cosineSim(sub, c)).as("neg"),
-              pos.as("pos")))
-          element_at(array_sort(scored), 1).getField("pos")
-        }).as("codes"))
+        pqCodesBroadcast(col(vecCol), col("_cbs"), idx).as("codes"))
   }
 
   /** Reconstruct the quantized vector from its codes: concatenation of
@@ -612,15 +628,45 @@ object Similarity {
     * and share them between builds; `idx` is the [[pqTrain]] codebook. */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
       idCol: String, coarse: Array[(Int, Array[Float])], idx: PqIndex,
-      k: Int = 10, nProbe: Int = 4, corpusSpill: Int = 2): DataFrame = {
+      k: Int = 10, nProbe: Int = 4, corpusSpill: Int = 2): DataFrame =
+    ivfPqTopKIndexed(buildIvfPqIndex(corpus, vecCol, idCol, coarse, idx,
+      corpusSpill), probes, vecCol, idCol, coarse, idx, k, nProbe)
+
+  /** The (list, c_id, codes) IVF×PQ index as ONE fused narrow pass over
+    * the corpus: list assignment AND PQ encoding computed in the same
+    * projection (round 7 — the unfused form joined two separate corpus
+    * scans on c_id: a second 100 TB read plus a corpus-sized shuffle-or-
+    * broadcast, for data that was sitting in the same row all along).
+    * This is the artifact a production pipeline PERSISTS per corpus
+    * version — parquet/bucketed-table round-trip safe (plain int/long
+    * columns), probed daily via [[ivfPqTopKIndexed]] without re-reading
+    * corpus vectors. */
+  def buildIvfPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      coarse: Array[(Int, Array[Float])], idx: PqIndex,
+      corpusSpill: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // index build: (list, c_id, codes) — list from the full vector,
-    // codes from pqEncode; both narrow literal-table projections
-    val lists = assignListsAuto(corpus, vecCol, idCol, coarse, "c_id", "_v",
-      keep = corpusSpill).select(col("list"), col("c_id"))
-    val enc = pqEncode(corpus, vecCol, idCol, idx)
-      .select(col("id").as("c_id"), col("codes"))
-    val index = lists.join(enc, Seq("c_id"))
+    val assigned = assignListsAuto(corpus, vecCol, idCol, coarse, "c_id", "_v",
+      keep = corpusSpill)
+    if (idx.k <= LiteralCentroidLimit)
+      assigned.select(col("list"), col("c_id"),
+        pqCodesLiteral(col("_v"), idx).as("codes"))
+    else
+      assigned.crossJoin(broadcast(pqCodebookRow(corpus.sparkSession, idx)))
+        .select(col("list"), col("c_id"),
+          pqCodesBroadcast(col("_v"), col("_cbs"), idx).as("codes"))
+  }
+
+  /** Probe an ALREADY-BUILT (possibly parquet-round-tripped) IVF×PQ
+    * index: probes visit their `nProbe` nearest coarse lists, score PQ
+    * reconstructions of just those lists' rows (asymmetric distance).
+    * `coarse`/`idx` must be the artifacts the index was built with —
+    * geometry is baked into the stored rows, exactly like the dedup
+    * band index. Result is identical to [[ivfPqTopK]] on the same
+    * corpus (spec-proven round-trip). */
+  def ivfPqTopKIndexed(index: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, coarse: Array[(Int, Array[Float])], idx: PqIndex,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
     val probeLists = assignListsAuto(
       probes.select(col(idCol).as("id"), col(vecCol).as("vec")),
       "vec", "id", coarse, "q_id", "q_vec", keep = nProbe)

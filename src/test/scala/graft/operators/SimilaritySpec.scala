@@ -295,6 +295,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(clusterRecall >= 0.9, s"ivf-pq cluster recall $clusterRecall < 0.9")
   }
 
+  test("IVF×PQ index: fused one-pass build (no self-join), parquet round-trip probes identically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = FrozenAnn.coarse
+    val idx = FrozenAnn.pqIndex
+    val probes = emb.where($"vec_id" < 20)
+    // the build is ONE narrow pass: no join of two corpus scans (the
+    // round-7 fusion — list assignment and PQ codes come off the same row)
+    val index = Similarity.buildIvfPqIndex(emb, "embedding", "vec_id", coarse, idx)
+    val buildPlan = index.queryExecution.executedPlan.toString
+    assert(!buildPlan.contains("Join"), s"fused build must not self-join:\n${buildPlan.take(1500)}")
+    assert(!buildPlan.contains("Exchange hashpartitioning"),
+      s"fused build must not shuffle the corpus:\n${buildPlan.take(1500)}")
+    // persisted-artifact story: parquet round-trip probes identically to
+    // the self-contained form (exactly the dedup band-index contract)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    index.write.mode("overwrite").parquet(s"$dir/index")
+    val viaStored = Similarity.ivfPqTopKIndexed(
+      spark.read.parquet(s"$dir/index"), probes, "embedding", "vec_id", coarse, idx, k = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val direct = Similarity.ivfPqTopK(emb, probes, "embedding", "vec_id", coarse, idx, k = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(direct.nonEmpty && viaStored == direct)
+  }
+
   test("pqEncodeBroadcast == pqEncodeLiteral bit-for-bit (same codes) on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = FrozenAnn.pqIndex
