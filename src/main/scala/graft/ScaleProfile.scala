@@ -104,15 +104,28 @@ object ScaleProfile {
       val js = est.pairJaccards
       println(f"[profile] tuned.bands: r=$rr b=$b k=${rr * b} " +
         f"(default ${Dedup.minHashBands(0.5)}) bgJ mean=${js.sum / math.max(js.size, 1)}%.4f " +
-        f"p90=${js.sorted.drop(js.size * 9 / 10).headOption.getOrElse(0.0)}%.4f n=$nDocs")
-      val banded = Dedup.materialize(Dedup.minHashBandRows(sh, rr * b, rr, b))
-      timed(s"tuned.bands(minHashBandRows r=$rr b=$b)") { banded.count() }
+        f"p90=${js.sorted.drop(js.size * 9 / 10).headOption.getOrElse(0.0)}%.4f n=$nDocs " +
+        f"expCand=${Dedup.expectedCandidates(rr, b, nDocs, est)}%.3g " +
+        s"(prefilter ${if (Dedup.expectedCandidates(rr, b, nDocs, est) >= 4e6) "ON" else "OFF"} at default gate)")
+      // same single-signature-pass decomposition as nearDupPairsMinHashTuned:
+      // sigM feeds bandProjection AND the prefilter head (shared helpers —
+      // this section decomposes the production plan by construction)
+      val sigM = Dedup.materialize(
+        Dedup.minHashSignatures(sh.withColumnRenamed("sh", "shingles"), rr * b)
+          .select(col("id"), org.apache.spark.sql.functions.size(
+            col("shingles")).as("sz"), col("sig")))
+      timed(s"tuned.sign(minHashSignatures k=${rr * b})") { sigM.count() }
+      val banded = Dedup.materialize(Dedup.bandProjection(sigM, rr, b))
+      timed(s"tuned.bands(bandProjection r=$rr b=$b)") { banded.count() }
       val candidates = Dedup.materialize(Dedup.minHashCandidates(banded, 0.5))
       timed("tuned.candidates(band join + length filter + pair dedup)") {
         candidates.count()
       }
+      val kept = Dedup.materialize(Dedup.prefilterBySignature(
+        candidates, sigM, 0.5, math.min(64, rr * b)))
+      timed("tuned.prefilter(signature-agreement, h=64)") { kept.count() }
       timed("tuned.verify(hashed-shingle join + exact jaccard)") {
-        Dedup.verifyJaccard(candidates, shH, 0.5).count()
+        Dedup.verifyJaccard(kept, shH, 0.5).count()
       }
     }
 

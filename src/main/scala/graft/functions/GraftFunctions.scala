@@ -35,6 +35,8 @@ object GraftFunctions {
       "lang_id", exprs => LangIdExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash_array64", exprs => HashArray64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sig_agreement", exprs => SigAgreement(exprs.head, exprs(1)), "built-in")
     // Spark's own runtime-filter bloom pair, surfaced as callable
     // functions (they are not in FunctionRegistry by default). Using the
     // engine's pair — not a re-implementation — guarantees the serialized
@@ -87,6 +89,12 @@ object GraftFunctions {
   /** `hash_array64(array<string>) -> array<long>` as a Column — xxhash64
     * per element in one codegen'd loop (seed 42, matching `xxhash64()`). */
   def hashArray64(c: Column): Column = call_function("hash_array64", c)
+
+  /** `sig_agreement(array<int>, array<int>) -> double` as a Column —
+    * positionwise MinHash-component agreement (unbiased Jaccard
+    * estimator; the LSH signature prefilter's kernel). */
+  def sigAgreement(a: Column, b: Column): Column =
+    call_function("sig_agreement", a, b)
 
   /** `graft_bloom_agg(long_col) -> binary`: serialized bloom filter over a
     * LONG column, sized for `nItems` at false-positive rate `fpp`.

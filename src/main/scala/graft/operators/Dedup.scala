@@ -184,19 +184,29 @@ object Dedup {
     * the batch ([[nearDupPairsMinHash]]) and incremental
     * ([[removeNearDuplicatesIncremental]]) detectors — band semantics
     * must never diverge between them. */
-  private[graft] def minHashBandRows(sh: DataFrame, k: Int, rr: Int, b: Int): DataFrame = {
-    val sig = minHashSignatures(sh.withColumnRenamed("sh", "shingles"), k)
-    // `sz` (shingle-set size) rides every band row: it makes the length
-    // filter FREE at candidate-generation time — J ≥ τ forces
-    // min(|A|,|B|) ≥ τ·max(|A|,|B|), and pruning on it BEFORE the pair
-    // dedup + verify joins is where background LSH collisions (which pair
-    // arbitrary-sized docs) get cut without touching a shingle array.
-    sig.select(col("id"), size(col("shingles")).as("sz"),
+  private[graft] def minHashBandRows(sh: DataFrame, k: Int, rr: Int, b: Int): DataFrame =
+    bandProjection(
+      minHashSignatures(sh.withColumnRenamed("sh", "shingles"), k)
+        .select(col("id"), size(col("shingles")).as("sz"), col("sig")),
+      rr, b)
+
+  /** Banding projection over a precomputed (id, sz, sig) frame — the ONE
+    * band-key construction, shared by [[minHashBandRows]] and the tuned
+    * path (which materializes the signature frame once so the prefilter
+    * head comes from the SAME signatures; band semantics must never
+    * diverge between the consumers).
+    *
+    * `sz` (shingle-set size) rides every band row: it makes the length
+    * filter FREE at candidate-generation time — J ≥ τ forces
+    * min(|A|,|B|) ≥ τ·max(|A|,|B|), and pruning on it BEFORE the pair
+    * dedup + verify joins is where background LSH collisions (which pair
+    * arbitrary-sized docs) get cut without touching a shingle array. */
+  private[graft] def bandProjection(sig: DataFrame, rr: Int, b: Int): DataFrame =
+    sig.select(col("id"), col("sz"),
       posexplode(array((0 until b).map(j =>
         hash(slice(col("sig"), j * rr + 1, rr), lit(j))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-  }
 
   /** (rowsPerBand, nBands) for MinHash LSH, derived from the Jaccard
     * threshold: the LARGEST r (a divisor of k, for selectivity — false
@@ -374,14 +384,29 @@ object Dedup {
     val nPairs = nDocs.toDouble * math.max(nDocs - 1, 0).toDouble / 2.0
     def cost(r: Int, b: Int): Double = {
       val k = r.toDouble * b
-      val pBar =
-        if (background.pairJaccards.isEmpty) 0.0
-        else background.pairJaccards.iterator.map(j =>
-          1.0 - math.pow(1.0 - math.pow(j, r), b.toDouble)).sum /
-          background.pairJaccards.size
-      nDocs * sBar * k + nDocs * b * 400.0 + nPairs * pBar * 3000.0
+      nDocs * sBar * k + nDocs * b * 400.0 +
+        expectedCandidates(r, b, nDocs, background) * 3000.0
     }
     options.minBy { case (r, b) => cost(r, b) }
+  }
+
+  /** Expected band-join candidate count for banding (r, b) on a corpus of
+    * `nDocs` with the sampled background profile: nPairs · p̄ where p̄ is
+    * the mean over sampled pair Jaccards of the S-curve collision
+    * probability 1 − (1 − jʳ)ᵇ. The SAME estimate the tuner's cost model
+    * prices candidates with (the sampled mid-J tail carries the mass that
+    * actually floods band joins on high-background corpora — measured
+    * within 10× of the realized count on the 500k/5M scale corpora, which
+    * is the accuracy an order-of-magnitude engagement gate needs). */
+  private[graft] def expectedCandidates(r: Int, b: Int, nDocs: Long,
+      background: BackgroundEstimate): Double = {
+    val nPairs = nDocs.toDouble * math.max(nDocs - 1, 0).toDouble / 2.0
+    val pBar =
+      if (background.pairJaccards.isEmpty) 0.0
+      else background.pairJaccards.iterator.map(j =>
+        1.0 - math.pow(1.0 - math.pow(j, r), b.toDouble)).sum /
+        background.pairJaccards.size
+    nPairs * pBar
   }
 
   /** [[nearDupPairsMinHash]] with PER-CORPUS band tuning: samples the
@@ -393,18 +418,76 @@ object Dedup {
     * corpora whose background similarity floods the default banding with
     * candidates (the ×14.6-per-decade growth measured on the scale
     * corpora); the fixed form stays the right default when hashing
-    * dominates. */
+    * dominates. When the tuner's own candidate-volume estimate crosses
+    * `prefilterMinCandidates`, a signature-agreement prefilter
+    * ([[prefilterBySignature]]) additionally drops far-below-threshold
+    * candidates on a 64-component signature head before they reach the
+    * shingle-array verify join (500k: verify 12.4 → 1.6 s; 5M: 639 →
+    * 40 s — BASELINE.md round 7); survivors stay exact-verified either
+    * way. */
   def nearDupPairsMinHashTuned(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, n: Int = 3, recallTarget: Double = 0.85,
-      maxK: Int = 1024, sampleDocs: Int = 128): DataFrame = {
+      maxK: Int = 1024, sampleDocs: Int = 128,
+      prefilterHashes: Int = 64,
+      prefilterMinCandidates: Double = 4e6): DataFrame = {
     val sh = materialize(shingleSets(df, textCol, idCol, n)
       .select(col("id"), array_sort(col("shingles")).as("sh")))
     val shH = materialize(hashShingles(sh))
     val est = sampleBackgroundJaccard(shH, sampleDocs)
     val nDocs = sh.count()
     val (rr, b) = minHashBandsTunedFor(threshold, nDocs, est, recallTarget, maxK)
-    val banded = minHashBandRows(sh, rr * b, rr, b)
-    verifyJaccard(minHashCandidates(banded, threshold), shH, threshold)
+    // The signature prefilter engages only when the SAME candidate-volume
+    // estimate the tuner prices (expectedCandidates) says the verify has
+    // enough input to dominate: at ≥ ~4M candidates the verify join costs
+    // seconds-to-minutes (~1–7 µs each, BASELINE.md round 7) while the
+    // prefilter's extra checkpoint + two head joins cost a fixed
+    // ~0.3–0.5 s — an order of magnitude under the savings. Below the
+    // gate the single-plan fixed path is already sub-5-s and the
+    // prefilter would only add its fixed cost.
+    if (expectedCandidates(rr, b, nDocs, est) >= prefilterMinCandidates &&
+        math.min(prefilterHashes, rr * b) > 0) {
+      // ONE signature pass, materialized: feeds the band rows AND the
+      // prefilter head (re-deriving either would re-hash the corpus)
+      val sigM = materialize(
+        minHashSignatures(sh.withColumnRenamed("sh", "shingles"), rr * b)
+          .select(col("id"), size(col("shingles")).as("sz"), col("sig")))
+      val candidates = minHashCandidates(bandProjection(sigM, rr, b), threshold)
+      val kept = prefilterBySignature(candidates, sigM, threshold,
+        math.min(prefilterHashes, rr * b))
+      verifyJaccard(kept, shH, threshold)
+    } else {
+      val banded = minHashBandRows(sh, rr * b, rr, b)
+      verifyJaccard(minHashCandidates(banded, threshold), shH, threshold)
+    }
+  }
+
+  /** SIGNATURE-AGREEMENT PREFILTER between LSH candidate generation and
+    * the exact verify: candidate pairs re-join only the first `h`
+    * signature components per side (h 4-byte ints — ~256 B at h=64,
+    * versus the full 8-byte-element hashed shingle arrays the verify
+    * ships) and survive when the MinHash agreement estimate clears
+    * `threshold − 3.5·SE(h)` (SE = √(τ(1−τ)/h): the estimator is
+    * unbiased with binomial error). Pairs far below the threshold — the
+    * quadratically-growing background mass — never reach the verify join
+    * at all; everything that DOES survive is still exact-verified, so
+    * false positives remain impossible. Drop probability for a TRUE
+    * at-threshold pair is the 3.5σ normal tail (~2·10⁻⁴ at h=64) — two
+    * orders below the banding's own 1 − recallTarget miss budget, and
+    * decreasing steeply for pairs above the threshold (where real
+    * near-dups live). `h ≤ 0` disables; a cut ≤ 0 (tiny h or τ)
+    * degenerates to a no-op rather than a noisy filter. */
+  private[graft] def prefilterBySignature(candidates: DataFrame, sigM: DataFrame,
+      threshold: Double, h: Int): DataFrame = {
+    if (h <= 0) return candidates
+    val cut = threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / h)
+    if (cut <= 0) return candidates
+    GraftFunctions.register(sigM.sparkSession)
+    val head = sigM.select(col("id"), slice(col("sig"), 1, h).as("hd"))
+    candidates
+      .join(head.select(col("id").as("id_a"), col("hd").as("hd_a")), Seq("id_a"))
+      .join(head.select(col("id").as("id_b"), col("hd").as("hd_b")), Seq("id_b"))
+      .where(GraftFunctions.sigAgreement(col("hd_a"), col("hd_b")) >= cut)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (native Catalyst

@@ -94,7 +94,58 @@ class DedupSpec extends AnyFunSuite {
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(tuned == exact,
         s"tau=$tau missed=${exact -- tuned} spurious=${tuned -- exact}")
+      // force the signature prefilter in-plan (gate at 0): results must
+      // be identical — the scale path may not trade recall either
+      val prefiltered = Dedup.nearDupPairsMinHashTuned(docs, "text", "doc_id", tau,
+        prefilterMinCandidates = 0.0)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(prefiltered == exact,
+        s"tau=$tau prefiltered missed=${exact -- prefiltered} spurious=${prefiltered -- exact}")
     }
+  }
+
+  test("prefilterBySignature: drops far-below-threshold pairs, keeps near-dups, degenerates to no-op") {
+    // real signatures over the test corpus: candidates = ALL pairs (the
+    // worst-case band join), prefilter at τ=0.5/h=64 must keep every
+    // exact ground-truth pair while cutting the background mass
+    val sh = Dedup.materialize(Dedup.shingleSets(docs, "text", "doc_id")
+      .select($"id", org.apache.spark.sql.functions.array_sort($"shingles").as("sh")))
+    val sigM = Dedup.materialize(
+      Dedup.minHashSignatures(sh.withColumnRenamed("sh", "shingles"), 128)
+        .select($"id", org.apache.spark.sql.functions.size($"shingles").as("sz"), $"sig"))
+    val ids = sigM.select($"id").as[Long].collect().sorted
+    val allPairs = (for (a <- ids; b <- ids if a < b) yield (a, b))
+      .toSeq.toDF("id_a", "id_b")
+    val exact = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val kept = Dedup.prefilterBySignature(allPairs, sigM, 0.5, 64)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && (exact -- kept).isEmpty,
+      s"prefilter dropped true pairs: ${exact -- kept}")
+    assert(kept.size < allPairs.count(),
+      "prefilter should cut the all-pairs background mass")
+    // h <= 0 disables; tiny h (cut <= 0) degenerates to a no-op
+    assert(Dedup.prefilterBySignature(allPairs, sigM, 0.5, 0).count() == allPairs.count())
+    assert(Dedup.prefilterBySignature(allPairs, sigM, 0.5, 1).count() == allPairs.count(),
+      "h=1 at tau=0.5 has cut <= 0 and must pass everything through")
+  }
+
+  test("expectedCandidates: the prefilter engagement gate separates toy from scale corpora") {
+    // the 500k scale-corpus profile (a mid-J tail riding a near-zero
+    // mean: ~20 of 8128 sampled pairs at J≈0.35) must clear the 4M
+    // default gate, while a uniformly-low-background toy corpus stays
+    // far under it — the same estimate the tuner's cost model prices
+    val scaleProfile = Dedup.BackgroundEstimate(
+      Seq.fill(20)(0.35) ++ Seq.fill(8108)(0.001), meanShingles = 200)
+    val toyProfile = Dedup.BackgroundEstimate(
+      Seq.fill(8128)(0.001), meanShingles = 200)
+    assert(Dedup.expectedCandidates(5, 60, 500000L, scaleProfile) >= 4e6,
+      "scale-corpus profile must engage the prefilter")
+    assert(Dedup.expectedCandidates(4, 32, 5000L, toyProfile) < 4e6,
+      "toy corpus must keep the single-plan path")
+    // degenerate inputs: empty sample / single doc => zero estimate
+    assert(Dedup.expectedCandidates(4, 32, 1L,
+      Dedup.BackgroundEstimate(Nil, 0.0)) == 0.0)
   }
 
   test("minHashBandsTunedFor: recall bound holds for every pick; wide bands only when candidates dominate") {
