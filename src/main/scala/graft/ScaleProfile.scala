@@ -134,17 +134,25 @@ object ScaleProfile {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val delta = docs.where(col("doc_id") % 10 === 0)
     val idxDir = java.nio.file.Files.createTempDirectory("scale_idx").toString
-    timed("indexed.build(shingleIndex + bandIndex, once per corpus)") {
+    timed("indexed.build(shingleIndex + bandIndex + sigHead, once per corpus)") {
       val sh = Dedup.materialize(Dedup.shingleIndex(corpus, "text", "doc_id"))
       sh.write.mode("overwrite").parquet(s"$idxDir/shingles")
       Dedup.minHashBandIndex(spark.read.parquet(s"$idxDir/shingles"), threshold = 0.5)
         .write.mode("overwrite").parquet(s"$idxDir/bands")
+      Dedup.minHashSignatureHead(spark.read.parquet(s"$idxDir/shingles"))
+        .write.mode("overwrite").parquet(s"$idxDir/sigheads")
       spark.read.parquet(s"$idxDir/bands").count()
     }
     timed("indexed.probe(removeNearDuplicatesIncrementalIndexed)") {
       Dedup.removeNearDuplicatesIncrementalIndexed(
         spark.read.parquet(s"$idxDir/bands"), spark.read.parquet(s"$idxDir/shingles"),
         delta, "text", "doc_id", threshold = 0.5).count()
+    }
+    timed("indexed.probe_prefiltered(+ stored sigHead)") {
+      Dedup.removeNearDuplicatesIncrementalIndexed(
+        spark.read.parquet(s"$idxDir/bands"), spark.read.parquet(s"$idxDir/shingles"),
+        delta, "text", "doc_id", threshold = 0.5,
+        existingSigHead = Some(spark.read.parquet(s"$idxDir/sigheads"))).count()
     }
     }
 

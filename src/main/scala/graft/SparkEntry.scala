@@ -583,12 +583,18 @@ object SparkEntry {
           graft.operators.Dedup.minHashBandIndex(
             s.read.parquet(s"$path/shingles"), threshold = 0.5),
           s"$path/bands")
+        graft.etl.Warehouse.stageParquet(
+          graft.operators.Dedup.minHashSignatureHead(
+            s.read.parquet(s"$path/shingles")),
+          s"$path/sigheads")
         path
       })
       val shStored = s.read.parquet(s"$idx/shingles")
       val bandsStored = s.read.parquet(s"$idx/bands")
+      val headsStored = s.read.parquet(s"$idx/sigheads")
       val kept = graft.operators.Dedup.removeNearDuplicatesIncrementalIndexed(
-        bandsStored, shStored, incoming, "text", "doc_id", threshold = 0.5)
+        bandsStored, shStored, incoming, "text", "doc_id", threshold = 0.5,
+        existingSigHead = Some(headsStored))
       incoming.agg(count(lit(1)).as("n_incoming")).crossJoin(
         kept.agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).cast("long").as("id_checksum")))

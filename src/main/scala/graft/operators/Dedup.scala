@@ -479,10 +479,21 @@ object Dedup {
   private[graft] def prefilterBySignature(candidates: DataFrame, sigM: DataFrame,
       threshold: Double, h: Int): DataFrame = {
     if (h <= 0) return candidates
+    prefilterByHead(candidates,
+      sigM.select(col("id"), slice(col("sig"), 1, h).as("hd")), threshold, h)
+  }
+
+  /** [[prefilterBySignature]] over an ALREADY-SLICED (id, hd) head frame —
+    * the form the persisted-index probe uses (the stored
+    * [[minHashSignatureHead]] artifact arrives pre-sliced from parquet).
+    * `h` must be the head's width (the cut's standard error is √(τ(1−τ)/h);
+    * a narrower stored head than claimed would make the cut aggressive). */
+  private[graft] def prefilterByHead(candidates: DataFrame, head: DataFrame,
+      threshold: Double, h: Int): DataFrame = {
+    if (h <= 0) return candidates
     val cut = threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / h)
     if (cut <= 0) return candidates
-    GraftFunctions.register(sigM.sparkSession)
-    val head = sigM.select(col("id"), slice(col("sig"), 1, h).as("hd"))
+    GraftFunctions.register(head.sparkSession)
     candidates
       .join(head.select(col("id").as("id_a"), col("hd").as("hd_a")), Seq("id_a"))
       .join(head.select(col("id").as("id_b"), col("hd").as("hd_b")), Seq("id_b"))
@@ -671,6 +682,20 @@ object Dedup {
     shingleSets(df, textCol, idCol, n)
       .select(col("id"), array_sort(col("shingles")).as("sh"))
 
+  /** (id, hd) signature-head projection over a STORED shingle index — the
+    * OPTIONAL third persisted incremental-dedup artifact, enabling the
+    * signature-agreement prefilter ([[prefilterByHead]]) on the probe path
+    * without re-hashing the corpus. Safe across probe geometries: minhash
+    * component j hashes with murmur3 seed j regardless of k, so an h-wide
+    * stored head is positionwise-identical to the first h components of
+    * ANY probe signature with k ≥ h — the head survives k changes that
+    * would invalidate the band index. ~4·h bytes/doc (256 B at the
+    * default h=64). */
+  def minHashSignatureHead(shingles: DataFrame, h: Int = 64): DataFrame = {
+    GraftFunctions.register(shingles.sparkSession)
+    shingles.select(col("id"), GraftFunctions.minhashSig(col("sh"), h).as("hd"))
+  }
+
   /** (id, sz, band, band_key) band-index projection over a STORED shingle
     * index — the other persisted half of the incremental-dedup index
     * (`sz` = shingle-set size, carried so probes length-filter candidates
@@ -695,14 +720,25 @@ object Dedup {
     * text is never re-read, re-shingled, or re-hashed on the batch path.
     * `threshold`/`k`/`n` MUST match the index build (band geometry and
     * shingle width are baked into the stored rows). Result is identical
-    * to the recompute path on the same corpus (spec-proven). */
+    * to the recompute path on the same corpus (spec-proven).
+    *
+    * `existingSigHead`: the optional stored [[minHashSignatureHead]]
+    * artifact — when provided, probe candidates pass the
+    * signature-agreement prefilter ([[prefilterByHead]]) before the
+    * shingle-array verify join (the delta's own heads are h cheap hashes
+    * per incoming doc; the corpus side comes from storage). Survivors are
+    * still exact-verified — passing the head trades nothing but the
+    * ~2·10⁻⁴ at-τ estimator tail, same contract as the batch tuned path.
+    * `prefilterHashes` MUST equal the stored head's width. */
   def removeNearDuplicatesIncrementalIndexed(existingBands: DataFrame,
       existingShingles: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.8,
       n: Int = 3, k: Int = 128, checkDisjointIds: Boolean = true,
-      maxIter: Int = 20): DataFrame =
+      maxIter: Int = 20, existingSigHead: Option[DataFrame] = None,
+      prefilterHashes: Int = 64): DataFrame =
     removeIncrementalFrom(existingBands, existingShingles, incoming,
-      textCol, idCol, threshold, n, k, checkDisjointIds, maxIter)
+      textCol, idCol, threshold, n, k, checkDisjointIds, maxIter,
+      existingSigHead, prefilterHashes)
 
   /** Shared incremental-removal core: one-sided band probe of `incoming`
     * against an existing corpus given as (band index, shingle index) —
@@ -710,7 +746,8 @@ object Dedup {
     * storage by [[removeNearDuplicatesIncrementalIndexed]]. */
   private def removeIncrementalFrom(exBands: DataFrame, shEx: DataFrame,
       incoming: DataFrame, textCol: String, idCol: String, threshold: Double,
-      n: Int, k: Int, checkDisjointIds: Boolean, maxIter: Int): DataFrame = {
+      n: Int, k: Int, checkDisjointIds: Boolean, maxIter: Int,
+      exSigHead: Option[DataFrame] = None, prefilterHashes: Int = 64): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
     val shIn = materialize(shingleIndex(incoming, textCol, idCol, n))
     // Default-on eager validation (one id-only semi-join job); callers
@@ -748,8 +785,18 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // optional signature-agreement prefilter: the stored corpus head plus
+    // h fresh hashes per incoming doc (the delta side is the only side
+    // hashed — the index contract holds)
+    val kept = exSigHead match {
+      case Some(exHd) if prefilterHashes > 0 =>
+        val allHd = minHashSignatureHead(shIn, prefilterHashes)
+          .unionByName(exHd.select(col("id"), col("hd")))
+        prefilterByHead(candidates, allHd, threshold, prefilterHashes)
+      case _ => candidates
+    }
     val shAll = shIn.unionByName(shEx)
-    val pairs = verifyJaccard(candidates, hashShingles(shAll), threshold)
+    val pairs = verifyJaccard(kept, hashShingles(shAll), threshold)
       .select(col("id_a"), col("id_b"))
     val labels = resolveClusters(pairs, maxIter)
     // clusters touching the existing corpus drop ALL their incoming

@@ -285,9 +285,12 @@ object StreamingOps {
     * is deduped against the PERSISTED index of everything already
     * ingested ([[graft.operators.Dedup.removeNearDuplicatesIncrementalIndexed]]
     * — the corpus text is never re-read), survivors append to the corpus
-    * directory, and their shingle/band projections append to the index so
-    * LATER batches dedupe against them. The first batch (no index yet)
-    * self-dedupes with the batch detector.
+    * directory, and their shingle/band/signature-head projections append
+    * to the index so LATER batches dedupe against them (the stored heads
+    * engage the signature-agreement prefilter on every subsequent probe;
+    * indexes from before the head artifact existed keep probing without
+    * it). The first batch (no index yet) self-dedupes with the batch
+    * detector.
     *
     * Restart safety by construction: every batch writes its survivors and
     * index projections into its OWN `batch_id=<id>` partition directory
@@ -323,6 +326,7 @@ object StreamingOps {
         if (!batch.isEmpty) {
           val bandsPath = s"$indexDir/bands"
           val shPath = s"$indexDir/shingles"
+          val headsPath = s"$indexDir/sigheads"
           // partition-discovery read adds the batch_id column; drop the
           // batch's OWN partition (replay safety), then the column
           def readIndex(p: String) =
@@ -332,10 +336,14 @@ object StreamingOps {
             if (exists(bandsPath) && exists(shPath))
               Dedup.removeNearDuplicatesIncrementalIndexed(
                 readIndex(bandsPath), readIndex(shPath),
-                batch, textCol, idCol, threshold, n, k)
+                batch, textCol, idCol, threshold, n, k,
+                // indexes from before the sighead artifact existed still
+                // probe fine — the prefilter just stays out of the plan
+                existingSigHead =
+                  if (exists(headsPath)) Some(readIndex(headsPath)) else None)
             else
               Dedup.removeNearDuplicates(batch, textCol, idCol, threshold, n)
-          // one materialization: survivors feed the corpus write AND two
+          // one materialization: survivors feed the corpus write AND three
           // index projections
           val kept = Dedup.materialize(survivors)
           kept.write.mode("overwrite")
@@ -344,6 +352,8 @@ object StreamingOps {
           sh.write.mode("overwrite").parquet(s"$shPath/batch_id=$batchId")
           Dedup.minHashBandIndex(sh, threshold, k)
             .write.mode("overwrite").parquet(s"$bandsPath/batch_id=$batchId")
+          Dedup.minHashSignatureHead(sh)
+            .write.mode("overwrite").parquet(s"$headsPath/batch_id=$batchId")
         }
         ()
       }
@@ -380,7 +390,8 @@ object StreamingOps {
   def compactCorpus(spark: SparkSession, corpusDir: String, indexDir: String,
       filesPerDir: Int = 1): Unit = {
     require(filesPerDir > 0, s"filesPerDir must be positive, got $filesPerDir")
-    Seq(corpusDir, s"$indexDir/shingles", s"$indexDir/bands")
+    Seq(corpusDir, s"$indexDir/shingles", s"$indexDir/bands",
+        s"$indexDir/sigheads")
       .foreach(d => compactPartitionedDir(spark, d, filesPerDir))
   }
 

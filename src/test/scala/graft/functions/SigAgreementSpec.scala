@@ -47,6 +47,22 @@ class SigAgreementSpec extends AnyFunSuite {
     assert(row.getDouble(3) == 0.0)
   }
 
+  test("minhash prefix property: an h-wide signature is the first h components of any k >= h signature") {
+    // component j hashes with murmur3 seed j regardless of k — this is
+    // what lets a STORED h-wide signature head agree positionwise with
+    // heads sliced from any probe signature (the persisted-index
+    // prefilter's correctness hinges on it)
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+      GraftFunctions.minhashSig(
+        GraftFunctions.shinglesNative($"text", 3), 64).as("h64"),
+      slice(GraftFunctions.minhashSig(
+        GraftFunctions.shinglesNative($"text", 3), 128), 1, 64).as("h128s"))
+      .where($"h64" =!= $"h128s")
+    assert(diff.count() == 0)
+  }
+
   test("sig_agreement rejects non-array<int> inputs") {
     GraftFunctions.register(spark)
     val err = intercept[Exception] {

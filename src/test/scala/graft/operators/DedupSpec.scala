@@ -306,6 +306,17 @@ class DedupSpec extends AnyFunSuite {
       bandsStored.drop("sz"), shStored, incoming, "text", "doc_id", threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(fromLegacy == recomputed)
+
+    // PREFILTERED probe: the stored signature-head artifact engages the
+    // signature-agreement prefilter on the probe path — survivors must
+    // still be identical to the recompute path
+    Dedup.minHashSignatureHead(shStored)
+      .write.mode("overwrite").parquet(s"$idx/sigheads")
+    val fromHead = Dedup.removeNearDuplicatesIncrementalIndexed(
+      bandsStored, shStored, incoming, "text", "doc_id", threshold = 0.5,
+      existingSigHead = Some(spark.read.parquet(s"$idx/sigheads")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fromHead == recomputed)
   }
 
   test("incremental dedup: overlapping id spaces rejected") {
