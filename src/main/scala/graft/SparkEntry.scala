@@ -607,55 +607,15 @@ object SparkEntry {
     //    The single highest-value integration check: every stage's DuckDB
     //    restatement (each already oracle-proven in isolation) composed
     //    into one ground-truth CTE chain ─────────────────────────────────
-    "q_corpus_pipeline" -> ((s, dir) => {
-      val raw = t(s, dir, "documents")
-      // Plant (a) a shared boilerplate footer on even ids for the
-      // line-dedup stage, (b) a prose-like stopword run on id%3 so the
-      // Gopher gate passes at a meaningful rate on the word-salad corpus
-      // — then wrap the CORPUS side in an HTML shell the stripHtml stage
-      // must remove before any downstream signal sees the text. The
-      // benchmark side stays the un-wrapped augmentation (eval sets are
-      // clean text), so decontamination semantics are unchanged. All of
-      // it restated byte-identically in the oracle.
-      // the doc_id tokens inside the stopword run keep every shared
-      // contiguous run under 8 tokens — the run must trip the Gopher
-      // stopword rule WITHOUT creating cross-document 8-gram overlap
-      // that the decontamination stage would read as benchmark leakage
-      val docs = raw.select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit(" it was the best of day "), col("doc_id").cast("string"),
-              lit(" and this is that for you with "), col("doc_id").cast("string"),
-              lit(" more time"))).otherwise(lit("")),
-          when(col("doc_id") % 2 === 0,
-            lit("\ncopyright footer all rights reserved")).otherwise(lit("")))
-          .as("text"))
-      val bench = docs.where(col("doc_id") % 50 === 0)
-      val corpus = docs.select(col("doc_id"),
-        concat(lit("<html><body><p class=\"d\">"), col("text"),
-          lit("</p><!-- boilerplate --></body></html>")).as("text"))
-      val cfg = graft.pipeline.CorpusPipeline.Config(
-        stripHtml = true, gopherRules = true,
-        langs = Set("en"), minTokens = 10, maxTokens = 100000,
-        minAlphaRatio = 0.4, lineDedupMinDocs = Some(2),
-        dedupThreshold = 0.5, shingleN = 3,
-        decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
-        splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
-      val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
-      val stageCounts = p.stages.map { case (name, df) =>
-        df.agg(count(lit(1)).as(s"n_$name"))
-      }.reduce(_.crossJoin(_))
-      val docStats = p.documents.agg(
-        sum(col("doc_id")).cast("long").as("id_checksum"),
-        sum(length(col("text"))).cast("long").as("text_len_sum"),
-        sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
-        sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
-        sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
-      val chunkStats = p.chunks.agg(
-        count(lit(1)).as("n_chunks"),
-        sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-      stageCounts.crossJoin(docStats).crossJoin(chunkStats)
-    }),
+    "q_corpus_pipeline" -> ((s, dir) => corpusPipelineQuery(s, dir, tuned = false)),
+
+    // ── Same end-to-end pipeline with the SCALE dedup configuration:
+    //    tunedNearDedup swaps the near-dup stage to the per-corpus tuned
+    //    detector (sampled-background band tuning + self-gating signature
+    //    prefilter). Same ground-truth oracle — survivors are identical
+    //    by construction (both detectors exact-verify the threshold);
+    //    what changes is the cost curve on high-background corpora ──────
+    "q_corpus_pipeline_tuned" -> ((s, dir) => corpusPipelineQuery(s, dir, tuned = true)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -1200,6 +1160,64 @@ object SparkEntry {
     })
   )
 
+  /** The q_corpus_pipeline / q_corpus_pipeline_tuned body: planted-defect
+    * fixture (boilerplate footer, Gopher stopword run, HTML shell, %50
+    * benchmark leak) through the full CorpusPipeline, reduced to one row
+    * of per-stage kept counts + survivor checksums. `tuned` selects the
+    * tunedNearDedup scale configuration — same oracle serves both
+    * registrations because the two near-dup detectors exact-verify the
+    * same threshold (survivors identical by construction). */
+  private def corpusPipelineQuery(s: SparkSession, dir: String,
+      tuned: Boolean): DataFrame = {
+    val raw = t(s, dir, "documents")
+    // Plant (a) a shared boilerplate footer on even ids for the
+    // line-dedup stage, (b) a prose-like stopword run on id%3 so the
+    // Gopher gate passes at a meaningful rate on the word-salad corpus
+    // — then wrap the CORPUS side in an HTML shell the stripHtml stage
+    // must remove before any downstream signal sees the text. The
+    // benchmark side stays the un-wrapped augmentation (eval sets are
+    // clean text), so decontamination semantics are unchanged. All of
+    // it restated byte-identically in the oracle.
+    // the doc_id tokens inside the stopword run keep every shared
+    // contiguous run under 8 tokens — the run must trip the Gopher
+    // stopword rule WITHOUT creating cross-document 8-gram overlap
+    // that the decontamination stage would read as benchmark leakage
+    val docs = raw.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" it was the best of day "), col("doc_id").cast("string"),
+            lit(" and this is that for you with "), col("doc_id").cast("string"),
+            lit(" more time"))).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          lit("\ncopyright footer all rights reserved")).otherwise(lit("")))
+        .as("text"))
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val corpus = docs.select(col("doc_id"),
+      concat(lit("<html><body><p class=\"d\">"), col("text"),
+        lit("</p><!-- boilerplate --></body></html>")).as("text"))
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      stripHtml = true, gopherRules = true,
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4, lineDedupMinDocs = Some(2),
+      dedupThreshold = 0.5, shingleN = 3, tunedNearDedup = tuned,
+      decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    val stageCounts = p.stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as(s"n_$name"))
+    }.reduce(_.crossJoin(_))
+    val docStats = p.documents.agg(
+      sum(col("doc_id")).cast("long").as("id_checksum"),
+      sum(length(col("text"))).cast("long").as("text_len_sum"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
+    val chunkStats = p.chunks.agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
+    stageCounts.crossJoin(docStats).crossJoin(chunkStats)
+  }
+
   /** DuckDB CTE producing (doc_id, shingles): distinct 3-gram shingles of
     * the normalized text — the oracle-side mirror of
     * [[graft.operators.Dedup.shingleSets]], shared by every dedup oracle. */
@@ -1541,6 +1559,9 @@ object SparkEntry {
     // path — one ground truth for both.
     "q_incremental_dedup_indexed" -> incrementalDedupOracle,
     "q_corpus_pipeline" -> corpusPipelineOracle,
+    // identical ground truth: the tuned detector exact-verifies the same
+    // threshold, so the pipeline's survivors cannot differ
+    "q_corpus_pipeline_tuned" -> corpusPipelineOracle,
     // Same deterministic augmentation as the Spark side: one jittered copy
     // per vec_id % 10 == 0, ±0.025 per dimension keyed by md5(vec_id||'-'||i)
     // (DuckDB list lambdas index from 1; the Spark transform uses i+1 to

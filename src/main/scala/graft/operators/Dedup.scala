@@ -615,8 +615,26 @@ object Dedup {
     * (minimum id). Everything the detection found goes; the rest of the
     * corpus passes through untouched (left-anti on the loser ids). */
   def removeNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20): DataFrame = {
-    val pairs = nearDupPairsMinHash(df, textCol, idCol, threshold, n)
+      threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20): DataFrame =
+    removeByPairs(df, idCol,
+      nearDupPairsMinHash(df, textCol, idCol, threshold, n), maxIter)
+
+  /** [[removeNearDuplicates]] detecting with the PER-CORPUS TUNED path
+    * ([[nearDupPairsMinHashTuned]]: sampled-background band tuning +
+    * the self-gating signature prefilter) instead of fixed banding —
+    * the removal form for high-background corpora where the fixed
+    * detector floods (identical results: both detectors are exact-
+    * verified against the same threshold; they differ only in cost). */
+  def removeNearDuplicatesTuned(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20): DataFrame =
+    removeByPairs(df, idCol,
+      nearDupPairsMinHashTuned(df, textCol, idCol, threshold, n), maxIter)
+
+  /** Shared near-dup removal tail: cluster the verified pairs, keep each
+    * cluster's min-id survivor (the one resolution semantics every
+    * detector-flavored removal shares). */
+  private def removeByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int): DataFrame = {
     val losers = resolveClusters(pairs, maxIter)
       .where(col("label") =!= col("id"))
       .select(col("id").as(idCol))

@@ -54,6 +54,7 @@ object CorpusPipeline {
       spanDedupMinCount: Int = 2,
       dedupThreshold: Double = 0.8,
       shingleN: Int = 3,
+      tunedNearDedup: Boolean = false,
       decontaminateN: Int = 8,
       bloomDecontaminate: Boolean = false,
       bloomFpp: Double = 0.001,
@@ -130,9 +131,19 @@ object CorpusPipeline {
         .where(TextAnalysis.tokenCount(text) >= cfg.minTokens)
     }
 
-    // 3. near-dup removal (MinHash+LSH detect → CC → min-id survivor)
-    val nearDeduped = Dedup.removeNearDuplicates(
-      spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN)
+    // 3. near-dup removal (MinHash+LSH detect → CC → min-id survivor).
+    //    `tunedNearDedup` swaps in the per-corpus tuned detector (sampled
+    //    background band tuning + self-gating signature prefilter) — the
+    //    scale configuration for high-background corpora where fixed
+    //    banding floods with candidates; survivors are identical (both
+    //    detectors exact-verify the same threshold), only the cost moves.
+    val nearDeduped =
+      if (cfg.tunedNearDedup)
+        Dedup.removeNearDuplicatesTuned(
+          spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN)
+      else
+        Dedup.removeNearDuplicates(
+          spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN)
 
     // 4. benchmark decontamination. DELIBERATELY a larger n than the
     //    dedup shingles: any-single-trigram overlap would scrub nearly

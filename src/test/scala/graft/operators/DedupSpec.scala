@@ -238,6 +238,11 @@ class DedupSpec extends AnyFunSuite {
     // survivors contain no pair that detection would still flag
     val residual = Dedup.nearDupPairsMinHash(kept, "text", "doc_id", 0.5).count()
     assert(residual == 0, s"$residual near-dup pairs survive resolution")
+    // the tuned-detector removal form keeps the identical survivor set
+    // (both detectors exact-verify the same threshold)
+    val keptTuned = Dedup.removeNearDuplicatesTuned(docs, "text", "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTuned == kept.select("doc_id").as[Long].collect().toSet)
   }
 
   test("incremental dedup: corpus-duplicate incoming drops, pure-incoming clusters keep min id, existing never pairs with itself") {

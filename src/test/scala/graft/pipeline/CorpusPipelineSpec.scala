@@ -92,6 +92,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty && viaBloom == exact && viaBloomHighFpp == exact)
   }
 
+  test("tunedNearDedup: identical survivors to the fixed-banding path") {
+    // the tuned detector (sampled-background band tuning + self-gating
+    // signature prefilter) exact-verifies the same threshold, so the
+    // pipeline's survivor set cannot differ — this pins the Config wiring
+    // (Config → prepare → removeNearDuplicatesTuned) end to end
+    val corpus = docs.select($"doc_id", $"text")
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      chunkTokens = 64, overlapTokens = 16)
+    val fixed = CorpusPipeline.prepare(corpus, None, cfg)
+      .documents.select("doc_id").as[Long].collect().toSet
+    val tuned = CorpusPipeline.prepare(corpus, None,
+      cfg.copy(tunedNearDedup = true))
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(fixed.nonEmpty && tuned == fixed)
+  }
+
   test("optional line/span stages: boilerplate scrubbed before near-dup, emptied docs re-gated") {
     // two long, genuinely distinct English docs that share (a) a
     // boilerplate footer LINE and (b) a 10-token boilerplate SPAN that
