@@ -18,7 +18,10 @@ object ScaleProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional args: profile only the named sections
-    // (dedup | detect_split | detect_tuned | indexed | linededup | packing).
+    // (dedup | dedupfixed | deduptuned | detect_split | detect_tuned |
+    //  indexed | linededup | packing). dedupfixed/deduptuned are NOT in
+    // the default set: they exist for fresh-JVM A/B isolation and are
+    // meaningless inside a combined pass (see comment at their sections).
     val sections: Set[String] =
       if (args.nonEmpty) args.toSet
       else Set("dedup", "detect_split", "detect_tuned", "indexed", "linededup", "packing")
@@ -52,6 +55,20 @@ object ScaleProfile {
       }
       timed("dedup.total(removeNearDuplicates)") {
         Dedup.removeNearDuplicates(docs, "text", "doc_id", 0.5).count()
+      }
+    }
+
+    // ── the two removal forms, ISOLATED: each in its own fresh JVM (the
+    //    combined `dedup` section's detect arm leaves JIT + page cache
+    //    warm, making any same-JVM total read falsely low) ──────────────
+    if (sections("dedupfixed")) {
+      timed("dedupfixed.total(removeNearDuplicates)") {
+        Dedup.removeNearDuplicates(docs, "text", "doc_id", 0.5).count()
+      }
+    }
+    if (sections("deduptuned")) {
+      timed("deduptuned.total(removeNearDuplicatesTuned)") {
+        Dedup.removeNearDuplicatesTuned(docs, "text", "doc_id", 0.5).count()
       }
     }
 

@@ -624,7 +624,19 @@ object Dedup {
     * the self-gating signature prefilter) instead of fixed banding —
     * the removal form for high-background corpora where the fixed
     * detector floods (identical results: both detectors are exact-
-    * verified against the same threshold; they differ only in cost). */
+    * verified against the same threshold; they differ only in cost).
+    *
+    * WHEN TO USE (measured, BASELINE.md round 7): the tuned form pays
+    * fixed O(N) overheads — two checkpointed shingle materializations,
+    * a k≈300 signature checkpoint, the background sample — to buy down
+    * candidate volume, which under fixed banding grows ~×14.6 per ×10
+    * docs on high-background corpora. At 500k docs on one box those
+    * overheads still exceed the verify savings (fixed ~33 s vs tuned
+    * ~54–63 s isolated); the crossover is the next decade, where fixed
+    * banding's projected ~340M candidates re-enter verify saturation.
+    * Reach for this form when the corpus (per partition-group) is in
+    * the millions of documents or a background-similarity sample runs
+    * hot; below that, [[removeNearDuplicates]] is faster. */
   def removeNearDuplicatesTuned(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20): DataFrame =
     removeByPairs(df, idCol,

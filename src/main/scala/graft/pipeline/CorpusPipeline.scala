@@ -137,6 +137,8 @@ object CorpusPipeline {
     //    scale configuration for high-background corpora where fixed
     //    banding floods with candidates; survivors are identical (both
     //    detectors exact-verify the same threshold), only the cost moves.
+    //    Crossover guidance (measured): see removeNearDuplicatesTuned's
+    //    scaladoc — millions of docs per group, not below.
     val nearDeduped =
       if (cfg.tunedNearDedup)
         Dedup.removeNearDuplicatesTuned(
