@@ -157,4 +157,48 @@ object AnnOracles {
       s"$evCte, " +
       top1Tail("sc AS (SELECT cand.q_id, cand.c_id, list_cosine_similarity(pv.v, cv.v) AS cs " +
         "FROM cand JOIN ev pv ON pv.vec_id = cand.q_id JOIN ev cv ON cv.vec_id = cand.c_id)")
+
+  /** q_semantic_dedup: SemDeDup over the jitter-augmented embeddings
+    * table, restated end to end — primary assignment to the frozen
+    * coarse centroids (cosine DESC, list ASC: the assignLists ordering),
+    * within-cluster exact pairs at the threshold, recursive-CTE
+    * connected components, then the keep-the-outlier survivor rule
+    * (lowest primary-centroid cosine per group, ties by id). Same
+    * augmentation as q_embedding_dedup_resolved (jittered +1e6-id copies
+    * of every 10th vector plant real duplicate groups). `asg`/`j` are
+    * MATERIALIZED: the recursive CC re-evaluates inlined CTE chains. */
+  def semanticDedup(threshold: Double): String = {
+    val n = FrozenAnn.coarse.length
+    s"WITH RECURSIVE co AS (SELECT $coarseLit AS cents), " +
+      s"ls AS (SELECT unnest(range(0, $n)) AS l), " +
+      "base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "aug AS MATERIALIZED (SELECT vec_id, v FROM base " +
+      "UNION ALL SELECT vec_id + 1000000, " +
+      "list_transform(v, (x, i) -> x + 0.025 * (CASE WHEN " +
+      "substr(md5(CAST(vec_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1) <= '7' " +
+      "THEN 1.0 ELSE -1.0 END)) FROM base WHERE vec_id % 10 = 0), " +
+      "asg AS MATERIALIZED (SELECT vec_id, l, cc FROM (SELECT a.vec_id, ls.l, " +
+      "list_cosine_similarity(a.v, cents[ls.l+1]) AS cc, " +
+      "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY " +
+      "list_cosine_similarity(a.v, cents[ls.l+1]) DESC, ls.l) AS rk " +
+      "FROM aug a, ls, co) WHERE rk = 1), " +
+      "j AS MATERIALIZED (SELECT ax.vec_id AS id_a, ay.vec_id AS id_b " +
+      "FROM asg ax JOIN asg ay ON ax.l = ay.l AND ax.vec_id < ay.vec_id " +
+      "JOIN aug x ON x.vec_id = ax.vec_id JOIN aug y ON y.vec_id = ay.vec_id " +
+      s"WHERE list_cosine_similarity(x.v, y.v) >= $threshold), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e " +
+      "UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "ranked AS (SELECT lab.id, ROW_NUMBER() OVER (PARTITION BY lab.label " +
+      "ORDER BY asg.cc ASC, lab.id ASC) AS rk " +
+      "FROM lab JOIN asg ON asg.vec_id = lab.id), " +
+      "kept AS (SELECT vec_id FROM aug WHERE vec_id NOT IN " +
+      "(SELECT id FROM ranked WHERE rk > 1)) " +
+      "SELECT (SELECT count(*) FROM aug) AS n_vecs, " +
+      "(SELECT count(*) FROM j) AS n_pairs, " +
+      "(SELECT count(DISTINCT label) FROM lab) AS n_groups, " +
+      "(SELECT count(*) FROM kept) AS n_kept, " +
+      "(SELECT CAST(COALESCE(sum(vec_id), 0) AS BIGINT) FROM kept) AS kept_id_sum"
+  }
 }

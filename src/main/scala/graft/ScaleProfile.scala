@@ -166,10 +166,15 @@ object ScaleProfile {
         delta, "text", "doc_id", threshold = 0.5).count()
     }
     timed("indexed.probe_prefiltered(+ stored sigHead)") {
+      // minCandidates = 0 forces the self-gate open so this section always
+      // measures the PREFILTERED plan shape (the production gate would
+      // skip it below 4e6 candidates — that skipping path is the plain
+      // probe section above plus one candidate materialize/count)
       Dedup.removeNearDuplicatesIncrementalIndexed(
         spark.read.parquet(s"$idxDir/bands"), spark.read.parquet(s"$idxDir/shingles"),
         delta, "text", "doc_id", threshold = 0.5,
-        existingSigHead = Some(spark.read.parquet(s"$idxDir/sigheads"))).count()
+        existingSigHead = Some(spark.read.parquet(s"$idxDir/sigheads")),
+        prefilterMinCandidates = 0.0).count()
     }
     }
 

@@ -525,18 +525,64 @@ object SparkEntry {
     "q_embedding_dedup_resolved" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      // Two-step select: the md5 jitter key MUST be the ORIGINAL vec_id.
+      // Aliasing `vec_id + 1000000` as "vec_id" in the SAME select makes
+      // the lambda's col("vec_id") resolve to the lateral alias (the
+      // OFFSET id) — a silent cross-engine augmentation mismatch the
+      // count-level checks can't see (caught by q_semantic_dedup's
+      // kept_id_sum, which pins per-member scores).
       val jit = e.where(col("vec_id") % 10 === 0).select(
-        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("vec_id"),
         transform(col("embedding"), (x, i) =>
           x + lit(0.025) * when(
             substring(md5(concat(col("vec_id").cast("string"), lit("-"),
               (i + lit(1)).cast("string"))), 1, 1) <= lit("7"),
             lit(1.0)).otherwise(lit(-1.0))).as("embedding"))
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
       val aug = e.unionByName(jit)
       val kept = graft.operators.Dedup.removeNearDuplicatesByEmbedding(
         aug, "embedding", "vec_id", threshold = 0.9)
       aug.agg(count(lit(1)).as("n_vecs")).crossJoin(
         kept.agg(count(lit(1)).as("n_kept")))
+    }),
+
+    // ── North star dedup: SEMANTIC dedup (SemDeDup, Abbas et al. 2023) —
+    //    cluster-bounded exact cosine over the frozen coarse centroids
+    //    (the q_ann_ivf_top1 artifact): assign → within-cluster pairs →
+    //    CC → keep-the-outlier survivor (LOWEST primary-centroid cosine
+    //    per group, not min-id — the kept_id_sum column pins the rule).
+    //    Same jitter augmentation as q_embedding_dedup_resolved; oracle
+    //    restates assignment/pairs/CC/rank from the SAME centroid
+    //    literals (AnnOracles.semanticDedup) ───────────────────────────
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      // Two-step select: the md5 jitter key MUST be the ORIGINAL vec_id.
+      // Aliasing `vec_id + 1000000` as "vec_id" in the SAME select makes
+      // the lambda's col("vec_id") resolve to the lateral alias (the
+      // OFFSET id) — a silent cross-engine augmentation mismatch the
+      // count-level checks can't see (caught by q_semantic_dedup's
+      // kept_id_sum, which pins per-member scores).
+      val jit = e.where(col("vec_id") % 10 === 0).select(
+        col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.025) * when(
+            substring(md5(concat(col("vec_id").cast("string"), lit("-"),
+              (i + lit(1)).cast("string"))), 1, 1) <= lit("7"),
+            lit(1.0)).otherwise(lit(-1.0))).as("embedding"))
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      val aug = e.unionByName(jit)
+      val cents = graft.operators.FrozenAnn.coarse
+      val pairs = graft.operators.Dedup.semanticDupPairs(
+        aug, "embedding", "vec_id", cents, threshold = 0.9)
+      val labels = graft.operators.Dedup.resolveClusters(pairs)
+      val kept = graft.operators.Dedup.removeSemanticDuplicates(
+        aug, "embedding", "vec_id", cents, threshold = 0.9)
+      aug.agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(labels.agg(countDistinct(col("label")).as("n_groups")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept"),
+          coalesce(sum(col("vec_id")), lit(0L)).as("kept_id_sum")))
     }),
 
     // ── North star dedup: INCREMENTAL near-dup removal — dedup a new
@@ -1847,6 +1893,7 @@ object SparkEntry {
         "FROM p ORDER BY q_id"),
     // frozen-artifact ANN family: SQL generated from the SAME FrozenAnn
     // literals the Spark queries probe (AnnOracles — no-drift pattern)
+    "q_semantic_dedup" -> AnnOracles.semanticDedup(threshold = 0.9),
     "q_ann_pq_top1" -> AnnOracles.pqTop1,
     "q_ann_ivf_top1" -> AnnOracles.ivfTop1,
     "q_ann_ivfpq_top1" -> AnnOracles.ivfPqTop1,

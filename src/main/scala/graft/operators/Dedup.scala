@@ -759,16 +759,22 @@ object Dedup {
     * per incoming doc; the corpus side comes from storage). Survivors are
     * still exact-verified — passing the head trades nothing but the
     * ~2·10⁻⁴ at-τ estimator tail, same contract as the batch tuned path.
-    * `prefilterHashes` MUST equal the stored head's width. */
+    * `prefilterHashes` MUST equal the stored head's width. The prefilter
+    * SELF-GATES on the measured candidate count (`prefilterMinCandidates`,
+    * same gate as the batch tuned path): a routine small batch probing a
+    * large index yields few candidates and skips the head joins' fixed
+    * cost; a flood engages them. Providing the head is therefore always
+    * safe — it changes plans only when it pays. */
   def removeNearDuplicatesIncrementalIndexed(existingBands: DataFrame,
       existingShingles: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.8,
       n: Int = 3, k: Int = 128, checkDisjointIds: Boolean = true,
       maxIter: Int = 20, existingSigHead: Option[DataFrame] = None,
-      prefilterHashes: Int = 64): DataFrame =
+      prefilterHashes: Int = 64,
+      prefilterMinCandidates: Double = 4e6): DataFrame =
     removeIncrementalFrom(existingBands, existingShingles, incoming,
       textCol, idCol, threshold, n, k, checkDisjointIds, maxIter,
-      existingSigHead, prefilterHashes)
+      existingSigHead, prefilterHashes, prefilterMinCandidates)
 
   /** Shared incremental-removal core: one-sided band probe of `incoming`
     * against an existing corpus given as (band index, shingle index) —
@@ -777,7 +783,8 @@ object Dedup {
   private def removeIncrementalFrom(exBands: DataFrame, shEx: DataFrame,
       incoming: DataFrame, textCol: String, idCol: String, threshold: Double,
       n: Int, k: Int, checkDisjointIds: Boolean, maxIter: Int,
-      exSigHead: Option[DataFrame] = None, prefilterHashes: Int = 64): DataFrame = {
+      exSigHead: Option[DataFrame] = None, prefilterHashes: Int = 64,
+      prefilterMinCandidates: Double = 4e6): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
     val shIn = materialize(shingleIndex(incoming, textCol, idCol, n))
     // Default-on eager validation (one id-only semi-join job); callers
@@ -817,12 +824,21 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     // optional signature-agreement prefilter: the stored corpus head plus
     // h fresh hashes per incoming doc (the delta side is the only side
-    // hashed — the index contract holds)
+    // hashed — the index contract holds). Self-gated like the batch tuned
+    // path, but on the MEASURED candidate count — the probe has no
+    // background-J estimate in hand, and the band join is already behind
+    // us, so materialize-and-count prices the verify exactly: below the
+    // gate the head joins' fixed cost can only lose (a small daily batch
+    // probing a huge index yields few candidates), above it they remove
+    // the verify wall (BASELINE.md round 7: 5M-doc verify 639 → 40 s).
     val kept = exSigHead match {
       case Some(exHd) if prefilterHashes > 0 =>
-        val allHd = minHashSignatureHead(shIn, prefilterHashes)
-          .unionByName(exHd.select(col("id"), col("hd")))
-        prefilterByHead(candidates, allHd, threshold, prefilterHashes)
+        val cand = materialize(candidates)
+        if (cand.count() >= prefilterMinCandidates) {
+          val allHd = minHashSignatureHead(shIn, prefilterHashes)
+            .unionByName(exHd.select(col("id"), col("hd")))
+          prefilterByHead(cand, allHd, threshold, prefilterHashes)
+        } else cand
       case _ => candidates
     }
     val shAll = shIn.unionByName(shEx)
@@ -941,4 +957,87 @@ object Dedup {
       contaminationHitsBloom(corpus, benchmark, textCol, idCol, n, fpp)
         .select(col("corpus_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  // ─── Semantic (embedding-space) deduplication — SemDeDup ──────────────
+
+  /** Within-cluster duplicate pairs for SEMANTIC dedup (SemDeDup, Abbas
+    * et al. 2023, arXiv:2303.09540): assign each embedding to its
+    * `assignKeep` nearest centroids (narrow literal projection for
+    * k ≤ 64, one-row broadcast codebook above — [[Similarity
+    * .assignListsAuto]], the IVF assignment), then enumerate exact
+    * cosine-≥-threshold pairs ONLY within a shared cluster. The
+    * quadratic term is bounded per cluster — k is chosen so
+    * |corpus|/k fits a partition (the paper's 100× pruning trick vs
+    * all-pairs), and candidates never cross clusters, so the only wide
+    * stage is the self-join shuffle on the cluster id. `assignKeep > 1`
+    * is the boundary-recall knob (IVF multi-probe shape): a duplicate
+    * pair straddling a centroid boundary meets in the second-nearest
+    * list at the cost of `assignKeep`× assignment rows.
+    *
+    * 100 TB shape: assignment is a narrow codegen'd scan (no shuffle);
+    * the pair join shuffles (id, vec) rows hash-partitioned on cluster;
+    * with k ≈ N/10⁴ clusters the per-partition work is ~10⁸ kernel dot
+    * products — sized like the verify stage of the MinHash family. Skewed
+    * (over-popular) clusters are the residual risk; cap cluster radius by
+    * raising k, exactly as the paper does.
+    *
+    * Output: (id_a, id_b, cosine), id_a < id_b, distinct pairs. */
+  def semanticDupPairs(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[(Int, Array[Float])], threshold: Double,
+      assignKeep: Int = 1): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val assigned = Similarity.assignListsAuto(
+        df, vecCol, idCol, centroids, "id", "vec", assignKeep)
+      .repartition(cpuParallelism(df), col("list"))
+    val a = assigned.select(col("list"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = assigned.select(col("list"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    val pairs = a.join(b, Seq("list"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    // A pair sharing ≥ 2 lists under multi-assign appears once per list;
+    // the single-assign path cannot duplicate, so skip the extra shuffle.
+    if (assignKeep > 1) pairs.dropDuplicates("id_a", "id_b") else pairs
+  }
+
+  /** SemDeDup REMOVAL: cluster the duplicate pairs ([[resolveClusters]])
+    * and keep, per duplicate group, the member FARTHEST from its primary
+    * centroid — the paper's keep-the-outlier rule (lowest centroid
+    * cosine; prototypical members carry the least marginal information),
+    * ties broken by id. Everything outside a duplicate group passes
+    * through untouched (left-anti on loser ids).
+    *
+    * The survivor ranking re-derives each clustered member's primary
+    * (nearest-centroid) cosine with a second narrow assignment pass —
+    * recomputing a codegen'd projection is cheaper at scale than
+    * materializing (id, vec, score) through the pair join; the rank
+    * window shuffles only the clustered ids (a vanishing fraction of the
+    * corpus). */
+  def removeSemanticDuplicates(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[(Int, Array[Float])], threshold: Double,
+      assignKeep: Int = 1, maxIter: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val labels = resolveClusters(
+      semanticDupPairs(df, vecCol, idCol, centroids, threshold, assignKeep),
+      maxIter)
+    val centDf = centroids.toSeq.toDF("list", "cent")
+    val scored = Similarity.assignListsAuto(
+        df, vecCol, idCol, centroids, "id", "vec", keep = 1)
+      .join(broadcast(centDf), Seq("list"))
+      .select(col("id"),
+        GraftFunctions.cosineSim(col("vec"), col("cent")).as("cent_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("cent_cos").asc, col("id").asc)
+    val losers = labels.join(scored, Seq("id"))
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -314,14 +314,25 @@ class DedupSpec extends AnyFunSuite {
 
     // PREFILTERED probe: the stored signature-head artifact engages the
     // signature-agreement prefilter on the probe path — survivors must
-    // still be identical to the recompute path
+    // still be identical to the recompute path. minCandidates = 0 forces
+    // the self-gate open (spec-scale candidate counts never cross the
+    // production 4e6 gate)
     Dedup.minHashSignatureHead(shStored)
       .write.mode("overwrite").parquet(s"$idx/sigheads")
     val fromHead = Dedup.removeNearDuplicatesIncrementalIndexed(
       bandsStored, shStored, incoming, "text", "doc_id", threshold = 0.5,
-      existingSigHead = Some(spark.read.parquet(s"$idx/sigheads")))
+      existingSigHead = Some(spark.read.parquet(s"$idx/sigheads")),
+      prefilterMinCandidates = 0.0)
       .select("doc_id").as[Long].collect().toSet
     assert(fromHead == recomputed)
+
+    // …and under the DEFAULT self-gate (which skips the head joins at
+    // this scale) the head-bearing probe is still result-identical
+    val fromHeadGated = Dedup.removeNearDuplicatesIncrementalIndexed(
+      bandsStored, shStored, incoming, "text", "doc_id", threshold = 0.5,
+      existingSigHead = Some(spark.read.parquet(s"$idx/sigheads")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fromHeadGated == recomputed)
   }
 
   test("incremental dedup: overlapping id spaces rejected") {
