@@ -1158,6 +1158,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── North star quality: MODEL-BASED quality gate — the frozen
+    //    hashed-linear (fastText-shape) scorer FrozenQualityModel, which
+    //    FreezeQm distilled from the Gopher rule conjunction on the
+    //    filler-augmented corpus (even ids get QmOracle.fillerSuffix and
+    //    pass the gate; odd ids fail — balanced, learnable labels on a
+    //    corpus whose raw text defeats the stopword rule everywhere).
+    //    The scoring scan is ONE narrow codegen'd projection: tokens
+    //    fold through the scaled-LONG weight literal, so the logit is an
+    //    exact integer sum + one float division chain — bit-identical in
+    //    DuckDB (QmOracle restates it from the same literals) ───────────
+    "q_quality_model_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(QmOracle.fillerSuffix)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.QualityModel.score(docs, "text", "doc_id",
+        graft.operators.FrozenQualityModel.model)
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── North star decontamination: corpus docs sharing any 3-gram with
     //    the benchmark slice (doc_id % 50 == 0). The join key is a 64-bit
     //    shingle hash — bare (hash, id) pairs shuffle, never shingle
@@ -1894,6 +1915,7 @@ object SparkEntry {
     // frozen-artifact ANN family: SQL generated from the SAME FrozenAnn
     // literals the Spark queries probe (AnnOracles — no-drift pattern)
     "q_semantic_dedup" -> AnnOracles.semanticDedup(threshold = 0.9),
+    "q_quality_model_score" -> QmOracle.qualityModelScore,
     "q_ann_pq_top1" -> AnnOracles.pqTop1,
     "q_ann_ivf_top1" -> AnnOracles.ivfTop1,
     "q_ann_ivfpq_top1" -> AnnOracles.ivfPqTop1,
