@@ -486,18 +486,44 @@ object Dedup {
   /** [[prefilterBySignature]] over an ALREADY-SLICED (id, hd) head frame —
     * the form the persisted-index probe uses (the stored
     * [[minHashSignatureHead]] artifact arrives pre-sliced from parquet).
-    * `h` must be the head's width (the cut's standard error is √(τ(1−τ)/h);
-    * a narrower stored head than claimed would make the cut aggressive). */
+    *
+    * The head joins are LEFT joins: a candidate whose id has no head row
+    * passes through to the exact verify instead of being filtered on
+    * absent evidence. Partial head coverage is a REACHABLE state, not an
+    * error — a streaming corpus upgraded mid-life has bands/shingles for
+    * every batch but signature heads only for post-upgrade batches
+    * ([[graft.streaming.StreamingOps.dedupStreamIntoCorpus]] passes the
+    * partial head dir as soon as it exists) — and the prefilter's
+    * contract is "survivors stay exact-verified, the head can only drop
+    * pairs it has POSITIVE far-below-threshold evidence for".
+    *
+    * `h` must be the head's width: the cut's standard error is
+    * √(τ(1−τ)/h), so a STORED head narrower than claimed would silently
+    * understate the error and over-drop true at-threshold pairs — that
+    * mismatch is a configuration bug and fails loudly per row (an O(1)
+    * array-length check inside the filter, not a separate validation
+    * job). Wider heads are safe (more components than priced ⇒ smaller
+    * true SE ⇒ conservative cut) and occur legitimately when a probe
+    * prices h below the stored artifact's width. */
   private[graft] def prefilterByHead(candidates: DataFrame, head: DataFrame,
       threshold: Double, h: Int): DataFrame = {
     if (h <= 0) return candidates
     val cut = threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / h)
     if (cut <= 0) return candidates
     GraftFunctions.register(head.sparkSession)
+    val widthOk = (hd: Column) => size(hd) >= h ||
+      raise_error(concat(
+        lit(s"prefilterByHead: stored signature head narrower than the " +
+          s"claimed width h=$h (found "), size(hd).cast("string"),
+        lit(" components) - the agreement cut would be computed with an " +
+          "understated standard error; rebuild the head or pass its " +
+          "actual width"))).cast("boolean")
     candidates
-      .join(head.select(col("id").as("id_a"), col("hd").as("hd_a")), Seq("id_a"))
-      .join(head.select(col("id").as("id_b"), col("hd").as("hd_b")), Seq("id_b"))
-      .where(GraftFunctions.sigAgreement(col("hd_a"), col("hd_b")) >= cut)
+      .join(head.select(col("id").as("id_a"), col("hd").as("hd_a")), Seq("id_a"), "left")
+      .join(head.select(col("id").as("id_b"), col("hd").as("hd_b")), Seq("id_b"), "left")
+      .where(col("hd_a").isNull || col("hd_b").isNull ||
+        (widthOk(col("hd_a")) && widthOk(col("hd_b")) &&
+          GraftFunctions.sigAgreement(col("hd_a"), col("hd_b")) >= cut))
       .select(col("id_a"), col("id_b"))
   }
 
