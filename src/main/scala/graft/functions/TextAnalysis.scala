@@ -141,10 +141,15 @@ object TextAnalysis {
     *    script tail survived as "text");
     *  - comments next (may contain tag-shaped text);
     *  - then every remaining tag, open or close. The attribute part
-    *    matches quoted values as units (`"[^"]*"|'[^']*'|[^>]`), so a
+    *    matches quoted values as units (`"[^"]*"|'[^']*'|[^>"']`), so a
     *    `>` INSIDE an attribute value (`<a title="a>b">`) stays part of
-    *    the tag instead of terminating it early (alternatives are
-    *    disjoint on their first character — no backtracking blowup);
+    *    the tag instead of terminating it early. The catch-all class
+    *    EXCLUDES quote characters — the alternatives are genuinely
+    *    disjoint on their first character, so an unterminated tag
+    *    containing quotes (a truncated crawl page) fails to match in
+    *    linear time instead of backtracking exponentially (a bare
+    *    `[^>]` catch-all overlaps the quote branches: each quote then
+    *    doubles the search space, ~2^(k/2) steps for k quotes);
     *  - entities decode LAST, `&amp;` after the angle-bracket entities —
     *    single-decode semantics: `&amp;lt;` means the four characters
     *    `&lt;`, not `<`, exactly as a browser renders it. Decoding after
@@ -154,14 +159,18 @@ object TextAnalysis {
     * Known limits of the regex subset (deliberate — a streaming HTML5
     * parser is not expressible as a regexp chain): CDATA sections and
     * malformed nesting degrade to the generic tag pass; an unquoted
-    * attribute value containing `>` terminates its tag early. */
+    * attribute value containing `>` terminates its tag early; a tag
+    * whose quote is never closed before `>` does not match at all and
+    * survives as text (the price of the disjoint classes above — the
+    * right trade, since the alternative is an executor stalled for
+    * hours on one truncated page). */
   private[graft] val htmlStripStages: Seq[(String, String)] = Seq(
     "(?is)<script\\b[^>]*>.*?</script\\s*>"          -> " ",
     "(?is)<style\\b[^>]*>.*?</style\\s*>"            -> " ",
     "(?is)<script\\b[^>]*>.*"                        -> " ", // unterminated: to EOF
     "(?is)<style\\b[^>]*>.*"                         -> " ",
     "(?s)<!--.*?-->"                                 -> " ",
-    "(?s)<[!/]?[A-Za-z](\"[^\"]*\"|'[^']*'|[^>])*>"  -> " ", // tags + <!DOCTYPE …>
+    "(?s)<[!/]?[A-Za-z](\"[^\"]*\"|'[^']*'|[^>\"'])*>" -> " ", // tags + <!DOCTYPE …>
     "&lt;"                                  -> "<",
     "&gt;"                                  -> ">",
     "&quot;"                                -> "\"",

@@ -313,7 +313,8 @@ object StreamingOps {
   def dedupStreamIntoCorpus(streamed: DataFrame, corpusDir: String,
       indexDir: String, textCol: String, idCol: String,
       threshold: Double = 0.8, n: Int = 3, k: Int = 128,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      prefilterMinCandidates: Double = 4e6)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     val writer = streamed.writeStream
@@ -338,9 +339,13 @@ object StreamingOps {
                 readIndex(bandsPath), readIndex(shPath),
                 batch, textCol, idCol, threshold, n, k,
                 // indexes from before the sighead artifact existed still
-                // probe fine — the prefilter just stays out of the plan
+                // probe fine — the prefilter just stays out of the plan;
+                // a head dir that exists but covers only post-upgrade
+                // batches is PARTIAL, and the prefilter's left joins pass
+                // head-less candidates through to the exact verify
                 existingSigHead =
-                  if (exists(headsPath)) Some(readIndex(headsPath)) else None)
+                  if (exists(headsPath)) Some(readIndex(headsPath)) else None,
+                prefilterMinCandidates = prefilterMinCandidates)
             else
               Dedup.removeNearDuplicates(batch, textCol, idCol, threshold, n)
           // one materialization: survivors feed the corpus write AND three

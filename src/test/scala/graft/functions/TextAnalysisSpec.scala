@@ -173,6 +173,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(stripNl("a   b\t\tc") == "a b c")
   }
 
+  test("stripHtml: unterminated tag full of quotes completes in linear time (no ReDoS)") {
+    def strip(s: String): String =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.collapseWhitespace(TextAnalysis.stripHtml($"t")))
+        .head().getString(0)
+    // A truncated crawl page: an <a …> tag cut off mid-attributes, quote
+    // characters scattered through the tail, no closing '>'. With a bare
+    // [^>] catch-all overlapping the quote alternatives this costs
+    // ~2^(k/2) regex steps (hours at k≈50); with disjoint classes it must
+    // fail to match in milliseconds and the text survives verbatim.
+    val quotes = (1 to 60).map(i => s"""attr$i="v$i""").mkString(" ")
+    val truncated = s"before <a $quotes and then the page was cut off"
+    val t0 = System.nanoTime()
+    val out = strip(truncated)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 5000, f"unterminated-tag strip took $elapsedMs%.0f ms — backtracking blowup")
+    assert(out.startsWith("before <a attr1=") && out.endsWith("cut off"),
+      "an unmatchable truncated tag must survive as text, not hang or vanish")
+    // Well-formed tags with quoted '>' still stripped (semantics preserved)
+    assert(strip("""x<a title="a>b" href='c>d'>y</a>z""") == "x y z")
+    // Known limit pinned: a tag whose quote never closes before '>' no
+    // longer matches at all (the price of disjoint alternatives)
+    assert(strip("""p <a href="broken> q""") == "p <a href=\"broken> q")
+  }
+
   test("gopherFlags: each rule trips on its planted pathology, prose passes") {
     val prose = ("the quick brown fox jumps over the lazy dog and it was a " +
       "good day for all of you with this fine weather in the field ") * 3

@@ -335,6 +335,95 @@ class DedupSpec extends AnyFunSuite {
     assert(fromHeadGated == recomputed)
   }
 
+  test("prefilterByHead: missing head rows pass through; far-below-cut pairs drop") {
+    import org.apache.spark.sql.functions.{col, size}
+    // four docs: 1≡2 (identical text → head agreement 1.0), 5⊥6 (disjoint
+    // shingles → agreement ≈ 0), 3/4 arbitrary — and doc 3's head row is
+    // WITHHELD, the streaming-upgrade partial-coverage shape
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten eleven"),
+      (4L, "red orange yellow green blue indigo violet pink brown black"),
+      (5L, "cat dog bird fish horse sheep goat cow duck hen rabbit"),
+      (6L, "north south east west up down left right front back middle"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleIndex(corpus, "text", "doc_id")
+    val fullHead = Dedup.minHashSignatureHead(sh, 16)
+    val partialHead = fullHead.where(col("id") =!= 3L)
+    val candidates = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.prefilterByHead(candidates, partialHead, 0.8, 16)
+      .as[(Long, Long)].collect().toSet
+    // (1,2) survives on evidence; (3,4) survives on ABSENCE of evidence
+    // (left-join pass-through — an inner join would silently drop the
+    // pair and lose a potential true duplicate); (5,6) drops on positive
+    // far-below-cut evidence
+    assert(kept == Set((1L, 2L), (3L, 4L)),
+      s"expected pass-through for the head-less pair, got $kept")
+  }
+
+  test("prefilterByHead: stored head narrower than the claimed width fails loudly") {
+    import org.apache.spark.sql.functions.{col, slice}
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleIndex(corpus, "text", "doc_id")
+    // a head stored at width 4 but probed claiming h=16: the agreement
+    // cut would be computed with an understated standard error — must
+    // fail per row, not silently over-drop
+    val narrow = Dedup.minHashSignatureHead(sh, 16)
+      .select(col("id"), slice(col("hd"), 1, 4).as("hd"))
+    val candidates = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[Exception] {
+      Dedup.prefilterByHead(candidates, narrow, 0.8, 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("narrower than the claimed width")),
+      s"expected the prefilterByHead width error, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("incremental dedup: PARTIAL head coverage stays result-identical (streaming-upgrade shape)") {
+    import org.apache.spark.sql.functions.col
+    val existing = docs.where($"doc_id" < 300)
+    val incoming = docs.where($"doc_id" >= 300)
+    val recomputed = Dedup.removeNearDuplicatesIncremental(
+      existing, incoming, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+
+    val idx = java.nio.file.Files.createTempDirectory("graft_parthead_spec").toString
+    Dedup.shingleIndex(existing, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$idx/shingles")
+    val shStored = spark.read.parquet(s"$idx/shingles")
+    Dedup.minHashBandIndex(shStored, threshold = 0.5)
+      .write.mode("overwrite").parquet(s"$idx/bands")
+
+    // Withhold head rows for EXACTLY the existing-side ids that sit in
+    // true cross pairs — with the pre-fix inner join those pairs vanished
+    // before the verify and their incoming near-dups wrongly survived, so
+    // this head maximally discriminates the contract
+    val crossExistingIds = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a < 300) != (b < 300) }
+      .flatMap { case (a, b) => Seq(a, b).filter(_ < 300) }.toSet
+    assert(crossExistingIds.nonEmpty,
+      "fixture must have cross pairs or this spec pins nothing")
+    Dedup.minHashSignatureHead(shStored)
+      .where(!col("id").isin(crossExistingIds.toSeq: _*))
+      .write.mode("overwrite").parquet(s"$idx/sigheads")
+
+    val fromPartialHead = Dedup.removeNearDuplicatesIncrementalIndexed(
+      spark.read.parquet(s"$idx/bands"), shStored, incoming, "text", "doc_id",
+      threshold = 0.5,
+      existingSigHead = Some(spark.read.parquet(s"$idx/sigheads")),
+      prefilterMinCandidates = 0.0) // force the self-gate open
+      .select("doc_id").as[Long].collect().toSet
+    assert(fromPartialHead == recomputed,
+      s"partial head changed survivors: extra=${fromPartialHead -- recomputed} " +
+        s"missing=${recomputed -- fromPartialHead}")
+  }
+
   test("incremental dedup: overlapping id spaces rejected") {
     intercept[IllegalArgumentException] {
       Dedup.removeNearDuplicatesIncremental(

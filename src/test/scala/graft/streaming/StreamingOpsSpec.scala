@@ -254,6 +254,52 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(indexedIds == Set(1L, 4L))
   }
 
+  test("dedupStreamIntoCorpus: PARTIAL sighead dir (mid-life upgrade) still drops near-dups of head-less docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Files.createTempDirectory("parthead_corpus").toString
+    val index = Files.createTempDirectory("parthead_index").toString
+    val uniqueA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val uniqueB = "completely different prose about distributed query engines and shuffle plans"
+    val uniqueC = "a third passage on watermarks checkpoints and stateful stream processing"
+    // Pre-seed the index as a mid-life-upgraded stream leaves it: batch
+    // 100 predates the sighead artifact (bands+shingles only), batch 101
+    // post-dates it (all three) — so the heads dir EXISTS but covers only
+    // doc 4, not doc 1. High batch ids avoid colliding with the fresh
+    // stream's own batch 0 (the replay guard drops the current batch id).
+    val b100 = Seq((1L, uniqueA)).toDF("doc_id", "text")
+    val sh100 = Dedup.shingleIndex(b100, "text", "doc_id")
+    sh100.write.parquet(s"$index/shingles/batch_id=100")
+    Dedup.minHashBandIndex(sh100, threshold = 0.5)
+      .write.parquet(s"$index/bands/batch_id=100")
+    val b101 = Seq((4L, uniqueB)).toDF("doc_id", "text")
+    val sh101 = Dedup.shingleIndex(b101, "text", "doc_id")
+    sh101.write.parquet(s"$index/shingles/batch_id=101")
+    Dedup.minHashBandIndex(sh101, threshold = 0.5)
+      .write.parquet(s"$index/bands/batch_id=101")
+    Dedup.minHashSignatureHead(sh101)
+      .write.parquet(s"$index/sigheads/batch_id=101")
+
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    // gate forced open so the prefilter's head joins are actually in the
+    // plan at spec scale — the pre-fix inner join silently dropped the
+    // (1,3) candidate here and kept doc 3 as a false survivor
+    val q = StreamingOps.dedupStreamIntoCorpus(
+      docs, corpus, index, "text", "doc_id", threshold = 0.5,
+      prefilterMinCandidates = 0.0)
+    try {
+      val nearA = uniqueA.replace("today", "tonight")
+      source.addData((3L, nearA), (5L, uniqueC))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(5L),
+        s"near-dup of the head-less indexed doc must drop via verify pass-through, got $kept")
+    } finally q.stop()
+  }
+
   test("compactCorpus: survivor sets identical to the uncompacted run; file count drops to O(1)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
