@@ -37,6 +37,13 @@ object AnnOracles {
       book.map(dlist).mkString("[", ",", "]"))
       .mkString("[", ",", "]") + "::DOUBLE[][][]"
 
+  /** The frozen coarse centroids as reusable CTEs (`co(cents)`,
+    * `ls(l)`) for composed oracles that embed a semantic-assignment
+    * rung (q_corpus_pipeline_semantic). */
+  def coarseCtes: String =
+    s"co AS (SELECT $coarseLit AS cents), " +
+      s"ls AS (SELECT unnest(range(0, ${FrozenAnn.coarse.length})) AS l)"
+
   /** Full-precision double view of the embeddings table. */
   private val evCte =
     "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"

@@ -29,22 +29,20 @@ object SparkEntry {
   private val ndIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Same pattern for the persisted IVF×PQ ANN index
+    * (q_ann_ivfpq_indexed). */
+  private val annIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.testTable(s, dir, name)
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench
-    * sessions) — normalize it back to a TimestampType column. Integer
-    * division: ns-since-epoch (~1.7e18) exceeds double's 2^53 exact range,
-    * so a floating divide would corrupt timestamps. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = t(s, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => df
-    }
-  }
+  /** `events.ts` normalized to TimestampType whatever encoding the
+    * testdata generation shipped — TIMESTAMP(NANOS)-as-long under the
+    * legacy conf, or plain `timestamp[us]` (TIMESTAMP_NTZ): see
+    * [[Sources.normalizeTs]]. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Sources.normalizeTs(t(s, dir, "events"))
 
   /** Order-insensitive exact sum of a double column (see scaladoc above).
     * The result is capped at DECIMAL(18,4) before the double cast: DuckDB's
@@ -429,6 +427,34 @@ object SparkEntry {
         .orderBy(col("q_id"))
     }),
 
+    // ── IVF×PQ probing a PERSISTED index — the build-once/probe-per-batch
+    //    production shape (the ANN analogue of q_incremental_dedup_indexed):
+    //    the (list, c_id, codes) artifact is written once per corpus
+    //    version, round-tripped through parquet, and the probe path never
+    //    re-reads corpus vectors. Memoized per scale dir so bench
+    //    iterations measure the PROBE, not a rebuild. Result-identical to
+    //    q_ann_ivfpq_top1 (SimilaritySpec pins the round-trip), so it
+    //    shares the same frozen-artifact oracle ──────────────────────────
+    "q_ann_ivfpq_indexed" -> ((s, dir) => {
+      val idxDir = annIndexDirs.computeIfAbsent(dir, { d =>
+        val path = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+        graft.etl.Warehouse.stageParquet(
+          graft.operators.Similarity.buildIvfPqIndex(
+            t(s, d, "embeddings"), "embedding", "vec_id",
+            graft.operators.FrozenAnn.coarse, graft.operators.FrozenAnn.pqIndex,
+            corpusSpill = 2),
+          s"$path/ivfpq")
+        path
+      })
+      graft.operators.Similarity.ivfPqTopKIndexed(
+        s.read.parquet(s"$idxDir/ivfpq"),
+        t(s, dir, "embeddings").where(col("vec_id") < 20), "embedding", "vec_id",
+        graft.operators.FrozenAnn.coarse, graft.operators.FrozenAnn.pqIndex,
+        k = 1, nProbe = 4)
+        .select(col("q_id"), col("c_id").as("nn_id"))
+        .orderBy(col("q_id"))
+    }),
+
     // ── Sign-LSH bucketed ANN: 16-bit hyperplane signature, 4×4-bit
     //    chunk keys, candidates share any chunk. The plane matrix is a
     //    pure function of (planes, dim, seed) — the oracle emits the
@@ -662,6 +688,13 @@ object SparkEntry {
     //    by construction (both detectors exact-verify the threshold);
     //    what changes is the cost curve on high-background corpora ──────
     "q_corpus_pipeline_tuned" -> ((s, dir) => corpusPipelineQuery(s, dir, tuned = true)),
+
+    // ── Same pipeline with the SEMANTIC dedup rung on: planted
+    //    paraphrase twins (reversed tokens — lexically invisible —
+    //    + jittered embeddings) must pass every shingle rung and
+    //    collapse only at the embedding stage. See
+    //    corpusPipelineSemanticQuery ─────────────────────────────────────
+    "q_corpus_pipeline_semantic" -> ((s, dir) => corpusPipelineSemanticQuery(s, dir)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -1285,6 +1318,60 @@ object SparkEntry {
     stageCounts.crossJoin(docStats).crossJoin(chunkStats)
   }
 
+  /** q_corpus_pipeline_semantic: the pipeline with the SEMANTIC rung on.
+    * Corpus = documents ⨝ embeddings (ids align 1:1) plus planted
+    * PARAPHRASE twins: every 10th doc re-appears as id+1e6 with its
+    * normalized tokens REVERSED — lexically invisible (the trigrams of a
+    * reversed token stream share ~nothing with the original), so the
+    * exact/near rungs must pass both members through — and its embedding
+    * jittered by the q_semantic_dedup md5 scheme (cosine ≈ 0.99 → a
+    * within-cluster semantic pair under the frozen coarse centroids).
+    * The semantic rung then collapses each surviving twin pair to its
+    * keep-the-outlier survivor. Plain upstream config (no html/gopher/
+    * line stages — those are pinned by the other two pipeline queries). */
+  private def corpusPipelineSemanticQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    // Two-step select: the md5 jitter key MUST be the ORIGINAL doc_id
+    // (same lateral-alias trap as q_semantic_dedup).
+    val twins = base.where(col("doc_id") % 10 === 0).select(
+      col("doc_id"),
+      concat_ws(" ", reverse(split(norm, "\\s+"))).as("text"),
+      transform(col("embedding"), (x, i) =>
+        x + lit(0.025) * when(
+          substring(md5(concat(col("doc_id").cast("string"), lit("-"),
+            (i + lit(1)).cast("string"))), 1, 1) <= lit("7"),
+          lit(1.0)).otherwise(lit(-1.0))).as("embedding"))
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+        col("embedding"))
+    val corpus = base.unionByName(twins)
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+      semanticDedup = Some(graft.pipeline.CorpusPipeline.SemanticDedupConfig(
+        "embedding", graft.operators.FrozenAnn.coarse, threshold = 0.9)),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, None, cfg)
+    val stageCounts = p.stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as(s"n_$name"))
+    }.reduce(_.crossJoin(_))
+    val docStats = p.documents.agg(
+      sum(col("doc_id")).cast("long").as("id_checksum"),
+      sum(length(col("text"))).cast("long").as("text_len_sum"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
+    val chunkStats = p.chunks.agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
+    stageCounts.crossJoin(docStats).crossJoin(chunkStats)
+  }
+
   /** DuckDB CTE producing (doc_id, shingles): distinct 3-gram shingles of
     * the normalized text — the oracle-side mirror of
     * [[graft.operators.Dedup.shingleSets]], shared by every dedup oracle. */
@@ -1395,6 +1482,95 @@ object SparkEntry {
       "(SELECT count(*) FROM q3) AS n_near_dedup, " +
       "(SELECT count(*) FROM q4) AS n_decontaminated, " +
       "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_semantic: the plain-config
+    * pipeline chain (quality/lang gate → exact → trigram near-dup CC)
+    * extended with the SEMANTIC rung — primary assignment to the frozen
+    * coarse centroids (AnnOracles.coarseCtes, the exact literals the
+    * Spark side probes), within-cluster cosine ≥ 0.9 pairs, a second
+    * recursive-CTE CC, and the keep-the-outlier survivor rank — over the
+    * documents ⨝ embeddings corpus plus the reversed-token/jittered-
+    * embedding paraphrase twins. */
+  private lazy val corpusPipelineSemanticOracle: String = {
+    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
+      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
+    }
+    "WITH RECURSIVE " +
+      AnnOracles.coarseCtes + ", " +
+      "dv AS (SELECT d.doc_id, d.text, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), " +
+      // twins: reversed-token text, md5-jittered embedding — the jitter
+      // key is the ORIGINAL doc_id (inner select), the id offset applies
+      // outside, exactly as the Spark side's two-step select
+      "tw AS (SELECT doc_id + 1000000 AS doc_id, text, v FROM (" +
+      "SELECT doc_id, array_to_string(list_reverse(regexp_split_to_array(" +
+      "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+')), ' ') AS text, " +
+      "list_transform(v, (x, i) -> x + 0.025 * (CASE WHEN " +
+      "substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1) <= '7' " +
+      "THEN 1.0 ELSE -1.0 END)) AS v FROM dv WHERE doc_id % 10 = 0)), " +
+      "aug AS MATERIALIZED (SELECT doc_id, text, v FROM dv UNION ALL SELECT doc_id, text, v FROM tw), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
+      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
+      "(SELECT doc_id, text, greatest(" +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      // ── semantic rung: primary assignment → within-cluster pairs →
+      //    CC #2 → keep-the-outlier (lowest centroid cosine, ties by id)
+      "sememb AS MATERIALIZED (SELECT q3.doc_id AS id, a.v FROM q3 JOIN aug a ON a.doc_id = q3.doc_id), " +
+      "sasg AS MATERIALIZED (SELECT id, l, cc FROM (SELECT s2.id, ls.l, " +
+      "list_cosine_similarity(s2.v, cents[ls.l+1]) AS cc, " +
+      "ROW_NUMBER() OVER (PARTITION BY s2.id ORDER BY " +
+      "list_cosine_similarity(s2.v, cents[ls.l+1]) DESC, ls.l) AS rk " +
+      "FROM sememb s2, ls, co) WHERE rk = 1), " +
+      "sj AS MATERIALIZED (SELECT ax.id AS id_a, ay.id AS id_b " +
+      "FROM sasg ax JOIN sasg ay ON ax.l = ay.l AND ax.id < ay.id " +
+      "JOIN sememb x ON x.id = ax.id JOIN sememb y ON y.id = ay.id " +
+      "WHERE list_cosine_similarity(x.v, y.v) >= 0.9), " +
+      "se AS (SELECT id_a AS src, id_b AS dst FROM sj UNION ALL SELECT id_b, id_a FROM sj), " +
+      "sr AS (SELECT src AS id, src AS label FROM se " +
+      "UNION SELECT se.dst AS id, sr.label FROM sr JOIN se ON se.src = sr.id), " +
+      "slab AS (SELECT id, min(label) AS label FROM sr GROUP BY id), " +
+      "sranked AS (SELECT slab.id, ROW_NUMBER() OVER (PARTITION BY slab.label " +
+      "ORDER BY sasg.cc ASC, slab.id ASC) AS rk FROM slab JOIN sasg ON sasg.id = slab.id), " +
+      "q3s AS (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT id FROM sranked WHERE rk > 1)), " +
+      s"red AS (SELECT doc_id, $redact AS rt FROM q3s), " +
+      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
+      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
+      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q3s) " +
+      "SELECT (SELECT count(*) FROM aug) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q3s) AS n_semantic_dedup, " +
+      "(SELECT count(*) FROM q3s) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q3s) AS id_checksum, " +
       "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
       "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
       "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
@@ -1629,6 +1805,7 @@ object SparkEntry {
     // identical ground truth: the tuned detector exact-verifies the same
     // threshold, so the pipeline's survivors cannot differ
     "q_corpus_pipeline_tuned" -> corpusPipelineOracle,
+    "q_corpus_pipeline_semantic" -> corpusPipelineSemanticOracle,
     // Same deterministic augmentation as the Spark side: one jittered copy
     // per vec_id % 10 == 0, ±0.025 per dimension keyed by md5(vec_id||'-'||i)
     // (DuckDB list lambdas index from 1; the Spark transform uses i+1 to
@@ -1919,6 +2096,10 @@ object SparkEntry {
     "q_ann_pq_top1" -> AnnOracles.pqTop1,
     "q_ann_ivf_top1" -> AnnOracles.ivfTop1,
     "q_ann_ivfpq_top1" -> AnnOracles.ivfPqTop1,
+    // the indexed probe is result-identical to the in-line build by
+    // construction (parquet round-trip pinned in SimilaritySpec), so the
+    // same frozen-artifact oracle serves both registrations
+    "q_ann_ivfpq_indexed" -> AnnOracles.ivfPqTop1,
     "q_ann_lsh_top1" -> AnnOracles.lshTop1,
     "q_text_stats" ->
       ("WITH n AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +

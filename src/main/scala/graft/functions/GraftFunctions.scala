@@ -104,22 +104,81 @@ object GraftFunctions {
     * (defaults 4M items / 2²⁶ bits). Past the clamp the realized fpp
     * degrades far above the requested value — results stay EXACT when a
     * confirm join follows (the contaminationHitsBloom shape), but the
-    * prefilter selectivity the scale story depends on collapses, so the
-    * degradation must be loud: warn with the conf keys to raise. */
+    * prefilter selectivity the scale story depends on collapses. When the
+    * session clamp is still Spark's default, bloomAgg RAISES it to fit
+    * the request before the plan runs (selectivity preserved — a
+    * user-requested bloom of a known set outranks the optimizer's
+    * runtime-filter sizing); a clamp the user explicitly pinned is a
+    * memory-budget decision and is respected, with a loud stderr warn
+    * naming the conf keys ([[bloomClampAction]] pins the rule). */
+  private[graft] val BloomMaxItemsKey =
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+  private[graft] val BloomMaxBitsKey =
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+  private[graft] val BloomMaxItemsDefault = 4000000L
+  private[graft] val BloomMaxBitsDefault = 1L << 26
+
+  /** What [[bloomAgg]] must do about the session bloom clamp for a
+    * request of `nItems`/`wantBits`. Pure — the spec pins each branch. */
+  private[graft] sealed trait BloomClampAction
+  private[graft] case object BloomClampFits extends BloomClampAction
+  /** Clamp exceeded, confs untouched by the user → raise them to fit. */
+  private[graft] final case class BloomClampRaise(items: Long, bits: Long)
+      extends BloomClampAction
+  /** Clamp exceeded but the user pinned the confs → respect + warn. */
+  private[graft] final case class BloomClampWarn(message: String)
+      extends BloomClampAction
+
+  /** `userPinned` = either clamp conf was EXPLICITLY set on the session:
+    * an explicit ceiling is a memory-budget decision this library must
+    * not override, so the degradation is announced instead. Defaults are
+    * just Spark's runtime-filter sizing, which this aggregate (a user-
+    * requested bloom of a known set, not an optimizer guess) outranks. */
+  private[graft] def bloomClampAction(nItems: Long, wantBits: Long, fpp: Double,
+      maxItems: Long, maxBits: Long, userPinned: Boolean): BloomClampAction =
+    if (nItems <= maxItems && wantBits <= maxBits) BloomClampFits
+    else if (!userPinned)
+      BloomClampRaise(math.max(nItems, maxItems), math.max(wantBits, maxBits))
+    else BloomClampWarn(
+      s"[graft] WARN bloomAgg: requested $nItems items / $wantBits bits (fpp=$fpp) " +
+        s"exceeds the session clamp (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
+        "the realized false-positive rate will be higher than requested. Raise " +
+        s"$BloomMaxBitsKey/$BloomMaxItemsKey to keep " +
+        "the prefilter selective at this scale.")
+
+  /** Sessions whose clamp confs were raised by [[bloomAgg]] itself —
+    * those still count as NOT user-pinned, so a later, larger request can
+    * escalate again (weak keys: no session leak). */
+  private val graftRaisedClamp =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
   def bloomAgg(c: Column, nItems: Long, fpp: Double): Column = {
     val wantBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
     org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
       def conf(k: String, dflt: Long): Long =
         try s.conf.getOption(k).map(_.toLong).getOrElse(dflt) catch { case _: NumberFormatException => dflt }
-      val maxBits = conf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 1L << 26)
-      val maxItems = conf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
-      if (wantBits > maxBits || nItems > maxItems)
-        System.err.println(
-          s"[graft] WARN bloomAgg: requested $nItems items / $wantBits bits (fpp=$fpp) " +
-            s"exceeds the session clamp (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
-            "the realized false-positive rate will be higher than requested. Raise " +
-            "spark.sql.optimizer.runtime.bloomFilter.maxNumBits/maxNumItems to keep " +
-            "the prefilter selective at this scale.")
+      val maxBits = conf(BloomMaxBitsKey, BloomMaxBitsDefault)
+      val maxItems = conf(BloomMaxItemsKey, BloomMaxItemsDefault)
+      val pinned = !graftRaisedClamp.containsKey(s) && {
+        val all = s.conf.getAll
+        all.contains(BloomMaxBitsKey) || all.contains(BloomMaxItemsKey)
+      }
+      bloomClampAction(nItems, wantBits, fpp, maxItems, maxBits, pinned) match {
+        case BloomClampFits => ()
+        case BloomClampRaise(items, bits) =>
+          // BloomFilterAggregate clamps against SQLConf at eval; raising
+          // the session values BEFORE the plan runs keeps the realized
+          // filter at the requested size — selectivity preserved, not
+          // merely announced.
+          s.conf.set(BloomMaxItemsKey, items.toString)
+          s.conf.set(BloomMaxBitsKey, bits.toString)
+          graftRaisedClamp.put(s, java.lang.Boolean.TRUE)
+          System.err.println(
+            s"[graft] INFO bloomAgg: raised $BloomMaxItemsKey=$items, " +
+              s"$BloomMaxBitsKey=$bits to fit $nItems items at fpp=$fpp.")
+        case BloomClampWarn(msg) => System.err.println(msg)
+      }
     }
     call_function("graft_bloom_agg", c, lit(nItems), lit(wantBits))
   }

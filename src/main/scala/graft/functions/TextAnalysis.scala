@@ -99,9 +99,21 @@ object TextAnalysis {
     * phone-shaped digit run); placeholders contain no digits, so earlier
     * replacements never feed later patterns. The URL class stops at ANY
     * whitespace (`[^\s]` — a bare `[^ ]` would swallow text across
-    * newlines/tabs). */
+    * newlines/tabs).
+    *
+    * The email LOCAL part is bounded at RFC 5321's 64-char maximum — not
+    * (only) for fidelity, for TIME: an unbounded `[…]+@` makes Java's
+    * backtracking engine re-consume the tail of every alphanumeric run
+    * from each start position when no `@` follows, O(n²) over the run —
+    * and base64 blobs are pure email-local-class characters (measured:
+    * 204 s on a 200 KB run; a 1 MB blob ≈ an hour of one executor core).
+    * Bounded at 64 the scan is O(64·n). The domain side stays unbounded:
+    * its scan stops at the next `@`-free run boundary, so its total cost
+    * is linear. The phone class is also safe as written: an all-digit
+    * run MATCHES (consumed, scan advances), so there is no quadratic
+    * failure tail (measured 0 ms on the same sizes). */
   private[graft] val piiClasses: Seq[(String, String)] = Seq(
-    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "https?://[^\\s]+"                                -> "<URL>",
     "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"            -> "<IP>",
     "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"                -> "<SSN>",

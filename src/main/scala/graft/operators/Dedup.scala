@@ -812,6 +812,25 @@ object Dedup {
       exSigHead: Option[DataFrame] = None, prefilterHashes: Int = 64,
       prefilterMinCandidates: Double = 4e6): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
+    // Fail-FAST width check (driver-side, one column-pruned row): an
+    // obviously mis-sized stored head is a configuration bug that should
+    // surface before the band join runs — deterministically, on every
+    // batch — not per-row mid-verify on whichever candidate happens to
+    // touch a head row (a sparsely-probed head could otherwise fail late
+    // or intermittently across runs). The per-row raise_error in
+    // [[prefilterByHead]] stays as the exhaustive backstop for a head
+    // with MIXED widths, which one sampled row cannot rule out.
+    exSigHead.withFilter(_ => prefilterHashes > 0).foreach { exHd =>
+      exHd.select(size(col("hd")).as("w")).limit(1).collect()
+        .headOption.foreach { row =>
+          val w = row.getInt(0)
+          require(w >= prefilterHashes,
+            s"incremental dedup: stored signature head has $w components but " +
+              s"prefilterHashes=$prefilterHashes — the agreement cut would be " +
+              "computed with an understated standard error; rebuild the head " +
+              "or pass its actual width")
+        }
+    }
     val shIn = materialize(shingleIndex(incoming, textCol, idCol, n))
     // Default-on eager validation (one id-only semi-join job); callers
     // that guarantee disjoint id spaces by construction (a sequence-
@@ -1004,30 +1023,78 @@ object Dedup {
     * the pair join shuffles (id, vec) rows hash-partitioned on cluster;
     * with k ≈ N/10⁴ clusters the per-partition work is ~10⁸ kernel dot
     * products — sized like the verify stage of the MinHash family. Skewed
-    * (over-popular) clusters are the residual risk; cap cluster radius by
-    * raising k, exactly as the paper does.
+    * (over-popular) clusters — one runaway centroid concentrating
+    * quadratic work in a single task — are bounded by `maxClusterSize`:
+    * a list with n > maxClusterSize members is block-split into
+    * m = ⌈n/maxClusterSize⌉ deterministic hash-chunks and its self-join
+    * becomes the m(m+1)/2 chunk-pair blocks of a block-nested-loop join
+    * (the key grows from `list` to `(list, chunk_a, chunk_b)`), so no
+    * task ever holds more than ~maxClusterSize² candidate pairs. The
+    * split is EXACT — every within-list pair lands in exactly one block
+    * (ordered pair for same-chunk blocks, the (min,max)-chunk block
+    * otherwise) — total work is unchanged, only its distribution.
+    * Lists at or under the cap keep the single (list, 0, 0) block, i.e.
+    * the plan the paper's |corpus|/k sizing already yields.
     *
     * Output: (id_a, id_b, cosine), id_a < id_b, distinct pairs. */
   def semanticDupPairs(df: DataFrame, vecCol: String, idCol: String,
       centroids: Array[(Int, Array[Float])], threshold: Double,
-      assignKeep: Int = 1): DataFrame = {
+      assignKeep: Int = 1, maxClusterSize: Int = 20000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val assigned = Similarity.assignListsAuto(
         df, vecCol, idCol, centroids, "id", "vec", assignKeep)
-      .repartition(cpuParallelism(df), col("list"))
-    val a = assigned.select(col("list"),
-      col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = assigned.select(col("list"),
-      col("id").as("id_b"), col("vec").as("vec_b"))
-    val pairs = a.join(b, Seq("list"))
-      .where(col("id_a") < col("id_b"))
+    val blocks = semanticPairBlocks(assigned, maxClusterSize,
+      cpuParallelism(df))
+    // Same-chunk blocks order by id (each unordered pair joined twice);
+    // cross-chunk blocks already hold each unordered pair exactly once
+    // (the pair meets only in its (min-chunk, max-chunk) block), so the
+    // id filter must NOT apply — canonical order is restored after the
+    // cosine cut via least/greatest (cosine is symmetric).
+    val pairs = blocks
+      .where(col("_ca") =!= col("_cb") || col("id_a") < col("id_b"))
       .withColumn("cosine",
         GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
     // A pair sharing ≥ 2 lists under multi-assign appears once per list;
     // the single-assign path cannot duplicate, so skip the extra shuffle.
     if (assignKeep > 1) pairs.dropDuplicates("id_a", "id_b") else pairs
+  }
+
+  /** The skew-bounded candidate blocks of [[semanticDupPairs]]: every
+    * within-list (id_a, id_b) candidate row tagged with its block key
+    * `(list, _ca, _cb)`, _ca ≤ _cb. Per-list membership counts size the
+    * chunk count m = ⌈n/maxClusterSize⌉ (one tiny broadcast — ≤ one row
+    * per centroid); members chunk by `xxhash64(id) mod m` (deterministic
+    * across runs and engines); the a-side replicates to blocks
+    * (_c, _c..m-1), the b-side to (0.._c, _c), so chunk pair (x ≤ y)
+    * exists exactly once and the equi-join shuffles on the full block
+    * key — an oversized list's quadratic work spreads over m(m+1)/2
+    * independent tasks instead of one. Exposed private[graft] so specs
+    * can pin the per-block volume bound directly. */
+  private[graft] def semanticPairBlocks(assigned: DataFrame,
+      maxClusterSize: Int, parallelism: Int): DataFrame = {
+    require(maxClusterSize > 0, s"maxClusterSize must be > 0: $maxClusterSize")
+    val chunks = assigned
+      .groupBy("list").agg(count(lit(1)).as("_n"))
+      .withColumn("_m",
+        ceil(col("_n") / lit(maxClusterSize.toDouble)).cast("int"))
+      .select("list", "_m")
+    val chunked = assigned.join(broadcast(chunks), Seq("list"))
+      .withColumn("_c",
+        pmod(xxhash64(col("id")), col("_m").cast("long")).cast("int"))
+    val a = chunked
+      .withColumn("_cb", explode(sequence(col("_c"), col("_m") - lit(1))))
+      .select(col("list"), col("_c").as("_ca"), col("_cb"),
+        col("id").as("id_a"), col("vec").as("vec_a"))
+      .repartition(parallelism, col("list"), col("_ca"), col("_cb"))
+    val b = chunked
+      .withColumn("_ca", explode(sequence(lit(0), col("_c"))))
+      .select(col("list"), col("_ca"), col("_c").as("_cb"),
+        col("id").as("id_b"), col("vec").as("vec_b"))
+      .repartition(parallelism, col("list"), col("_ca"), col("_cb"))
+    a.join(b, Seq("list", "_ca", "_cb"))
   }
 
   /** SemDeDup REMOVAL: cluster the duplicate pairs ([[resolveClusters]])
@@ -1045,11 +1112,13 @@ object Dedup {
     * corpus). */
   def removeSemanticDuplicates(df: DataFrame, vecCol: String, idCol: String,
       centroids: Array[(Int, Array[Float])], threshold: Double,
-      assignKeep: Int = 1, maxIter: Int = 20): DataFrame = {
+      assignKeep: Int = 1, maxIter: Int = 20,
+      maxClusterSize: Int = 20000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val labels = resolveClusters(
-      semanticDupPairs(df, vecCol, idCol, centroids, threshold, assignKeep),
+      semanticDupPairs(df, vecCol, idCol, centroids, threshold, assignKeep,
+        maxClusterSize),
       maxIter)
     val centDf = centroids.toSeq.toDF("list", "cent")
     val scored = Similarity.assignListsAuto(

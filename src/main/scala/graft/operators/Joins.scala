@@ -114,7 +114,14 @@ object Joins {
       bucketSeconds: Long = 300L, keys: Seq[String] = Seq.empty): DataFrame = {
     require(bucketSeconds > 0, "rangeJoin: bucketSeconds must be positive")
     val bucketMicros = bucketSeconds * 1000000L
-    def bucketOf(ts: Column): Column = floor(unix_micros(ts) / bucketMicros)
+    // The TimestampType cast makes TIMESTAMP_NTZ inputs bucketable too
+    // (unix_micros rejects NTZ); a no-op on TimestampType. Bucketing only
+    // needs the SAME monotone ts→micros mapping on both sides — the final
+    // exact predicate compares the original columns — so the session-
+    // timezone interpretation the cast applies to NTZ is harmless.
+    def bucketOf(ts: Column): Column =
+      floor(unix_micros(ts.cast(org.apache.spark.sql.types.TimestampType)) /
+        bucketMicros)
 
     val p = points.withColumn("_g_bucket", bucketOf(col(pointTs)))
     // Half-open interval: the last covered instant is end − 1µs, so the

@@ -11,7 +11,8 @@ import graft.operators.{Chunking, Dedup, LineDedup, Sampling, SpanDedup}
   *
   *   [HTML strip] → quality filter (+ optional Gopher rule gates) →
   *   language filter → exact content dedup → [line-level dedup] →
-  *   [span-level dedup] → near-dup removal → benchmark decontamination →
+  *   [span-level dedup] → near-dup removal → [semantic dedup] →
+  *   benchmark decontamination →
   *   PII redaction → document chunking → train/val/test split.
   *
   * Composition notes (the order is load-bearing):
@@ -39,6 +40,20 @@ import graft.operators.{Chunking, Dedup, LineDedup, Sampling, SpanDedup}
   */
 object CorpusPipeline {
 
+  /** The optional SEMANTIC dedup rung (SemDeDup): requires the corpus to
+    * carry an embedding column (`embedCol`, array<float/double>); rows
+    * whose embeddings cluster together under `centroids` and clear the
+    * cosine `threshold` collapse to the keep-the-outlier survivor
+    * ([[Dedup.removeSemanticDuplicates]]). Runs AFTER lexical near-dup —
+    * it exists to catch paraphrases the shingle families cannot see, so
+    * it must only see documents that already survived them. */
+  final case class SemanticDedupConfig(
+      embedCol: String,
+      centroids: Array[(Int, Array[Float])],
+      threshold: Double,
+      assignKeep: Int = 1,
+      maxClusterSize: Int = 20000)
+
   /** Tuning for [[prepare]]; defaults are the common pre-training shape. */
   final case class Config(
       textCol: String = "text",
@@ -55,6 +70,7 @@ object CorpusPipeline {
       dedupThreshold: Double = 0.8,
       shingleN: Int = 3,
       tunedNearDedup: Boolean = false,
+      semanticDedup: Option[SemanticDedupConfig] = None,
       decontaminateN: Int = 8,
       bloomDecontaminate: Boolean = false,
       bloomFpp: Double = 0.001,
@@ -67,7 +83,8 @@ object CorpusPipeline {
     * document; (idCol, chunk_idx, chunk_text, n_chunk_tokens, split)).
     * `stages` exposes each intermediate frame by name (input, quality,
     * exact_dedup, [line_dedup], [span_dedup], near_dedup,
-    * decontaminated; the bracketed stages appear iff enabled) — the
+    * [semantic_dedup], decontaminated; the bracketed stages appear iff
+    * enabled) — the
     * per-stage kept
     * counts every production corpus run reports; counting them re-runs
     * only cheap narrow scans, the dedup materializations are shared. */
@@ -147,6 +164,21 @@ object CorpusPipeline {
         Dedup.removeNearDuplicates(
           spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN)
 
+    // 3b. optional SEMANTIC dedup (SemDeDup) — the last dedup rung:
+    //    paraphrase-level duplicates the shingle families cannot see,
+    //    visible only in embedding space. AFTER lexical near-dup (cheaper
+    //    rungs first shrink the cluster population) and BEFORE
+    //    decontamination (a semantic dup of a contaminated doc should
+    //    drop here, not survive because its contaminated twin was
+    //    removed first by a later stage). Embeddings are id-stable
+    //    metadata — the line/span text rewrites upstream don't touch
+    //    them.
+    val semDeduped = cfg.semanticDedup.fold(nearDeduped) { sc =>
+      Dedup.removeSemanticDuplicates(nearDeduped, sc.embedCol, cfg.idCol,
+        sc.centroids, sc.threshold, assignKeep = sc.assignKeep,
+        maxClusterSize = sc.maxClusterSize)
+    }
+
     // 4. benchmark decontamination. DELIBERATELY a larger n than the
     //    dedup shingles: any-single-trigram overlap would scrub nearly
     //    every English document (common trigrams are everywhere); the
@@ -156,12 +188,12 @@ object CorpusPipeline {
     //    (the corpus-side shuffle shrinks from "all shingles" to "true
     //    hits + fpp noise"); survivors are IDENTICAL by construction —
     //    the exact confirm join removes bloom false positives at any fpp.
-    val clean = benchClean.fold(nearDeduped)(b =>
+    val clean = benchClean.fold(semDeduped)(b =>
       if (cfg.bloomDecontaminate)
-        Dedup.removeContaminatedBloom(nearDeduped, b, cfg.textCol, cfg.idCol,
+        Dedup.removeContaminatedBloom(semDeduped, b, cfg.textCol, cfg.idCol,
           cfg.decontaminateN, cfg.bloomFpp)
       else
-        Dedup.removeContaminated(nearDeduped, b, cfg.textCol, cfg.idCol,
+        Dedup.removeContaminated(semDeduped, b, cfg.textCol, cfg.idCol,
           cfg.decontaminateN))
 
     // 5. PII redaction + 6. per-DOCUMENT split assignment
@@ -182,6 +214,8 @@ object CorpusPipeline {
       "input" -> corpus, "quality" -> filtered, "exact_dedup" -> exactDeduped) ++
       cfg.lineDedupMinDocs.map(_ => "line_dedup" -> lineDeduped) ++
       cfg.spanDedupN.map(_ => "span_dedup" -> spanDeduped) ++ Seq(
-      "near_dedup" -> nearDeduped, "decontaminated" -> clean))
+      "near_dedup" -> nearDeduped) ++
+      cfg.semanticDedup.map(_ => "semantic_dedup" -> semDeduped) ++ Seq(
+      "decontaminated" -> clean))
   }
 }

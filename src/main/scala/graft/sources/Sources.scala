@@ -58,4 +58,28 @@ object Sources {
   /** Driver-testdata helper: `<sfDir>/<name>.parquet` (TESTDATA.md). */
   def testTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Normalize an event-log timestamp column to session-timezone
+    * `TimestampType`, whatever physical encoding the parquet shipped:
+    *  - `LongType` — TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`; integer `DIV 1000`
+    *    (ns-since-epoch ~1.7e18 exceeds double's 2^53 exact range, so a
+    *    floating divide would corrupt timestamps);
+    *  - `TimestampNTZType` — plain `timestamp[us]` parquet; the cast
+    *    interprets the wall-clock in the session timezone (UTC in every
+    *    graft session), an instant-preserving reinterpretation;
+    *  - already `TimestampType` — pass through.
+    * Keeps every downstream operator and oracle on one timestamp flavor
+    * regardless of which writer produced the file. */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
+  }
 }

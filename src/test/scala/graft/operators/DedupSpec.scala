@@ -424,6 +424,32 @@ class DedupSpec extends AnyFunSuite {
         s"missing=${recomputed -- fromPartialHead}")
   }
 
+  test("incremental dedup: a narrow stored head fails FAST at plan time, even under the closed self-gate") {
+    val existing = docs.where($"doc_id" < 300)
+    val incoming = docs.where($"doc_id" >= 300)
+    val idx = java.nio.file.Files.createTempDirectory("graft_narrowhead_spec").toString
+    Dedup.shingleIndex(existing, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$idx/shingles")
+    val shStored = spark.read.parquet(s"$idx/shingles")
+    Dedup.minHashBandIndex(shStored, threshold = 0.5)
+      .write.mode("overwrite").parquet(s"$idx/bands")
+    // head stored at width 16, probe claims the default 64: must fail on
+    // the driver-side one-row check BEFORE the band join — and regardless
+    // of the candidate self-gate (default prefilterMinCandidates keeps
+    // the prefilter OFF at this scale, which previously made the
+    // misconfiguration invisible until a big batch opened the gate)
+    Dedup.minHashSignatureHead(shStored, h = 16)
+      .write.mode("overwrite").parquet(s"$idx/sigheads")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeNearDuplicatesIncrementalIndexed(
+        spark.read.parquet(s"$idx/bands"), shStored, incoming, "text", "doc_id",
+        threshold = 0.5,
+        existingSigHead = Some(spark.read.parquet(s"$idx/sigheads")))
+    }
+    assert(e.getMessage.contains("stored signature head has 16 components"),
+      s"expected the fail-fast width error, got: ${e.getMessage}")
+  }
+
   test("incremental dedup: overlapping id spaces rejected") {
     intercept[IllegalArgumentException] {
       Dedup.removeNearDuplicatesIncremental(

@@ -12,10 +12,9 @@ class JoinsSpec extends AnyFunSuite {
   lazy val spark = TestSparkSession.spark
   import spark.implicits._
 
-  // test session reads parquet TIMESTAMP(NANOS) as long — normalize back
-  private lazy val ev = spark.read
-    .parquet("/root/testdata/sf0.01/events.parquet")
-    .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  // normalize ts to TimestampType whatever encoding the testdata shipped
+  private lazy val ev = graft.sources.Sources.normalizeTs(
+    spark.read.parquet("/root/testdata/sf0.01/events.parquet"))
 
   test("asOfJoin matches brute-force latest-prior-reference on real events") {
     val clicks = ev.where($"event_type" === "click")

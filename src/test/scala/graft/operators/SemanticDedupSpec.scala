@@ -119,4 +119,83 @@ class SemanticDedupSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(run() == run())
   }
+
+  // ── Oversized-cluster guard: one dominant cluster, maxClusterSize far
+  //    below its membership — the block-split must bound per-task volume
+  //    WITHOUT changing a single pair ───────────────────────────────────
+
+  /** 12 vectors all primary-assigned to cluster 0, fanned so some pairs
+    * clear τ = 0.99 and some don't (angles 0.04·i off the axis). */
+  private val dominant: Seq[(Long, Array[Float])] =
+    (1L to 12L).map(i => i -> Array(1f, 0.04f * i, 0f, 0f))
+  private def domDf = dominant.toDF("vec_id", "embedding")
+
+  test("maxClusterSize block-split: pairs identical to the unsplit plan on a dominant cluster") {
+    val vm = dominant.toMap
+    assert(dominant.forall { case (_, v) => primary(v) == 0 },
+      "fixture must concentrate every vector in one cluster")
+    val expected = (for {
+      (ia, va) <- dominant; (ib, vb) <- dominant
+      if ia < ib && cos(va, vb) >= tau
+    } yield (ia, ib)).toSet
+    assert(expected.nonEmpty && expected.size < dominant.size * (dominant.size - 1) / 2,
+      "fixture must mix above- and below-threshold pairs")
+    val split = Dedup.semanticDupPairs(domDf, "embedding", "vec_id", centroids,
+      tau, maxClusterSize = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(split.length == split.toSet.size, "no duplicated pairs under splitting")
+    assert(split.toSet == expected)
+    val unsplit = Dedup.semanticDupPairs(domDf, "embedding", "vec_id", centroids, tau)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(split.toSet == unsplit)
+  }
+
+  test("semanticPairBlocks: exact split — every within-list pair in exactly one block, volume bounded per block") {
+    val assigned = Similarity.assignListsAuto(
+      domDf, "embedding", "vec_id", centroids, "id", "vec", 1)
+    val blocks = Dedup.semanticPairBlocks(assigned, maxClusterSize = 3,
+      parallelism = 4)
+    // Exact-split property: the ordered filter leaves each of the
+    // C(12,2) = 66 unordered pairs exactly once across all blocks.
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val kept = blocks
+      .where(col("_ca") =!= col("_cb") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .as[(Long, Long)].collect()
+    assert(kept.length == 66, s"every pair exactly once, got ${kept.length}")
+    assert(kept.toSet.size == 66)
+    // Boundedness: per-block volume is |chunk_a|·|chunk_b| — derive chunk
+    // sizes from the diagonal blocks and check the cross blocks multiply
+    // out, i.e. no block concentrates the quadratic work of the list.
+    val counts = blocks.groupBy("_ca", "_cb").count()
+      .as[(Int, Int, Long)].collect()
+      .map { case (x, y, n) => (x, y) -> n }.toMap
+    val m = 4 // ceil(12 / 3)
+    val chunkSize = (0 until m).map(c =>
+      c -> math.sqrt(counts.getOrElse((c, c), 0L).toDouble).round).toMap
+    assert(chunkSize.values.sum == 12, s"chunks partition the list: $chunkSize")
+    assert(chunkSize.values.count(_ > 0) >= 2,
+      s"the split must actually engage: $chunkSize")
+    counts.foreach { case ((x, y), n) =>
+      assert(n == chunkSize(x) * chunkSize(y),
+        s"block ($x,$y) holds $n rows, want ${chunkSize(x)} * ${chunkSize(y)}")
+    }
+  }
+
+  test("removeSemanticDuplicates: survivors unchanged under block-splitting") {
+    def survivors(cap: Int) = Dedup.removeSemanticDuplicates(
+      domDf, "embedding", "vec_id", centroids, tau, maxClusterSize = cap)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors(3) == survivors(20000))
+  }
+
+  test("block-splitting composes with assignKeep > 1 (multi-list dedup intact)") {
+    val got = Dedup.semanticDupPairs(df, "embedding", "vec_id", centroids, tau,
+      assignKeep = 2, maxClusterSize = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size,
+      "cross-list duplicates must still collapse under splitting")
+    assert(got.toSet == exactPairs)
+  }
 }

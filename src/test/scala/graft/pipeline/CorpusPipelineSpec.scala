@@ -220,4 +220,56 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(plainTexts.nonEmpty && plainTexts.values.forall(_.contains("<")),
       "without the strip stage, markup survives into the output text")
   }
+
+  test("optional semantic-dedup stage: paraphrase twins collapse AFTER the lexical rungs") {
+    val cents: Array[(Int, Array[Float])] = Array(
+      0 -> Array(1f, 0f, 0f, 0f),
+      1 -> Array(0f, 1f, 0f, 0f),
+      2 -> Array(0f, 0f, 1f, 0f))
+    val prose = "the river was quiet in the morning and you could hear it " +
+      "move for a while with this soft light on the water"
+    // 1 vs 101: PARAPHRASES — no lexical overlap (the shingle rungs are
+    // blind to them), embeddings nearly identical in cluster 0; 101 is
+    // farther from the centroid, so keep-the-outlier keeps 101, not the
+    // min id. 3 vs 4: lexical near-dups with unrelated embeddings — the
+    // near-dup rung resolves them (min-id 3) before semantics runs.
+    val corpus = Seq(
+      (1L, "the storm reached the harbor at dawn and it was strong for " +
+        "this time of year with heavy rain over the town",
+        Array(1f, 0.05f, 0f, 0f)),
+      (101L, "a violent gale hit the port early today and all ships stayed " +
+        "inside because the winds were too dangerous for them out there",
+        Array(1f, 0.052f, 0f, 0f)),
+      (2L, "cooking with fresh herbs is a joy and you should try it for " +
+        "dinner this week with your family at home",
+        Array(0f, 1f, 0f, 0f)),
+      (3L, prose + " first unique ending today",
+        Array(0f, 0f, 1f, 0f)),
+      (4L, prose + " second distinct ending tomorrow",
+        Array(0f, 0f, 0.9f, 0.1f)))
+      .toDF("doc_id", "text", "embedding")
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      semanticDedup = Some(CorpusPipeline.SemanticDedupConfig(
+        "embedding", cents, threshold = 0.99)),
+      chunkTokens = 64, overlapTokens = 16, splits = Seq("train" -> 1.0))
+
+    val out = CorpusPipeline.prepare(corpus, None, cfg)
+    val ids = out.documents.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(101L, 2L, 3L),
+      s"lexical rung drops 4, semantic rung drops the CLOSER twin 1: $ids")
+    assert(out.stages.map(_._1) == Seq("input", "quality", "exact_dedup",
+      "near_dedup", "semantic_dedup", "decontaminated"),
+      "semantic stage must sit between near-dup and decontamination")
+    val semCount = out.stages.toMap.apply("semantic_dedup").count()
+    assert(semCount == 3)
+
+    // stage off → identical pipeline plus the semantic loser; no
+    // semantic_dedup entry in the stage list
+    val off = CorpusPipeline.prepare(corpus, None,
+      cfg.copy(semanticDedup = None))
+    assert(off.documents.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 101L, 2L, 3L))
+    assert(!off.stages.map(_._1).contains("semantic_dedup"))
+  }
 }

@@ -14,11 +14,11 @@ import graft.TestSparkSession
 class StreamingOpsSpec extends AnyFunSuite {
   lazy val spark = TestSparkSession.spark
 
-  /** events (sf0.001) with ts normalized from TIMESTAMP(NANOS). */
-  private lazy val batchEvents: DataFrame = {
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
+  /** events (sf0.001) with ts normalized to TimestampType whatever
+    * encoding the testdata shipped (nanos-as-long or timestamp[us]). */
+  private lazy val batchEvents: DataFrame =
+    graft.sources.Sources.normalizeTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
 
   /** The same events re-staged as typed parquet (micros), one file, so the
     * replay is a single micro-batch: stream ≡ batch equality holds exactly.
