@@ -1043,8 +1043,7 @@ object Dedup {
     GraftFunctions.register(df.sparkSession)
     val assigned = Similarity.assignListsAuto(
         df, vecCol, idCol, centroids, "id", "vec", assignKeep)
-    val blocks = semanticPairBlocks(assigned, maxClusterSize,
-      cpuParallelism(df))
+    val blocks = semanticPairBlocks(assigned, maxClusterSize)
     // Same-chunk blocks order by id (each unordered pair joined twice);
     // cross-chunk blocks already hold each unordered pair exactly once
     // (the pair meets only in its (min-chunk, max-chunk) block), so the
@@ -1071,10 +1070,13 @@ object Dedup {
     * (_c, _c..m-1), the b-side to (0.._c, _c), so chunk pair (x ≤ y)
     * exists exactly once and the equi-join shuffles on the full block
     * key — an oversized list's quadratic work spreads over m(m+1)/2
-    * independent tasks instead of one. Exposed private[graft] so specs
-    * can pin the per-block volume bound directly. */
+    * independent tasks instead of one. The join plans its own exchange
+    * on the block key (no explicit repartition: AQE then broadcasts a
+    * small side at toy scale and skew-splits residual hot blocks at
+    * cluster scale). Exposed private[graft] so specs can pin the
+    * per-block volume bound directly. */
   private[graft] def semanticPairBlocks(assigned: DataFrame,
-      maxClusterSize: Int, parallelism: Int): DataFrame = {
+      maxClusterSize: Int): DataFrame = {
     require(maxClusterSize > 0, s"maxClusterSize must be > 0: $maxClusterSize")
     val chunks = assigned
       .groupBy("list").agg(count(lit(1)).as("_n"))
@@ -1088,12 +1090,10 @@ object Dedup {
       .withColumn("_cb", explode(sequence(col("_c"), col("_m") - lit(1))))
       .select(col("list"), col("_c").as("_ca"), col("_cb"),
         col("id").as("id_a"), col("vec").as("vec_a"))
-      .repartition(parallelism, col("list"), col("_ca"), col("_cb"))
     val b = chunked
       .withColumn("_ca", explode(sequence(lit(0), col("_c"))))
       .select(col("list"), col("_ca"), col("_c").as("_cb"),
         col("id").as("id_b"), col("vec").as("vec_b"))
-      .repartition(parallelism, col("list"), col("_ca"), col("_cb"))
     a.join(b, Seq("list", "_ca", "_cb"))
   }
 

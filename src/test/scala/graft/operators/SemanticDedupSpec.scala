@@ -153,8 +153,7 @@ class SemanticDedupSpec extends AnyFunSuite {
   test("semanticPairBlocks: exact split — every within-list pair in exactly one block, volume bounded per block") {
     val assigned = Similarity.assignListsAuto(
       domDf, "embedding", "vec_id", centroids, "id", "vec", 1)
-    val blocks = Dedup.semanticPairBlocks(assigned, maxClusterSize = 3,
-      parallelism = 4)
+    val blocks = Dedup.semanticPairBlocks(assigned, maxClusterSize = 3)
     // Exact-split property: the ordered filter leaves each of the
     // C(12,2) = 66 unordered pairs exactly once across all blocks.
     import org.apache.spark.sql.functions.{col, least, greatest}
