@@ -214,6 +214,49 @@ object ScaleProfile {
         tokenBudget = 256, splitCol = Some("split")).count()
     }
     }
+
+    // ── SemDeDup skew guard: one runaway cluster, split vs unsplit ────
+    // Opt-in (args "semskew"): synthesizes SPARK_GRAFT_SEMSKEW_N vectors
+    // (default 24k, dim 64) that nearly all primary-assign to ONE coarse
+    // centroid — the skew shape the maxClusterSize guard exists for.
+    // Unsplit, the pair join concentrates ~n²/2 cosine kernels in ONE
+    // task; split, the same work spreads over m(m+1)/2 block tasks.
+    // Pair counts print alongside so equality is visible in the log.
+    if (sections("semskew")) {
+      val n = sys.env.getOrElse("SPARK_GRAFT_SEMSKEW_N", "24000").toInt
+      val dim = 64
+      val cents: Array[(Int, Array[Float])] = Array.tabulate(4) { c =>
+        c -> Array.tabulate(dim)(j => if (j == c) 1f else 0f)
+      }
+      // deterministic cone around e0: v = e0 + 0.6·u(id), u entries
+      // hash-derived in [-1, 1] — pairwise cosines spread ~0.68–0.95, so
+      // the kernel work happens but only a thin tail clears τ = 0.9
+      val vecs = spark.range(n).select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          when(j === lit(0), lit(1.0)).otherwise(lit(0.0)) +
+            lit(0.6) * (pmod(xxhash64(concat(col("id").cast("string"),
+              lit("-"), j.cast("string"))), lit(2001)).cast("double") -
+              lit(1000.0)) / lit(1000.0)).as("vec"))
+      val v = graft.operators.Dedup.materialize(vecs)
+      val m = (n + 2999) / 3000
+      // Disable broadcast joins for BOTH runs: at this toy scale AQE
+      // broadcasts the 13 MB side and parallelizes the stream side,
+      // hiding exactly the skew this section measures — at cluster
+      // scale neither side of the pair join fits in memory and the
+      // shuffle join's per-key task IS the hazard shape.
+      val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        timed(s"semskew.unsplit(n=$n one cluster, cap>=n: 1 quadratic task)") {
+          Dedup.semanticDupPairs(v, "vec", "id", cents, 0.9,
+            maxClusterSize = n).count()
+        }
+        timed(s"semskew.split(cap=3000: ~${m * (m + 1) / 2} block tasks)") {
+          Dedup.semanticDupPairs(v, "vec", "id", cents, 0.9,
+            maxClusterSize = 3000).count()
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
     spark.stop()
   }
 }
