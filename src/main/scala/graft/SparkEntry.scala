@@ -720,6 +720,21 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("id_checksum")))
     }),
 
+    // ── North star sampling: PER-SOURCE document cap (the C4/RefinedWeb
+    //    domain cap) — keep the k best docs per source by length,
+    //    deterministic tie-break on id; the per-source kept counts +
+    //    id checksums pin exact membership. One shuffle on the group
+    //    key; the rank ≤ k filter plans as WindowGroupLimit (bounded
+    //    per-group buffer, no full-group sort at a hot domain) ─────────
+    "q_source_cap" -> ((s, dir) => {
+      graft.operators.Sampling.capPerGroup(
+        t(s, dir, "documents"), "source", "doc_id", 10, col("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy(col("source"))
+    }),
+
     // ── North star sampling: STRATIFIED deterministic sample (per-lang
     //    keep rates — the training-mix rebalancing pass). Same key-pure
     //    md5 bucket as q_deterministic_sample; the identical CASE
@@ -1830,6 +1845,12 @@ object SparkEntry {
       ("SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_sampled, " +
         "CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '40000000'"),
+    // per-source cap: identical (n_chars DESC, doc_id ASC) rank, k=10
+    "q_source_cap" ->
+      ("SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum " +
+        "FROM (SELECT source, doc_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk FROM documents) " +
+        "WHERE rk <= 10 GROUP BY source ORDER BY source"),
     // Same md5-bucket predicate, per-stratum threshold (0.5 → 80000000,
     // 0.25 → 40000000, default 0.1 → 1999999a — thresholdHex values).
     "q_stratified_sample" ->

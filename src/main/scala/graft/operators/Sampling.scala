@@ -129,4 +129,27 @@ object Sampling {
       .fold(lit(splits.last._1))(_.otherwise(splits.last._1))
     df.withColumn("split", splitCol)
   }
+
+  /** PER-GROUP document cap — the C4/RefinedWeb-style domain cap: keep
+    * at most `k` rows per `groupCol` value, ranked by `orderBy`
+    * descending (quality-first: the best documents of an over-crawled
+    * domain survive, SEO spam farms stop dominating the mix), ties then
+    * rank broken by ascending `keyCol` so membership is deterministic
+    * across runs, partitionings, and engines.
+    *
+    * Scale shape: ONE shuffle on the group key; Spark plans the
+    * `row_number ≤ k` filter as `WindowGroupLimit` (rank pushdown), so
+    * each task keeps a k-row heap per group instead of sorting whole
+    * groups — a hot domain costs its partition a bounded buffer, not a
+    * full-group sort spill. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int, orderBy: Column): DataFrame = {
+    require(k > 0, s"capPerGroup: k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(orderBy.desc, col(keyCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

@@ -134,4 +134,29 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("capPerGroup: top-k per group by (order desc, id asc), deterministic, == brute force") {
+    val kept = Sampling.capPerGroup(docs, "source", "doc_id", 7, col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    val brute = docs.select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).values.flatMap { grp =>
+        grp.sortBy { case (_, id, n) => (-n, id) }.take(7).map(_._2)
+      }.toSet
+    assert(kept == brute)
+    // every group capped at exactly k here (all sf0.01 sources hold 25 docs)
+    val perGroup = Sampling.capPerGroup(docs, "source", "doc_id", 7, col("n_chars"))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perGroup.values.forall(_ == 7), s"cap must bind: $perGroup")
+    // k larger than any group ⇒ identity
+    assert(Sampling.capPerGroup(docs, "source", "doc_id", 1000, col("n_chars"))
+      .count() == docs.count())
+  }
+
+  test("capPerGroup plans a WindowGroupLimit (bounded per-group buffer, no full-group sort)") {
+    val plan = Sampling.capPerGroup(docs, "source", "doc_id", 7, col("n_chars"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push down as WindowGroupLimit:\n$plan")
+  }
 }
