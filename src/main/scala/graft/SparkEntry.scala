@@ -1257,6 +1257,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── FUZZY decontamination: corpus docs NEAR-duplicate to any
+    //    benchmark doc at trigram Jaccard ≥ 0.5 drop — the reworded-leak
+    //    test the exact n-gram probe cannot see. One-sided band probe
+    //    (benchmark = the untouchable side), exact verify; at this
+    //    corpus's similarity level the banding has total recall, so the
+    //    exact all-pairs oracle is the ground truth ─────────────────────
+    "q_contamination_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = graft.operators.Dedup.removeContaminatedFuzzy(
+        docs, docs.where(col("doc_id") % 50 === 0), "text", "doc_id",
+        threshold = 0.5)
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"),
+          coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("id_checksum")))
+    }),
+
     // ── Approximate percentile sketch next to the exact quantile, with
     //    the same in-tolerance-boolean contract as q_approx_distinct ─────
     "q_approx_percentile" -> ((s, dir) => {
@@ -2238,7 +2254,17 @@ object SparkEntry {
     "q_contamination" -> contaminationOracle,
     // identical results to the exact detector by construction: the bloom
     // is a prefilter, the confirm join restores exactness for any fpp
-    "q_contamination_bloom" -> contaminationOracle
+    "q_contamination_bloom" -> contaminationOracle,
+    // fuzzy decontamination: exact all-pairs corpus×benchmark trigram
+    // Jaccard ≥ 0.5 — the LSH band probe must reproduce it exactly at
+    // this corpus's similarity level (total recall, exact verify)
+    "q_contamination_fuzzy" ->
+      (s"WITH $shingleCte, " +
+        "cont AS (SELECT DISTINCT c.doc_id FROM sh c JOIN sh b ON b.doc_id % 50 = 0 AND " +
+        "len(list_intersect(c.shingles,b.shingles))*1.0/greatest(len(list_distinct(list_concat(c.shingles,b.shingles))),1) >= 0.5), " +
+        "kept AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)) " +
+        "SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_kept, " +
+        "CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS id_checksum FROM kept")
   )
 
   /** The [[graft.functions.TextAnalysis.stripHtml]] chain over a SQL text

@@ -930,6 +930,49 @@ object Dedup {
       .groupBy(col("corpus_id")).agg(count(lit(1)).as("n_benchmark_hits"))
   }
 
+  /** FUZZY benchmark decontamination: drop every corpus document that is
+    * a NEAR-duplicate of any benchmark document at shingle-Jaccard ≥
+    * `threshold` — catches lightly reworded eval leakage the exact
+    * n-gram-overlap test cannot see (the exact test needs one VERBATIM
+    * n-token run; a paraphrased dump of a benchmark shares most of its
+    * shingle set while dodging every long verbatim run).
+    *
+    * Shape: the incremental detector's one-sided band probe with the
+    * BENCHMARK as the untouchable side — corpus bands join benchmark
+    * bands only (corpus↔corpus pairs are unrepresentable, so in-corpus
+    * near-dups never cause drops here), candidates length-filter for
+    * free on the band rows' `sz`, survivors exact-verify on hashed
+    * shingle sets. No CC: the resolution rule is "touching the
+    * benchmark at all is fatal", which needs no transitivity. Id spaces
+    * may overlap (benchmarks drawn from the corpus are the common
+    * fixture) — the two sides never union, so no disjointness
+    * requirement. Recall is the banding's standard bound for
+    * (threshold, k), same trade as [[removeNearDuplicates]]; precision
+    * is exact (verify). */
+  def removeContaminatedFuzzy(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.8,
+      n: Int = 3, k: Int = 128): DataFrame = {
+    val (rr, b) = minHashBands(threshold, k)
+    val shC = shingleIndex(corpus, textCol, idCol, n)
+    val shB = materialize(shingleIndex(benchmark, textCol, idCol, n))
+    val cand = minHashBandRows(shC, k, rr, b).as("a")
+      .join(minHashBandRows(shB, k, rr, b).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            greatest(col("a.sz"), col("b.sz")) * threshold - lit(1e-9))
+      .select(col("a.id").as("corpus_id"), col("b.id").as("bench_id"))
+      .dropDuplicates("corpus_id", "bench_id")
+    val contaminated = cand
+      .join(hashShingles(shC).select(col("id").as("corpus_id"),
+        col("sh").as("_sh_c")), Seq("corpus_id"))
+      .join(hashShingles(shB).select(col("id").as("bench_id"),
+        col("sh").as("_sh_b")), Seq("bench_id"))
+      .where(GraftFunctions.jaccardSim(col("_sh_c"), col("_sh_b")) >= threshold)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Drop every corpus document that shares an n-gram with the benchmark
     * (left-anti on [[contaminationHits]]). */
   def removeContaminated(corpus: DataFrame, benchmark: DataFrame,

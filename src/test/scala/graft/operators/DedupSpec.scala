@@ -550,6 +550,40 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == keptExact)
   }
 
+  test("fuzzy decontamination: near-dups of the benchmark drop; in-corpus near-dups do NOT") {
+    val base = "the quick brown fox jumps over the lazy dog and it was a " +
+      "good day for all of you with this fine weather in the field"
+    val prose = "cooking with fresh herbs is a joy and you should try it " +
+      "for dinner this week with your family at home every single night"
+    // 1 = verbatim benchmark copy, 2 = lightly reworded near-dup of the
+    // benchmark (the leak the exact n-gram test can also be dodged by),
+    // 3/4 = an in-corpus near-dup pair UNRELATED to the benchmark,
+    // 5 = clean. Benchmark id reuses 100 deliberately — id spaces may
+    // overlap, the sides never union.
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " extra tail words here today"),
+      (3L, prose + " first unique ending"),
+      (4L, prose + " second distinct ending"),
+      (5L, "completely unrelated text about mountain hiking gear and maps " +
+        "packed for the long trail season with heavy boots"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val kept = Dedup.removeContaminatedFuzzy(corpus, bench, "text", "doc_id",
+      threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L),
+      s"1 (verbatim) and 2 (reworded) must drop; the in-corpus near-dup " +
+        s"pair 3/4 must BOTH survive (one-sided probe): $kept")
+    // the exact n-gram test at n=8 misses the reworded doc only when no
+    // verbatim 8-run survives; the fuzzy test is the complementary net —
+    // here both members share long runs, so exact catches them too, and
+    // the two detectors must agree on the clean docs
+    val exactKept = Dedup.removeContaminated(corpus, bench, "text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactKept.intersect(Set(3L, 4L, 5L)) == Set(3L, 4L, 5L))
+  }
+
   test("bloom contamination: empty benchmark flags nothing, removes nothing") {
     val bench = docs.where(org.apache.spark.sql.functions.lit(false))
     val corpus = docs.limit(20)
