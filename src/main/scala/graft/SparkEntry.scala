@@ -696,6 +696,13 @@ object SparkEntry {
     //    corpusPipelineSemanticQuery ─────────────────────────────────────
     "q_corpus_pipeline_semantic" -> ((s, dir) => corpusPipelineSemanticQuery(s, dir)),
 
+    // ── The pipeline with FUZZY decontamination on: planted reworded
+    //    benchmark twins (marker token every 7 normalized tokens — no
+    //    verbatim 8-gram survives, trigram Jaccard ≈ 0.5) must pass the
+    //    exact decon AND the 0.8 near-dup rung, and drop only at the
+    //    fuzzy stage. See corpusPipelineFuzzyQuery ──────────────────────
+    "q_corpus_pipeline_fuzzy" -> ((s, dir) => corpusPipelineFuzzyQuery(s, dir)),
+
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
     //    shuffle carries one row per distinct token per task) ───────────
@@ -1030,6 +1037,22 @@ object SparkEntry {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+
+    // ── Deterministic training-order shuffle into 8 shards: the
+    //    order_checksum (Σ pos·doc_id per shard) pins the FULL
+    //    permutation, not just shard membership — any swap of two
+    //    adjacent rows changes it ───────────────────────────────────────
+    "q_shard_shuffle" -> ((s, dir) => {
+      val sh = graft.operators.Sampling.shuffleIntoShards(
+        t(s, dir, "documents"), "doc_id", 8, seed = "e0")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id"))
+      sh.withColumn("pos", row_number().over(w))
+        .groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("pos") * col("doc_id")).cast("long").as("order_checksum"))
+        .orderBy(col("shard"))
+    }),
 
     // ── North star multimodal: binary payload → batched stub feature
     //    extraction; n_bytes is the oracle-checkable invariant ─────────
@@ -1403,6 +1426,56 @@ object SparkEntry {
     stageCounts.crossJoin(docStats).crossJoin(chunkStats)
   }
 
+  /** q_corpus_pipeline_fuzzy: the pipeline with the FUZZY decontamination
+    * stage on. Corpus = documents plus planted REWORDED benchmark leaks:
+    * every benchmark doc (id%50==0) re-appears as id+2e6 with a per-doc
+    * marker token inserted after every 7th normalized token — every
+    * verbatim run is ≤ 7 tokens, so the exact 8-gram probe is blind to
+    * the twin, while its trigram Jaccard to the benchmark doc stays
+    * ≈ 0.5 (measured 0.49–0.52 at sf0.01). With dedupThreshold=0.8 the
+    * near-dup rung passes the twin (0.5 < 0.8) and only
+    * fuzzyDecontaminate=0.4 can catch it — decon cut deliberately BELOW
+    * the dedup cut, the asymmetric-tolerance production shape. Plain
+    * upstream config (html/gopher/line pinned by the other pipeline
+    * queries). */
+  private def corpusPipelineFuzzyQuery(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val toks = split(norm, "\\s+")
+    val m = greatest(ceil(size(toks) / lit(7.0)).cast("int"), lit(1))
+    // Two-step select: the marker token MUST use the ORIGINAL doc_id
+    // (same lateral-alias trap as the semantic twins).
+    val twins = raw.where(col("doc_id") % 50 === 0).select(
+      col("doc_id"),
+      array_join(flatten(transform(sequence(lit(0), m - lit(1)),
+        g => concat(slice(toks, g * lit(7) + lit(1), lit(7)),
+          array(concat(lit("qq"), col("doc_id").cast("string")))))), " ")
+        .as("text"))
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text"))
+    val corpus = raw.unionByName(twins)
+    val bench = raw.where(col("doc_id") % 50 === 0)
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4, dedupThreshold = 0.8, shingleN = 3,
+      decontaminateN = 8, fuzzyDecontaminate = Some(0.4),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    val stageCounts = p.stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as(s"n_$name"))
+    }.reduce(_.crossJoin(_))
+    val docStats = p.documents.agg(
+      sum(col("doc_id")).cast("long").as("id_checksum"),
+      sum(length(col("text"))).cast("long").as("text_len_sum"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
+    val chunkStats = p.chunks.agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
+    stageCounts.crossJoin(docStats).crossJoin(chunkStats)
+  }
+
   /** DuckDB CTE producing (doc_id, shingles): distinct 3-gram shingles of
     * the normalized text — the oracle-side mirror of
     * [[graft.operators.Dedup.shingleSets]], shared by every dedup oracle. */
@@ -1602,6 +1675,90 @@ object SparkEntry {
       "(SELECT count(*) FROM q3s) AS n_semantic_dedup, " +
       "(SELECT count(*) FROM q3s) AS n_decontaminated, " +
       "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q3s) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_fuzzy: the plain-config chain
+    * (quality/lang gate → exact dedup → trigram near-dup CC at 0.8 →
+    * exact 8-gram decontamination) extended with the FUZZY stage —
+    * trigram Jaccard ≥ 0.4 against ANY benchmark doc drops — over the
+    * documents fixture plus the marker-inserted reworded twins (exactly
+    * the Spark side's construction, restated in SQL). */
+  private lazy val corpusPipelineFuzzyOracle: String = {
+    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
+      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
+    }
+    def gram8(src: String): String =
+      s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
+        s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+    "WITH RECURSIVE " +
+      "d0 AS (SELECT doc_id, text, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents), " +
+      // reworded twins: a per-doc marker token after every 7th normalized
+      // token — the marker uses the ORIGINAL doc_id (inner select), the
+      // id offset applies outside, exactly as the Spark side's two-step
+      // select (DuckDB lateral aliasing would otherwise bind the marker
+      // to the offset id)
+      "tw AS (SELECT doc_id + 2000000 AS doc_id, text FROM (" +
+      "SELECT doc_id, array_to_string(" +
+      "flatten(list_transform(range(0, CAST(greatest(ceil(len(t)/7.0),1) AS BIGINT)), " +
+      "g -> list_append(list_slice(t, g*7+1, g*7+7), 'qq' || CAST(doc_id AS VARCHAR)))), ' ') AS text " +
+      "FROM d0 WHERE doc_id % 50 = 0)), " +
+      "aug AS MATERIALIZED (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw), " +
+      "btok AS (SELECT doc_id, t FROM d0 WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
+      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
+      "(SELECT doc_id, text, greatest(" +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.8), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      // fuzzy stage: trigram Jaccard >= 0.4 against any benchmark doc —
+      // trigrams of the surviving corpus side reuse sh3 (text is
+      // unchanged through the dedup stages)
+      "sh3b AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM btok), " +
+      "fcont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh3 c JOIN sh3b b ON " +
+      "c.doc_id IN (SELECT doc_id FROM q4) AND " +
+      "len(list_intersect(c.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(c.sh,b.sh))),1) >= 0.4), " +
+      "q5 AS (SELECT * FROM q4 WHERE doc_id NOT IN (SELECT doc_id FROM fcont)), " +
+      s"red AS (SELECT doc_id, $redact AS rt FROM q5), " +
+      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
+      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
+      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q5) " +
+      "SELECT (SELECT count(*) FROM aug) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT count(*) FROM q5) AS n_decontaminated_fuzzy, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q5) AS id_checksum, " +
       "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
       "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
       "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
@@ -1837,6 +1994,7 @@ object SparkEntry {
     // threshold, so the pipeline's survivors cannot differ
     "q_corpus_pipeline_tuned" -> corpusPipelineOracle,
     "q_corpus_pipeline_semantic" -> corpusPipelineSemanticOracle,
+    "q_corpus_pipeline_fuzzy" -> corpusPipelineFuzzyOracle,
     // Same deterministic augmentation as the Spark side: one jittered copy
     // per vec_id % 10 == 0, ±0.025 per dimension keyed by md5(vec_id||'-'||i)
     // (DuckDB list lambdas index from 1; the Spark transform uses i+1 to
@@ -2078,6 +2236,18 @@ object SparkEntry {
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' " +
         "ELSE 'test' END AS split, count(*) AS n " +
         "FROM documents GROUP BY split ORDER BY split"),
+    // shard CASE generated from the SAME thresholdHex table the Spark
+    // side compiles to — boundaries cannot drift between engines
+    "q_shard_shuffle" -> {
+      val cases = (1 until 8).map(i =>
+        s"WHEN substr(hk,1,8) < '${graft.operators.Sampling.thresholdHex(i / 8.0)}' THEN ${i - 1}")
+        .mkString(" ")
+      "WITH h AS (SELECT doc_id, md5('e0:' || CAST(doc_id AS VARCHAR)) AS hk FROM documents), " +
+        s"s AS (SELECT doc_id, hk, CASE $cases ELSE 7 END AS shard FROM h), " +
+        "p AS (SELECT shard, doc_id, row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS pos FROM s) " +
+        "SELECT shard, count(*) AS n_docs, CAST(sum(pos*doc_id) AS BIGINT) AS order_checksum " +
+        "FROM p GROUP BY shard ORDER BY shard"
+    },
     // '' filter: DuckDB's split of a fully-stripped text yields [''];
     // the Spark tokenizer yields no tokens at all.
     "q_top_tokens" ->

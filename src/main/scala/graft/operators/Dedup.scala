@@ -953,7 +953,10 @@ object Dedup {
       textCol: String, idCol: String, threshold: Double = 0.8,
       n: Int = 3, k: Int = 128): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
-    val shC = shingleIndex(corpus, textCol, idCol, n)
+    // both shingle indexes are read twice (band rows + exact verify);
+    // materializing also cuts the CORPUS lineage — a pipeline hands in a
+    // multi-stage computed frame here, not a bare scan
+    val shC = materialize(shingleIndex(corpus, textCol, idCol, n))
     val shB = materialize(shingleIndex(benchmark, textCol, idCol, n))
     val cand = minHashBandRows(shC, k, rr, b).as("a")
       .join(minHashBandRows(shB, k, rr, b).as("b"),

@@ -36,7 +36,7 @@ object Sampling {
     * bucket, so `bucket < threshold` keeps ALL keys (capping at
     * "ffffffff" would silently drop keys hashing to exactly that
     * bucket). Works identically as a SQL string literal. */
-  private def thresholdHex(cum: Double): String =
+  private[graft] def thresholdHex(cum: Double): String =
     if (cum >= 1.0) "g"
     else f"${math.min(math.round(cum * 4294967296.0), 4294967295L)}%08x"
 
@@ -128,6 +128,42 @@ object Sampling {
       }
       .fold(lit(splits.last._1))(_.otherwise(splits.last._1))
     df.withColumn("split", splitCol)
+  }
+
+  /** Deterministic GLOBAL training-order shuffle, sharded: every row gets
+    * a `shard` in [0, numShards) and a `shuffle_key` (md5 of seed:key)
+    * such that ordering by (`shard`, `shuffle_key`, key) is a uniform
+    * pseudo-random permutation of the corpus — the shuffle-before-
+    * training step, without `rand()`'s retry/partitioning instability.
+    * Shards are CONTIGUOUS ranges of the hash space (the [[hashSplit]]
+    * thresholds at i/numShards), so the permutation is globally
+    * coherent: reading shard 0's rows in `shuffle_key` order, then
+    * shard 1's, … replays the full shuffled sequence, and a different
+    * `seed` is a fresh, reproducible epoch permutation (seed-per-epoch =
+    * shuffle-every-epoch with exact replayability).
+    *
+    * Scale shape: a pure NARROW projection — md5 + a threshold CASE in
+    * the scan stage, no shuffle here. The write path partitions by
+    * `shard` and sorts within partitions by (`shuffle_key`, key): one
+    * exchange, per-shard local sorts, never a global single-partition
+    * sort. Size `numShards` to the target output file count (a few
+    * hundred MB each); that also bounds any per-shard window a caller
+    * adds downstream. Ties between equal 128-bit `shuffle_key`s (distinct
+    * keys virtually never collide) break by the key itself, so the order
+    * is total and engine-independent. */
+  def shuffleIntoShards(df: DataFrame, keyCol: String, numShards: Int,
+      seed: String = "0"): DataFrame = {
+    require(numShards > 0,
+      s"shuffleIntoShards: numShards must be positive, got $numShards")
+    val h = md5(concat(lit(seed), lit(":"), col(keyCol).cast("string")))
+    val bucket = substring(h, 1, 8)
+    val shardCol = (1 until numShards)
+      .foldLeft(Option.empty[Column]) { case (acc, i) =>
+        val cond = bucket < lit(thresholdHex(i.toDouble / numShards))
+        Some(acc.fold(when(cond, i - 1))(_.when(cond, i - 1)))
+      }
+      .fold(lit(0))(_.otherwise(numShards - 1))
+    df.withColumn("shard", shardCol).withColumn("shuffle_key", h)
   }
 
   /** PER-GROUP document cap — the C4/RefinedWeb-style domain cap: keep

@@ -12,7 +12,7 @@ import graft.operators.{Chunking, Dedup, LineDedup, Sampling, SpanDedup}
   *   [HTML strip] → quality filter (+ optional Gopher rule gates) →
   *   language filter → exact content dedup → [line-level dedup] →
   *   [span-level dedup] → near-dup removal → [semantic dedup] →
-  *   benchmark decontamination →
+  *   benchmark decontamination [+ fuzzy decontamination] →
   *   PII redaction → document chunking → train/val/test split.
   *
   * Composition notes (the order is load-bearing):
@@ -74,6 +74,7 @@ object CorpusPipeline {
       decontaminateN: Int = 8,
       bloomDecontaminate: Boolean = false,
       bloomFpp: Double = 0.001,
+      fuzzyDecontaminate: Option[Double] = None,
       chunkTokens: Int = 512,
       overlapTokens: Int = 64,
       splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
@@ -83,8 +84,8 @@ object CorpusPipeline {
     * document; (idCol, chunk_idx, chunk_text, n_chunk_tokens, split)).
     * `stages` exposes each intermediate frame by name (input, quality,
     * exact_dedup, [line_dedup], [span_dedup], near_dedup,
-    * [semantic_dedup], decontaminated; the bracketed stages appear iff
-    * enabled) — the
+    * [semantic_dedup], decontaminated, [decontaminated_fuzzy]; the
+    * bracketed stages appear iff enabled) — the
     * per-stage kept
     * counts every production corpus run reports; counting them re-runs
     * only cheap narrow scans, the dedup materializations are shared. */
@@ -196,9 +197,26 @@ object CorpusPipeline {
         Dedup.removeContaminated(semDeduped, b, cfg.textCol, cfg.idCol,
           cfg.decontaminateN))
 
+    // 4b. optional FUZZY decontamination — the reworded-leak net: a
+    //    paraphrased benchmark dump shares most of its SHINGLE set while
+    //    dodging every verbatim `decontaminateN`-token run, so the exact
+    //    probe above cannot see it. Runs AFTER the exact pass (the cheap
+    //    equi-join already removed the verbatim mass, so the band probe
+    //    sees a smaller corpus side) at the caller's Jaccard threshold —
+    //    deliberately independent of `dedupThreshold`: leakage tolerance
+    //    is asymmetric, a decon cut well BELOW the dedup cut is the
+    //    normal configuration (dropping a borderline training doc is
+    //    cheap; keeping a borderline benchmark twin poisons the eval).
+    val fuzzyClean = (benchClean, cfg.fuzzyDecontaminate) match {
+      case (Some(b), Some(tau)) =>
+        Dedup.removeContaminatedFuzzy(clean, b, cfg.textCol, cfg.idCol,
+          tau, cfg.shingleN)
+      case _ => clean
+    }
+
     // 5. PII redaction + 6. per-DOCUMENT split assignment
     val documents = Sampling.hashSplit(
-      clean.withColumn(cfg.textCol, TextAnalysis.redactPii(text)),
+      fuzzyClean.withColumn(cfg.textCol, TextAnalysis.redactPii(text)),
       cfg.idCol, cfg.splits)
 
     // 7. chunks get the SAME split: it is a pure function of the id
@@ -216,6 +234,7 @@ object CorpusPipeline {
       cfg.spanDedupN.map(_ => "span_dedup" -> spanDeduped) ++ Seq(
       "near_dedup" -> nearDeduped) ++
       cfg.semanticDedup.map(_ => "semantic_dedup" -> semDeduped) ++ Seq(
-      "decontaminated" -> clean))
+      "decontaminated" -> clean) ++
+      cfg.fuzzyDecontaminate.map(_ => "decontaminated_fuzzy" -> fuzzyClean))
   }
 }

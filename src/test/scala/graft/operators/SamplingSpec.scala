@@ -153,6 +153,43 @@ class SamplingSpec extends AnyFunSuite {
       .count() == docs.count())
   }
 
+  test("shuffleIntoShards: (shard, shuffle_key) order IS the global hash order; seed = epoch") {
+    val sh = Sampling.shuffleIntoShards(docs, "doc_id", 8, seed = "e0")
+    // shards are contiguous hash ranges, so concatenating shards in
+    // order replays the single global permutation
+    val byShard = sh.orderBy(col("shard"), col("shuffle_key"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    val global = sh.orderBy(col("shuffle_key"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(byShard == global)
+    // the permutation really permutes (not the input order) and covers
+    // every row exactly once
+    assert(byShard.sorted != byShard && byShard.sorted == byShard.distinct.sorted)
+    assert(byShard.length == docs.count())
+    // key-pure: identical assignment under a different partitioning
+    val repart = Sampling.shuffleIntoShards(docs.repartition(7), "doc_id", 8, seed = "e0")
+      .orderBy(col("shard"), col("shuffle_key"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(repart == byShard)
+    // a different seed is a DIFFERENT (but equally reproducible) epoch
+    val epoch2 = Sampling.shuffleIntoShards(docs, "doc_id", 8, seed = "e1")
+      .orderBy(col("shard"), col("shuffle_key"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(epoch2 != byShard && epoch2.sorted == byShard.sorted)
+    // every shard populated and roughly balanced at 500 docs / 8 shards
+    val sizes = sh.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    assert(sizes.values.min > 0)
+  }
+
+  test("shuffleIntoShards is a narrow projection (no Exchange introduced)") {
+    val plan = Sampling.shuffleIntoShards(docs, "doc_id", 8, seed = "e0")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"shard assignment must not shuffle:\n$plan")
+  }
+
   test("capPerGroup plans a WindowGroupLimit (bounded per-group buffer, no full-group sort)") {
     val plan = Sampling.capPerGroup(docs, "source", "doc_id", 7, col("n_chars"))
       .queryExecution.executedPlan.toString

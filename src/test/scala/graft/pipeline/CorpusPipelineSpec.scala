@@ -272,4 +272,47 @@ class CorpusPipelineSpec extends AnyFunSuite {
       Set(1L, 101L, 2L, 3L))
     assert(!off.stages.map(_._1).contains("semantic_dedup"))
   }
+
+  test("optional fuzzy-decontamination stage: reworded benchmark leak drops only there") {
+    val base = "the quick brown fox jumps over the lazy dog and it was a " +
+      "good day for all of you with this fine weather in the field near " +
+      "the river bank where we like to walk for a while every morning"
+    // A marker token after every 7th token: every verbatim run is <= 7
+    // tokens (the exact 8-gram probe is blind) while the trigram Jaccard
+    // to the benchmark stays ~0.5 — visible to fuzzy tau=0.4, invisible
+    // to the 0.8 near-dup rung. The asymmetric-threshold production
+    // shape: decon cut BELOW the dedup cut.
+    val reworded = base.split(" ").grouped(7)
+      .flatMap(g => g :+ "qq9").mkString(" ")
+    val corpus = Seq(
+      (1L, base), // verbatim leak — the EXACT stage's kill
+      (2L, reworded), // reworded leak — only the fuzzy stage can see it
+      (3L, "cooking with fresh herbs is a joy and you should try it for " +
+        "dinner this week with your family at home every single night"))
+      .toDF("doc_id", "text")
+    val bench = Seq((500L, base)).toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.8,
+      decontaminateN = 8, fuzzyDecontaminate = Some(0.4),
+      chunkTokens = 64, overlapTokens = 16, splits = Seq("train" -> 1.0))
+
+    val out = CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    assert(out.stages.map(_._1) == Seq("input", "quality", "exact_dedup",
+      "near_dedup", "decontaminated", "decontaminated_fuzzy"),
+      "fuzzy stage must follow the exact decontamination stage")
+    val stage = out.stages.toMap
+    val afterExact = stage("decontaminated").select("doc_id").as[Long].collect().toSet
+    assert(afterExact == Set(2L, 3L),
+      s"exact decon drops the verbatim leak but MUST pass the reworded twin: $afterExact")
+    val ids = out.documents.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(3L),
+      s"the fuzzy stage is the only rung that can catch the reworded leak: $ids")
+
+    // stage off → the reworded leak survives to the output; no
+    // decontaminated_fuzzy entry in the stage list
+    val off = CorpusPipeline.prepare(corpus, Some(bench),
+      cfg.copy(fuzzyDecontaminate = None))
+    assert(off.documents.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(!off.stages.map(_._1).contains("decontaminated_fuzzy"))
+  }
 }
