@@ -34,6 +34,12 @@ object SparkEntry {
   private val annIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Same pattern for the persisted benchmark decontamination index
+    * (q_contamination_fuzzy_indexed) — benchmark suites change rarely,
+    * so their band/shingle build is a once-per-benchmark-version cost. */
+  private val fuzzyIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.testTable(s, dir, name)
 
@@ -1296,6 +1302,34 @@ object SparkEntry {
           coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("id_checksum")))
     }),
 
+    // ── FUZZY decontamination probing a PERSISTED benchmark index — the
+    //    production shape: the benchmark's band/shingle index is built
+    //    once per benchmark version and round-tripped through parquet;
+    //    the decon pass never re-shingles the benchmark. Same oracle as
+    //    q_contamination_fuzzy: the stored-index probe must be
+    //    result-identical to the recompute path ──────────────────────────
+    "q_contamination_fuzzy_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = fuzzyIndexDirs.computeIfAbsent(dir, { d =>
+        val path = java.nio.file.Files.createTempDirectory("graft_fzidx").toString
+        val bench = t(s, d, "documents").where(col("doc_id") % 50 === 0)
+        graft.etl.Warehouse.stageParquet(
+          graft.operators.Dedup.shingleIndex(bench, "text", "doc_id"),
+          s"$path/shingles")
+        graft.etl.Warehouse.stageParquet(
+          graft.operators.Dedup.minHashBandIndex(
+            s.read.parquet(s"$path/shingles"), threshold = 0.5),
+          s"$path/bands")
+        path
+      })
+      val kept = graft.operators.Dedup.removeContaminatedFuzzyIndexed(
+        docs, s.read.parquet(s"$idx/bands"), s.read.parquet(s"$idx/shingles"),
+        "text", "doc_id", threshold = 0.5)
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"),
+          coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("id_checksum")))
+    }),
+
     // ── Approximate percentile sketch next to the exact quantile, with
     //    the same in-tolerance-boolean contract as q_approx_distinct ─────
     "q_approx_percentile" -> ((s, dir) => {
@@ -2428,14 +2462,21 @@ object SparkEntry {
     // fuzzy decontamination: exact all-pairs corpus×benchmark trigram
     // Jaccard ≥ 0.5 — the LSH band probe must reproduce it exactly at
     // this corpus's similarity level (total recall, exact verify)
-    "q_contamination_fuzzy" ->
-      (s"WITH $shingleCte, " +
-        "cont AS (SELECT DISTINCT c.doc_id FROM sh c JOIN sh b ON b.doc_id % 50 = 0 AND " +
-        "len(list_intersect(c.shingles,b.shingles))*1.0/greatest(len(list_distinct(list_concat(c.shingles,b.shingles))),1) >= 0.5), " +
-        "kept AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)) " +
-        "SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_kept, " +
-        "CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS id_checksum FROM kept")
+    "q_contamination_fuzzy" -> contaminationFuzzyOracle,
+    // identical results to the recompute path by construction: the stored
+    // band/shingle index round-trips the same rows the fresh build derives
+    "q_contamination_fuzzy_indexed" -> contaminationFuzzyOracle
   )
+
+  /** Ground truth shared by q_contamination_fuzzy and its persisted-index
+    * twin: exact all-pairs corpus×benchmark trigram Jaccard ≥ 0.5. */
+  private lazy val contaminationFuzzyOracle: String =
+    s"WITH $shingleCte, " +
+      "cont AS (SELECT DISTINCT c.doc_id FROM sh c JOIN sh b ON b.doc_id % 50 = 0 AND " +
+      "len(list_intersect(c.shingles,b.shingles))*1.0/greatest(len(list_distinct(list_concat(c.shingles,b.shingles))),1) >= 0.5), " +
+      "kept AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)) " +
+      "SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_kept, " +
+      "CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS id_checksum FROM kept"
 
   /** The [[graft.functions.TextAnalysis.stripHtml]] chain over a SQL text
     * expression — generated FROM htmlStripStages (no drift). */

@@ -953,13 +953,41 @@ object Dedup {
       textCol: String, idCol: String, threshold: Double = 0.8,
       n: Int = 3, k: Int = 128): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
-    // both shingle indexes are read twice (band rows + exact verify);
+    val shB = materialize(shingleIndex(benchmark, textCol, idCol, n))
+    removeFuzzyFrom(corpus, minHashBandRows(shB, k, rr, b), shB,
+      textCol, idCol, threshold, n, k)
+  }
+
+  /** [[removeContaminatedFuzzy]] probing a PERSISTED benchmark index: the
+    * benchmark arrives as its stored (id, sz, band, band_key) band index
+    * and (id, sh) shingle index ([[minHashBandIndex]]/[[shingleIndex]]
+    * round-tripped through parquet or a warehouse table) — benchmark
+    * suites change rarely and are shared across every corpus run, so the
+    * shingle/minhash build is paid once per benchmark version, not per
+    * decontamination pass. `threshold`/`k`/`n` MUST match the index build
+    * (band geometry and shingle width are baked into the stored rows).
+    * Result is identical to the recompute path (spec-proven). */
+  def removeContaminatedFuzzyIndexed(corpus: DataFrame,
+      benchBands: DataFrame, benchShingles: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.8,
+      n: Int = 3, k: Int = 128): DataFrame =
+    removeFuzzyFrom(corpus, benchBands, benchShingles,
+      textCol, idCol, threshold, n, k)
+
+  /** Shared fuzzy-decontamination core: a one-sided band probe of the
+    * corpus against a benchmark given as (band index, shingle index) —
+    * computed fresh by [[removeContaminatedFuzzy]], read from storage by
+    * [[removeContaminatedFuzzyIndexed]]. */
+  private def removeFuzzyFrom(corpus: DataFrame, benchBands: DataFrame,
+      shB: DataFrame, textCol: String, idCol: String, threshold: Double,
+      n: Int, k: Int): DataFrame = {
+    val (rr, b) = minHashBands(threshold, k)
+    // the corpus shingle index is read twice (band rows + exact verify);
     // materializing also cuts the CORPUS lineage — a pipeline hands in a
     // multi-stage computed frame here, not a bare scan
     val shC = materialize(shingleIndex(corpus, textCol, idCol, n))
-    val shB = materialize(shingleIndex(benchmark, textCol, idCol, n))
     val cand = minHashBandRows(shC, k, rr, b).as("a")
-      .join(minHashBandRows(shB, k, rr, b).as("b"),
+      .join(benchBands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           least(col("a.sz"), col("b.sz")).cast("double") >=

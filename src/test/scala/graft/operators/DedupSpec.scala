@@ -584,6 +584,25 @@ class DedupSpec extends AnyFunSuite {
     assert(exactKept.intersect(Set(3L, 4L, 5L)) == Set(3L, 4L, 5L))
   }
 
+  test("fuzzy decontamination: persisted-index probe == recompute path") {
+    val corpus = docs.limit(200)
+    val bench = docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+    val direct = Dedup.removeContaminatedFuzzy(corpus, bench, "text", "doc_id",
+      threshold = 0.5).select("doc_id").as[Long].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("fzidx").toString
+    Dedup.shingleIndex(bench, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    Dedup.minHashBandIndex(spark.read.parquet(s"$dir/shingles"), threshold = 0.5)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    val indexed = Dedup.removeContaminatedFuzzyIndexed(corpus,
+      spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/shingles"),
+      "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed == direct,
+      s"stored-index probe must be result-identical: ${indexed.diff(direct)} / ${direct.diff(indexed)}")
+    assert(direct.size < 200, "fixture must actually drop something")
+  }
+
   test("bloom contamination: empty benchmark flags nothing, removes nothing") {
     val bench = docs.where(org.apache.spark.sql.functions.lit(false))
     val corpus = docs.limit(20)
