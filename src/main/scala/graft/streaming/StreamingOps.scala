@@ -302,6 +302,14 @@ object StreamingOps {
     * disjoint-id check). Pass `checkpointDir` so restarts resume from
     * committed offsets at all.
     *
+    * Pass `benchmarkIndexDir` to also FUZZY-decontaminate every batch
+    * against a persisted benchmark band/shingle index
+    * ([[graft.operators.Dedup.removeContaminatedFuzzyIndexed]], built
+    * once per benchmark version at `decontaminateThreshold`): survivors
+    * of the dedup probe that near-duplicate a benchmark doc are dropped
+    * BEFORE they reach the corpus or its index — an eval leak must never
+    * become a stored survivor other docs dedupe against.
+    *
     * Scale notes: per batch this probes |Δ|·b band rows against the
     * index — the index side is a parquet scan, never recomputed; one
     * partition directory lands per batch — run [[compactCorpus]] on the
@@ -314,7 +322,9 @@ object StreamingOps {
       indexDir: String, textCol: String, idCol: String,
       threshold: Double = 0.8, n: Int = 3, k: Int = 128,
       checkpointDir: Option[String] = None,
-      prefilterMinCandidates: Double = 4e6)
+      prefilterMinCandidates: Double = 4e6,
+      benchmarkIndexDir: Option[String] = None,
+      decontaminateThreshold: Double = 0.8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     val writer = streamed.writeStream
@@ -348,9 +358,25 @@ object StreamingOps {
                 prefilterMinCandidates = prefilterMinCandidates)
             else
               Dedup.removeNearDuplicates(batch, textCol, idCol, threshold, n)
+          // optional per-batch FUZZY decontamination against a PERSISTED
+          // benchmark index ($dir/bands + $dir/shingles, built once per
+          // benchmark version with minHashBandIndex(shingles,
+          // decontaminateThreshold, k)) — AFTER the dedup probe (the
+          // CorpusPipeline stage order: dups are common in streams, so
+          // dedup-first shrinks the decon probe's input), BEFORE anything
+          // lands: a contaminated doc must never enter the corpus OR its
+          // index, so later near-dups of it can't ride in on a tainted
+          // survivor. Decon-dropped twins of future docs are caught by
+          // those docs' own probes against the same benchmark.
+          val cleaned = benchmarkIndexDir.fold(survivors) { bd =>
+            Dedup.removeContaminatedFuzzyIndexed(survivors,
+              spark.read.parquet(s"$bd/bands"),
+              spark.read.parquet(s"$bd/shingles"),
+              textCol, idCol, decontaminateThreshold, n, k)
+          }
           // one materialization: survivors feed the corpus write AND three
           // index projections
-          val kept = Dedup.materialize(survivors)
+          val kept = Dedup.materialize(cleaned)
           kept.write.mode("overwrite")
             .parquet(s"$corpusDir/batch_id=$batchId")
           val sh = Dedup.materialize(Dedup.shingleIndex(kept, textCol, idCol, n))

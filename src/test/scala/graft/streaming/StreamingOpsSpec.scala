@@ -254,6 +254,56 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(indexedIds == Set(1L, 4L))
   }
 
+  test("dedupStreamIntoCorpus: per-batch fuzzy decontamination against a stored benchmark index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and it was a " +
+      "good day for all of you with this fine weather in the field near " +
+      "the river bank where we like to walk for a while every morning"
+    // marker every 7 tokens: no verbatim 8-gram run survives, trigram
+    // Jaccard to the benchmark ~0.5 — the reworded leak only the fuzzy
+    // probe can see (cf. the CorpusPipeline fuzzy spec)
+    val reworded = base.split(" ").grouped(7).flatMap(_ :+ "qq9").mkString(" ")
+    val clean = "cooking with fresh herbs is a joy and you should try it " +
+      "for dinner this week with your family at home every single night"
+    val benchIdx = Files.createTempDirectory("bench_idx").toString
+    val benchSh = graft.operators.Dedup.shingleIndex(
+      Seq((500L, base)).toDF("doc_id", "text"), "text", "doc_id")
+    benchSh.write.mode("overwrite").parquet(s"$benchIdx/shingles")
+    graft.operators.Dedup.minHashBandIndex(
+      spark.read.parquet(s"$benchIdx/shingles"), threshold = 0.4)
+      .write.mode("overwrite").parquet(s"$benchIdx/bands")
+
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    val corpus = Files.createTempDirectory("decon_corpus").toString
+    val index = Files.createTempDirectory("decon_index").toString
+    val q = StreamingOps.dedupStreamIntoCorpus(
+      docs, corpus, index, "text", "doc_id", threshold = 0.8,
+      benchmarkIndexDir = Some(benchIdx), decontaminateThreshold = 0.4)
+    try {
+      // batch 1: a verbatim leak + a clean doc — the leak is a trivial
+      // fuzzy hit (J = 1.0), only the clean doc lands
+      source.addData((1L, base), (2L, clean))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(2L), s"verbatim leak must never land: $after1")
+      // batch 2: the REWORDED leak (passes the 0.8 dedup probe — J to the
+      // corpus is ~0, J to the benchmark ~0.5) + a near-dup of the stored
+      // clean doc (dedup's kill, proving both probes run)
+      source.addData((3L, reworded), (4L, clean.replace("night", "week")))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(2L), s"reworded leak + near-dup must both drop: $after2")
+    } finally q.stop()
+    // contaminated docs never reached the stored dedup index either
+    val indexedIds = spark.read.parquet(s"$index/shingles")
+      .select("id").as[Long].collect().toSet
+    assert(indexedIds == Set(2L),
+      s"a leak must not become an indexed survivor: $indexedIds")
+  }
+
   test("dedupStreamIntoCorpus: PARTIAL sighead dir (mid-life upgrade) still drops near-dups of head-less docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
