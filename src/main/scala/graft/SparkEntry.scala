@@ -542,6 +542,21 @@ object SparkEntry {
         kept.agg(count(lit(1)).as("n_kept")))
     }),
 
+    // ── Near-dup removal with the PRIORITY survivor rule (cross-source
+    //    dedup: curated beats crawl): priority = the source's numeric
+    //    suffix, survivor = max priority then min id. id_checksum pins
+    //    WHICH member survived each cluster, not just how many ──────────
+    "q_dedup_prioritized" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("prio",
+          regexp_extract(col("source"), "([0-9]+)", 1).cast("int"))
+      val kept = graft.operators.Dedup.removeNearDuplicatesPrioritized(
+        docs, "text", "doc_id", "prio", threshold = 0.5)
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_checksum")))
+    }),
+
     // ── North star dedup: embedding-space near-dup REMOVAL via the
     //    banded sign-LSH SCALE path (detect → CC → min-id survivor).
     //    The corpus has no natural near-dups (max pair cosine ≈ 0.6 —
@@ -2012,6 +2027,21 @@ object SparkEntry {
         "losers AS (SELECT count(*) AS n_losers FROM lab WHERE label <> id) " +
         "SELECT (SELECT count(*) FROM documents) AS n_docs, " +
         "(SELECT count(*) FROM documents) - n_losers AS n_kept FROM losers"),
+    // same pairs + CC as q_dedup_resolved; the survivor RANK swaps to
+    // (priority desc, id asc) — the checksum pins which member survived
+    "q_dedup_prioritized" ->
+      (s"WITH RECURSIVE $shingleCte, " +
+        "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.shingles,b.shingles))*1.0/greatest(len(list_distinct(list_concat(a.shingles,b.shingles))),1) >= 0.5), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+        "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+        "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+        "pr AS (SELECT doc_id, CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS prio FROM documents), " +
+        "rk AS (SELECT lab.id AS id, ROW_NUMBER() OVER (PARTITION BY lab.label " +
+        "ORDER BY pr.prio DESC, lab.id ASC) AS rk FROM lab JOIN pr ON pr.doc_id = lab.id), " +
+        "kept AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM rk WHERE rk > 1)) " +
+        "SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept"),
     "q_approx_distinct" ->
       ("SELECT count(DISTINCT l_partkey) AS exact_parts, " +
         "TRUE AS approx_parts_ok, TRUE AS approx_orders_ok FROM lineitem"),

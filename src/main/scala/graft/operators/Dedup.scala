@@ -679,6 +679,35 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[removeNearDuplicates]] with a PRIORITY-aware survivor rule: each
+    * cluster keeps its highest-`priorityCol` member (ties broken by min
+    * id, so the order is total and deterministic) instead of the plain
+    * min id — the CROSS-SOURCE dedup shape: when a curated corpus and a
+    * web crawl both carry a document, the curated copy must survive
+    * regardless of which side happened to get the smaller id. Detection
+    * and clustering are unchanged (the same exact-verified pairs + CC);
+    * only the survivor rank differs, and the rank window shuffles only
+    * CLUSTERED ids with their (priority, id) scalars — never corpus
+    * text. `priorityCol` must be non-null for clustered rows (a null
+    * priority sorts LAST under Spark's and SQL's shared desc-nulls-last
+    * default, i.e. "no priority" = crawl-grade). */
+  def removeNearDuplicatesPrioritized(df: DataFrame, textCol: String,
+      idCol: String, priorityCol: String, threshold: Double = 0.8,
+      n: Int = 3, maxIter: Int = 20): DataFrame = {
+    val labels = resolveClusters(
+      nearDupPairsMinHash(df, textCol, idCol, threshold, n), maxIter)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("_prio").desc, col("id").asc)
+    val losers = labels
+      .join(df.select(col(idCol).as("id"), col(priorityCol).as("_prio")),
+        Seq("id"))
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-space near-duplicate REMOVAL — the same detect → cluster →
     * min-id-survivor composition over cosine similarity. The default
     * detection is the banded sign-LSH scale path

@@ -584,6 +584,33 @@ class DedupSpec extends AnyFunSuite {
     assert(exactKept.intersect(Set(3L, 4L, 5L)) == Set(3L, 4L, 5L))
   }
 
+  test("prioritized near-dup removal: highest priority survives, ties fall back to min id") {
+    val prose = "the storm reached the harbor at dawn and it was strong for " +
+      "this time of year with heavy rain over the town and the hills"
+    val other = "cooking with fresh herbs is a joy and you should try it " +
+      "for dinner this week with your family at home every single night"
+    // cluster A: 1 (crawl, prio 0) vs 2 (curated, prio 9) — the PRIORITY
+    // rule must keep 2 where min-id keeps 1. cluster B: 3 vs 4 at equal
+    // priority — tie falls back to min id (3). 5 is unclustered.
+    val corpus = Seq(
+      (1L, prose + " first tail", 0),
+      (2L, prose + " second tail", 9),
+      (3L, other + " one ending", 5),
+      (4L, other + " two ending", 5),
+      (5L, "completely unrelated text about mountain hiking gear and maps " +
+        "packed for the long trail season with heavy boots", 0))
+      .toDF("doc_id", "text", "prio")
+    val kept = Dedup.removeNearDuplicatesPrioritized(
+      corpus, "text", "doc_id", "prio", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 5L),
+      s"curated 2 must beat crawl 1; tie 3/4 keeps min id 3: $kept")
+    // same clusters as the min-id rule — only the survivor choice moves
+    val minId = Dedup.removeNearDuplicates(corpus, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 3L, 5L))
+  }
+
   test("fuzzy decontamination: persisted-index probe == recompute path") {
     val corpus = docs.limit(200)
     val bench = docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
