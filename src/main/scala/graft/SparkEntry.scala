@@ -1059,6 +1059,21 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    // ── Training-mix composition: downsample three sources to 50/30/20
+    //    TOKEN shares (n_chars as the mass column) at the largest total
+    //    the downsample-only constraint allows — the binding stratum
+    //    keeps rate 1.0. Rate derivation restated verbatim in SQL ───────
+    "q_token_mix" -> ((s, dir) => {
+      val mixed = graft.operators.Sampling.mixToTokenShares(
+        t(s, dir, "documents"), "doc_id", "source", "n_chars",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      mixed.groupBy(col("source")).agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).cast("long").as("tok_sum"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy(col("source"))
+    }),
+
     // ── Deterministic training-order shuffle into 8 shards: the
     //    order_checksum (Σ pos·doc_id per shard) pins the FULL
     //    permutation, not just shard membership — any swap of two
@@ -2300,6 +2315,24 @@ object SparkEntry {
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' " +
         "ELSE 'test' END AS split, count(*) AS n " +
         "FROM documents GROUP BY split ORDER BY split"),
+    // rate derivation re-run in SQL with the q_temperature_resample
+    // float discipline: same op order (c*w/toks), round(x,4) ≡
+    // roundRate4 for positives, thresholdHex restated as hex()
+    "q_token_mix" ->
+      ("WITH shares(s, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)), " +
+        "hist AS (SELECT source AS s, CAST(sum(n_chars) AS BIGINT) AS toks " +
+        "FROM documents WHERE source IN (SELECT s FROM shares) GROUP BY source), " +
+        "c AS (SELECT min(toks / w) AS c FROM hist JOIN shares USING (s)), " +
+        "rates AS (SELECT s, round(least(1.0, c * w / toks), 4) AS r " +
+        "FROM hist JOIN shares USING (s) CROSS JOIN c), " +
+        "th AS (SELECT s, CASE WHEN r >= 1.0 THEN 'g' ELSE " +
+        "lpad(lower(hex(CAST(least(round(r * 4294967296.0), 4294967295) AS BIGINT))),8,'0') END AS th FROM rates) " +
+        "SELECT d.source AS source, count(*) AS n_sampled, " +
+        "CAST(sum(d.n_chars) AS BIGINT) AS tok_sum, " +
+        "CAST(sum(d.doc_id) AS BIGINT) AS id_checksum " +
+        "FROM documents d JOIN th ON d.source = th.s " +
+        "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)),1,8) < th.th " +
+        "GROUP BY d.source ORDER BY d.source"),
     // shard CASE generated from the SAME thresholdHex table the Spark
     // side compiles to — boundaries cannot drift between engines
     "q_shard_shuffle" -> {

@@ -130,6 +130,46 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Mix a multi-source corpus to TARGET TOKEN SHARES by downsampling —
+    * the training-mix composition step: given per-stratum target shares
+    * w_s (e.g. 50% curated / 30% web / 20% code), derive keep-rates so
+    * the KEPT token mass per stratum is proportional to w_s at the
+    * LARGEST total the downsample-only constraint allows:
+    * c = min_s(tokens_s / w_s), rate_s = round4(c·w_s / tokens_s) — the
+    * binding stratum keeps rate 1.0, everything else scales down. Strata
+    * absent from `targetShares` drop (rate 0); shares need not sum to 1
+    * (only proportionality is targeted). Rates are 4-decimal-rounded
+    * ([[roundRate4]] — DuckDB `round` parity) and applied via the
+    * key-pure md5 predicate ([[stratifiedSample]]), so membership is
+    * engine-portable, partition-, retry-, and growth-stable, and the
+    * whole derivation recomputes identically in SQL.
+    *
+    * Scale shape: ONE aggregate over the mass column (`tokenCol` —
+    * token counts, chars, bytes: any non-negative per-row mass) brings
+    * #strata scalars to the driver; the applied predicate is a narrow
+    * codegen'd scan stage, no shuffle. Expected (not exact) shares:
+    * sampling is per DOCUMENT, so achieved token mass per stratum is
+    * rate_s·tokens_s in expectation — the standard mixing contract. */
+  def mixToTokenShares(df: DataFrame, keyCol: String, strataCol: String,
+      tokenCol: String, targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "mixToTokenShares: at least one target share")
+    require(targetShares.values.forall(_ > 0.0),
+      "mixToTokenShares: target shares must be positive")
+    val hist = df.where(col(strataCol).isin(targetShares.keys.toSeq: _*))
+      .groupBy(col(strataCol).cast("string").as("s"))
+      .agg(sum(col(tokenCol)).cast("long").as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(hist.nonEmpty,
+      "mixToTokenShares: no target stratum present in the corpus")
+    // the largest achievable total: the binding stratum's rate hits 1.0
+    val c = targetShares.toSeq.sortBy(_._1)
+      .flatMap { case (s, w) => hist.get(s).map(_ / w) }.min
+    val rates = targetShares.toSeq.sortBy(_._1).flatMap { case (s, w) =>
+      hist.get(s).map(t => s -> roundRate4(math.min(1.0, c * w / t)))
+    }.toMap
+    stratifiedSample(df, keyCol, strataCol, rates, defaultFraction = 0.0)
+  }
+
   /** Deterministic GLOBAL training-order shuffle, sharded: every row gets
     * a `shard` in [0, numShards) and a `shuffle_key` (md5 of seed:key)
     * such that ordering by (`shard`, `shuffle_key`, key) is a uniform

@@ -207,11 +207,22 @@ object CorpusPipeline {
     //    is asymmetric, a decon cut well BELOW the dedup cut is the
     //    normal configuration (dropping a borderline training doc is
     //    cheap; keeping a borderline benchmark twin poisons the eval).
+    // When the fuzzy stage is ON, cut the lineage at the exact-decon
+    // survivors once: the fuzzy probe reads its corpus side for shingles
+    // AND for the final anti-join, and every downstream consumer
+    // (stage counts, documents, chunks) re-reads it again — without the
+    // checkpoint each of those re-executes the whole six-stage chain
+    // (measured ×2.7 on the pipeline query at sf0.1). Off = no fuzzy
+    // stage = plans unchanged.
+    val cleanM = (benchClean, cfg.fuzzyDecontaminate) match {
+      case (Some(_), Some(_)) => Dedup.materialize(clean)
+      case _                  => clean
+    }
     val fuzzyClean = (benchClean, cfg.fuzzyDecontaminate) match {
       case (Some(b), Some(tau)) =>
-        Dedup.removeContaminatedFuzzy(clean, b, cfg.textCol, cfg.idCol,
+        Dedup.removeContaminatedFuzzy(cleanM, b, cfg.textCol, cfg.idCol,
           tau, cfg.shingleN)
-      case _ => clean
+      case _ => cleanM
     }
 
     // 5. PII redaction + 6. per-DOCUMENT split assignment
@@ -234,7 +245,7 @@ object CorpusPipeline {
       cfg.spanDedupN.map(_ => "span_dedup" -> spanDeduped) ++ Seq(
       "near_dedup" -> nearDeduped) ++
       cfg.semanticDedup.map(_ => "semantic_dedup" -> semDeduped) ++ Seq(
-      "decontaminated" -> clean) ++
+      "decontaminated" -> cleanM) ++
       cfg.fuzzyDecontaminate.map(_ => "decontaminated_fuzzy" -> fuzzyClean))
   }
 }

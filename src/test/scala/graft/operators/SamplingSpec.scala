@@ -153,6 +153,35 @@ class SamplingSpec extends AnyFunSuite {
       .count() == docs.count())
   }
 
+  test("mixToTokenShares: kept token mass lands on the target shares; binding stratum keeps all") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val shares = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val mixed = Sampling.mixToTokenShares(docs, "doc_id", "source", "n_chars", shares)
+    val kept = mixed.groupBy("source").agg(sum(col("n_chars")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet.subsetOf(shares.keySet), s"non-target strata must drop: $kept")
+    // the binding stratum (max tokens_s/w_s deficit) keeps EVERYTHING
+    val totals = docs.where(col("source").isin(shares.keys.toSeq: _*))
+      .groupBy("source").agg(sum(col("n_chars")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = shares.keys.minBy(s => totals(s) / shares(s))
+    assert(kept(binding) == totals(binding),
+      s"binding stratum $binding must keep rate 1.0: $kept vs $totals")
+    // achieved shares track the targets (doc-level sampling: expected,
+    // not exact — allow a loose tolerance at 25 docs/stratum)
+    val keptTotal = kept.values.sum.toDouble
+    shares.foreach { case (s, w) =>
+      val achieved = kept.getOrElse(s, 0L) / keptTotal
+      assert(math.abs(achieved - w) < 0.15,
+        s"stratum $s achieved $achieved vs target $w: $kept")
+    }
+    // key-pure: same members regardless of partitioning
+    val again = Sampling.mixToTokenShares(
+      docs.repartition(7), "doc_id", "source", "n_chars", shares)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == mixed.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("shuffleIntoShards: (shard, shuffle_key) order IS the global hash order; seed = epoch") {
     val sh = Sampling.shuffleIntoShards(docs, "doc_id", 8, seed = "e0")
     // shards are contiguous hash ranges, so concatenating shards in
