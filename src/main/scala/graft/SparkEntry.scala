@@ -1059,6 +1059,19 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    // ── Word-blocklist gate (C4-style badwords filter): token-exact
+    //    membership against a literal array — no regex, no substring
+    //    false hits; one narrow scan ────────────────────────────────────
+    "q_blocklist_filter" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val kept = docs.where(!graft.functions.TextAnalysis
+        .containsBlockedWord(col("text"), Seq("dup", "contraband")))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_checksum")))
+    }),
+
     // ── Training-mix composition: downsample three sources to 50/30/20
     //    TOKEN shares (n_chars as the mass column) at the largest total
     //    the downsample-only constraint allows — the binding stratum
@@ -2315,6 +2328,13 @@ object SparkEntry {
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' " +
         "ELSE 'test' END AS split, count(*) AS n " +
         "FROM documents GROUP BY split ORDER BY split"),
+    // token-exact membership: a doc drops iff its normalized token LIST
+    // intersects the blocklist — never a substring hit
+    "q_blocklist_filter" ->
+      ("WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents), " +
+        "kept AS (SELECT doc_id FROM tk WHERE len(list_intersect(t, ['dup','contraband'])) = 0) " +
+        "SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept"),
     // rate derivation re-run in SQL with the q_temperature_resample
     // float discipline: same op order (c*w/toks), round(x,4) ≡
     // roundRate4 for positives, thresholdHex restated as hex()

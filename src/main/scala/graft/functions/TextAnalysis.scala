@@ -119,6 +119,20 @@ object TextAnalysis {
     "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"                -> "<SSN>",
     "\\+?[0-9][0-9()\\- ]{6,}[0-9]"                   -> "<PHONE>")
 
+  /** Word-BLOCKLIST gate (the C4-style badwords filter): TRUE iff the
+    * normalized token stream contains ANY word from `words`. Token-exact
+    * membership — "class" never trips a "lass" entry, unlike the naive
+    * substring/regex-alternation form, which also goes quadratic on long
+    * lists — computed as `arrays_overlap` between the native tokenizer's
+    * output and a literal array: a narrow codegen'd predicate in the
+    * scan stage, no shuffle, no regex engine anywhere. Filter with
+    * `df.where(!containsBlockedWord(col, words))`. */
+  def containsBlockedWord(c: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "containsBlockedWord: empty blocklist")
+    arrays_overlap(GraftFunctions.normTokens(c),
+      lit(words.map(_.toLowerCase).toArray))
+  }
+
   /** Redact emails, URLs, IP addresses, SSN-shaped ids, and phone-shaped
     * digit runs to typed placeholder tokens — the standard pre-training
     * scrub pass. Pure codegen'd `regexp_replace` chain: one narrow scan at

@@ -64,6 +64,7 @@ object CorpusPipeline {
       minTokens: Int = 10,
       maxTokens: Int = 100000,
       minAlphaRatio: Double = 0.4,
+      blocklist: Seq[String] = Nil,
       lineDedupMinDocs: Option[Int] = None,
       spanDedupN: Option[Int] = None,
       spanDedupMinCount: Int = 2,
@@ -120,7 +121,10 @@ object CorpusPipeline {
       TextAnalysis.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
         TextAnalysis.alphaRatio(text) >= cfg.minAlphaRatio &&
         GraftFunctions.langIdNative(text).isin(cfg.langs.toSeq: _*) &&
-        (if (cfg.gopherRules) TextAnalysis.gopherPass(text) else lit(true)))
+        (if (cfg.gopherRules) TextAnalysis.gopherPass(text) else lit(true)) &&
+        (if (cfg.blocklist.nonEmpty)
+          !TextAnalysis.containsBlockedWord(text, cfg.blocklist)
+        else lit(true)))
     // With the optional stages on, the gate scan is no longer cheap (a
     // 14-regexp strip chain + the seven-rule conjunction per document)
     // and it feeds every downstream dedup stage PLUS the per-stage count

@@ -250,6 +250,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(TextAnalysis.gopherPass($"t")).head().getBoolean(0))
   }
 
+  test("containsBlockedWord: token-exact membership, case-folded, never a substring hit") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, "this text mentions the Forbidden word plainly"),
+      (2L, "punctuation does not hide it: forbidden! yes"),
+      (3L, "forbiddenness is a LONGER word and must NOT trip the gate"),
+      (4L, "perfectly clean prose about query engines"),
+      (5L, "unforbidden is also a different token"))
+      .toDF("doc_id", "text")
+    val flagged = rows.where(
+      TextAnalysis.containsBlockedWord($"text", Seq("FORBIDDEN", "contraband")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(1L, 2L),
+      s"exact tokens only — substrings/superstrings must not trip: $flagged")
+    // predicate is narrow: no Exchange in the filtered plan
+    val plan = rows.where(!TextAnalysis.containsBlockedWord($"text", Seq("x")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist gate must not shuffle:\n$plan")
+  }
+
   test("simhash64 expression: registered SQL function, deterministic, codegen path") {
     GraftFunctions.register(spark)
     val df = Seq("spark is fast", "spark is fast", "totally different words here")

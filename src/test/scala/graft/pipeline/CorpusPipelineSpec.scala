@@ -273,6 +273,25 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(!off.stages.map(_._1).contains("semantic_dedup"))
   }
 
+  test("optional blocklist gate: token-exact drops in the quality stage, off = unchanged") {
+    val corpus = Seq(
+      (1L, "this document mentions contraband right in the middle of the text " +
+        "and it is long enough for the token floor"),
+      (2L, "contrabandist is a LONGER token and must not trip the exact gate " +
+        "even though it shares a prefix with the listed word"),
+      (3L, "perfectly clean prose about query engines and the shuffle plans " +
+        "they produce for large scans"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.8,
+      blocklist = Seq("contraband"),
+      chunkTokens = 64, overlapTokens = 16, splits = Seq("train" -> 1.0))
+    val on = CorpusPipeline.prepare(corpus, None, cfg)
+    assert(on.documents.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    val off = CorpusPipeline.prepare(corpus, None, cfg.copy(blocklist = Nil))
+    assert(off.documents.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("optional fuzzy-decontamination stage: reworded benchmark leak drops only there") {
     val base = "the quick brown fox jumps over the lazy dog and it was a " +
       "good day for all of you with this fine weather in the field near " +
