@@ -2064,9 +2064,12 @@ object SparkEntry {
         "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
         "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
         "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
-        "pr AS (SELECT doc_id, CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS prio FROM documents), " +
+        // TRY_CAST + explicit NULLS LAST: a digitless source yields a null
+        // priority on the Spark side ("no priority = crawl-grade"); the
+        // oracle must mirror that, not throw a conversion error
+        "pr AS (SELECT doc_id, TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS prio FROM documents), " +
         "rk AS (SELECT lab.id AS id, ROW_NUMBER() OVER (PARTITION BY lab.label " +
-        "ORDER BY pr.prio DESC, lab.id ASC) AS rk FROM lab JOIN pr ON pr.doc_id = lab.id), " +
+        "ORDER BY pr.prio DESC NULLS LAST, lab.id ASC) AS rk FROM lab JOIN pr ON pr.doc_id = lab.id), " +
         "kept AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM rk WHERE rk > 1)) " +
         "SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_kept, " +
         "CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept"),

@@ -126,11 +126,29 @@ object TextAnalysis {
     * lists — computed as `arrays_overlap` between the native tokenizer's
     * output and a literal array: a narrow codegen'd predicate in the
     * scan stage, no shuffle, no regex engine anywhere. Filter with
-    * `df.where(!containsBlockedWord(col, words))`. */
+    * `df.where(!containsBlockedWord(col, words))`.
+    *
+    * Every entry is normalized under the SAME rule as the tokenizer
+    * (Locale.ROOT lowercase, non-[a-z0-9] stripped) — an entry the
+    * tokenizer could never emit would otherwise sit silently inert in
+    * the list. Entries that normalize to multiple tokens ("blue waffle")
+    * or to nothing are REJECTED loudly: single-token membership cannot
+    * express phrase matches, and pretending otherwise passes exactly the
+    * documents the list exists to stop. Uses the registry-resolved
+    * `norm_tokens` kernel: call [[GraftFunctions.register]] on the
+    * session first (idempotent), as every native-kernel consumer does. */
   def containsBlockedWord(c: Column, words: Seq[String]): Column = {
     require(words.nonEmpty, "containsBlockedWord: empty blocklist")
-    arrays_overlap(GraftFunctions.normTokens(c),
-      lit(words.map(_.toLowerCase).toArray))
+    val normed = words.map { w =>
+      val n = w.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9]+", " ").trim
+      require(n.nonEmpty && !n.contains(' '),
+        s"containsBlockedWord: entry '$w' normalizes to '$n' — not a " +
+          "single token; the gate matches single normalized tokens only " +
+          "(split phrases into their rarest token or use a span check)")
+      n
+    }
+    arrays_overlap(GraftFunctions.normTokens(c), lit(normed.toArray))
   }
 
   /** Redact emails, URLs, IP addresses, SSN-shaped ids, and phone-shaped

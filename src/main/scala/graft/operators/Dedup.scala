@@ -981,9 +981,10 @@ object Dedup {
   def removeContaminatedFuzzy(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.8,
       n: Int = 3, k: Int = 128): DataFrame = {
-    val (rr, b) = minHashBands(threshold, k)
     val shB = materialize(shingleIndex(benchmark, textCol, idCol, n))
-    removeFuzzyFrom(corpus, minHashBandRows(shB, k, rr, b), shB,
+    // the fresh path derives its bands through the SAME entry point the
+    // persisted-index build uses — parity by construction
+    removeFuzzyFrom(corpus, minHashBandIndex(shB, threshold, k), shB,
       textCol, idCol, threshold, n, k)
   }
 
@@ -1015,8 +1016,15 @@ object Dedup {
     // materializing also cuts the CORPUS lineage — a pipeline hands in a
     // multi-stage computed frame here, not a bare scan
     val shC = materialize(shingleIndex(corpus, textCol, idCol, n))
+    // band indexes persisted before `sz` rode the band rows lack the
+    // column; backfill from the shingle index (the same legacy-artifact
+    // contract as the incremental probe)
+    val benchB =
+      if (benchBands.columns.contains("sz")) benchBands
+      else benchBands.join(shB.select(col("id"), size(col("sh")).as("sz")),
+        Seq("id"))
     val cand = minHashBandRows(shC, k, rr, b).as("a")
-      .join(benchBands.as("b"),
+      .join(benchB.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           least(col("a.sz"), col("b.sz")).cast("double") >=

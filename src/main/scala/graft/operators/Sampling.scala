@@ -155,12 +155,17 @@ object Sampling {
     require(targetShares.nonEmpty, "mixToTokenShares: at least one target share")
     require(targetShares.values.forall(_ > 0.0),
       "mixToTokenShares: target shares must be positive")
+    // null-safe mass sum; strata whose total mass is 0 can contribute
+    // nothing — exclude them from BOTH the binding-constraint min (a
+    // zero there would zero the whole mix) and the rate map (0·w/0 is
+    // NaN, which would crash downstream with a misleading message)
     val hist = df.where(col(strataCol).isin(targetShares.keys.toSeq: _*))
       .groupBy(col(strataCol).cast("string").as("s"))
-      .agg(sum(col(tokenCol)).cast("long").as("toks"))
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).cast("long").as("toks"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter(_._2 > 0L)
     require(hist.nonEmpty,
-      "mixToTokenShares: no target stratum present in the corpus")
+      "mixToTokenShares: no target stratum with positive token mass in the corpus")
     // the largest achievable total: the binding stratum's rate hits 1.0
     val c = targetShares.toSeq.sortBy(_._1)
       .flatMap { case (s, w) => hist.get(s).map(_ / w) }.min
@@ -205,6 +210,24 @@ object Sampling {
       .fold(lit(0))(_.otherwise(numShards - 1))
     df.withColumn("shard", shardCol).withColumn("shuffle_key", h)
   }
+
+  /** Write the [[shuffleIntoShards]] permutation to disk: one
+    * `shard=<i>/` parquet partition per shard, rows sorted by
+    * (`shuffle_key`, key) within each — reading shard 0, 1, … in file
+    * order replays the exact global shuffled sequence (the property
+    * SamplingSpec pins on the transform; parquet preserves row order
+    * within a file). ONE exchange total: `repartition(shard)` hash-
+    * partitions rows to their shard, `sortWithinPartitions` is a local
+    * sort per shard — never a global single-partition sort. A trainer
+    * then streams shard files round-robin-free: the shuffle is already
+    * baked into the layout, and a re-run with the same seed is
+    * byte-stable for resume/audit. */
+  def writeShards(df: DataFrame, keyCol: String, numShards: Int, path: String,
+      seed: String = "0"): Unit =
+    shuffleIntoShards(df, keyCol, numShards, seed)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(keyCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 
   /** PER-GROUP document cap — the C4/RefinedWeb-style domain cap: keep
     * at most `k` rows per `groupCol` value, ranked by `orderBy`

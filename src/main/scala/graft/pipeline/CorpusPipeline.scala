@@ -250,6 +250,9 @@ object CorpusPipeline {
       "near_dedup" -> nearDeduped) ++
       cfg.semanticDedup.map(_ => "semantic_dedup" -> semDeduped) ++ Seq(
       "decontaminated" -> cleanM) ++
-      cfg.fuzzyDecontaminate.map(_ => "decontaminated_fuzzy" -> fuzzyClean))
+      // keyed on BOTH switches: with no benchmark the stage does not run,
+      // and a stage report must never show a rung that never executed
+      benchClean.flatMap(_ => cfg.fuzzyDecontaminate)
+        .map(_ => "decontaminated_fuzzy" -> fuzzyClean))
   }
 }

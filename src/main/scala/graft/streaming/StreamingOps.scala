@@ -308,7 +308,12 @@ object StreamingOps {
     * once per benchmark version at `decontaminateThreshold`): survivors
     * of the dedup probe that near-duplicate a benchmark doc are dropped
     * BEFORE they reach the corpus or its index — an eval leak must never
-    * become a stored survivor other docs dedupe against.
+    * become a stored survivor other docs dedupe against. The decon
+    * geometry is its OWN (`decontaminateThreshold`/`decontaminateN`/
+    * `decontaminateK`), deliberately decoupled from the dedup `n`/`k`:
+    * all three MUST match the benchmark index build (band geometry and
+    * shingle width are baked into the stored rows — a mismatch finds
+    * zero candidates and silently disables decontamination).
     *
     * Scale notes: per batch this probes |Δ|·b band rows against the
     * index — the index side is a parquet scan, never recomputed; one
@@ -324,7 +329,8 @@ object StreamingOps {
       checkpointDir: Option[String] = None,
       prefilterMinCandidates: Double = 4e6,
       benchmarkIndexDir: Option[String] = None,
-      decontaminateThreshold: Double = 0.8)
+      decontaminateThreshold: Double = 0.8,
+      decontaminateN: Int = 3, decontaminateK: Int = 128)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     val writer = streamed.writeStream
@@ -372,7 +378,8 @@ object StreamingOps {
             Dedup.removeContaminatedFuzzyIndexed(survivors,
               spark.read.parquet(s"$bd/bands"),
               spark.read.parquet(s"$bd/shingles"),
-              textCol, idCol, decontaminateThreshold, n, k)
+              textCol, idCol, decontaminateThreshold,
+              decontaminateN, decontaminateK)
           }
           // one materialization: survivors feed the corpus write AND three
           // index projections

@@ -605,6 +605,16 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L, 5L),
       s"curated 2 must beat crawl 1; tie 3/4 keeps min id 3: $kept")
+    // null priority = crawl-grade: sorts LAST under desc, loses to any
+    // real priority even a smaller id
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val withNull = corpus.select(col("doc_id"), col("text"),
+      when(col("doc_id") === 1L, lit(null)).otherwise(col("prio")).as("prio"))
+    val keptNull = Dedup.removeNearDuplicatesPrioritized(
+      withNull, "text", "doc_id", "prio", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNull == Set(2L, 3L, 5L),
+      s"null-prio 1 must lose to prio-9 2: $keptNull")
     // same clusters as the min-id rule — only the survivor choice moves
     val minId = Dedup.removeNearDuplicates(corpus, "text", "doc_id", threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet

@@ -212,6 +212,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(sizes.values.min > 0)
   }
 
+  test("writeShards: reading shard dirs in order replays the exact global permutation") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Sampling.writeShards(docs.limit(200), "doc_id", 4, dir, seed = "e0")
+    val replayed = (0 until 4).flatMap { i =>
+      spark.read.parquet(s"$dir/shard=$i").select("doc_id").as[Long].collect()
+    }
+    val expected = Sampling.shuffleIntoShards(docs.limit(200), "doc_id", 4, seed = "e0")
+      .orderBy(col("shard"), col("shuffle_key"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replayed == expected,
+      "shard files must replay the (shard, shuffle_key) global order")
+    // byte-stable across re-runs with the same seed (resume/audit)
+    Sampling.writeShards(docs.limit(200), "doc_id", 4, dir, seed = "e0")
+    val again = (0 until 4).flatMap { i =>
+      spark.read.parquet(s"$dir/shard=$i").select("doc_id").as[Long].collect()
+    }
+    assert(again == replayed)
+  }
+
   test("shuffleIntoShards is a narrow projection (no Exchange introduced)") {
     val plan = Sampling.shuffleIntoShards(docs, "doc_id", 8, seed = "e0")
       .queryExecution.executedPlan.toString
