@@ -1278,6 +1278,75 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── URL-level dedup (the CCNet-shape "one document per URL" crawl
+    //    pass): docs are assigned deterministic URL variants — tracking
+    //    params, fragments, host case, default ports, www., and leading
+    //    whitespace differ, content URL agrees in pairs {%5==0, %5==1}
+    //    per page k = doc_id/5; %10==4 docs all share one empty-path
+    //    URL; schemeless strings pass through opaque. Survivor = min
+    //    doc_id per canonical URL. Only (canonical-url, id) pairs
+    //    shuffle; the canonicalization chain is restated in the oracle
+    //    from the same tracking-param table ───────────────────────────────
+    "q_url_dedup" -> ((s, dir) => {
+      val k = floor(col("doc_id") / 5).cast("long").cast("string")
+      val url =
+        when(col("doc_id") % 5 === 0,
+          concat(lit("https://WWW.Example.COM/articles/page"), k, lit("?utm_source=feed")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://example.com:443/articles/page"), k, lit("#section2")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://example.com:80/articles/page"), k, lit("?utm_a=1&q=2")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit(" https://example.com/articles/page"), k, lit("/?ref=rss&q=2")))
+        .when(col("doc_id") % 10 === 4, lit("HTTPS://User.Example.com:443"))
+        .otherwise(concat(lit("doc-"), col("doc_id").cast("string")))
+      val docs = t(s, dir, "documents").withColumn("url", url)
+      graft.operators.Dedup.exactByUrl(docs, "url", "doc_id")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── C4-style line + page cleaning (Raffel et al. 2020 §2.2): lines
+    //    survive iff they end in terminal punctuation, have ≥ 3 words,
+    //    and don't mention javascript; page gates check curly braces,
+    //    "lorem ipsum", and ≥ 5 sentences AFTER the line clean. The
+    //    augmentation plants one droppable nav line everywhere, a
+    //    javascript line on %4, an unpunctuated menu on %5, a
+    //    multi-sentence prose line on %2 (the only docs that can clear
+    //    the 5-sentence gate), lorem-ipsum on %7, and a curly-braced
+    //    code line on %9 — every rule exercised both ways, restated
+    //    byte-identically in the oracle. One narrow scan stage ───────────
+    "q_c4_line_filter" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val aug = concat(
+        lit("Intro for doc "), id, lit(": "), col("text"), lit("."),
+        lit("\nclick here"),
+        when(col("doc_id") % 4 === 0,
+          lit("\nPlease enable JavaScript to view this page.")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nmenu home about contact")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          lit("\nIt was a fine day. The tests all passed! Did they really? " +
+            "“Yes indeed.” And so it goes on.")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nLorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          lit("\nfunction f() { return 1; } end of code block.")).otherwise(lit("")))
+      val cleaned = graft.functions.TextAnalysis.c4LineClean(aug)
+      val flags = graft.functions.TextAnalysis.c4PageFlags(aug)
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(cleaned).as("clean_fp"),
+          when(length(cleaned) === 0, lit(0L))
+            .otherwise(size(split(cleaned, "\n")).cast("long"))
+            .as("n_lines_kept"),
+          flags.getField("no_curly_ok").as("no_curly_ok"),
+          flags.getField("no_lorem_ok").as("no_lorem_ok"),
+          flags.getField("min_sentences_ok").as("min_sentences_ok"),
+          graft.functions.TextAnalysis.c4PagePass(aug).as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── North star quality: MODEL-BASED quality gate — the frozen
     //    hashed-linear (fastText-shape) scorer FrozenQualityModel, which
     //    FreezeQm distilled from the Gopher rule conjunction on the
@@ -2540,6 +2609,67 @@ object SparkEntry {
         "regexp_split_to_array(norm,'\\s+') AS tok FROM n) " +
         s"SELECT doc_id, ${flagCols.mkString(", ")}, $pass AS pass " +
         "FROM k ORDER BY doc_id"
+    },
+    "q_url_dedup" -> {
+      // canonicalizeUrl restated step-for-step (the tracking-param
+      // alternation is shared with the engine — no drift there); only the
+      // multi-match tracking removal needs 'g', every other pattern is
+      // anchored or consumes to end-of-string
+      val track = graft.functions.TextAnalysis.trackingParamAlt
+      "WITH aug AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 5 = 0 THEN 'https://WWW.Example.COM/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed' " +
+        "WHEN doc_id % 5 = 1 THEN 'https://example.com:443/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '#section2' " +
+        "WHEN doc_id % 5 = 2 THEN 'http://example.com:80/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '?utm_a=1&q=2' " +
+        "WHEN doc_id % 5 = 3 THEN ' https://example.com/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '/?ref=rss&q=2' " +
+        "WHEN doc_id % 10 = 4 THEN 'HTTPS://User.Example.com:443' " +
+        "ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS url FROM documents), " +
+        "t1 AS (SELECT doc_id, trim(url) AS u FROM aug), " +
+        "t2 AS (SELECT doc_id, u, " +
+        "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://.*', 1)) AS scheme, " +
+        "lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*', 1)) AS hostport, " +
+        "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest FROM t1), " +
+        "t3 AS (SELECT doc_id, u, scheme, " +
+        "CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '') " +
+        "WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '') " +
+        "ELSE regexp_replace(hostport, '^www\\.', '') END AS host, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest, " +
+        s"'#.*', ''), '[?&]($track)=[^&#]*', '', 'g'), " +
+        "'^([^?&]*)&', '\\1?'), '[?&]$', '') AS p FROM t2), " +
+        "canon AS (SELECT doc_id, CASE WHEN scheme = '' THEN u " +
+        "ELSE scheme || '://' || host || (CASE WHEN p = '' THEN '/' ELSE p END) END AS curl FROM t3), " +
+        "keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY curl) " +
+        "SELECT c.doc_id, c.curl AS canon_url FROM canon c " +
+        "JOIN keep k ON c.doc_id = k.doc_id ORDER BY c.doc_id"
+    },
+    "q_c4_line_filter" -> {
+      // line predicate + page gates restated from TextAnalysis.c4LineKeep
+      // / c4PageFlags — same terminal-punctuation class, same word split,
+      // same javascript substring rule, sentence runs counted on the
+      // CLEANED text exactly as c4PageFlags does
+      val keep = "regexp_matches(rtrim(l), '[.!?”\"]$') AND " +
+        "len(regexp_split_to_array(trim(l), '\\s+')) >= 3 AND " +
+        "NOT contains(lower(l), 'javascript')"
+      val gates = Seq(
+        "NOT contains(t, '{')" -> "no_curly_ok",
+        "NOT contains(lower(t), 'lorem ipsum')" -> "no_lorem_ok",
+        "len(regexp_extract_all(c, '[.!?]+')) >= 5" -> "min_sentences_ok")
+      val pass = gates.map { case (g, _) => s"($g)" }.mkString(" AND ")
+      "WITH aug AS (SELECT doc_id, " +
+        "'Intro for doc ' || CAST(doc_id AS VARCHAR) || ': ' || text || '.' || " +
+        "chr(10) || 'click here' || " +
+        "CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Please enable JavaScript to view this page.' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'menu home about contact' ELSE '' END || " +
+        "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'It was a fine day. The tests all passed! Did they really? " +
+        "“Yes indeed.” And so it goes on.' ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END || " +
+        "CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'function f() { return 1; } end of code block.' ELSE '' END " +
+        "AS t FROM documents), " +
+        "cleaned AS (SELECT doc_id, t, array_to_string(list_filter(" +
+        s"string_split(t, chr(10)), l -> $keep), chr(10)) AS c FROM aug) " +
+        "SELECT doc_id, md5(c) AS clean_fp, " +
+        "CAST(CASE WHEN length(c) = 0 THEN 0 ELSE len(string_split(c, chr(10))) END AS BIGINT) AS n_lines_kept, " +
+        gates.map { case (g, n) => s"$g AS $n" }.mkString(", ") +
+        s", $pass AS pass FROM cleaned ORDER BY doc_id"
     },
     "q_contamination" -> contaminationOracle,
     // identical results to the exact detector by construction: the bloom

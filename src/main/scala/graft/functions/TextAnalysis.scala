@@ -247,6 +247,112 @@ object TextAnalysis {
   def collapseLineWhitespace(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "[ \\t]*\\n[ \\t]*", "\n"), "[ \\t]+", " "))
 
+  // ── URL canonicalization (crawl-pipeline URL-level dedup key) ─────────
+
+  /** Query parameter names dropped by [[canonicalizeUrl]] — client-side
+    * tracking decoration that never changes the fetched content (the
+    * `utm_*` campaign family plus the common click ids). Shared with the
+    * oracle restatement. */
+  private[graft] val trackingParamAlt = "utm_[A-Za-z0-9_]*|fbclid|gclid|ref"
+
+  /** Canonical form of a URL for corpus-level URL dedup (the CCNet-shape
+    * "one document per URL" pass works on THIS key, not the raw string):
+    *
+    *  - scheme and host lowercase (RFC 3986 §6.2.2.1: both are
+    *    case-insensitive; path/query case is PRESERVED — it is not);
+    *  - leading `www.` dropped from the host;
+    *  - default ports stripped (`:80` for http, `:443` for https);
+    *  - the `#fragment` dropped (never sent to the server);
+    *  - tracking parameters removed ([[trackingParamAlt]]), with the
+    *    query separator repaired when the first parameter was tracking
+    *    (`/p?utm_x=1&q=2` → `/p?q=2`) and a dangling `?`/`&` trimmed;
+    *  - an empty path becomes `/` (`http://a.com` ≡ `http://a.com/`).
+    *
+    * A string with no `scheme://` prefix is not a URL this pass can parse
+    * — it passes through trimmed but otherwise untouched (opaque ids stay
+    * distinct rather than being mangled). Pure regexp/string Column
+    * expressions in the Java ∩ RE2 subset (no lookaround, no backrefs in
+    * PATTERNS; the one replacement backref is `$1`/`\1` per dialect) —
+    * linear-time, codegen'd, restatable in any SQL engine. */
+  def canonicalizeUrl(c: Column): Column = {
+    val u = trim(c)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://.*", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*", 1))
+    val host0 = regexp_replace(hostport, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val noFrag = regexp_replace(rest, "#.*", "")
+    val noTrack = regexp_replace(noFrag, s"[?&]($trackingParamAlt)=[^&#]*", "")
+    val fixedSep = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    val noTrail = regexp_replace(fixedSep, "[?&]$", "")
+    val path = when(noTrail === "", lit("/")).otherwise(noTrail)
+    when(scheme === "", u).otherwise(concat(scheme, lit("://"), host, path))
+  }
+
+  // ── C4-style line/page cleaning (Raffel et al. 2020) ─────────────────
+
+  /** Per-line keep predicate of the C4 cleaning pass (Raffel et al. 2020,
+    * "Exploring the Limits of Transfer Learning with a Unified
+    * Text-to-Text Transformer", JMLR §2.2 — public literature; rules are
+    * that section's):
+    *
+    *  - the line ends in a terminal punctuation mark (period, exclamation
+    *    mark, question mark, or end quotation mark) after trailing
+    *    whitespace is dropped;
+    *  - the line has at least 3 whitespace words;
+    *  - the line does not contain "javascript" (case-insensitive
+    *    substring, the common reimplementation of the paper's "any line
+    *    with the word Javascript" — enable-JS boilerplate).
+    *
+    * Pure string/regexp Column expressions (restatable in any SQL
+    * engine); the regex subset is Java ∩ RE2 (a character class and `$`),
+    * linear-time on any input. */
+  def c4LineKeep(line: Column): Column =
+    rtrim(line).rlike("[.!?”\"]$") &&
+      size(split(trim(line), "\\s+")) >= 3 &&
+      !lower(line).contains("javascript")
+
+  /** C4 line-level clean: drop every line failing [[c4LineKeep]], keep
+    * survivor order, reassemble with newlines (empty string when nothing
+    * survives). A narrow per-row expression — no shuffle at any scale.
+    * Feed text through [[stripHtml]] + [[collapseLineWhitespace]] first
+    * when it arrives as raw HTML (the newline-preserving collapse keeps
+    * the line structure this pass needs). */
+  def c4LineClean(c: Column): Column =
+    concat_ws("\n", filter(split(c, "\n"), l => c4LineKeep(l)))
+
+  /** C4 page-level gates, evaluated AFTER the line clean (each TRUE = the
+    * page passes that rule):
+    *
+    *  - no_curly_ok:      the RAW page contains no '{' (the paper drops
+    *    pages with a curly bracket — a code-not-prose proxy);
+    *  - no_lorem_ok:      no "lorem ipsum" (case-insensitive) in the raw
+    *    page;
+    *  - min_sentences_ok: the CLEANED text has ≥ 5 sentences, counted as
+    *    terminal-punctuation runs (`[.!?]+` — "..." is one boundary).
+    *
+    * The paper's fourth page rule — the bad-word list — is
+    * [[containsBlockedWord]]; compose it alongside these flags with the
+    * deployment's own list. */
+  def c4PageFlags(c: Column): Column = {
+    val cleaned = c4LineClean(c)
+    struct(
+      (!c.contains("{")).as("no_curly_ok"),
+      (!lower(c).contains("lorem ipsum")).as("no_lorem_ok"),
+      (coalesce(regexp_count(cleaned, lit("[.!?]+")), lit(0)) >= 5)
+        .as("min_sentences_ok"))
+  }
+
+  /** Conjunction of all [[c4PageFlags]] — the page survives the C4 page
+    * gate (bad-word list aside, see [[c4PageFlags]]). */
+  def c4PagePass(c: Column): Column = {
+    val f = c4PageFlags(c)
+    Seq("no_curly_ok", "no_lorem_ok", "min_sentences_ok")
+      .map(f.getField).reduce(_ && _)
+  }
+
   // ── quality scoring ───────────────────────────────────────────────────
 
   /** Alphabetic-character ratio of the raw text. */

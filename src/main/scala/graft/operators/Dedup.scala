@@ -30,6 +30,22 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Exact URL-level dedup (the CCNet-shape "one document per URL" crawl
+    * pass): keys on [[TextAnalysis.canonicalizeUrl]] — tracking params,
+    * fragments, host case, default ports, and `www.` never split a URL
+    * group — and keeps the lowest id per canonical URL. Same scale shape
+    * as [[exactByContent]]: only (canonical-url, id) pairs shuffle, the
+    * documents themselves move nowhere; winners semi-join back. Rows
+    * whose url column is NULL are kept unconditionally (no URL ≠ same
+    * URL). */
+  def exactByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val canon = df.select(col(idCol), TextAnalysis.canonicalizeUrl(col(urlCol)).as("_curl"))
+      .where(col("_curl").isNotNull)
+    val keep = canon.groupBy(col("_curl")).agg(min(col(idCol)).as(idCol)).drop("_curl")
+    df.where(col(urlCol).isNull)
+      .unionByName(df.join(keep, Seq(idCol), "left_semi"))
+  }
+
   /** (id, shingles) projection — distinct word n-gram shingles per doc.
     *
     * Repartitions by id BEFORE the shingle expression: higher-order

@@ -250,6 +250,71 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(TextAnalysis.gopherPass($"t")).head().getBoolean(0))
   }
 
+  test("canonicalizeUrl: scheme/host case, www, default ports, fragments, tracking params") {
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(TextAnalysis.canonicalizeUrl($"u")).head().getString(0)
+    // every decoration strips to the same canonical form
+    assert(canon("https://WWW.Example.COM/a/b?utm_source=feed") == "https://example.com/a/b")
+    assert(canon("https://example.com:443/a/b#frag") == "https://example.com/a/b")
+    assert(canon("  https://example.com/a/b  ") == "https://example.com/a/b")
+    // first-position tracking param: separator repaired, real param survives
+    assert(canon("http://example.com:80/p?utm_a=1&q=2") == "http://example.com/p?q=2")
+    assert(canon("https://example.com/p?q=2&fbclid=xyz") == "https://example.com/p?q=2")
+    // ALL tracking params gone even when adjacent
+    assert(canon("https://example.com/p?utm_a=1&utm_b=2&q=3") == "https://example.com/p?q=3")
+    // empty path normalizes to '/'
+    assert(canon("HTTPS://User.Example.com:443") == "https://user.example.com/")
+    // param names CONTAINING a tracking name survive ('refresh' is not 'ref')
+    assert(canon("https://example.com/p?refresh=1") == "https://example.com/p?refresh=1")
+    // non-default port and path case are preserved
+    assert(canon("https://example.com:8443/Path/B") == "https://example.com:8443/Path/B")
+    // schemeless strings pass through trimmed, untouched
+    assert(canon(" doc-42 ") == "doc-42")
+  }
+
+  test("c4LineClean/c4PageFlags: each C4 rule trips on its planted line, prose survives") {
+    val page = Seq(
+      "The quick brown fox jumps over the lazy dog.",   // kept
+      "click here",                                     // < 3 words, no punct
+      "Please enable JavaScript to continue reading.",  // javascript
+      "menu home about contact",                        // no terminal punct
+      "He said “it ends with a quote mark.”",           // end-quote terminal
+      "Is that so? It was! Fine.").mkString("\n")       // multi-sentence
+    val cleaned = Seq(page).toDF("t")
+      .select(TextAnalysis.c4LineClean($"t")).head().getString(0)
+    assert(cleaned ==
+      "The quick brown fox jumps over the lazy dog.\n" +
+        "He said “it ends with a quote mark.”\n" +
+        "Is that so? It was! Fine.",
+      s"unexpected clean result: $cleaned")
+
+    def flags(s: String): Map[String, Boolean] = {
+      val f = Seq(s).toDF("t")
+        .select(TextAnalysis.c4PageFlags($"t").as("f")).select("f.*").head()
+      f.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> f.getBoolean(i) }.toMap
+    }
+    // the cleaned page above has 5 sentence runs (fox. / mark.” counts the
+    // '.' / so? / was! / Fine.) and no curly/lorem — passes everything
+    val good = flags(page)
+    assert(good.values.forall(identity), s"clean page must pass: $good")
+    assert(!flags(page + "\nif (x) { y(); } code here.")("no_curly_ok"))
+    assert(!flags(page + "\nLorem Ipsum dolor sit amet.")("no_lorem_ok"))
+    assert(!flags("Too short to have five sentences.")("min_sentences_ok"))
+    // sentence runs are counted AFTER the line clean: sentences on a
+    // dropped line (javascript) must not count toward the gate
+    assert(!flags("One two three javascript. Four five six done. " +
+      "Seven eight nine more. Ten eleven twelve keep. Final sentence here.")
+      ("min_sentences_ok"))
+    assert(Seq(page).toDF("t")
+      .select(TextAnalysis.c4PagePass($"t")).head().getBoolean(0))
+    // narrow: the gate + clean never shuffle
+    val plan = Seq(page).toDF("t")
+      .where(TextAnalysis.c4PagePass($"t"))
+      .select(TextAnalysis.c4LineClean($"t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"C4 clean must not shuffle:\n$plan")
+  }
+
   test("containsBlockedWord: token-exact membership, case-folded, never a substring hit") {
     graft.functions.GraftFunctions.register(spark)
     val rows = Seq(

@@ -23,6 +23,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("exactByUrl: decorated URL variants collapse to one survivor, null URLs always kept") {
+    val df = Seq(
+      (1L, "https://WWW.Example.COM/a?utm_source=feed"),
+      (2L, "https://example.com:443/a#frag"), // same canonical as 1
+      (3L, " https://example.com/a "),        // same canonical as 1
+      (4L, "https://example.com/b"),          // distinct path
+      (5L, null.asInstanceOf[String]),        // no URL: kept
+      (6L, null.asInstanceOf[String]))        // no URL: kept (not same-url as 5)
+      .toDF("doc_id", "url")
+    val out = Dedup.exactByUrl(df, "url", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L, 6L),
+      "lowest id per canonical URL survives; null-url rows are untouched")
+  }
+
   test("jaccardCol: identical sets = 1, disjoint = 0") {
     val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"), Seq("x y z")))
       .toDF("a", "b", "c")
