@@ -1278,6 +1278,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Unicode normalization (crawl ingest cleanup): decomposed accents
+    //    (e + U+0301) planted everywhere — the NFC kernel must compose
+    //    them or exact dedup fingerprints silently split; cp1252 mojibake
+    //    on %3, C0 control contamination on %4, non-breaking spaces on
+    //    %5. The mojibake repair table and control class are shared with
+    //    the oracle; NFC itself is pinned native-kernel vs DuckDB
+    //    nfc_normalize (both implement Unicode canonical composition).
+    //    One narrow codegen'd scan stage ─────────────────────────────────
+    "q_unicode_normalize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val aug = concat(col("text"),
+        lit(" Cafe\u0301 nai\u0308ve touche\u0301"),
+        when(col("doc_id") % 3 === 0, lit(mojibakeFixture)).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit(" bad\u0007control\u0001chars")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" non\u00A0breaking\u00A0space")).otherwise(lit("")))
+      val norm = graft.functions.UnicodeNorm.normalizeUnicode(aug)
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("norm_fp"),
+          length(norm).cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── URL-level dedup (the CCNet-shape "one document per URL" crawl
     //    pass): docs are assigned deterministic URL variants — tracking
     //    params, fragments, host case, default ports, www., and leading
@@ -2610,6 +2634,26 @@ object SparkEntry {
         s"SELECT doc_id, ${flagCols.mkString(", ")}, $pass AS pass " +
         "FROM k ORDER BY doc_id"
     },
+    "q_unicode_normalize" -> {
+      // repairs + control class generated from UnicodeNorm's own tables;
+      // NFC is DuckDB's nfc_normalize vs the native kernel — the one
+      // genuinely independent reimplementation in this oracle
+      val repl = graft.functions.UnicodeNorm.mojibakeRepairs
+        .foldLeft("t") { case (acc, (bad, good)) =>
+          s"replace($acc, '$bad', '$good')"
+        }
+      val ctrl = graft.functions.UnicodeNorm.controlClass
+      val norm =
+        s"replace(regexp_replace(nfc_normalize($repl), '$ctrl', '', 'g'), chr(160), ' ')"
+      "WITH aug AS (SELECT doc_id, text || " +
+        "' Cafe' || chr(769) || ' nai' || chr(776) || 've touche' || chr(769) || " +
+        s"CASE WHEN doc_id % 3 = 0 THEN '$mojibakeFixture' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' bad' || chr(7) || 'control' || chr(1) || 'chars' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' non' || chr(160) || 'breaking' || chr(160) || 'space' ELSE '' END " +
+        "AS t FROM documents) " +
+        s"SELECT doc_id, md5($norm) AS norm_fp, " +
+        s"CAST(length($norm) AS BIGINT) AS norm_len FROM aug ORDER BY doc_id"
+    },
     "q_url_dedup" -> {
       // canonicalizeUrl restated step-for-step (the tracking-param
       // alternation is shared with the engine — no drift there); only the
@@ -2693,6 +2737,12 @@ object SparkEntry {
       "kept AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)) " +
       "SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_kept, " +
       "CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS id_checksum FROM kept"
+
+  /** Mojibake fixture shared by q_unicode_normalize's Spark augmentation
+    * and its oracle restatement (one constant — no drift): smart quotes,
+    * em dash, and accents as their cp1252 misdecodings, which the repair
+    * table must map back. */
+  private val mojibakeFixture = " â€œmojibakeâ€� Ã©tÃ© â€” fixed"
 
   /** The [[graft.functions.TextAnalysis.stripHtml]] chain over a SQL text
     * expression — generated FROM htmlStripStages (no drift). */

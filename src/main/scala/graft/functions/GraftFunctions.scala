@@ -36,6 +36,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash_array64", exprs => HashArray64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sig_agreement", exprs => SigAgreement(exprs.head, exprs(1)), "built-in")
     // Spark's own runtime-filter bloom pair, surfaced as callable
     // functions (they are not in FunctionRegistry by default). Using the

@@ -250,6 +250,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(TextAnalysis.gopherPass($"t")).head().getBoolean(0))
   }
 
+  test("normalizeUnicode: NFC composes, mojibake repairs, controls strip, nbsp folds") {
+    graft.functions.GraftFunctions.register(spark)
+    def norm(s: String): String =
+      Seq(s).toDF("t").select(UnicodeNorm.normalizeUnicode($"t")).head().getString(0)
+    // decomposed accents (e + combining mark) compose to the precomposed form
+    assert(norm("Cafe\u0301 nai\u0308ve") == "Caf\u00e9 na\u00efve")
+    // composed text is a fixed point
+    assert(norm("Caf\u00e9 na\u00efve") == "Caf\u00e9 na\u00efve")
+    // every repair-table entry maps to its intended character
+    for ((bad, good) <- UnicodeNorm.mojibakeRepairs) {
+      val expect = if (good == "\u00A0") " " else good // nbsp folds to space
+      assert(norm(s"x${bad}y") == s"x${expect}y", s"repair '$bad' -> '$good'")
+    }
+    // C0 controls vanish; newline and tab SURVIVE; nbsp becomes a space
+    assert(norm("a\u0007bc\nd\te\u00A0f\u0000g") == "abc\nd\te fg")
+    // the registered SQL function resolves and agrees with the Column form
+    val viaSql = spark.sql("SELECT nfc_normalize('Cafe\u0301')").head().getString(0)
+    assert(viaSql == "Caf\u00e9")
+    // pure ASCII passes through unchanged (fast path correctness)
+    assert(norm("plain ascii text 123") == "plain ascii text 123")
+  }
+
   test("canonicalizeUrl: scheme/host case, www, default ports, fragments, tracking params") {
     def canon(s: String): String =
       Seq(s).toDF("u").select(TextAnalysis.canonicalizeUrl($"u")).head().getString(0)
