@@ -1392,6 +1392,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── North star selection: DSIR importance weights (Xie et al.
+    //    NeurIPS 2023) — the GENERATIVE selection score next to the
+    //    discriminative model gate above. FrozenDsir pins the fitted
+    //    hashed unigram+bigram log-ratio table (target = the augmented
+    //    even-id class, raw = whole pool); scoring is one narrow
+    //    codegen'd projection folding scaled LONGS — exact integer sum,
+    //    bit-identical in DuckDB (DsirOracle, same literals) ────────────
+    "q_dsir_logweight" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(QmOracle.fillerSuffix)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Dsir.logWeight(docs, "text", "doc_id",
+        graft.operators.FrozenDsir.model)
+        .withColumn("n_features", col("n_features").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── North star selection: DSIR Gumbel-top-k resampling — sample 50
+    //    docs without replacement with probability ∝ exp(log_w), via
+    //    deterministic md5-derived Gumbel keys (partition/retry-stable,
+    //    DECIMAL(25,9)-quantized for engine parity). Per-partition
+    //    top-k heap + driver merge — no global sort ──────────────────────
+    "q_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(QmOracle.fillerSuffix)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Dsir.resample(docs, "text", "doc_id",
+        graft.operators.FrozenDsir.model, k = 50)
+    }),
+
     // ── North star decontamination: corpus docs sharing any 3-gram with
     //    the benchmark slice (doc_id % 50 == 0). The join key is a 64-bit
     //    shingle hash — bare (hash, id) pairs shuffle, never shingle
@@ -2513,6 +2545,10 @@ object SparkEntry {
     // literals the Spark queries probe (AnnOracles — no-drift pattern)
     "q_semantic_dedup" -> AnnOracles.semanticDedup(threshold = 0.9),
     "q_quality_model_score" -> QmOracle.qualityModelScore,
+    // DSIR selection family: SQL generated from the SAME FrozenDsir
+    // literals the Spark queries fold (DsirOracle — no-drift pattern)
+    "q_dsir_logweight" -> DsirOracle.dsirLogWeight,
+    "q_dsir_resample" -> DsirOracle.dsirResample(k = 50, salt = "dsir:"),
     "q_ann_pq_top1" -> AnnOracles.pqTop1,
     "q_ann_ivf_top1" -> AnnOracles.ivfTop1,
     "q_ann_ivfpq_top1" -> AnnOracles.ivfPqTop1,
