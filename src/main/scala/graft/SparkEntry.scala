@@ -1424,6 +1424,16 @@ object SparkEntry {
         graft.operators.FrozenDsir.model, k = 50)
     }),
 
+    // ── North star curation: BM25 ranked retrieval — the k most
+    //    on-topic docs for a literal query, no inverted index: ONE stats
+    //    aggregation (|Q|+2 driver scalars) + ONE narrow scoring
+    //    projection (per-term tf = array filters, idf/avgdl as plan
+    //    literals) + per-partition top-k heap. Per-term scores quantize
+    //    to DECIMAL(25,9) (exact sums, ln-ulp absorption) ───────────────
+    "q_bm25_topk" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
+        "text", "doc_id", Seq("hash", "join", "spark"), k = 20)),
+
     // ── North star decontamination: corpus docs sharing any 3-gram with
     //    the benchmark slice (doc_id % 50 == 0). The join key is a 64-bit
     //    shingle hash — bare (hash, id) pairs shuffle, never shingle
@@ -2549,6 +2559,10 @@ object SparkEntry {
     // literals the Spark queries fold (DsirOracle — no-drift pattern)
     "q_dsir_logweight" -> DsirOracle.dsirLogWeight,
     "q_dsir_resample" -> DsirOracle.dsirResample(k = 50, salt = "dsir:"),
+    // BM25: stats + score restated in SQL from the same term list and
+    // constants (Retrieval.bm25OracleSql — no-drift pattern)
+    "q_bm25_topk" -> graft.operators.Retrieval.bm25OracleSql(
+      Seq("hash", "join", "spark"), k = 20),
     "q_ann_pq_top1" -> AnnOracles.pqTop1,
     "q_ann_ivf_top1" -> AnnOracles.ivfTop1,
     "q_ann_ivfpq_top1" -> AnnOracles.ivfPqTop1,
