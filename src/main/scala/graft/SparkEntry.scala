@@ -723,6 +723,7 @@ object SparkEntry {
     //    exact decon AND the 0.8 near-dup rung, and drop only at the
     //    fuzzy stage. See corpusPipelineFuzzyQuery ──────────────────────
     "q_corpus_pipeline_fuzzy" -> ((s, dir) => corpusPipelineFuzzyQuery(s, dir)),
+    "q_corpus_pipeline_dsir" -> ((s, dir) => corpusPipelineDsirQuery(s, dir)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -1688,6 +1689,52 @@ object SparkEntry {
     stageCounts.crossJoin(docStats).crossJoin(chunkStats)
   }
 
+  /** q_corpus_pipeline_dsir: the pipeline with the DSIR SELECTION rung
+    * on. Corpus = documents with the q_dsir_* filler augmentation (even
+    * ids get QmOracle.fillerSuffix — the frozen model's target class),
+    * benchmark = the %50 slice of the same augmented frame. After the
+    * plain cleaning chain, the selection rung importance-resamples
+    * k=150 documents with the FROZEN FrozenDsir weights: the n_target
+    * column pins that the selected set is dominated by the target class
+    * (the +12 vs −30 mean log-weight separation dwarfs the Gumbel
+    * noise), and the id checksum pins the exact selected set. Plain
+    * upstream config (html/gopher/line pinned by the other pipeline
+    * queries). */
+  private def corpusPipelineDsirQuery(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(QmOracle.fillerSuffix)))
+        .otherwise(col("text")).as("text"))
+    // benchmark = the RAW %50 slice (no filler): an augmented benchmark
+    // would share the filler's 8-grams with EVERY target-class doc and
+    // decontaminate the whole target class away before selection
+    val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+      decontaminateN = 8,
+      dsirSelect = Some(graft.pipeline.CorpusPipeline.DsirSelectConfig(
+        graft.operators.FrozenDsir.model, k = 150)),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    val stageCounts = p.stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as(s"n_$name"))
+    }.reduce(_.crossJoin(_))
+    val docStats = p.documents.agg(
+      sum(col("doc_id")).cast("long").as("id_checksum"),
+      sum(length(col("text"))).cast("long").as("text_len_sum"),
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).cast("long").as("n_target"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
+    val chunkStats = p.chunks.agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
+    stageCounts.crossJoin(docStats).crossJoin(chunkStats)
+  }
+
   /** DuckDB CTE producing (doc_id, shingles): distinct 3-gram shingles of
     * the normalized text — the oracle-side mirror of
     * [[graft.operators.Dedup.shingleSets]], shared by every dedup oracle. */
@@ -1979,6 +2026,93 @@ object SparkEntry {
       "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
   }
 
+  /** Ground truth for q_corpus_pipeline_dsir: the plain-config chain
+    * (quality/lang gate → exact dedup → trigram near-dup CC at 0.5 →
+    * exact 8-gram decontamination) extended with the DSIR selection
+    * rung — the FrozenDsir scaled-long fold over the survivors' tokens,
+    * the md5-Gumbel key, (z DESC, id) top-150 — over the
+    * filler-augmented documents fixture (benchmark = its %50 slice).
+    * The weight table and filler are the SAME literals the Spark side
+    * serves (DsirOracle discipline). */
+  private lazy val corpusPipelineDsirOracle: String = {
+    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
+      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
+    }
+    def gram8(src: String): String =
+      s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
+        s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+    val m = graft.operators.FrozenDsir.model
+    val w = m.weightsScaled.mkString("[", ",", "]") + "::BIGINT[]"
+    val filler = QmOracle.fillerSuffix
+    require(!filler.contains("'"), "filler must be quote-free")
+    "WITH RECURSIVE " +
+      s"aug AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text || '$filler' ELSE text END AS text FROM documents), " +
+      // benchmark = the RAW %50 slice (no filler — see the Spark side)
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
+      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
+      "(SELECT doc_id, text, greatest(" +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      // DSIR rung: FrozenDsir fold over the survivors' filtered tokens
+      // (unigrams ++ bigrams), md5-Gumbel key, (z DESC, id) top-150 —
+      // the DsirOracle restatement applied to q4 instead of documents
+      s"dw AS (SELECT $w AS w), " +
+      "ftq AS (SELECT doc_id, unnest(list_concat(tf, CASE WHEN len(tf) < 2 THEN [] ELSE " +
+      "list_transform(range(1, len(tf)), i -> tf[i]||' '||tf[i+1]) END)) AS f " +
+      "FROM (SELECT doc_id, list_filter(t, x -> x <> '') AS tf FROM q4)), " +
+      s"pt AS (SELECT doc_id, w[CAST(CAST(concat('0x', substr(md5(f),1,8)) AS BIGINT) % ${m.dim} AS INT) + 1] AS wt FROM ftq, dw), " +
+      "sw AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS s FROM pt GROUP BY doc_id), " +
+      "keyed AS (SELECT q4.doc_id AS doc_id, " +
+      "CAST(CAST(CAST(COALESCE(sw.s, 0) AS DOUBLE) / 1.0E9 AS DECIMAL(25,9)) + " +
+      "CAST(-ln(-ln((CAST(CAST(concat('0x', substr(md5('dsir:' || CAST(q4.doc_id AS VARCHAR)),1,8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)) AS DECIMAL(25,9)) AS DOUBLE) AS z " +
+      "FROM q4 LEFT JOIN sw ON q4.doc_id = sw.doc_id), " +
+      "sel AS (SELECT doc_id FROM keyed ORDER BY z DESC, doc_id LIMIT 150), " +
+      "q5 AS (SELECT * FROM q4 WHERE doc_id IN (SELECT doc_id FROM sel)), " +
+      s"red AS (SELECT doc_id, $redact AS rt FROM q5), " +
+      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
+      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
+      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q5) " +
+      "SELECT (SELECT count(*) FROM aug) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT count(*) FROM q5) AS n_dsir_selected, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q5) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM q5) AS n_target, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
   private val shingleCte: String =
     "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
       "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS shingles " +
@@ -2225,6 +2359,7 @@ object SparkEntry {
     "q_corpus_pipeline_tuned" -> corpusPipelineOracle,
     "q_corpus_pipeline_semantic" -> corpusPipelineSemanticOracle,
     "q_corpus_pipeline_fuzzy" -> corpusPipelineFuzzyOracle,
+    "q_corpus_pipeline_dsir" -> corpusPipelineDsirOracle,
     // Same deterministic augmentation as the Spark side: one jittered copy
     // per vec_id % 10 == 0, ±0.025 per dimension keyed by md5(vec_id||'-'||i)
     // (DuckDB list lambdas index from 1; the Spark transform uses i+1 to

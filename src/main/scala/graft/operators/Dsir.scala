@@ -103,12 +103,20 @@ object Dsir {
   def logWeight(df: DataFrame, textCol: String, idCol: String,
       model: Model): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val feats = features(col(textCol))
+    df.select(col(idCol), size(features(col(textCol))).as("n_features"),
+      logWeightCol(col(textCol), model).as("log_w"))
+  }
+
+  /** The importance log-weight as a bare Column over a text column (the
+    * session must have [[GraftFunctions.register]] applied — every
+    * entry-point method does it) — for composition into wider plans
+    * (pipeline stages, ad-hoc projections). */
+  def logWeightCol(text: Column, model: Model): Column = {
+    val feats = features(text)
     val w = lit(model.weightsScaled)
     val folded = aggregate(feats, lit(0L), (acc, f) =>
       acc + element_at(w, (QualityModel.featureIndex(f, model.dim) + 1).cast("int")))
-    df.select(col(idCol), size(feats).as("n_features"),
-      (folded.cast("double") / lit(WeightScale.toDouble)).as("log_w"))
+    folded.cast("double") / lit(WeightScale.toDouble)
   }
 
   /** Deterministic Gumbel key for weighted sampling WITHOUT replacement:
@@ -141,5 +149,19 @@ object Dsir {
       .orderBy(col("z").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("log_w"), col("z"))
+  }
+
+  /** [[resample]] keeping the ORIGINAL rows (all columns) of the
+    * selected documents — the pipeline-composition form: same selected
+    * set, same top-k plan shape, no join back. */
+  def resampleRows(df: DataFrame, textCol: String, idCol: String,
+      model: Model, k: Int, salt: String = "dsir:"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("_dsir_z",
+        gumbelKey(col(idCol), logWeightCol(col(textCol), model), salt))
+      .orderBy(col("_dsir_z").desc, col(idCol))
+      .limit(k)
+      .drop("_dsir_z")
   }
 }

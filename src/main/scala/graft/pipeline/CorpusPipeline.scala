@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Chunking, Dedup, LineDedup, Sampling, SpanDedup}
+import graft.operators.{Chunking, Dedup, Dsir, LineDedup, Sampling, SpanDedup}
 
 /** End-to-end pre-training corpus preparation — the canonical chain every
   * LLM data pipeline runs, composed from the engine's operators:
@@ -13,6 +13,7 @@ import graft.operators.{Chunking, Dedup, LineDedup, Sampling, SpanDedup}
   *   language filter → exact content dedup → [line-level dedup] →
   *   [span-level dedup] → near-dup removal → [semantic dedup] →
   *   benchmark decontamination [+ fuzzy decontamination] →
+  *   [DSIR importance selection] →
   *   PII redaction → document chunking → train/val/test split.
   *
   * Composition notes (the order is load-bearing):
@@ -54,6 +55,18 @@ object CorpusPipeline {
       assignKeep: Int = 1,
       maxClusterSize: Int = 20000)
 
+  /** The optional DSIR SELECTION rung: importance-resample `k` documents
+    * toward the fitted target distribution ([[Dsir.resampleRows]] with
+    * the frozen `model`). Runs LAST among the content stages — after
+    * every dedup/decontamination rung (selection weights must never
+    * resurrect a duplicate or a leak) and before redaction (selection
+    * reads the natural text; `<EMAIL>` placeholder tokens must not
+    * influence which documents train). */
+  final case class DsirSelectConfig(
+      model: Dsir.Model,
+      k: Int,
+      salt: String = "dsir:")
+
   /** Tuning for [[prepare]]; defaults are the common pre-training shape. */
   final case class Config(
       textCol: String = "text",
@@ -76,6 +89,7 @@ object CorpusPipeline {
       bloomDecontaminate: Boolean = false,
       bloomFpp: Double = 0.001,
       fuzzyDecontaminate: Option[Double] = None,
+      dsirSelect: Option[DsirSelectConfig] = None,
       chunkTokens: Int = 512,
       overlapTokens: Int = 64,
       splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
@@ -229,9 +243,20 @@ object CorpusPipeline {
       case _ => cleanM
     }
 
+    // 4c. optional DSIR selection — the importance-resampling rung:
+    //    keep k documents drawn toward the fitted target distribution.
+    //    LAST content stage: selection must only ever see documents that
+    //    survived every dedup/decontamination rung (a high-importance
+    //    duplicate or leak must stay dead), and it reads pre-redaction
+    //    text (placeholder tokens carry no target-distribution signal).
+    val selected = cfg.dsirSelect.fold(fuzzyClean) { dc =>
+      Dsir.resampleRows(fuzzyClean, cfg.textCol, cfg.idCol,
+        dc.model, dc.k, dc.salt)
+    }
+
     // 5. PII redaction + 6. per-DOCUMENT split assignment
     val documents = Sampling.hashSplit(
-      fuzzyClean.withColumn(cfg.textCol, TextAnalysis.redactPii(text)),
+      selected.withColumn(cfg.textCol, TextAnalysis.redactPii(text)),
       cfg.idCol, cfg.splits)
 
     // 7. chunks get the SAME split: it is a pure function of the id
@@ -253,6 +278,7 @@ object CorpusPipeline {
       // keyed on BOTH switches: with no benchmark the stage does not run,
       // and a stage report must never show a rung that never executed
       benchClean.flatMap(_ => cfg.fuzzyDecontaminate)
-        .map(_ => "decontaminated_fuzzy" -> fuzzyClean))
+        .map(_ => "decontaminated_fuzzy" -> fuzzyClean) ++
+      cfg.dsirSelect.map(_ => "dsir_selected" -> selected))
   }
 }

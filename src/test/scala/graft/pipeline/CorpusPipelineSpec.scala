@@ -334,4 +334,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(off.documents.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
     assert(!off.stages.map(_._1).contains("decontaminated_fuzzy"))
   }
+
+  test("optional DSIR-selection stage: k importance-weighted survivors, LAST content rung") {
+    import graft.operators.{Dsir, FrozenDsir}
+    // even-id docs get the frozen model's target-class filler (mean
+    // log-weight +12 vs −30 — the separation dwarfs the Gumbel noise),
+    // so the selected set must be dominated by them
+    val corpus = docs.select($"doc_id",
+      when($"doc_id" % 2 === 0,
+        concat($"text", lit(graft.QmOracle.fillerSuffix)))
+        .otherwise($"text").as("text"))
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      dsirSelect = Some(CorpusPipeline.DsirSelectConfig(FrozenDsir.model, k = 15)),
+      chunkTokens = 64, overlapTokens = 16, splits = Seq("train" -> 1.0))
+    val out = CorpusPipeline.prepare(corpus, None, cfg)
+
+    assert(out.stages.map(_._1).last == "dsir_selected",
+      s"selection must be the LAST content stage: ${out.stages.map(_._1)}")
+    val ids = out.documents.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 15)
+    assert(ids.count(_ % 2 == 0) >= 14,
+      s"selection must be dominated by the target class: $ids")
+
+    // the selected set is exactly Dsir.resampleRows over the pre-selection
+    // survivors — the stage adds selection, never changes upstream rungs
+    val upstream = CorpusPipeline.prepare(corpus, None,
+      cfg.copy(dsirSelect = None))
+    val expected = Dsir.resampleRows(
+      upstream.stages.toMap.apply("decontaminated"), "text", "doc_id",
+      FrozenDsir.model, 15).select("doc_id").as[Long].collect().toSet
+    assert(ids == expected, "pipeline selection must equal the bare operator")
+    assert(!upstream.stages.map(_._1).contains("dsir_selected"))
+  }
 }
