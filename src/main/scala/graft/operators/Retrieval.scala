@@ -87,7 +87,13 @@ object Retrieval {
     val q = normTerms(terms)
     require(stats.docFreq.size == q.size,
       s"bm25: stats carry ${stats.docFreq.size} docFreqs for ${q.size} terms")
-    val toks = GraftFunctions.normTokens(col(textCol))
+    // materialize the token array ONCE per row in its own projection —
+    // referencing the kernel |Q|+… times inline would re-tokenize the
+    // full text per term (CollapseProject keeps the split: the alias is
+    // multiply-referenced and non-cheap)
+    val withToks = df.select(col(idCol),
+      GraftFunctions.normTokens(col(textCol)).as("_bm25_toks"))
+    val toks = col("_bm25_toks")
     val dl = size(toks).cast("double")
     val avgdl = stats.totalTokens.toDouble / stats.nDocs.toDouble
     val k1p1 = k1 + 1.0
@@ -98,7 +104,7 @@ object Retrieval {
         (tf + lit(k1) * (lit(oneMinusB) + lit(b) * (dl / lit(avgdl))))))
         .cast(DecimalType(25, 9))
     }
-    df.select(col(idCol),
+    withToks.select(col(idCol),
       perTerm.reduce(_ + _).cast("double").as("score"))
   }
 
