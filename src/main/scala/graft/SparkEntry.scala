@@ -375,6 +375,26 @@ object SparkEntry {
         .orderBy(col("q_id"))
     }),
 
+    // ── North star curation: hard-negative mining — per query, the k
+    //    nearest corpus vectors EXCLUDING the query and its known
+    //    positives (the DPR-style contrastive-training step). Probes and
+    //    positive pairs broadcast; corpus scans once; exclusion anti-join
+    //    runs BEFORE the ranking window so the output is always k true
+    //    negatives. IDs only (argmax stable across engines) ─────────────
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val positives = q.select(col("vec_id").as("q_id"),
+          (col("vec_id") + lit(1L)).as("pos_id"))
+        .unionByName(q.select(col("vec_id").as("q_id"),
+          (col("vec_id") + lit(2L)).as("pos_id")))
+      graft.operators.Similarity.hardNegatives(
+        emb, q, positives, "embedding", "vec_id", k = 3)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("c_id").as("neg_id"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ── SQ8-quantized ANN: the corpus side scores DECODED 8-bit codes
     //    (asymmetric distance — probe stays full precision), ~4× less
     //    corpus memory/IO than the float baseline. The oracle re-derives
@@ -2666,6 +2686,21 @@ object SparkEntry {
         "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id " +
         "ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id LIMIT 1) AS nn_id " +
         "FROM embeddings a WHERE a.vec_id < 20 ORDER BY q_id"),
+    // hard negatives: exact cosine ranking with the query and its two
+    // planted positives (q+1, q+2) excluded BEFORE the rank
+    "q_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
+        "pos AS (SELECT vec_id AS q_id, vec_id + 1 AS pos_id FROM q " +
+        "UNION ALL SELECT vec_id, vec_id + 2 FROM q), " +
+        "sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        "list_cosine_similarity(q.embedding, c.embedding) AS cos " +
+        "FROM q JOIN embeddings c ON c.vec_id <> q.vec_id), " +
+        "scx AS (SELECT sc.* FROM sc ANTI JOIN pos " +
+        "ON sc.q_id = pos.q_id AND sc.c_id = pos.pos_id), " +
+        "rk AS (SELECT q_id, c_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scx) " +
+        "SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id AS neg_id " +
+        "FROM rk WHERE rank <= 3 ORDER BY q_id, rank"),
     // same train → encode (round-clamp to [0,255]) → decode chain as
     // Similarity.sq8Train/sq8Codes/sq8Decode; zipped unnest derives the
     // per-dimension range, the probe stays full precision

@@ -62,6 +62,41 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE mining for embedding-model training (the DPR-style
+    * curation step): for each query vector, the k most cosine-similar
+    * corpus vectors EXCLUDING the query itself and its known positives —
+    * exactly the near-misses a contrastive loss learns the most from.
+    * `positives` is a two-column (query id, positive id) frame; any
+    * (query, corpus) pair present there is excluded BEFORE ranking, so
+    * the output always carries k true negatives per query (never k−|pos|
+    * after a post-hoc filter).
+    *
+    * Plan shape = [[bruteForceTopK]] with one extra anti-join: probes
+    * AND the positive pair list broadcast (both are training-sample-
+    * sized, not corpus-sized), the corpus scans once and never shuffles;
+    * the only exchange ranks (q_id, c_id, cosine) triples already cut by
+    * a per-partition local top-k. For corpus-scale query sets, compose
+    * the same exclusion anti-join onto [[ivfTopKWith]]/[[ivfPqTopKWith]]
+    * output instead (fetch k + max-positives-per-query and re-rank). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      positives: DataFrame, vecCol: String, idCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val p = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val pos = positives.toDF("q_id", "c_id")
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .repartition(Dedup.cpuParallelism(corpus), col("c_id"))
+    val scored = c.join(broadcast(p), col("q_id") =!= col("c_id"))
+      .join(broadcast(pos), Seq("q_id", "c_id"), "left_anti")
+      .select(col("q_id"), col("c_id"),
+        graft.functions.GraftFunctions.cosineSim(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   // ── sign-LSH (random hyperplane) scale path ──────────────────────────
 
   /** Pack sign bits of plane dot products into a long signature. Cosine-

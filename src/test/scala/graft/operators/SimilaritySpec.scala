@@ -49,6 +49,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.map(_._2).toSeq == Seq(2L, 3L)) // nearest then next, never self/opposite
   }
 
+  test("hardNegatives: positives and self excluded BEFORE ranking, k true negatives per query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 5)
+    val positives = q.select($"vec_id".as("q_id"), ($"vec_id" + 1L).as("pos_id"))
+    val got = Similarity.hardNegatives(emb, q, positives, "embedding", "vec_id", k = 4)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == 4, s"query $qid must get exactly k negatives")
+      assert(!rows.exists(_._2 == qid), s"query $qid surfaced itself")
+      assert(!rows.exists(_._2 == qid + 1), s"query $qid surfaced its positive")
+    }
+    // exclusion-before-rank: the result equals the brute-force ranking
+    // with the excluded ids removed and the REMAINDER re-ranked — never a
+    // post-hoc filter of a k-sized list
+    val brute = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 6)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect()
+    val expect = brute.groupBy(_._1).map { case (qid, rows) =>
+      qid -> rows.sortBy(_._3).map(_._2).filterNot(_ == qid + 1).take(4).toSeq
+    }
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.sortBy(_._3).map(_._2).toSeq == expect(qid),
+        s"query $qid ranking disagrees with the filtered brute-force truth")
+    }
+  }
+
   test("banded sign-LSH cosinePairs == exact ground truth at a moderate threshold") {
     // threshold-derived banding (signBands) must reach FULL recall on the
     // fixture even at τ=0.45, where the round-2 fixed 4×4-bit chunking
