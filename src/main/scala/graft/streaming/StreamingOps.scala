@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -315,6 +315,13 @@ object StreamingOps {
     * shingle width are baked into the stored rows — a mismatch finds
     * zero candidates and silently disables decontamination).
     *
+    * Pass `qualityGate` (any boolean Column over the batch's columns —
+    * the Gopher conjunction, a frozen quality-model logit cut, a DSIR
+    * log-weight threshold) to drop documents BEFORE the dedup probe:
+    * the narrow predicate shrinks the probe's input (the CorpusPipeline
+    * stage-order principle), and a gated document never reaches the
+    * corpus or its index.
+    *
     * Scale notes: per batch this probes |Δ|·b band rows against the
     * index — the index side is a parquet scan, never recomputed; one
     * partition directory lands per batch — run [[compactCorpus]] on the
@@ -330,16 +337,24 @@ object StreamingOps {
       prefilterMinCandidates: Double = 4e6,
       benchmarkIndexDir: Option[String] = None,
       decontaminateThreshold: Double = 0.8,
-      decontaminateN: Int = 3, decontaminateK: Int = 128)
+      decontaminateN: Int = 3, decontaminateK: Int = 128,
+      qualityGate: Option[Column] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     val writer = streamed.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val spark = rawBatch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration
         def exists(p: String) =
           new org.apache.hadoop.fs.Path(p)
             .getFileSystem(conf).exists(new org.apache.hadoop.fs.Path(p))
+        // optional QUALITY/IMPORTANCE gate — FIRST, the CorpusPipeline
+        // stage-order principle: a narrow boolean predicate (Gopher
+        // conjunction, frozen quality-model logit, DSIR log-weight
+        // threshold — any registered-kernel Column) shrinks the batch
+        // before the dedup probe pays band hashing, and a gated doc
+        // never lands in the corpus OR its index
+        val batch = qualityGate.fold(rawBatch)(g => rawBatch.where(g))
         if (!batch.isEmpty) {
           val bandsPath = s"$indexDir/bands"
           val shPath = s"$indexDir/shingles"

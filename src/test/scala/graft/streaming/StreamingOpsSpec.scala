@@ -468,4 +468,46 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
     assert(streamed.count() > 0, "fixture must produce at least one joined pair")
   }
+
+  test("dedupStreamIntoCorpus: quality gate drops docs BEFORE dedup; gated docs never land or index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    val corpus = Files.createTempDirectory("gated_corpus").toString
+    val index = Files.createTempDirectory("gated_index").toString
+    // word-salad in the raw-pool vocabulary: strongly NEGATIVE under the
+    // frozen target model (the target class is the English filler prose)
+    val offTarget = "hash join scan batch filter column merge row value stream window table sort key agg"
+    val nearOffTarget = offTarget.replace("agg", "group")
+    // DSIR-style importance gate: frozen-model log-weight above a cut.
+    // The filler-shaped doc scores strongly positive under FrozenDsir;
+    // word-salad and junk score strongly negative.
+    val target = graft.QmOracle.fillerSuffix.trim
+    val gate = graft.operators.Dsir.logWeightCol(
+      col("text"), graft.operators.FrozenDsir.model) >= 0.0
+    val q = StreamingOps.dedupStreamIntoCorpus(
+      docs, corpus, index, "text", "doc_id", threshold = 0.5,
+      qualityGate = Some(gate))
+    try {
+      // batch 1: an on-target doc (passes) + an off-target doc (gated)
+      source.addData((1L, target), (2L, offTarget))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L), s"off-target doc must be gated out, got $after1")
+      // batch 2: a near-dup of the GATED doc must also be judged by the
+      // gate (not resurrected by the index's ignorance of doc 2), and an
+      // on-target near-dup of doc 1 must drop at the DEDUP rung
+      source.addData((3L, nearOffTarget), (4L, target + " extra token"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(1L), s"gate-then-dedup must hold, got $after2")
+    } finally q.stop()
+    // the index holds only gate survivors that also survived dedup
+    val indexedIds = spark.read.parquet(s"$index/shingles")
+      .select("id").as[Long].collect().toSet
+    assert(indexedIds == Set(1L), s"gated docs must never index, got $indexedIds")
+  }
 }
