@@ -19,7 +19,7 @@ object ScaleProfile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional args: profile only the named sections
     // (dedup | dedupfixed | deduptuned | detect_split | detect_tuned |
-    //  indexed | linededup | packing). dedupfixed/deduptuned are NOT in
+    //  indexed | linededup | packing | selection). dedupfixed/deduptuned are NOT in
     // the default set: they exist for fresh-JVM A/B isolation and are
     // meaningless inside a combined pass (see comment at their sections).
     val sections: Set[String] =
@@ -213,6 +213,25 @@ object ScaleProfile {
       Packing.packExamples(chunks.join(splits, Seq("doc_id")),
         tokenBudget = 256, splitCol = Some("split")).count()
     }
+    }
+
+    // ── selection/retrieval family (round 9): all narrow-scan shapes —
+    // the decade table should show clean linearity ─────────────────────
+    if (sections("selection")) {
+      import graft.operators.{Dsir, FrozenDsir, Retrieval}
+      // aggregate over log_w — a bare count() would prune the fold away
+      // and time the parquet row count instead
+      timed("dsir.logWeight(frozen model, full corpus)") {
+        Dsir.logWeight(docs, "text", "doc_id", FrozenDsir.model)
+          .agg(sum(col("log_w")), count(lit(1))).first().getLong(1)
+      }
+      timed("dsir.resample(Gumbel top-k, k=1000)") {
+        Dsir.resample(docs, "text", "doc_id", FrozenDsir.model, 1000).count()
+      }
+      timed("bm25.topK(3 terms, k=20, stats + score passes)") {
+        Retrieval.bm25TopK(docs, "text", "doc_id",
+          Seq("hash", "join", "spark"), 20).count()
+      }
     }
 
     // ── SemDeDup skew guard: one runaway cluster, split vs unsplit ────
