@@ -19,9 +19,12 @@ object ScaleProfile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional args: profile only the named sections
     // (dedup | dedupfixed | deduptuned | detect_split | detect_tuned |
-    //  indexed | linededup | packing | selection). dedupfixed/deduptuned are NOT in
-    // the default set: they exist for fresh-JVM A/B isolation and are
-    // meaningless inside a combined pass (see comment at their sections).
+    //  indexed | linededup | packing | selection | semskew).
+    // dedupfixed/deduptuned are NOT in the default set: they exist for
+    // fresh-JVM A/B isolation and are meaningless inside a combined pass
+    // (see comment at their sections). selection/semskew are also
+    // arg-only: their tables are measured one JVM per scale dir
+    // (BASELINE.md methodology), not inside the combined pass.
     val sections: Set[String] =
       if (args.nonEmpty) args.toSet
       else Set("dedup", "detect_split", "detect_tuned", "indexed", "linededup", "packing")

@@ -2106,8 +2106,8 @@ object SparkEntry {
       s"pt AS (SELECT doc_id, w[CAST(CAST(concat('0x', substr(md5(f),1,8)) AS BIGINT) % ${m.dim} AS INT) + 1] AS wt FROM ftq, dw), " +
       "sw AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS s FROM pt GROUP BY doc_id), " +
       "keyed AS (SELECT q4.doc_id AS doc_id, " +
-      "CAST(CAST(CAST(COALESCE(sw.s, 0) AS DOUBLE) / 1.0E9 AS DECIMAL(25,9)) + " +
-      "CAST(-ln(-ln((CAST(CAST(concat('0x', substr(md5('dsir:' || CAST(q4.doc_id AS VARCHAR)),1,8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)) AS DECIMAL(25,9)) AS DOUBLE) AS z " +
+      s"CAST(CAST(CAST(COALESCE(sw.s, 0) AS DOUBLE) / ${graft.operators.Dsir.WeightScale.toDouble} AS DECIMAL(25,9)) + " +
+      s"CAST(-ln(-ln((CAST(CAST(concat('0x', substr(md5('${graft.operators.Dsir.DefaultSalt}' || CAST(q4.doc_id AS VARCHAR)),1,8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)) AS DECIMAL(25,9)) AS DOUBLE) AS z " +
       "FROM q4 LEFT JOIN sw ON q4.doc_id = sw.doc_id), " +
       "sel AS (SELECT doc_id FROM keyed ORDER BY z DESC, doc_id LIMIT 150), " +
       "q5 AS (SELECT * FROM q4 WHERE doc_id IN (SELECT doc_id FROM sel)), " +
@@ -2728,7 +2728,7 @@ object SparkEntry {
     // DSIR selection family: SQL generated from the SAME FrozenDsir
     // literals the Spark queries fold (DsirOracle — no-drift pattern)
     "q_dsir_logweight" -> DsirOracle.dsirLogWeight,
-    "q_dsir_resample" -> DsirOracle.dsirResample(k = 50, salt = "dsir:"),
+    "q_dsir_resample" -> DsirOracle.dsirResample(k = 50, salt = graft.operators.Dsir.DefaultSalt),
     // BM25: stats + score restated in SQL from the same term list and
     // constants (Retrieval.bm25OracleSql — no-drift pattern)
     "q_bm25_topk" -> graft.operators.Retrieval.bm25OracleSql(

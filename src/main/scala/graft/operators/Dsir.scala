@@ -48,6 +48,12 @@ object Dsir {
     * Long for any real document. */
   val WeightScale: Long = 1000000000L
 
+  /** Default salt for the Gumbel draw — ONE constant shared by
+    * [[resample]]/[[resampleRows]], the SparkEntry registrations, and
+    * every oracle restatement (DsirOracle, the pipeline CTE), so the
+    * engines cannot drift on the noise stream. */
+  val DefaultSalt: String = "dsir:"
+
   /** A fitted importance model: `weightsScaled(j)` =
     * round((log p̂_target[j] − log q̂_raw[j]) · [[WeightScale]]). */
   case class Model(dim: Int, weightsScaled: Array[Long]) {
@@ -142,7 +148,7 @@ object Dsir {
     * partitions·k rows (`TakeOrderedAndProject` — no global sort); see
     * the object scaladoc for the corpus-sized-k alternatives. */
   def resample(df: DataFrame, textCol: String, idCol: String, model: Model,
-      k: Int, salt: String = "dsir:"): DataFrame = {
+      k: Int, salt: String = DefaultSalt): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     logWeight(df, textCol, idCol, model)
       .withColumn("z", gumbelKey(col(idCol), col("log_w"), salt))
@@ -155,7 +161,7 @@ object Dsir {
     * selected documents — the pipeline-composition form: same selected
     * set, same top-k plan shape, no join back. */
   def resampleRows(df: DataFrame, textCol: String, idCol: String,
-      model: Model, k: Int, salt: String = "dsir:"): DataFrame = {
+      model: Model, k: Int, salt: String = DefaultSalt): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     GraftFunctions.register(df.sparkSession)
     df.withColumn("_dsir_z",

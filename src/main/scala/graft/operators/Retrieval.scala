@@ -65,6 +65,12 @@ object Retrieval {
     }
     val aggCols = Seq(count(lit(1)).as("n"), sum(size(toks)).as("tot")) ++ dfAggs
     val row = df.agg(aggCols.head, aggCols.tail: _*).first()
+    // sum() over zero rows (or all-null texts) returns null — fail loudly
+    // instead of an opaque NPE on unboxing, per the family convention
+    require(row.getLong(0) > 0 && !row.isNullAt(1) && row.getLong(1) > 0,
+      s"bm25: empty corpus (docs=${row.getLong(0)}, " +
+        s"tokens=${if (row.isNullAt(1)) 0L else row.getLong(1)}) — " +
+        "stats need at least one tokenizable document")
     Bm25Stats(row.getLong(0), row.getLong(1),
       q.indices.map(i => row.getLong(2 + i)))
   }

@@ -46,16 +46,29 @@ object Similarity {
     * pruned to (id, score) pairs, further cut by a per-partition
     * local top-k before the exchange). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
-      idCol: String, k: Int = 10): DataFrame = {
+      idCol: String, k: Int = 10): DataFrame =
+    rankedCosineTopK(corpus, probes, vecCol, idCol, k, exclude = None)
+
+  /** Shared plan builder for [[bruteForceTopK]] and [[hardNegatives]]:
+    * broadcast probes × repartitioned corpus scan, optional (q_id, c_id)
+    * exclusion anti-join BEFORE the ranking window, per-probe top-k. One
+    * builder so the two public forms cannot drift on the repartition
+    * shape or the tie-break. */
+  private def rankedCosineTopK(corpus: DataFrame, probes: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      exclude: Option[DataFrame]): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     // Repartition the corpus scan: cosine scoring must parallelize even
     // when the corpus is a single parquet file.
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .repartition(Dedup.cpuParallelism(corpus), col("c_id"))
-    val scored = c.join(broadcast(p), col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        graft.functions.GraftFunctions.cosineSim(col("q_vec"), col("c_vec")).as("cosine"))
+    val joined = c.join(broadcast(p), col("q_id") =!= col("c_id"))
+    val kept = exclude.fold(joined)(e =>
+      joined.join(broadcast(e.toDF("q_id", "c_id")), Seq("q_id", "c_id"), "left_anti"))
+    val scored = kept.select(col("q_id"), col("c_id"),
+      graft.functions.GraftFunctions.cosineSim(col("q_vec"), col("c_vec")).as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -80,22 +93,9 @@ object Similarity {
     * output instead (fetch k + max-positives-per-query and re-rank). */
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
       positives: DataFrame, vecCol: String, idCol: String,
-      k: Int = 10): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val p = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val pos = positives.toDF("q_id", "c_id")
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .repartition(Dedup.cpuParallelism(corpus), col("c_id"))
-    val scored = c.join(broadcast(p), col("q_id") =!= col("c_id"))
-      .join(broadcast(pos), Seq("q_id", "c_id"), "left_anti")
-      .select(col("q_id"), col("c_id"),
-        graft.functions.GraftFunctions.cosineSim(col("q_vec"), col("c_vec")).as("cosine"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-  }
+      k: Int = 10): DataFrame =
+    rankedCosineTopK(corpus, queries, vecCol, idCol, k,
+      exclude = Some(positives))
 
   // ── sign-LSH (random hyperplane) scale path ──────────────────────────
 

@@ -99,7 +99,8 @@ object CorpusPipeline {
     * document; (idCol, chunk_idx, chunk_text, n_chunk_tokens, split)).
     * `stages` exposes each intermediate frame by name (input, quality,
     * exact_dedup, [line_dedup], [span_dedup], near_dedup,
-    * [semantic_dedup], decontaminated, [decontaminated_fuzzy]; the
+    * [semantic_dedup], decontaminated, [decontaminated_fuzzy],
+    * [dsir_selected]; the
     * bracketed stages appear iff enabled) — the
     * per-stage kept
     * counts every production corpus run reports; counting them re-runs
@@ -249,9 +250,13 @@ object CorpusPipeline {
     //    survived every dedup/decontamination rung (a high-importance
     //    duplicate or leak must stay dead), and it reads pre-redaction
     //    text (placeholder tokens carry no target-distribution signal).
+    // Materialized: the k-row selection feeds documents, chunks, and its
+    // stage count — without the checkpoint each consumer re-runs the
+    // Gumbel-scored top-k over the whole upstream chain (the cleanM
+    // multi-consumer rationale, at a k-row materialization cost).
     val selected = cfg.dsirSelect.fold(fuzzyClean) { dc =>
-      Dsir.resampleRows(fuzzyClean, cfg.textCol, cfg.idCol,
-        dc.model, dc.k, dc.salt)
+      Dedup.materialize(Dsir.resampleRows(fuzzyClean, cfg.textCol,
+        cfg.idCol, dc.model, dc.k, dc.salt))
     }
 
     // 5. PII redaction + 6. per-DOCUMENT split assignment

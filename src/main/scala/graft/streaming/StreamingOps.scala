@@ -353,7 +353,11 @@ object StreamingOps {
         // conjunction, frozen quality-model logit, DSIR log-weight
         // threshold — any registered-kernel Column) shrinks the batch
         // before the dedup probe pays band hashing, and a gated doc
-        // never lands in the corpus OR its index
+        // never lands in the corpus OR its index. Register the native
+        // kernels on the BATCH's session: foreachBatch runs on a clone
+        // of the start-time session, so a register() the caller did
+        // before .start() (or never did) does not reach this plan
+        graft.functions.GraftFunctions.register(rawBatch.sparkSession)
         val batch = qualityGate.fold(rawBatch)(g => rawBatch.where(g))
         if (!batch.isEmpty) {
           val bandsPath = s"$indexDir/bands"

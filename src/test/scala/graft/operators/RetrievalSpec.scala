@@ -75,6 +75,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.length == 3)
   }
 
+  test("bm25Stats: empty or token-free corpus fails loudly, not with an NPE") {
+    val empty = corpus.where($"id" < 0)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25Stats(empty, "text", query)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+    val blank = Seq((1L, ""), (2L, "!!!")).toDF("id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.bm25Stats(blank, "text", query)
+    }
+    assert(e2.getMessage.contains("tokenizable"))
+  }
+
   test("query terms normalize under the tokenizer rule; bad terms fail loudly") {
     val st = Retrieval.bm25Stats(corpus, "text", Seq("HASH!", "Join"))
     assert(st.docFreq == Seq(3, 4))

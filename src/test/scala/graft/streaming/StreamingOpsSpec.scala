@@ -473,7 +473,9 @@ class StreamingOpsSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    graft.functions.GraftFunctions.register(spark)
+    // deliberately NO GraftFunctions.register here: foreachBatch runs on
+    // a cloned session, so the operator must register the kernels itself
+    // for a kernel-built gate to resolve (pinned regression)
     val source = MemoryStream[(Long, String)]
     val docs = source.toDF().toDF("doc_id", "text")
     val corpus = Files.createTempDirectory("gated_corpus").toString
