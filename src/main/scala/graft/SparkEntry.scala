@@ -1093,6 +1093,21 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("id_checksum")))
     }),
 
+    // ── PHRASE-blocklist gate: contiguous-token-run membership via the
+    //    native n-gram stream — one arrays_overlap per distinct phrase
+    //    LENGTH (here 1-, 2-, and 3-token entries → three narrow array
+    //    checks in one scan stage), token-exact, no regex ───────────────
+    "q_phrase_blocklist" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val kept = docs.where(!graft.functions.TextAnalysis
+        .containsBlockedPhrase(col("text"),
+          Seq("contraband", "table hash", "slow hash batch")))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_checksum")))
+    }),
+
     // ── Training-mix composition: downsample three sources to 50/30/20
     //    TOKEN shares (n_chars as the mass column) at the largest total
     //    the downsample-only constraint allows — the binding stratum
@@ -2626,6 +2641,18 @@ object SparkEntry {
     "q_blocklist_filter" ->
       ("WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents), " +
         "kept AS (SELECT doc_id FROM tk WHERE len(list_intersect(t, ['dup','contraband'])) = 0) " +
+        "SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept"),
+    // phrase gate: one list_intersect per phrase length over the proven
+    // n-gram window restatements (filtered tokens, list_transform)
+    "q_phrase_blocklist" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM documents), " +
+        "gr AS (SELECT doc_id, t, " +
+        "CASE WHEN len(t) < 2 THEN [] ELSE list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1]) END AS g2, " +
+        "CASE WHEN len(t) < 3 THEN [] ELSE list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]) END AS g3 FROM tk), " +
+        "kept AS (SELECT doc_id FROM gr WHERE len(list_intersect(t, ['contraband'])) = 0 " +
+        "AND len(list_intersect(g2, ['table hash'])) = 0 " +
+        "AND len(list_intersect(g3, ['slow hash batch'])) = 0) " +
         "SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS n_kept, " +
         "CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept"),
     // rate derivation re-run in SQL with the q_temperature_resample

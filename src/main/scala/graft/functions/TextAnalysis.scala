@@ -151,6 +151,40 @@ object TextAnalysis {
     arrays_overlap(GraftFunctions.normTokens(c), lit(normed.toArray))
   }
 
+  /** PHRASE-blocklist gate — the span check [[containsBlockedWord]]'s
+    * contract points multi-token entries at: TRUE iff the normalized
+    * token stream contains ANY listed phrase as a CONTIGUOUS token run.
+    * Same exactness guarantees as the word gate ("blue waffle" never
+    * trips on "blue waffles iron" — the run must match token-for-token;
+    * no substring false hits, no regex engine), computed as
+    * `arrays_overlap` between the native n-gram stream and a literal
+    * phrase array, ONE pass per distinct phrase LENGTH in the list (a
+    * list of 500 two-word phrases is one array check; mixed lengths add
+    * one check per length). Entries normalize under the tokenizer's
+    * rule; single-token entries are accepted (n=1 degrades to the word
+    * gate) and entries that normalize to nothing are rejected loudly.
+    * Narrow codegen'd predicate — same scan-stage shape as the word
+    * gate. Filter with `df.where(!containsBlockedPhrase(col, phrases))`. */
+  def containsBlockedPhrase(c: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "containsBlockedPhrase: empty blocklist")
+    val normed = phrases.map { p =>
+      val n = p.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9]+", " ").trim
+      require(n.nonEmpty,
+        s"containsBlockedPhrase: entry '$p' normalizes to nothing — it " +
+          "could never match any tokenizer output")
+      n
+    }
+    normed.groupBy(_.count(_ == ' ') + 1).toSeq.sortBy(_._1)
+      .map { case (n, group) =>
+        val stream =
+          if (n == 1) GraftFunctions.normTokens(c)
+          else GraftFunctions.ngramsNative(c, n)
+        arrays_overlap(stream, lit(group.distinct.toArray))
+      }
+      .reduce(_ || _)
+  }
+
   /** Redact emails, URLs, IP addresses, SSN-shaped ids, and phone-shaped
     * digit runs to typed placeholder tokens — the standard pre-training
     * scrub pass. Pure codegen'd `regexp_replace` chain: one narrow scan at

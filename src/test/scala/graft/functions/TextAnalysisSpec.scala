@@ -357,6 +357,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"blocklist gate must not shuffle:\n$plan")
   }
 
+  test("containsBlockedPhrase: contiguous-run exact match, mixed lengths, no shuffle") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, "we sell blue waffle irons here"),            // phrase as a run → trip
+      (2L, "blue skies and a waffle for breakfast"),     // both words, NOT contiguous
+      (3L, "the waffle blue paint dried"),               // reversed order
+      (4L, "Blue, WAFFLE!"),                              // normalization folds case/punct
+      (5L, "single contraband token"),                   // 1-token entry degrades to word gate
+      (6L, "a very bad phrase of three appears: strictly no go zone"),
+      (7L, "strictly no stopping in the go zone"))       // 3-run broken up
+      .toDF("doc_id", "text")
+    val flagged = rows.where(TextAnalysis.containsBlockedPhrase($"text",
+      Seq("Blue Waffle", "contraband", "strictly no go")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(1L, 4L, 5L, 6L),
+      s"contiguous normalized runs only: $flagged")
+    // an entry that normalizes to nothing is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.containsBlockedPhrase($"text", Seq("!!!"))
+    }
+    assert(e.getMessage.contains("normalizes to nothing"))
+    // predicate is narrow: no Exchange in the filtered plan
+    val plan = rows.where(!TextAnalysis.containsBlockedPhrase($"text",
+      Seq("x", "y z")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"phrase gate must not shuffle:\n$plan")
+  }
+
   test("simhash64 expression: registered SQL function, deterministic, codegen path") {
     GraftFunctions.register(spark)
     val df = Seq("spark is fast", "spark is fast", "totally different words here")
