@@ -395,6 +395,29 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── Hard negatives over the IVF index under FULL probe (nProbe =
+    //    nLists): candidate coverage is complete, so the result is
+    //    EXACTLY the brute-force form's — same oracle — while the plan
+    //    is the production index-probe shape (broadcast probes +
+    //    centroids, corpus never shuffles, over-fetch k+m → anti-join →
+    //    re-rank). Production runs partial nProbe; the full-probe
+    //    registration pins the exactness contract ─────────────────────
+    "q_hard_negatives_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val positives = q.select(col("vec_id").as("q_id"),
+          (col("vec_id") + lit(1L)).as("pos_id"))
+        .unionByName(q.select(col("vec_id").as("q_id"),
+          (col("vec_id") + lit(2L)).as("pos_id")))
+      graft.operators.Similarity.hardNegativesIvf(
+        emb, q, positives, "embedding", "vec_id",
+        graft.operators.FrozenAnn.coarse, k = 3,
+        nProbe = graft.operators.FrozenAnn.coarse.length)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("c_id").as("neg_id"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ── SQ8-quantized ANN: the corpus side scores DECODED 8-bit codes
     //    (asymmetric distance — probe stays full precision), ~4× less
     //    corpus memory/IO than the float baseline. The oracle re-derives
@@ -2148,6 +2171,25 @@ object SparkEntry {
       "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
   }
 
+  /** Ground truth shared by q_hard_negatives AND q_hard_negatives_ivf:
+    * exact cosine ranking with the query and its two planted positives
+    * (q+1, q+2) excluded BEFORE the rank. The IVF registration probes
+    * every list, so its candidate set is complete and its result equals
+    * the brute-force form's by construction (SimilaritySpec pins it). */
+  private lazy val hardNegativesOracle: String =
+    "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
+      "pos AS (SELECT vec_id AS q_id, vec_id + 1 AS pos_id FROM q " +
+      "UNION ALL SELECT vec_id, vec_id + 2 FROM q), " +
+      "sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+      "list_cosine_similarity(q.embedding, c.embedding) AS cos " +
+      "FROM q JOIN embeddings c ON c.vec_id <> q.vec_id), " +
+      "scx AS (SELECT sc.* FROM sc ANTI JOIN pos " +
+      "ON sc.q_id = pos.q_id AND sc.c_id = pos.pos_id), " +
+      "rk AS (SELECT q_id, c_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scx) " +
+      "SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id AS neg_id " +
+      "FROM rk WHERE rank <= 3 ORDER BY q_id, rank"
+
   private val shingleCte: String =
     "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
       "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS shingles " +
@@ -2715,19 +2757,11 @@ object SparkEntry {
         "FROM embeddings a WHERE a.vec_id < 20 ORDER BY q_id"),
     // hard negatives: exact cosine ranking with the query and its two
     // planted positives (q+1, q+2) excluded BEFORE the rank
-    "q_hard_negatives" ->
-      ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
-        "pos AS (SELECT vec_id AS q_id, vec_id + 1 AS pos_id FROM q " +
-        "UNION ALL SELECT vec_id, vec_id + 2 FROM q), " +
-        "sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
-        "list_cosine_similarity(q.embedding, c.embedding) AS cos " +
-        "FROM q JOIN embeddings c ON c.vec_id <> q.vec_id), " +
-        "scx AS (SELECT sc.* FROM sc ANTI JOIN pos " +
-        "ON sc.q_id = pos.q_id AND sc.c_id = pos.pos_id), " +
-        "rk AS (SELECT q_id, c_id, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scx) " +
-        "SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id AS neg_id " +
-        "FROM rk WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_hard_negatives" -> hardNegativesOracle,
+    // the full-probe IVF form is result-identical to the brute-force
+    // form by construction (every list probed ⇒ complete candidate set;
+    // SimilaritySpec pins the equality) — same ground truth
+    "q_hard_negatives_ivf" -> hardNegativesOracle,
     // same train → encode (round-clamp to [0,255]) → decode chain as
     // Similarity.sq8Train/sq8Codes/sq8Decode; zipped unnest derives the
     // per-dimension range, the probe stays full precision

@@ -97,6 +97,43 @@ object Similarity {
     rankedCosineTopK(corpus, queries, vecCol, idCol, k,
       exclude = Some(positives))
 
+  /** [[hardNegatives]] over the IVF index — the corpus-scale form the
+    * brute-force scaladoc points at: fetch the top (k + m) candidates
+    * per query from [[ivfTopKWith]] (m = the LARGEST positive count any
+    * query carries, derived from `positives` with one sample-sized
+    * aggregate), anti-join the positives out, re-rank, keep k. The
+    * over-fetch is what makes the exclusion sound: at most m positives
+    * can occupy any ranking prefix, so k true negatives always survive
+    * — never the k−|pos| a bare post-filter of a k-list would return.
+    *
+    * Exactness contract: with `nProbe = centroids.length` (every list
+    * probed) the candidate set is complete and the result EQUALS
+    * [[hardNegatives]] (spec-pinned); at production nProbe it inherits
+    * IVF's recall curve — the candidates are exact cosines, only
+    * coverage is approximate. Plan shape = the IVF probe (broadcast
+    * probes/centroids, corpus never shuffles) + one broadcast anti-join
+    * + the per-query ranking window. */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
+      positives: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[(Int, Array[Float])], k: Int = 10,
+      nProbe: Int = 4, corpusSpill: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val pos = positives.toDF("q_id", "c_id")
+    val maxPos = pos.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    val fetched = ivfTopKWith(corpus, queries, vecCol, idCol, centroids,
+      k = k + maxPos.toInt, nProbe = nProbe, corpusSpill = corpusSpill)
+      .drop("rank")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    fetched.join(broadcast(pos), Seq("q_id", "c_id"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   // ── sign-LSH (random hyperplane) scale path ──────────────────────────
 
   /** Pack sign bits of plane dot products into a long signature. Cosine-

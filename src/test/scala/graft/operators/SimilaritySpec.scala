@@ -76,6 +76,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegativesIvf: equals brute force under full probe; exclusion holds at partial probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 5)
+    val positives = q.select($"vec_id".as("q_id"), ($"vec_id" + 1L).as("pos_id"))
+    val cents = Similarity.trainCoarseCentroids(emb, "embedding", "vec_id", nLists = 8)
+    // full probe (nProbe = nLists): candidate coverage is complete, so
+    // the IVF form must EQUAL the oracle-checked brute-force form
+    val full = Similarity.hardNegativesIvf(emb, q, positives, "embedding",
+        "vec_id", cents, k = 4, nProbe = cents.length)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.hardNegatives(emb, q, positives, "embedding",
+        "vec_id", k = 4)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == brute, s"full-probe IVF must be exact: ${full -- brute} / ${brute -- full}")
+    // partial probe: still k rows per query, self and positives never
+    // surface (the over-fetch + anti-join contract)
+    val part = Similarity.hardNegativesIvf(emb, q, positives, "embedding",
+        "vec_id", cents, k = 4, nProbe = 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+    part.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length == 4, s"query $qid must still get k negatives")
+      assert(!rows.exists(_._2 == qid) && !rows.exists(_._2 == qid + 1),
+        s"query $qid surfaced itself or its positive at partial probe")
+    }
+  }
+
   test("banded sign-LSH cosinePairs == exact ground truth at a moderate threshold") {
     // threshold-derived banding (signBands) must reach FULL recall on the
     // fixture even at τ=0.45, where the round-2 fixed 4×4-bit chunking
