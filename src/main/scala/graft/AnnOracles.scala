@@ -131,6 +131,23 @@ object AnnOracles {
         "FROM cand JOIN pr ON pr.vec_id = cand.q_id JOIN rec r ON r.vec_id = cand.c_id)")
   }
 
+  /** q_hard_negatives_ivfpq_indexed at FULL probe: every coarse list is
+    * visited, so candidate coverage is complete and the list-assignment
+    * pruning drops out of the restatement — ground truth is the
+    * PQ-reconstructed cosine ranking (the asymmetric distance the index
+    * probe scores) with the query and its two planted positives (q+1,
+    * q+2) excluded BEFORE the rank. */
+  def ivfPqHardNegatives(k: Int): String =
+    s"WITH $pqRecCtes, $prCte, " +
+      "sc AS (SELECT pr.vec_id AS q_id, r.vec_id AS c_id, " +
+      "list_cosine_similarity(pr.pvec, r.rvec) AS cs " +
+      "FROM pr, rec r WHERE r.vec_id <> pr.vec_id " +
+      "AND r.vec_id <> pr.vec_id + 1 AND r.vec_id <> pr.vec_id + 2) " +
+      "SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id AS neg_id FROM " +
+      "(SELECT q_id, c_id, ROW_NUMBER() OVER " +
+      "(PARTITION BY q_id ORDER BY cs DESC, c_id) AS rk FROM sc) " +
+      s"WHERE rk <= $k ORDER BY q_id, rank"
+
   /** The embeddings table's dimension — the LSH plane matrix is a pure
     * function of (nPlanes, dim, seed), so the oracle pins the testdata
     * table's dim (the Spark side adapts to any dim at runtime). */

@@ -418,6 +418,37 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── Hard negatives over the PERSISTED IVF×PQ index — the build-once/
+    //    probe-per-batch shape a daily mining job runs (shares the
+    //    q_ann_ivfpq_indexed stored artifact). Full probe ⇒ candidate
+    //    coverage complete ⇒ ground truth = ranking by PQ-reconstructed
+    //    cosine with the positives excluded, which the oracle restates
+    //    from the same frozen codebooks. Production runs partial nProbe ──
+    "q_hard_negatives_ivfpq_indexed" -> ((s, dir) => {
+      val idxDir = annIndexDirs.computeIfAbsent(dir, { d =>
+        val path = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+        graft.etl.Warehouse.stageParquet(
+          graft.operators.Similarity.buildIvfPqIndex(
+            t(s, d, "embeddings"), "embedding", "vec_id",
+            graft.operators.FrozenAnn.coarse, graft.operators.FrozenAnn.pqIndex,
+            corpusSpill = 2),
+          s"$path/ivfpq")
+        path
+      })
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 20)
+      val positives = q.select(col("vec_id").as("q_id"),
+          (col("vec_id") + lit(1L)).as("pos_id"))
+        .unionByName(q.select(col("vec_id").as("q_id"),
+          (col("vec_id") + lit(2L)).as("pos_id")))
+      graft.operators.Similarity.hardNegativesIvfPqIndexed(
+        s.read.parquet(s"$idxDir/ivfpq"), q, positives, "embedding", "vec_id",
+        graft.operators.FrozenAnn.coarse, graft.operators.FrozenAnn.pqIndex,
+        k = 3, nProbe = graft.operators.FrozenAnn.coarse.length)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("c_id").as("neg_id"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ── SQ8-quantized ANN: the corpus side scores DECODED 8-bit codes
     //    (asymmetric distance — probe stays full precision), ~4× less
     //    corpus memory/IO than the float baseline. The oracle re-derives
@@ -767,6 +798,7 @@ object SparkEntry {
     //    fuzzy stage. See corpusPipelineFuzzyQuery ──────────────────────
     "q_corpus_pipeline_fuzzy" -> ((s, dir) => corpusPipelineFuzzyQuery(s, dir)),
     "q_corpus_pipeline_dsir" -> ((s, dir) => corpusPipelineDsirQuery(s, dir)),
+    "q_corpus_pipeline_url" -> ((s, dir) => corpusPipelineUrlQuery(s, dir)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -1371,19 +1403,7 @@ object SparkEntry {
     //    shuffle; the canonicalization chain is restated in the oracle
     //    from the same tracking-param table ───────────────────────────────
     "q_url_dedup" -> ((s, dir) => {
-      val k = floor(col("doc_id") / 5).cast("long").cast("string")
-      val url =
-        when(col("doc_id") % 5 === 0,
-          concat(lit("https://WWW.Example.COM/articles/page"), k, lit("?utm_source=feed")))
-        .when(col("doc_id") % 5 === 1,
-          concat(lit("https://example.com:443/articles/page"), k, lit("#section2")))
-        .when(col("doc_id") % 5 === 2,
-          concat(lit("http://example.com:80/articles/page"), k, lit("?utm_a=1&q=2")))
-        .when(col("doc_id") % 5 === 3,
-          concat(lit(" https://example.com/articles/page"), k, lit("/?ref=rss&q=2")))
-        .when(col("doc_id") % 10 === 4, lit("HTTPS://User.Example.com:443"))
-        .otherwise(concat(lit("doc-"), col("doc_id").cast("string")))
-      val docs = t(s, dir, "documents").withColumn("url", url)
+      val docs = t(s, dir, "documents").withColumn("url", urlVariantCol)
       graft.operators.Dedup.exactByUrl(docs, "url", "doc_id")
         .select(col("doc_id"),
           graft.functions.TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
@@ -1585,6 +1605,87 @@ object SparkEntry {
     })
   )
 
+  /** Shared tail of the q_corpus_pipeline* bodies: ONE row of per-stage
+    * kept counts + document/chunk stats. The two aggregate `head()`s are
+    * the only actions — and they ARE the pipeline's materializing passes,
+    * so every stage observation ([[graft.pipeline.CorpusPipeline
+    * .Prepared.observations]]) collects its count as a side effect;
+    * stage accounting costs ZERO extra scans (it used to re-execute the
+    * gate/dedup chain once per stage aggregate). The collected scalars
+    * come back as a literal one-row frame with the exact historical
+    * column names/types (n_<stage> longs first, then the stats), so the
+    * oracles are byte-compatible with the pre-observation shape. */
+  private def pipelineStatsRow(s: SparkSession,
+      p: graft.pipeline.CorpusPipeline.Prepared,
+      docStats: DataFrame, chunkStats: DataFrame): DataFrame = {
+    def litsOf(df: DataFrame): Seq[Column] = {
+      val row = df.head()
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        (if (row.isNullAt(i)) lit(null) else lit(row.get(i)))
+          .cast(f.dataType).as(f.name)
+      }
+    }
+    val docCols = litsOf(docStats)   // action #1: fires every stage obs
+    val chunkCols = litsOf(chunkStats) // action #2 (chunk re-derivation)
+    val stageCols = p.observedCounts.map { case (n, c) => lit(c).as(s"n_$n") }
+    s.range(1).select(stageCols ++ docCols ++ chunkCols: _*)
+  }
+
+  /** Deterministic URL-variant fixture shared by q_url_dedup and
+    * q_corpus_pipeline_url: content-identical URLs in pairs {%5==0,
+    * %5==1} per page k = doc_id/5 (tracking params, default ports, host
+    * case, www., fragments, leading whitespace differ); %10==4 docs all
+    * share one empty-path URL; everything else gets an opaque schemeless
+    * string that passes through canonicalization untouched. */
+  private def urlVariantCol: Column = {
+    val k = floor(col("doc_id") / 5).cast("long").cast("string")
+    when(col("doc_id") % 5 === 0,
+      concat(lit("https://WWW.Example.COM/articles/page"), k, lit("?utm_source=feed")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://example.com:443/articles/page"), k, lit("#section2")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("http://example.com:80/articles/page"), k, lit("?utm_a=1&q=2")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit(" https://example.com/articles/page"), k, lit("/?ref=rss&q=2")))
+      .when(col("doc_id") % 10 === 4, lit("HTTPS://User.Example.com:443"))
+      .otherwise(concat(lit("doc-"), col("doc_id").cast("string")))
+  }
+
+  /** DuckDB CASE mirroring [[urlVariantCol]] byte for byte. */
+  private lazy val urlVariantSql: String =
+    "CASE " +
+      "WHEN doc_id % 5 = 0 THEN 'https://WWW.Example.COM/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed' " +
+      "WHEN doc_id % 5 = 1 THEN 'https://example.com:443/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '#section2' " +
+      "WHEN doc_id % 5 = 2 THEN 'http://example.com:80/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '?utm_a=1&q=2' " +
+      "WHEN doc_id % 5 = 3 THEN ' https://example.com/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '/?ref=rss&q=2' " +
+      "WHEN doc_id % 10 = 4 THEN 'HTTPS://User.Example.com:443' " +
+      "ELSE 'doc-' || CAST(doc_id AS VARCHAR) END"
+
+  /** [[graft.functions.TextAnalysis.canonicalizeUrl]] restated
+    * step-for-step as CTEs t1/t2/t3/canon over `src(doc_id, url)` —
+    * `canon` yields (doc_id, curl), curl NULL iff url is NULL. The
+    * tracking-param alternation is shared with the engine (no drift);
+    * only the multi-match tracking removal needs 'g', every other
+    * pattern is anchored or consumes to end-of-string. Shared by
+    * q_url_dedup and q_corpus_pipeline_url. */
+  private def urlCanonCtes(src: String): String = {
+    val track = graft.functions.TextAnalysis.trackingParamAlt
+    s"t1 AS (SELECT doc_id, trim(url) AS u FROM $src), " +
+      "t2 AS (SELECT doc_id, u, " +
+      "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://.*', 1)) AS scheme, " +
+      "lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*', 1)) AS hostport, " +
+      "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest FROM t1), " +
+      "t3 AS (SELECT doc_id, u, scheme, " +
+      "CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '') " +
+      "WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '') " +
+      "ELSE regexp_replace(hostport, '^www\\.', '') END AS host, " +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest, " +
+      s"'#.*', ''), '[?&]($track)=[^&#]*', '', 'g'), " +
+      "'^([^?&]*)&', '\\1?'), '[?&]$', '') AS p FROM t2), " +
+      "canon AS (SELECT doc_id, CASE WHEN scheme = '' THEN u " +
+      "ELSE scheme || '://' || host || (CASE WHEN p = '' THEN '/' ELSE p END) END AS curl FROM t3)"
+  }
+
   /** The q_corpus_pipeline / q_corpus_pipeline_tuned body: planted-defect
     * fixture (boilerplate footer, Gopher stopword run, HTML shell, %50
     * benchmark leak) through the full CorpusPipeline, reduced to one row
@@ -1628,9 +1729,6 @@ object SparkEntry {
       decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
-    val stageCounts = p.stages.map { case (name, df) =>
-      df.agg(count(lit(1)).as(s"n_$name"))
-    }.reduce(_.crossJoin(_))
     val docStats = p.documents.agg(
       sum(col("doc_id")).cast("long").as("id_checksum"),
       sum(length(col("text"))).cast("long").as("text_len_sum"),
@@ -1640,7 +1738,7 @@ object SparkEntry {
     val chunkStats = p.chunks.agg(
       count(lit(1)).as("n_chunks"),
       sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-    stageCounts.crossJoin(docStats).crossJoin(chunkStats)
+    pipelineStatsRow(s, p, docStats, chunkStats)
   }
 
   /** q_corpus_pipeline_semantic: the pipeline with the SEMANTIC rung on.
@@ -1682,9 +1780,6 @@ object SparkEntry {
       chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, None, cfg)
-    val stageCounts = p.stages.map { case (name, df) =>
-      df.agg(count(lit(1)).as(s"n_$name"))
-    }.reduce(_.crossJoin(_))
     val docStats = p.documents.agg(
       sum(col("doc_id")).cast("long").as("id_checksum"),
       sum(length(col("text"))).cast("long").as("text_len_sum"),
@@ -1694,7 +1789,7 @@ object SparkEntry {
     val chunkStats = p.chunks.agg(
       count(lit(1)).as("n_chunks"),
       sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-    stageCounts.crossJoin(docStats).crossJoin(chunkStats)
+    pipelineStatsRow(s, p, docStats, chunkStats)
   }
 
   /** q_corpus_pipeline_fuzzy: the pipeline with the FUZZY decontamination
@@ -1732,9 +1827,6 @@ object SparkEntry {
       chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
-    val stageCounts = p.stages.map { case (name, df) =>
-      df.agg(count(lit(1)).as(s"n_$name"))
-    }.reduce(_.crossJoin(_))
     val docStats = p.documents.agg(
       sum(col("doc_id")).cast("long").as("id_checksum"),
       sum(length(col("text"))).cast("long").as("text_len_sum"),
@@ -1744,7 +1836,7 @@ object SparkEntry {
     val chunkStats = p.chunks.agg(
       count(lit(1)).as("n_chunks"),
       sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-    stageCounts.crossJoin(docStats).crossJoin(chunkStats)
+    pipelineStatsRow(s, p, docStats, chunkStats)
   }
 
   /** q_corpus_pipeline_dsir: the pipeline with the DSIR SELECTION rung
@@ -1777,9 +1869,6 @@ object SparkEntry {
       chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
-    val stageCounts = p.stages.map { case (name, df) =>
-      df.agg(count(lit(1)).as(s"n_$name"))
-    }.reduce(_.crossJoin(_))
     val docStats = p.documents.agg(
       sum(col("doc_id")).cast("long").as("id_checksum"),
       sum(length(col("text"))).cast("long").as("text_len_sum"),
@@ -1790,7 +1879,41 @@ object SparkEntry {
     val chunkStats = p.chunks.agg(
       count(lit(1)).as("n_chunks"),
       sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-    stageCounts.crossJoin(docStats).crossJoin(chunkStats)
+    pipelineStatsRow(s, p, docStats, chunkStats)
+  }
+
+  /** q_corpus_pipeline_url: the pipeline with the URL-dedup rung FIRST.
+    * Corpus = documents with the [[urlVariantCol]] URL fixture (pairs
+    * {5k, 5k+1} share a canonical URL but carry DIFFERENT text — no
+    * other rung can collapse them, so the url_dedup stage count and the
+    * id checksum pin that the URL rung did it and kept the min id), and
+    * NULL urls on %7==3 (kept unconditionally — no URL ≠ same URL; a
+    * %5-pair member that lands on %7==3 escapes its pair, restated in
+    * the oracle). Plain upstream config otherwise — the other optional
+    * rungs are pinned by their own pipeline queries. */
+  private def corpusPipelineUrlQuery(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = raw.withColumn("url",
+      when(col("doc_id") % 7 === 3, lit(null).cast("string"))
+        .otherwise(urlVariantCol))
+    val bench = raw.where(col("doc_id") % 50 === 0)
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      urlCol = Some("url"),
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+      decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    val docStats = p.documents.agg(
+      sum(col("doc_id")).cast("long").as("id_checksum"),
+      sum(length(col("text"))).cast("long").as("text_len_sum"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
+    val chunkStats = p.chunks.agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
+    pipelineStatsRow(s, p, docStats, chunkStats)
   }
 
   /** DuckDB CTE producing (doc_id, shingles): distinct 3-gram shingles of
@@ -2164,6 +2287,74 @@ object SparkEntry {
       "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q5) AS id_checksum, " +
       "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
       "(SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM q5) AS n_target, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_url: the URL rung — canonical-url
+    * min-id survivor over the [[urlVariantSql]] fixture, NULL urls
+    * (%7==3) kept unconditionally, canonicalization restated via
+    * [[urlCanonCtes]] — followed by the plain-config chain (quality/lang
+    * gate → exact dedup → trigram near-dup CC at 0.5 → exact 8-gram
+    * decontamination → redact → chunk → split), the dsir oracle's
+    * upstream skeleton without the filler augmentation. */
+  private lazy val corpusPipelineUrlOracle: String = {
+    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
+      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
+    }
+    def gram8(src: String): String =
+      s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
+        s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+    "WITH RECURSIVE " +
+      s"aug AS (SELECT doc_id, text, CASE WHEN doc_id % 7 = 3 THEN NULL ELSE $urlVariantSql END AS url FROM documents), " +
+      urlCanonCtes("aug") + ", " +
+      "ukeep AS (SELECT min(doc_id) AS doc_id FROM canon WHERE curl IS NOT NULL GROUP BY curl), " +
+      "u1 AS MATERIALIZED (SELECT doc_id, text FROM aug WHERE url IS NULL OR doc_id IN (SELECT doc_id FROM ukeep)), " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM u1), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
+      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
+      "(SELECT doc_id, text, greatest(" +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      s"red AS (SELECT doc_id, $redact AS rt FROM q4), " +
+      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
+      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
+      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q4) " +
+      "SELECT (SELECT count(*) FROM aug) AS n_input, " +
+      "(SELECT count(*) FROM u1) AS n_url_dedup, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
       "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
       "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
       "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
@@ -2801,6 +2992,7 @@ object SparkEntry {
     // construction (parquet round-trip pinned in SimilaritySpec), so the
     // same frozen-artifact oracle serves both registrations
     "q_ann_ivfpq_indexed" -> AnnOracles.ivfPqTop1,
+    "q_hard_negatives_ivfpq_indexed" -> AnnOracles.ivfPqHardNegatives(3),
     "q_ann_lsh_top1" -> AnnOracles.lshTop1,
     "q_text_stats" ->
       ("WITH n AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
@@ -2936,36 +3128,13 @@ object SparkEntry {
         s"CAST(length($norm) AS BIGINT) AS norm_len FROM aug ORDER BY doc_id"
     },
     "q_url_dedup" -> {
-      // canonicalizeUrl restated step-for-step (the tracking-param
-      // alternation is shared with the engine — no drift there); only the
-      // multi-match tracking removal needs 'g', every other pattern is
-      // anchored or consumes to end-of-string
-      val track = graft.functions.TextAnalysis.trackingParamAlt
-      "WITH aug AS (SELECT doc_id, CASE " +
-        "WHEN doc_id % 5 = 0 THEN 'https://WWW.Example.COM/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed' " +
-        "WHEN doc_id % 5 = 1 THEN 'https://example.com:443/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '#section2' " +
-        "WHEN doc_id % 5 = 2 THEN 'http://example.com:80/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '?utm_a=1&q=2' " +
-        "WHEN doc_id % 5 = 3 THEN ' https://example.com/articles/page' || CAST(doc_id // 5 AS VARCHAR) || '/?ref=rss&q=2' " +
-        "WHEN doc_id % 10 = 4 THEN 'HTTPS://User.Example.com:443' " +
-        "ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS url FROM documents), " +
-        "t1 AS (SELECT doc_id, trim(url) AS u FROM aug), " +
-        "t2 AS (SELECT doc_id, u, " +
-        "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://.*', 1)) AS scheme, " +
-        "lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*', 1)) AS hostport, " +
-        "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest FROM t1), " +
-        "t3 AS (SELECT doc_id, u, scheme, " +
-        "CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '') " +
-        "WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '') " +
-        "ELSE regexp_replace(hostport, '^www\\.', '') END AS host, " +
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest, " +
-        s"'#.*', ''), '[?&]($track)=[^&#]*', '', 'g'), " +
-        "'^([^?&]*)&', '\\1?'), '[?&]$', '') AS p FROM t2), " +
-        "canon AS (SELECT doc_id, CASE WHEN scheme = '' THEN u " +
-        "ELSE scheme || '://' || host || (CASE WHEN p = '' THEN '/' ELSE p END) END AS curl FROM t3), " +
+      s"WITH aug AS (SELECT doc_id, $urlVariantSql AS url FROM documents), " +
+        urlCanonCtes("aug") + ", " +
         "keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY curl) " +
         "SELECT c.doc_id, c.curl AS canon_url FROM canon c " +
         "JOIN keep k ON c.doc_id = k.doc_id ORDER BY c.doc_id"
     },
+    "q_corpus_pipeline_url" -> corpusPipelineUrlOracle,
     "q_c4_line_filter" -> {
       // line predicate + page gates restated from TextAnalysis.c4LineKeep
       // / c4PageFlags — same terminal-punctuation class, same word split,

@@ -64,9 +64,14 @@ object Dsir {
   /** Hashed unigram+bigram feature array of a text column — the paper's
     * feature extractor, built from the registered native kernels
     * (`norm_tokens`, `ngrams`): one codegen'd array expression, no
-    * explode in the scoring path. */
+    * explode in the scoring path. NULL text coalesces to the EMPTY
+    * feature array, so a null-text document scores log_w = 0.0 with 0
+    * features — matching the oracle restatement's COALESCE(sum, 0)
+    * (a null-feature fold would yield NULL and silently diverge). */
   private def features(text: Column): Column =
-    concat(GraftFunctions.normTokens(text), GraftFunctions.ngramsNative(text, 2))
+    coalesce(
+      concat(GraftFunctions.normTokens(text), GraftFunctions.ngramsNative(text, 2)),
+      array().cast("array<string>"))
 
   /** Per-bucket feature counts of a corpus sample: ONE aggregation,
     * `dim` rows to the driver. */
@@ -163,6 +168,9 @@ object Dsir {
   def resampleRows(df: DataFrame, textCol: String, idCol: String,
       model: Model, k: Int, salt: String = DefaultSalt): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    require(!df.columns.contains("_dsir_z"),
+      "input already has a '_dsir_z' column - resampleRows stages its " +
+        "Gumbel key there and would silently overwrite it; rename yours first")
     GraftFunctions.register(df.sparkSession)
     df.withColumn("_dsir_z",
         gumbelKey(col(idCol), logWeightCol(col(textCol), model), salt))

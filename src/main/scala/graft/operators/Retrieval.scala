@@ -55,16 +55,30 @@ object Retrieval {
     normed
   }
 
+  /** The stats aggregation as a one-row frame — split out so its plan is
+    * spec-auditable. Tokenize-once discipline (the scoring pass's own
+    * fix, applied to the stats pass): the token array materializes in a
+    * projection UNDER the aggregate and every aggregate expression
+    * references the alias — referencing the kernel inline in the |Q|+1
+    * aggregates would re-tokenize the full text once per term
+    * (RetrievalSpec pins exactly ONE kernel call in the executed plan). */
+  private[operators] def bm25StatsFrame(df: DataFrame, textCol: String,
+      q: Seq[String]): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val withToks = df.select(
+      GraftFunctions.normTokens(col(textCol)).as("_toks"))
+    val dfAggs = q.zipWithIndex.map { case (t, i) =>
+      sum(array_contains(col("_toks"), t).cast("long")).as(s"df_$i")
+    }
+    val aggCols = Seq(count(lit(1)).as("n"),
+      sum(size(col("_toks"))).as("tot")) ++ dfAggs
+    withToks.agg(aggCols.head, aggCols.tail: _*)
+  }
+
   /** ONE aggregation pass → |terms|+2 driver scalars. */
   def bm25Stats(df: DataFrame, textCol: String, terms: Seq[String]): Bm25Stats = {
-    GraftFunctions.register(df.sparkSession)
-    val toks = GraftFunctions.normTokens(col(textCol))
     val q = normTerms(terms)
-    val dfAggs = q.zipWithIndex.map { case (t, i) =>
-      sum(array_contains(toks, t).cast("long")).as(s"df_$i")
-    }
-    val aggCols = Seq(count(lit(1)).as("n"), sum(size(toks)).as("tot")) ++ dfAggs
-    val row = df.agg(aggCols.head, aggCols.tail: _*).first()
+    val row = bm25StatsFrame(df, textCol, q).first()
     // sum() over zero rows (or all-null texts) returns null — fail loudly
     // instead of an opaque NPE on unboxing, per the family convention
     require(row.getLong(0) > 0 && !row.isNullAt(1) && row.getLong(1) > 0,

@@ -119,17 +119,56 @@ object Similarity {
       nProbe: Int = 4, corpusSpill: Int = 2): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val pos = positives.toDF("q_id", "c_id")
-    val maxPos = pos.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).first() match {
-      case r if r.isNullAt(0) => 0L
-      case r                  => r.getLong(0)
-    }
     val fetched = ivfTopKWith(corpus, queries, vecCol, idCol, centroids,
-      k = k + maxPos.toInt, nProbe = nProbe, corpusSpill = corpusSpill)
-      .drop("rank")
+      k = k + maxPositives(pos), nProbe = nProbe, corpusSpill = corpusSpill)
+    excludeAndRerank(fetched, pos, k)
+  }
+
+  /** [[hardNegatives]] over a PERSISTED IVF×PQ index — the
+    * build-once/probe-per-batch form a daily mining job runs: the
+    * (list, c_id, codes) artifact is built once per corpus version
+    * ([[buildIvfPqIndex]], parquet round-trip safe) and every mining
+    * batch probes it via [[ivfPqTopKIndexed]]; the corpus vectors are
+    * never re-read. Same over-fetch soundness as [[hardNegativesIvf]]
+    * (fetch k + max-positives, anti-join, re-rank, keep k — the shared
+    * [[excludeAndRerank]] tail, so the forms cannot drift).
+    *
+    * Exactness contract: with `nProbe = coarse.length` the candidate
+    * set is complete, so the result is the PQ-reconstruction hard-
+    * negative ground truth (rank by asymmetric cosine against decoded
+    * codes) — the oracle restates exactly that from the same frozen
+    * codebooks; at production nProbe it inherits IVF's recall curve. */
+  def hardNegativesIvfPqIndexed(index: DataFrame, queries: DataFrame,
+      positives: DataFrame, vecCol: String, idCol: String,
+      coarse: Array[(Int, Array[Float])], idx: PqIndex, k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val pos = positives.toDF("q_id", "c_id")
+    val fetched = ivfPqTopKIndexed(index, queries, vecCol, idCol, coarse,
+      idx, k = k + maxPositives(pos), nProbe = nProbe)
+    excludeAndRerank(fetched, pos, k)
+  }
+
+  /** Largest positive count any query carries — the over-fetch margin
+    * that makes exclusion sound (at most this many positives can occupy
+    * any ranking prefix). One sample-sized aggregate. */
+  private def maxPositives(pos: DataFrame): Int =
+    pos.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).first() match {
+      case r if r.isNullAt(0) => 0
+      case r                  => r.getLong(0).toInt
+    }
+
+  /** Shared exclusion tail of the index-probing hard-negative forms:
+    * anti-join the broadcast (q_id, c_id) positive pairs out of an
+    * over-fetched (q_id, c_id, cosine, rank) candidate frame, re-rank,
+    * keep k. */
+  private def excludeAndRerank(fetched: DataFrame, pos: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
-    fetched.join(broadcast(pos), Seq("q_id", "c_id"), "left_anti")
+    fetched.drop("rank")
+      .join(broadcast(pos), Seq("q_id", "c_id"), "left_anti")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -726,6 +765,35 @@ object Similarity {
       assigned.crossJoin(broadcast(pqCodebookRow(corpus.sparkSession, idx)))
         .select(col("list"), col("c_id"),
           pqCodesBroadcast(col("_v"), col("_cbs"), idx).as("codes"))
+  }
+
+  /** Append a batch of vectors to a PERSISTED IVF×PQ index directory —
+    * the embedding-side analogue of the dedup index's `batch_id=`
+    * discipline ([[graft.streaming.StreamingOps.dedupStreamIntoCorpus]]):
+    * encode the batch with the SAME frozen (coarse, pq) artifacts the
+    * index was built with (geometry is baked into stored rows — mixed
+    * artifacts would corrupt the index, exactly like the dedup band
+    * geometry contract) and write it into the batch's OWN
+    * `batch_id=<id>` partition with overwrite semantics, so a replayed
+    * batch overwrites exactly its previous (possibly partial) output
+    * instead of appending duplicates. Readers load the whole directory
+    * via [[loadIvfPqIndex]]; an initial build is just batch 0. Per
+    * batch this is the [[buildIvfPqIndex]] one-pass narrow encode over
+    * |Δ| rows — the existing index is never read, never rewritten. */
+  def appendToIvfPqIndex(batch: DataFrame, indexDir: String, vecCol: String,
+      idCol: String, coarse: Array[(Int, Array[Float])], idx: PqIndex,
+      batchId: Long, corpusSpill: Int = 2): Unit =
+    buildIvfPqIndex(batch, vecCol, idCol, coarse, idx, corpusSpill)
+      .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+
+  /** Load a `batch_id=`-partitioned IVF×PQ index directory for probing:
+    * partition discovery surfaces the batch column; the probe doesn't
+    * key on it, so it is dropped (also tolerates a flat, un-partitioned
+    * index dir). */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val df = spark.read.parquet(indexDir)
+    if (df.columns.contains("batch_id")) df.drop("batch_id") else df
   }
 
   /** Probe an ALREADY-BUILT (possibly parquet-round-tripped) IVF×PQ

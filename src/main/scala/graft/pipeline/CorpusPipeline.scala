@@ -1,6 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
@@ -9,7 +11,7 @@ import graft.operators.{Chunking, Dedup, Dsir, LineDedup, Sampling, SpanDedup}
 /** End-to-end pre-training corpus preparation — the canonical chain every
   * LLM data pipeline runs, composed from the engine's operators:
   *
-  *   [HTML strip] → quality filter (+ optional Gopher rule gates) →
+  *   [URL dedup] → [HTML strip] → quality filter (+ optional Gopher rule gates) →
   *   language filter → exact content dedup → [line-level dedup] →
   *   [span-level dedup] → near-dup removal → [semantic dedup] →
   *   benchmark decontamination [+ fuzzy decontamination] →
@@ -17,6 +19,10 @@ import graft.operators.{Chunking, Dedup, Dsir, LineDedup, Sampling, SpanDedup}
   *   PII redaction → document chunking → train/val/test split.
   *
   * Composition notes (the order is load-bearing):
+  *  - URL dedup (when `urlCol` is set) runs before EVERYTHING, including
+  *    the HTML strip: it reads only (url, id), so it is the cheapest
+  *    rung by far, and on a crawl it is also the largest reduction —
+  *    no other stage should ever pay for a URL-duplicate;
   *  - cheap narrow filters (quality, language) run FIRST so the expensive
   *    dedup stages see the smallest possible corpus;
   *  - the optional line/span stages run BETWEEN exact and near-dup:
@@ -65,12 +71,13 @@ object CorpusPipeline {
   final case class DsirSelectConfig(
       model: Dsir.Model,
       k: Int,
-      salt: String = "dsir:")
+      salt: String = Dsir.DefaultSalt)
 
   /** Tuning for [[prepare]]; defaults are the common pre-training shape. */
   final case class Config(
       textCol: String = "text",
       idCol: String = "doc_id",
+      urlCol: Option[String] = None,
       stripHtml: Boolean = false,
       gopherRules: Boolean = false,
       langs: Set[String] = Set("en"),
@@ -97,21 +104,72 @@ object CorpusPipeline {
   /** The kept documents (post-filter/dedup/decontaminate, text redacted,
     * `split` assigned) and their chunks (split inherited from the
     * document; (idCol, chunk_idx, chunk_text, n_chunk_tokens, split)).
-    * `stages` exposes each intermediate frame by name (input, quality,
-    * exact_dedup, [line_dedup], [span_dedup], near_dedup,
-    * [semantic_dedup], decontaminated, [decontaminated_fuzzy],
-    * [dsir_selected]; the
-    * bracketed stages appear iff enabled) — the
-    * per-stage kept
-    * counts every production corpus run reports; counting them re-runs
-    * only cheap narrow scans, the dedup materializations are shared. */
+    *
+    * `stages` exposes each intermediate frame by name (input,
+    * [url_dedup], quality, exact_dedup, [line_dedup], [span_dedup],
+    * near_dedup, [semantic_dedup], decontaminated,
+    * [decontaminated_fuzzy], [dsir_selected]; the bracketed stages appear
+    * iff enabled) for ad-hoc inspection — but do NOT count them to build
+    * a stage report: each count re-executes that stage's upstream chain.
+    *
+    * `observations` carries one [[Observation]] per stage (same names,
+    * same order): every stage frame has a `CollectMetrics` count
+    * accumulator attached IN the main chain, so the per-stage kept
+    * counts every production corpus run reports are collected as a side
+    * effect of whatever action first materializes `documents` / `chunks`
+    * — zero extra scans at any scale. Read them via [[observedCounts]]. */
   final case class Prepared(documents: DataFrame, chunks: DataFrame,
-      stages: Seq[(String, DataFrame)] = Nil)
+      stages: Seq[(String, DataFrame)] = Nil,
+      observations: Seq[(String, Observation)] = Nil) {
+
+    /** Per-stage kept counts, in pipeline order, collected by the
+      * observation accumulators. Contract: call AFTER at least one
+      * action over `documents` (or `chunks`) — the counts ride that
+      * single materializing pass; calling before any such action BLOCKS
+      * until one runs (the upstream rungs' own eager materializations
+      * inside [[prepare]] already fire most observations, but the
+      * tail stages' only fire with the caller's action). */
+    def observedCounts: Seq[(String, Long)] =
+      observations.map { case (name, o) =>
+        name -> o.get("n_kept").asInstanceOf[Long]
+      }
+  }
 
   def prepare(corpus: DataFrame, benchmark: Option[DataFrame] = None,
       cfg: Config = Config()): Prepared = {
     GraftFunctions.register(corpus.sparkSession)
     val text = col(cfg.textCol)
+
+    // Stage accounting rides the main chain as CollectMetrics count
+    // accumulators (Dataset.observe): each stage frame below is wrapped
+    // ONCE and the wrapped frame feeds the next rung, so the counts are
+    // collected by whatever action first executes each node — no
+    // re-execution, ever. Notes: (a) a count accumulator references no
+    // columns, so column pruning still reaches the scan; (b) predicate
+    // pushdown does not cross a CollectMetrics node — which is the
+    // SEMANTICS of an input count (the gate must not pre-shrink the
+    // input tally), and the gate predicates are complex text expressions
+    // no source could take anyway; (c) operators that self-join their
+    // input duplicate the node — Spark allows exact (sameResult)
+    // duplicates and the accumulators agree by construction.
+    val stageObs = ListBuffer.empty[(String, Observation)]
+    def observed(name: String, df: DataFrame): DataFrame = {
+      val o = Observation()
+      stageObs += name -> o
+      df.observe(o, count(lit(1)).as("n_kept"))
+    }
+    val corpusO = observed("input", corpus)
+
+    // 0a. optional URL-level dedup — the FIRST rung when `urlCol` is set
+    //    (crawl corpora carry one): one document per canonical URL is a
+    //    crawl's cheapest and largest reduction, and running it before
+    //    anything else means the expensive strip/gate regex scans never
+    //    touch a URL-duplicate at all. Only (canonical-url, id) pairs
+    //    shuffle ([[Dedup.exactByUrl]]); NULL urls pass through (no URL
+    //    ≠ same URL).
+    val urlDeduped = cfg.urlCol.fold(corpusO) { u =>
+      observed("url_dedup", Dedup.exactByUrl(corpusO, u, cfg.idCol))
+    }
 
     // 0. optional HTML stripping — FIRST: every downstream signal (token
     //    counts, language votes, shingles, lines) must see text, not
@@ -126,7 +184,7 @@ object CorpusPipeline {
     def stripped(df: DataFrame): DataFrame = df.withColumn(
       cfg.textCol,
       TextAnalysis.collapseLineWhitespace(TextAnalysis.stripHtml(text)))
-    val source = if (!cfg.stripHtml) corpus else stripped(corpus)
+    val source = if (!cfg.stripHtml) urlDeduped else stripped(urlDeduped)
     val benchClean =
       if (!cfg.stripHtml) benchmark else benchmark.map(stripped)
 
@@ -146,11 +204,12 @@ object CorpusPipeline {
     // aggregates `Prepared.stages` exposes — materialize it once instead
     // of re-running the scan per consumer (the plain-config gate stays a
     // lazy narrow scan, exactly as before).
-    val filtered =
-      if (cfg.stripHtml || cfg.gopherRules) Dedup.materialize(gate) else gate
+    val filtered = observed("quality",
+      if (cfg.stripHtml || cfg.gopherRules) Dedup.materialize(gate) else gate)
 
     // 2. exact content dedup (min-id survivor per normalized text)
-    val exactDeduped = Dedup.exactByContent(filtered, cfg.textCol, cfg.idCol)
+    val exactDeduped = observed("exact_dedup",
+      Dedup.exactByContent(filtered, cfg.textCol, cfg.idCol))
 
     // 2b/2c. optional line- then span-level dedup. Both REWRITE text, so
     //    each re-applies the minTokens gate (a doc scrubbed below the
@@ -159,13 +218,15 @@ object CorpusPipeline {
     //    changes shingle sets, and the near-dup decision must be made on
     //    the text that will actually be trained on.
     val lineDeduped = cfg.lineDedupMinDocs.fold(exactDeduped) { m =>
-      LineDedup.removeDuplicatedLines(exactDeduped, cfg.textCol, cfg.idCol, m)
-        .where(TextAnalysis.tokenCount(text) >= cfg.minTokens)
+      observed("line_dedup",
+        LineDedup.removeDuplicatedLines(exactDeduped, cfg.textCol, cfg.idCol, m)
+          .where(TextAnalysis.tokenCount(text) >= cfg.minTokens))
     }
     val spanDeduped = cfg.spanDedupN.fold(lineDeduped) { n =>
-      SpanDedup.removeDuplicatedSpans(lineDeduped, cfg.textCol, cfg.idCol, n,
-        cfg.spanDedupMinCount)
-        .where(TextAnalysis.tokenCount(text) >= cfg.minTokens)
+      observed("span_dedup",
+        SpanDedup.removeDuplicatedSpans(lineDeduped, cfg.textCol, cfg.idCol, n,
+          cfg.spanDedupMinCount)
+          .where(TextAnalysis.tokenCount(text) >= cfg.minTokens))
     }
 
     // 3. near-dup removal (MinHash+LSH detect → CC → min-id survivor).
@@ -176,13 +237,13 @@ object CorpusPipeline {
     //    detectors exact-verify the same threshold), only the cost moves.
     //    Crossover guidance (measured): see removeNearDuplicatesTuned's
     //    scaladoc — millions of docs per group, not below.
-    val nearDeduped =
+    val nearDeduped = observed("near_dedup",
       if (cfg.tunedNearDedup)
         Dedup.removeNearDuplicatesTuned(
           spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN)
       else
         Dedup.removeNearDuplicates(
-          spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN)
+          spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN))
 
     // 3b. optional SEMANTIC dedup (SemDeDup) — the last dedup rung:
     //    paraphrase-level duplicates the shingle families cannot see,
@@ -194,9 +255,10 @@ object CorpusPipeline {
     //    metadata — the line/span text rewrites upstream don't touch
     //    them.
     val semDeduped = cfg.semanticDedup.fold(nearDeduped) { sc =>
-      Dedup.removeSemanticDuplicates(nearDeduped, sc.embedCol, cfg.idCol,
-        sc.centroids, sc.threshold, assignKeep = sc.assignKeep,
-        maxClusterSize = sc.maxClusterSize)
+      observed("semantic_dedup",
+        Dedup.removeSemanticDuplicates(nearDeduped, sc.embedCol, cfg.idCol,
+          sc.centroids, sc.threshold, assignKeep = sc.assignKeep,
+          maxClusterSize = sc.maxClusterSize))
     }
 
     // 4. benchmark decontamination. DELIBERATELY a larger n than the
@@ -233,14 +295,16 @@ object CorpusPipeline {
     // checkpoint each of those re-executes the whole six-stage chain
     // (measured ×2.7 on the pipeline query at sf0.1). Off = no fuzzy
     // stage = plans unchanged.
-    val cleanM = (benchClean, cfg.fuzzyDecontaminate) match {
-      case (Some(_), Some(_)) => Dedup.materialize(clean)
-      case _                  => clean
-    }
+    val cleanM = observed("decontaminated",
+      (benchClean, cfg.fuzzyDecontaminate) match {
+        case (Some(_), Some(_)) => Dedup.materialize(clean)
+        case _                  => clean
+      })
     val fuzzyClean = (benchClean, cfg.fuzzyDecontaminate) match {
       case (Some(b), Some(tau)) =>
-        Dedup.removeContaminatedFuzzy(cleanM, b, cfg.textCol, cfg.idCol,
-          tau, cfg.shingleN)
+        observed("decontaminated_fuzzy",
+          Dedup.removeContaminatedFuzzy(cleanM, b, cfg.textCol, cfg.idCol,
+            tau, cfg.shingleN))
       case _ => cleanM
     }
 
@@ -255,8 +319,9 @@ object CorpusPipeline {
     // Gumbel-scored top-k over the whole upstream chain (the cleanM
     // multi-consumer rationale, at a k-row materialization cost).
     val selected = cfg.dsirSelect.fold(fuzzyClean) { dc =>
-      Dedup.materialize(Dsir.resampleRows(fuzzyClean, cfg.textCol,
-        cfg.idCol, dc.model, dc.k, dc.salt))
+      observed("dsir_selected",
+        Dedup.materialize(Dsir.resampleRows(fuzzyClean, cfg.textCol,
+          cfg.idCol, dc.model, dc.k, dc.salt)))
     }
 
     // 5. PII redaction + 6. per-DOCUMENT split assignment
@@ -274,7 +339,9 @@ object CorpusPipeline {
       cfg.idCol, cfg.splits)
 
     Prepared(documents, chunks, Seq(
-      "input" -> corpus, "quality" -> filtered, "exact_dedup" -> exactDeduped) ++
+      "input" -> corpusO) ++
+      cfg.urlCol.map(_ => "url_dedup" -> urlDeduped) ++ Seq(
+      "quality" -> filtered, "exact_dedup" -> exactDeduped) ++
       cfg.lineDedupMinDocs.map(_ => "line_dedup" -> lineDeduped) ++
       cfg.spanDedupN.map(_ => "span_dedup" -> spanDeduped) ++ Seq(
       "near_dedup" -> nearDeduped) ++
@@ -284,6 +351,9 @@ object CorpusPipeline {
       // and a stage report must never show a rung that never executed
       benchClean.flatMap(_ => cfg.fuzzyDecontaminate)
         .map(_ => "decontaminated_fuzzy" -> fuzzyClean) ++
-      cfg.dsirSelect.map(_ => "dsir_selected" -> selected))
+      cfg.dsirSelect.map(_ => "dsir_selected" -> selected),
+      // observed() is called once per reported stage, in chain order, so
+      // the observation list mirrors `stages` name for name
+      stageObs.toList)
   }
 }

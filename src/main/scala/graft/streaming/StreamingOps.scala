@@ -330,6 +330,21 @@ object StreamingOps {
     * every previous batch's (enforced per batch by the incremental
     * operator's id check; ingest-assigned ids satisfy it by
     * construction). */
+  /** Optional embedding-side index maintenance for
+    * [[dedupStreamIntoCorpus]]: when set, each batch's SURVIVORS (post
+    * gate/dedup/decon — a doc that never lands in the corpus must never
+    * land in the ANN index either) are PQ-encoded with the frozen
+    * (coarse, pq) artifacts and appended to `indexDir` under the same
+    * `batch_id=` replay-safe discipline as the dedup index
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]]), so the
+    * streaming corpus stays ANN-probeable without ever re-encoding. */
+  final case class AnnIndexConfig(
+      indexDir: String,
+      embedCol: String,
+      coarse: Array[(Int, Array[Float])],
+      pq: graft.operators.Similarity.PqIndex,
+      corpusSpill: Int = 2)
+
   def dedupStreamIntoCorpus(streamed: DataFrame, corpusDir: String,
       indexDir: String, textCol: String, idCol: String,
       threshold: Double = 0.8, n: Int = 3, k: Int = 128,
@@ -338,7 +353,8 @@ object StreamingOps {
       benchmarkIndexDir: Option[String] = None,
       decontaminateThreshold: Double = 0.8,
       decontaminateN: Int = 3, decontaminateK: Int = 128,
-      qualityGate: Option[Column] = None)
+      qualityGate: Option[Column] = None,
+      annIndex: Option[AnnIndexConfig] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     val writer = streamed.writeStream
@@ -411,6 +427,13 @@ object StreamingOps {
             .write.mode("overwrite").parquet(s"$bandsPath/batch_id=$batchId")
           Dedup.minHashSignatureHead(sh)
             .write.mode("overwrite").parquet(s"$headsPath/batch_id=$batchId")
+          // optional embedding-side index append: SURVIVORS only, same
+          // batch_id replay discipline as the three dedup projections
+          annIndex.foreach { ac =>
+            graft.operators.Similarity.appendToIvfPqIndex(
+              kept, ac.indexDir, ac.embedCol, idCol, ac.coarse, ac.pq,
+              batchId, ac.corpusSpill)
+          }
         }
         ()
       }
@@ -445,10 +468,10 @@ object StreamingOps {
     * swap was interrupted — completes the swap instead of re-reading
     * half-deleted sources. */
   def compactCorpus(spark: SparkSession, corpusDir: String, indexDir: String,
-      filesPerDir: Int = 1): Unit = {
+      filesPerDir: Int = 1, annIndexDir: Option[String] = None): Unit = {
     require(filesPerDir > 0, s"filesPerDir must be positive, got $filesPerDir")
-    Seq(corpusDir, s"$indexDir/shingles", s"$indexDir/bands",
-        s"$indexDir/sigheads")
+    (Seq(corpusDir, s"$indexDir/shingles", s"$indexDir/bands",
+        s"$indexDir/sigheads") ++ annIndexDir)
       .foreach(d => compactPartitionedDir(spark, d, filesPerDir))
   }
 

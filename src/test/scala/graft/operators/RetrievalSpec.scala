@@ -107,4 +107,21 @@ class RetrievalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
+
+  test("stats plan tokenizes ONCE: the kernel appears a single time under the aggregate") {
+    // the tokenize-once discipline the scoring pass got in round 9,
+    // applied to the stats pass: |Q|+1 aggregate expressions all
+    // reference the one materialized token-array alias, never the
+    // kernel itself (inline references re-tokenize the text per term).
+    // Parquet-backed corpus: a local Seq fixture constant-folds the
+    // whole projection into a LocalTableScan and hides the kernel.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Retrieval.bm25StatsFrame(docs, "text", query)
+      .queryExecution.executedPlan.toString
+    val kernelCalls = "norm_tokens".r.findAllIn(plan).size
+    assert(kernelCalls == 1,
+      s"stats aggregate must tokenize once, found $kernelCalls kernel calls:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"one-row global agg must not hash-shuffle rows:\n$plan")
+  }
 }

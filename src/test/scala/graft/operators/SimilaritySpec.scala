@@ -372,6 +372,97 @@ class SimilaritySpec extends AnyFunSuite {
     assert(direct.nonEmpty && viaStored == direct)
   }
 
+  test("hardNegativesIvfPqIndexed: parquet round-trip identical, exclusion holds, full probe = reconstruction truth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = FrozenAnn.coarse
+    val idx = FrozenAnn.pqIndex
+    val q = emb.where($"vec_id" < 5)
+    val positives = q.select($"vec_id".as("q_id"), ($"vec_id" + 1L).as("pos_id"))
+    val index = Similarity.buildIvfPqIndex(emb, "embedding", "vec_id", coarse, idx)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_hn").toString
+    index.write.mode("overwrite").parquet(s"$dir/index")
+
+    // the daily-mining shape: the stored artifact probes identically to
+    // the in-memory build (the dedup band-index contract)
+    val viaStored = Similarity.hardNegativesIvfPqIndexed(
+      spark.read.parquet(s"$dir/index"), q, positives, "embedding", "vec_id",
+      coarse, idx, k = 4, nProbe = coarse.length)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val viaBuilt = Similarity.hardNegativesIvfPqIndexed(
+      index, q, positives, "embedding", "vec_id",
+      coarse, idx, k = 4, nProbe = coarse.length)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaStored.nonEmpty && viaStored == viaBuilt)
+
+    // exclusion-before-rank contract: k true negatives per query, never
+    // the query itself or a positive — at full AND partial probe
+    Seq(coarse.length, 3).foreach { nProbe =>
+      val got = Similarity.hardNegativesIvfPqIndexed(
+        spark.read.parquet(s"$dir/index"), q, positives, "embedding",
+        "vec_id", coarse, idx, k = 4, nProbe = nProbe)
+        .select("q_id", "c_id").as[(Long, Long)].collect()
+      got.groupBy(_._1).foreach { case (qid, rows) =>
+        assert(rows.length == 4, s"query $qid must get k negatives (nProbe=$nProbe)")
+        assert(!rows.exists(_._2 == qid) && !rows.exists(_._2 == qid + 1),
+          s"query $qid surfaced itself or its positive (nProbe=$nProbe)")
+      }
+    }
+
+    // full probe = the PQ-reconstruction ground truth: ranking the
+    // decoded index against full-precision probes with exclusions
+    // applied before the rank (what the frozen-artifact oracle restates)
+    val full = viaStored.groupBy(_._1).view.mapValues(
+      _.toSeq.sortBy(_._3).map(_._2)).toMap
+    val recon = Similarity.ivfPqTopKIndexed(
+      spark.read.parquet(s"$dir/index"), q, "embedding", "vec_id",
+      coarse, idx, k = 6, nProbe = coarse.length)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect()
+    val expect = recon.groupBy(_._1).map { case (qid, rows) =>
+      qid -> rows.sortBy(_._3).map(_._2).filterNot(_ == qid + 1).take(4).toSeq
+    }
+    full.foreach { case (qid, rows) =>
+      assert(rows == expect(qid),
+        s"query $qid disagrees with the filtered reconstruction truth")
+    }
+  }
+
+  test("appendToIvfPqIndex: append == rebuild-on-union, replayed batch overwrites, compaction-style read") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = FrozenAnn.coarse
+    val idx = FrozenAnn.pqIndex
+    val a = emb.where($"vec_id" % 2 === 0)
+    val b = emb.where($"vec_id" % 2 === 1)
+    val probes = emb.where($"vec_id" < 20)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+
+    // initial build is batch 0; the increment appends as batch 1 — the
+    // existing partition is never read or rewritten
+    Similarity.appendToIvfPqIndex(a, dir, "embedding", "vec_id", coarse, idx, batchId = 0)
+    Similarity.appendToIvfPqIndex(b, dir, "embedding", "vec_id", coarse, idx, batchId = 1)
+    val viaAppend = Similarity.ivfPqTopKIndexed(
+      Similarity.loadIvfPqIndex(spark, dir), probes, "embedding", "vec_id",
+      coarse, idx, k = 2)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val viaRebuild = Similarity.ivfPqTopKIndexed(
+      Similarity.buildIvfPqIndex(emb, "embedding", "vec_id", coarse, idx),
+      probes, "embedding", "vec_id", coarse, idx, k = 2)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaAppend.nonEmpty && viaAppend == viaRebuild,
+      "appended index must probe identically to a rebuild on the union")
+
+    // replay safety: re-appending batch 1 overwrites its own partition —
+    // no duplicate rows, identical probe
+    Similarity.appendToIvfPqIndex(b, dir, "embedding", "vec_id", coarse, idx, batchId = 1)
+    val afterReplay = Similarity.ivfPqTopKIndexed(
+      Similarity.loadIvfPqIndex(spark, dir), probes, "embedding", "vec_id",
+      coarse, idx, k = 2)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(afterReplay == viaRebuild)
+    val rowCount = Similarity.loadIvfPqIndex(spark, dir).count()
+    val expected = Similarity.buildIvfPqIndex(emb, "embedding", "vec_id", coarse, idx).count()
+    assert(rowCount == expected, s"replayed append must not duplicate rows: $rowCount vs $expected")
+  }
+
   test("pqEncodeBroadcast == pqEncodeLiteral bit-for-bit (same codes) on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = FrozenAnn.pqIndex

@@ -335,6 +335,74 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(!off.stages.map(_._1).contains("decontaminated_fuzzy"))
   }
 
+  test("optional URL-dedup rung: canonical-URL duplicates drop FIRST, null urls exempt") {
+    // docs 1 and 2 share a canonical URL but have DIFFERENT text — no
+    // other rung can collapse them, only the URL rung (min-id survivor);
+    // doc 4 has no URL and must pass unconditionally (no URL ≠ same URL)
+    val corpus = Seq(
+      (1L, "the first version of the page content and it is long enough for the token floor with you"),
+      (2L, "a second story about ships and harbors that is also long enough for the floor right now"),
+      (3L, "a third tale of rivers and the quiet morning light that you can hear for a while"),
+      (4L, "the fourth document with no url at all and it is long enough for the token floor too"))
+      .toDF("doc_id", "text")
+      .withColumn("url",
+        when($"doc_id" === 1L, lit("https://WWW.Example.COM/a?utm_source=x"))
+          .when($"doc_id" === 2L, lit("https://example.com:443/a#frag"))
+          .when($"doc_id" === 3L, lit("doc-3"))
+          .otherwise(lit(null).cast("string")))
+    val cfg = CorpusPipeline.Config(
+      urlCol = Some("url"), langs = Set("en"), minTokens = 10,
+      dedupThreshold = 0.8, chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 1.0))
+    val out = CorpusPipeline.prepare(corpus, None, cfg)
+    // URL rung is the FIRST rung after input (before the strip/gate scans)
+    assert(out.stages.map(_._1).take(3) == Seq("input", "url_dedup", "quality"))
+    val ids = out.documents.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L),
+      s"canonical-url pair {1,2} must collapse to min id 1; null-url 4 kept: $ids")
+
+    // off → the URL twin survives (its text is unique to every other rung)
+    val off = CorpusPipeline.prepare(corpus, None, cfg.copy(urlCol = None))
+    assert(off.documents.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    assert(!off.stages.map(_._1).contains("url_dedup"))
+  }
+
+  test("stage accounting: observed counts ride the materializing pass and equal recomputed counts") {
+    import graft.operators.FrozenDsir
+    // a config that turns on MOST optional rungs, so every conditional
+    // observation point is exercised: 8 stages (input, quality,
+    // exact_dedup, line_dedup, near_dedup, decontaminated,
+    // decontaminated_fuzzy, dsir_selected)
+    val corpus = docs.select($"doc_id",
+      when($"doc_id" % 2 === 0,
+        concat($"text", lit(graft.QmOracle.fillerSuffix)))
+        .otherwise($"text").as("text"))
+    val bench = docs.where($"doc_id" % 50 === 0).select($"doc_id", $"text")
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      lineDedupMinDocs = Some(2), decontaminateN = 8,
+      fuzzyDecontaminate = Some(0.4),
+      dsirSelect = Some(CorpusPipeline.DsirSelectConfig(FrozenDsir.model, k = 15)),
+      chunkTokens = 64, overlapTokens = 16, splits = Seq("train" -> 1.0))
+    val out = CorpusPipeline.prepare(corpus, Some(bench), cfg)
+
+    // observations mirror the stage list name for name, in order
+    assert(out.observations.map(_._1) == out.stages.map(_._1))
+
+    // ONE action over documents = the materializing pass every stage
+    // observation rides (upstream rungs' internal materializations fired
+    // most of them during prepare already)
+    out.documents.count()
+
+    val observed = out.observedCounts.toMap
+    val recomputed = out.stages.map { case (n, df) => n -> df.count() }.toMap
+    assert(observed == recomputed,
+      s"observed stage counts must equal recomputed counts:\n$observed\nvs\n$recomputed")
+    // and the counts are real (the fixture is non-trivial at every rung)
+    assert(observed("input") > 0 && observed("dsir_selected") == 15L)
+  }
+
   test("optional DSIR-selection stage: k importance-weighted survivors, LAST content rung") {
     import graft.operators.{Dsir, FrozenDsir}
     // even-id docs get the frozen model's target-class filler (mean

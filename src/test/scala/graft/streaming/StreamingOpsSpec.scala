@@ -254,6 +254,57 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(indexedIds == Set(1L, 4L))
   }
 
+  test("dedupStreamIntoCorpus: ANN index append — survivors only, probe ≡ rebuild on the final corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{FrozenAnn, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic synthetic 64-dim embeddings (the frozen artifacts'
+    // dim); values are arbitrary — the properties checked are membership
+    // and append≡rebuild parity, not recall
+    def vec(seed: Long): Seq[Float] =
+      Seq.tabulate(64)(i => ((seed * 31 + i * 7) % 97).toFloat / 97f - 0.5f)
+    val source = MemoryStream[(Long, String, Seq[Float])]
+    val docs = source.toDF().toDF("doc_id", "text", "embedding")
+    val corpus = Files.createTempDirectory("ann_corpus").toString
+    val index = Files.createTempDirectory("ann_index").toString
+    val annDir = Files.createTempDirectory("ann_ivfpq").toString
+    val uniqueA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val uniqueB = "completely different prose about distributed query engines and shuffle plans"
+    val nearA = uniqueA.replace("today", "tonight")
+    val q = StreamingOps.dedupStreamIntoCorpus(
+      docs, corpus, index, "text", "doc_id", threshold = 0.5,
+      annIndex = Some(StreamingOps.AnnIndexConfig(
+        annDir, "embedding", FrozenAnn.coarse, FrozenAnn.pqIndex)))
+    try {
+      source.addData((1L, uniqueA, vec(1)), (2L, nearA, vec(2)))
+      q.processAllAvailable()
+      // batch 2: a near-dup of the indexed doc (dropped — must NOT reach
+      // the ANN index either) + a new doc (kept and indexed)
+      source.addData((3L, nearA, vec(3)), (4L, uniqueB, vec(4)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the ANN index holds codes for exactly the corpus survivors
+    val annIdx = Similarity.loadIvfPqIndex(spark, annDir)
+    assert(annIdx.select("c_id").as[Long].collect().toSet == Set(1L, 4L),
+      "only dedup survivors may land in the ANN index")
+
+    // probing the streamed-and-appended index ≡ probing a fresh build
+    // over the final corpus (the append≡rebuild contract, end to end)
+    val finalCorpus = spark.read.parquet(corpus)
+    val probes = finalCorpus.where($"doc_id" === 1L)
+    def ids(idxDf: DataFrame) = Similarity.ivfPqTopKIndexed(
+      idxDf, probes, "embedding", "doc_id",
+      FrozenAnn.coarse, FrozenAnn.pqIndex, k = 1,
+      nProbe = FrozenAnn.coarse.length)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val viaStream = ids(annIdx)
+    val viaRebuild = ids(Similarity.buildIvfPqIndex(
+      finalCorpus, "embedding", "doc_id", FrozenAnn.coarse, FrozenAnn.pqIndex))
+    assert(viaStream.nonEmpty && viaStream == viaRebuild)
+  }
+
   test("dedupStreamIntoCorpus: per-batch fuzzy decontamination against a stored benchmark index") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
