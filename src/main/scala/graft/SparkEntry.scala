@@ -799,6 +799,7 @@ object SparkEntry {
     "q_corpus_pipeline_fuzzy" -> ((s, dir) => corpusPipelineFuzzyQuery(s, dir)),
     "q_corpus_pipeline_dsir" -> ((s, dir) => corpusPipelineDsirQuery(s, dir)),
     "q_corpus_pipeline_url" -> ((s, dir) => corpusPipelineUrlQuery(s, dir)),
+    "q_corpus_pipeline_c4" -> ((s, dir) => corpusPipelineC4Query(s, dir)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -1421,21 +1422,7 @@ object SparkEntry {
     //    code line on %9 — every rule exercised both ways, restated
     //    byte-identically in the oracle. One narrow scan stage ───────────
     "q_c4_line_filter" -> ((s, dir) => {
-      val id = col("doc_id").cast("string")
-      val aug = concat(
-        lit("Intro for doc "), id, lit(": "), col("text"), lit("."),
-        lit("\nclick here"),
-        when(col("doc_id") % 4 === 0,
-          lit("\nPlease enable JavaScript to view this page.")).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
-          lit("\nmenu home about contact")).otherwise(lit("")),
-        when(col("doc_id") % 2 === 0,
-          lit("\nIt was a fine day. The tests all passed! Did they really? " +
-            "“Yes indeed.” And so it goes on.")).otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          lit("\nLorem ipsum dolor sit amet.")).otherwise(lit("")),
-        when(col("doc_id") % 9 === 0,
-          lit("\nfunction f() { return 1; } end of code block.")).otherwise(lit("")))
+      val aug = c4AugCol
       val cleaned = graft.functions.TextAnalysis.c4LineClean(aug)
       val flags = graft.functions.TextAnalysis.c4PageFlags(aug)
       t(s, dir, "documents")
@@ -1650,6 +1637,50 @@ object SparkEntry {
       .when(col("doc_id") % 10 === 4, lit("HTTPS://User.Example.com:443"))
       .otherwise(concat(lit("doc-"), col("doc_id").cast("string")))
   }
+
+  /** C4 fixture augmentation shared by q_c4_line_filter and
+    * q_corpus_pipeline_c4: a terminal-punctuated intro line carrying the
+    * doc's own text, a droppable nav line everywhere, a javascript line
+    * on %4, an unpunctuated menu on %5, a multi-sentence prose line on
+    * %2 (the only docs that can clear the 5-sentence page gate), lorem
+    * ipsum on %7, and a curly-braced code line on %9 — every C4 rule
+    * exercised both ways. */
+  private def c4AugCol: Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("Intro for doc "), id, lit(": "), col("text"), lit("."),
+      lit("\nclick here"),
+      when(col("doc_id") % 4 === 0,
+        lit("\nPlease enable JavaScript to view this page.")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("\nmenu home about contact")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        lit("\nIt was a fine day. The tests all passed! Did they really? " +
+          "“Yes indeed.” And so it goes on.")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("\nLorem ipsum dolor sit amet.")).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        lit("\nfunction f() { return 1; } end of code block.")).otherwise(lit("")))
+  }
+
+  /** DuckDB restatement of [[c4AugCol]] over documents(doc_id, text). */
+  private lazy val c4AugSql: String =
+    "'Intro for doc ' || CAST(doc_id AS VARCHAR) || ': ' || text || '.' || " +
+      "chr(10) || 'click here' || " +
+      "CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Please enable JavaScript to view this page.' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'menu home about contact' ELSE '' END || " +
+      "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'It was a fine day. The tests all passed! Did they really? " +
+      "“Yes indeed.” And so it goes on.' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END || " +
+      "CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'function f() { return 1; } end of code block.' ELSE '' END"
+
+  /** DuckDB restatement of [[graft.functions.TextAnalysis.c4LineKeep]]
+    * over a line variable `l` — same terminal-punctuation class, word
+    * split, and javascript substring rule. */
+  private val c4KeepSql: String =
+    "regexp_matches(rtrim(l), '[.!?”\"]$') AND " +
+      "len(regexp_split_to_array(trim(l), '\\s+')) >= 3 AND " +
+      "NOT contains(lower(l), 'javascript')"
 
   /** DuckDB CASE mirroring [[urlVariantCol]] byte for byte. */
   private lazy val urlVariantSql: String =
@@ -1899,6 +1930,38 @@ object SparkEntry {
     val bench = raw.where(col("doc_id") % 50 === 0)
     val cfg = graft.pipeline.CorpusPipeline.Config(
       urlCol = Some("url"),
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+      decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    val docStats = p.documents.agg(
+      sum(col("doc_id")).cast("long").as("id_checksum"),
+      sum(length(col("text"))).cast("long").as("text_len_sum"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
+    val chunkStats = p.chunks.agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
+    pipelineStatsRow(s, p, docStats, chunkStats)
+  }
+
+  /** q_corpus_pipeline_c4: the pipeline with the C4 rules folded into
+    * the quality-gate scan. Corpus = documents with the
+    * [[c4AugCol]] augmentation (every C4 rule exercised both ways):
+    * only %2 docs can clear the 5-sentence page gate, %7 drops on lorem
+    * ipsum, %9 on the curly brace, and the line clean scrubs the
+    * nav/menu/javascript lines from every survivor BEFORE the
+    * token/lang gate sees the text. Benchmark = the raw %50 slice (the
+    * intro line carries the doc's own text verbatim, so surviving %50
+    * docs still drop at decon). Plain config otherwise. */
+  private def corpusPipelineC4Query(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select(col("doc_id"), c4AugCol.as("text"))
+    val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      c4Rules = true,
       langs = Set("en"), minTokens = 10, maxTokens = 100000,
       minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
       decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
@@ -2349,6 +2412,73 @@ object SparkEntry {
       "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q4) " +
       "SELECT (SELECT count(*) FROM aug) AS n_input, " +
       "(SELECT count(*) FROM u1) AS n_url_dedup, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_c4: the C4 rung — line clean
+    * ([[c4KeepSql]]) + page gates (curly/lorem on the RAW page, the
+    * 5-sentence floor on the CLEANED text, exactly c4PageFlags) over the
+    * [[c4AugSql]] fixture — followed by the plain-config chain, the url
+    * oracle's skeleton with the C4 front end instead of the URL rung. */
+  private lazy val corpusPipelineC4Oracle: String = {
+    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
+      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
+    }
+    def gram8(src: String): String =
+      s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
+        s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+    "WITH RECURSIVE " +
+      s"aug0 AS (SELECT doc_id, $c4AugSql AS t FROM documents), " +
+      "cln AS MATERIALIZED (SELECT doc_id, t, array_to_string(list_filter(" +
+      s"string_split(t, chr(10)), l -> $c4KeepSql), chr(10)) AS text FROM aug0), " +
+      "u1 AS MATERIALIZED (SELECT doc_id, text FROM cln WHERE " +
+      "NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum') " +
+      "AND len(regexp_extract_all(text, '[.!?]+')) >= 5), " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM u1), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
+      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
+      "(SELECT doc_id, text, greatest(" +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      s"red AS (SELECT doc_id, $redact AS rt FROM q4), " +
+      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
+      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
+      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q4) " +
+      "SELECT (SELECT count(*) FROM aug0) AS n_input, " +
       "(SELECT count(*) FROM q1) AS n_quality, " +
       "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
       "(SELECT count(*) FROM q3) AS n_near_dedup, " +
@@ -3135,31 +3265,21 @@ object SparkEntry {
         "JOIN keep k ON c.doc_id = k.doc_id ORDER BY c.doc_id"
     },
     "q_corpus_pipeline_url" -> corpusPipelineUrlOracle,
+    "q_corpus_pipeline_c4" -> corpusPipelineC4Oracle,
     "q_c4_line_filter" -> {
       // line predicate + page gates restated from TextAnalysis.c4LineKeep
       // / c4PageFlags — same terminal-punctuation class, same word split,
       // same javascript substring rule, sentence runs counted on the
-      // CLEANED text exactly as c4PageFlags does
-      val keep = "regexp_matches(rtrim(l), '[.!?”\"]$') AND " +
-        "len(regexp_split_to_array(trim(l), '\\s+')) >= 3 AND " +
-        "NOT contains(lower(l), 'javascript')"
+      // CLEANED text exactly as c4PageFlags does; aug + keep shared with
+      // the composed q_corpus_pipeline_c4 oracle
       val gates = Seq(
         "NOT contains(t, '{')" -> "no_curly_ok",
         "NOT contains(lower(t), 'lorem ipsum')" -> "no_lorem_ok",
         "len(regexp_extract_all(c, '[.!?]+')) >= 5" -> "min_sentences_ok")
       val pass = gates.map { case (g, _) => s"($g)" }.mkString(" AND ")
-      "WITH aug AS (SELECT doc_id, " +
-        "'Intro for doc ' || CAST(doc_id AS VARCHAR) || ': ' || text || '.' || " +
-        "chr(10) || 'click here' || " +
-        "CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Please enable JavaScript to view this page.' ELSE '' END || " +
-        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'menu home about contact' ELSE '' END || " +
-        "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'It was a fine day. The tests all passed! Did they really? " +
-        "“Yes indeed.” And so it goes on.' ELSE '' END || " +
-        "CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END || " +
-        "CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'function f() { return 1; } end of code block.' ELSE '' END " +
-        "AS t FROM documents), " +
+      s"WITH aug AS (SELECT doc_id, $c4AugSql AS t FROM documents), " +
         "cleaned AS (SELECT doc_id, t, array_to_string(list_filter(" +
-        s"string_split(t, chr(10)), l -> $keep), chr(10)) AS c FROM aug) " +
+        s"string_split(t, chr(10)), l -> $c4KeepSql), chr(10)) AS c FROM aug) " +
         "SELECT doc_id, md5(c) AS clean_fp, " +
         "CAST(CASE WHEN length(c) = 0 THEN 0 ELSE len(string_split(c, chr(10))) END AS BIGINT) AS n_lines_kept, " +
         gates.map { case (g, n) => s"$g AS $n" }.mkString(", ") +

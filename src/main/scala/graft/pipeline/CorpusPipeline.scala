@@ -11,7 +11,8 @@ import graft.operators.{Chunking, Dedup, Dsir, LineDedup, Sampling, SpanDedup}
 /** End-to-end pre-training corpus preparation — the canonical chain every
   * LLM data pipeline runs, composed from the engine's operators:
   *
-  *   [URL dedup] → [HTML strip] → quality filter (+ optional Gopher rule gates) →
+  *   [URL dedup] → [HTML strip] → [C4 line/page clean] →
+  *   quality filter (+ optional Gopher rule gates) →
   *   language filter → exact content dedup → [line-level dedup] →
   *   [span-level dedup] → near-dup removal → [semantic dedup] →
   *   benchmark decontamination [+ fuzzy decontamination] →
@@ -79,6 +80,7 @@ object CorpusPipeline {
       idCol: String = "doc_id",
       urlCol: Option[String] = None,
       stripHtml: Boolean = false,
+      c4Rules: Boolean = false,
       gopherRules: Boolean = false,
       langs: Set[String] = Set("en"),
       minTokens: Int = 10,
@@ -188,9 +190,24 @@ object CorpusPipeline {
     val benchClean =
       if (!cfg.stripHtml) benchmark else benchmark.map(stripped)
 
+    // 0b. optional C4 cleaning (Raffel et al. 2020 §2.2, the same public
+    //    rules the standalone c4LineClean/c4PagePass columns implement):
+    //    the page gates read the PRE-clean text (no '{', no lorem ipsum;
+    //    the sentence floor counts on the cleaned text, as c4PageFlags
+    //    does) and the line clean REWRITES the text — so it runs after
+    //    the strip (rules read text lines, not markup) and before the
+    //    quality gate, whose token/alpha/lang signals must see the text
+    //    that will actually train and whose minTokens floor re-gates
+    //    what the rewrite empties (the line/span-dedup discipline).
+    //    Same narrow scan stage as the gate — no extra pass, and the
+    //    "quality" stage count reflects the conjunction.
+    val c4Source = if (!cfg.c4Rules) source else
+      source.where(TextAnalysis.c4PagePass(text))
+        .withColumn(cfg.textCol, TextAnalysis.c4LineClean(text))
+
     // 1. quality + language gate: one narrow codegen'd scan stage
     //    (+ optional Gopher rule conjunction — same scan, no extra stage)
-    val gate = source.where(
+    val gate = c4Source.where(
       TextAnalysis.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
         TextAnalysis.alphaRatio(text) >= cfg.minAlphaRatio &&
         GraftFunctions.langIdNative(text).isin(cfg.langs.toSeq: _*) &&
@@ -205,7 +222,9 @@ object CorpusPipeline {
     // of re-running the scan per consumer (the plain-config gate stays a
     // lazy narrow scan, exactly as before).
     val filtered = observed("quality",
-      if (cfg.stripHtml || cfg.gopherRules) Dedup.materialize(gate) else gate)
+      if (cfg.stripHtml || cfg.c4Rules || cfg.gopherRules)
+        Dedup.materialize(gate)
+      else gate)
 
     // 2. exact content dedup (min-id survivor per normalized text)
     val exactDeduped = observed("exact_dedup",

@@ -368,6 +368,40 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(!off.stages.map(_._1).contains("url_dedup"))
   }
 
+  test("optional C4 rules: line clean + page gates fold into the quality scan, off = unchanged") {
+    val prose = "It was a fine day. The tests all passed! Did they really? " +
+      "“Yes indeed.” And so it goes on for a while with this fine weather."
+    val corpus = Seq(
+      (1L, prose + "\nclick here\nmenu home about contact"), // passes; boilerplate lines scrubbed
+      (2L, prose + "\nLorem ipsum dolor sit amet."),         // page-dropped: lorem
+      (3L, prose + "\nfunction f() { return 1; } done."),    // page-dropped: curly brace
+      (4L, "Just one sentence is here today with enough words for you."))
+      .toDF("doc_id", "text")                                // page-dropped: < 5 sentences
+    val cfg = CorpusPipeline.Config(
+      c4Rules = true, langs = Set("en"), minTokens = 10,
+      dedupThreshold = 0.8, chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 1.0))
+    val out = CorpusPipeline.prepare(corpus, None, cfg)
+    val texts = out.documents.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    assert(texts.keySet == Set(1L),
+      s"lorem/curly/sentence-floor pages must drop: ${texts.keySet}")
+    // the line clean scrubbed the unpunctuated boilerplate lines and the
+    // surviving prose is intact
+    assert(!texts(1L).contains("click here") && !texts(1L).contains("menu home"))
+    assert(texts(1L).contains("The tests all passed!"))
+    // no extra stage: the C4 conjunction rides the quality scan
+    assert(out.stages.map(_._1) ==
+      Seq("input", "quality", "exact_dedup", "near_dedup", "decontaminated"))
+
+    // off → every doc survives with its boilerplate untouched
+    val off = CorpusPipeline.prepare(corpus, None, cfg.copy(c4Rules = false))
+    val offTexts = off.documents.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    assert(offTexts.keySet == Set(1L, 2L, 3L, 4L))
+    assert(offTexts(1L).contains("click here"))
+  }
+
   test("stage accounting: observed counts ride the materializing pass and equal recomputed counts") {
     import graft.operators.FrozenDsir
     // a config that turns on MOST optional rungs, so every conditional
