@@ -135,6 +135,19 @@ object CorpusPipeline {
       observations.map { case (name, o) =>
         name -> o.get("n_kept").asInstanceOf[Long]
       }
+
+    /** The per-stage accounting artifact a production corpus run logs:
+      * (stage, kept, dropped-by-this-stage), in pipeline order, derived
+      * from [[observedCounts]] (same contract: call after an action).
+      * "dropped" is vs the previous stage's kept count — the input row
+      * reports 0. */
+    def stageReport: Seq[(String, Long, Long)] = {
+      val counts = observedCounts
+      counts.zip(0L +: counts.map(_._2)).map {
+        case ((name, kept), prev) =>
+          (name, kept, if (name == "input") 0L else prev - kept)
+      }
+    }
   }
 
   def prepare(corpus: DataFrame, benchmark: Option[DataFrame] = None,

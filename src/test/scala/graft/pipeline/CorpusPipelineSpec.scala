@@ -435,6 +435,17 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"observed stage counts must equal recomputed counts:\n$observed\nvs\n$recomputed")
     // and the counts are real (the fixture is non-trivial at every rung)
     assert(observed("input") > 0 && observed("dsir_selected") == 15L)
+
+    // the report derives (kept, dropped) per stage from the same counts
+    val report = out.stageReport
+    assert(report.map(_._1) == out.stages.map(_._1))
+    report.foreach { case (name, kept, dropped) =>
+      assert(kept == observed(name))
+      assert(dropped >= 0L, s"stage $name reports negative drop: $dropped")
+    }
+    assert(report.head == (("input", observed("input"), 0L)))
+    assert(report.map(_._3).sum == observed("input") - observed("dsir_selected"),
+      "drops must telescope from input to the last stage")
   }
 
   test("optional DSIR-selection stage: k importance-weighted survivors, LAST content rung") {
