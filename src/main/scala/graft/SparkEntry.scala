@@ -840,6 +840,25 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ── North star sampling: CLUSTER-BALANCED subsample — nearest frozen
+    //    coarse centroid as the topic key (the q_ann assignment ordering,
+    //    restated from the same literals), then keep the k best rows per
+    //    cluster by a deterministic md5 score, ties by id. Per-cluster
+    //    kept counts + id checksums pin exact membership; the assignment
+    //    is one narrow literal expression, the only shuffle is the
+    //    WindowGroupLimit cap ─────────────────────────────────────────────
+    "q_cluster_balanced_sample" -> ((s, dir) => {
+      val score = conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+        16, 10).cast("double")
+      graft.operators.Sampling.clusterBalancedSample(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        graft.operators.FrozenAnn.coarse, k = 5, orderBy = score)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).cast("long").as("id_checksum"))
+        .orderBy(col("cluster"))
+    }),
+
     // ── North star sampling: STRATIFIED deterministic sample (per-lang
     //    keep rates — the training-mix rebalancing pass). Same key-pure
     //    md5 bucket as q_deterministic_sample; the identical CASE
@@ -2788,6 +2807,22 @@ object SparkEntry {
         "FROM (SELECT source, doc_id, ROW_NUMBER() OVER " +
         "(PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk FROM documents) " +
         "WHERE rk <= 10 GROUP BY source ORDER BY source"),
+    // Cluster-balanced subsample: nearest frozen coarse centroid (the
+    // q_ann assignment restatement, keep=1) as the topic key, then the
+    // per-cluster k-best cap under the md5 score, ties by id.
+    "q_cluster_balanced_sample" -> {
+      "WITH " + AnnOracles.coarseCtes + ", " +
+        "ca AS (SELECT vec_id, l FROM (SELECT e.vec_id, ls.l, " +
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), cents[ls.l+1]) DESC, ls.l) AS rk " +
+        "FROM embeddings e, ls, co) WHERE rk <= 1), " +
+        "scv AS (SELECT vec_id, l, CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT) AS DOUBLE) AS s FROM ca), " +
+        "kept AS (SELECT l, vec_id FROM (SELECT l, vec_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY l ORDER BY s DESC, vec_id ASC) AS rk FROM scv) WHERE rk <= 5) " +
+        "SELECT CAST(l AS BIGINT) AS cluster, count(*) AS n_kept, " +
+        "CAST(sum(vec_id) AS BIGINT) AS id_checksum " +
+        "FROM kept GROUP BY l ORDER BY cluster"
+    },
     // Same md5-bucket predicate, per-stratum threshold (0.5 → 80000000,
     // 0.25 → 40000000, default 0.1 → 1999999a — thresholdHex values).
     "q_stratified_sample" ->

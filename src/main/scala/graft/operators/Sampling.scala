@@ -251,4 +251,32 @@ object Sampling {
       .where(col("_rk") <= k)
       .drop("_rk")
   }
+
+  /** CLUSTER-BALANCED subsampling — the topic-balance pass of a
+    * curation pipeline (the embedding-space analogue of
+    * [[capPerGroup]]'s domain cap, the cluster-then-sample shape of
+    * SemDeDup-family curation): assign each row's embedding to its
+    * nearest centroid ([[Similarity.nearestClusterCol]] — cosine
+    * argmax, list-ASC ties, one narrow codegen'd expression that keeps
+    * every caller column) and keep at most `k` rows per cluster,
+    * ranked by `orderBy` descending (quality-first: over-represented
+    * topics shed their worst documents, not random ones), ties broken
+    * by ascending id — deterministic across runs, partitionings, and
+    * engines. Output carries the `cluster` column.
+    *
+    * Scale shape: the assignment is narrow (centroids travel as plan
+    * literals); the only shuffle is [[capPerGroup]]'s window on the
+    * cluster key, planned as `WindowGroupLimit` (bounded k-row buffer
+    * per cluster, no full-cluster sort spill). */
+  def clusterBalancedSample(df: DataFrame, embedCol: String, idCol: String,
+      centroids: Array[(Int, Array[Float])], k: Int,
+      orderBy: Column): DataFrame = {
+    require(!df.columns.contains("cluster"),
+      "input already has a 'cluster' column - clusterBalancedSample " +
+        "writes the assignment there; rename yours first")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val withCluster = df.withColumn("cluster",
+      Similarity.nearestClusterCol(col(embedCol), centroids))
+    capPerGroup(withCluster, "cluster", idCol, k, orderBy)
+  }
 }

@@ -361,6 +361,30 @@ object Similarity {
       assignLists(df, vecCol, idCol, centroids, idAs, vecAs, keep)
     else assignListsBroadcast(df, vecCol, idCol, centroids, idAs, vecAs, keep)
 
+  /** Nearest-centroid id of an embedding column as a bare narrow Column
+    * (cosine DESC, list ASC — exactly the [[assignLists]] ordering with
+    * keep = 1), for composing a cluster key into wider plans WITHOUT
+    * dropping the caller's other columns ([[Sampling
+    * .clusterBalancedSample]]'s building block). Literal expression
+    * tree — the [[LiteralCentroidLimit]] regime; for larger codebooks
+    * compose [[assignListsBroadcast]] + a join instead. The session
+    * must have [[graft.functions.GraftFunctions.register]] applied
+    * (entry-point operators do it). */
+  def nearestClusterCol(vec: Column,
+      centroids: Array[(Int, Array[Float])]): Column = {
+    require(centroids.length <= LiteralCentroidLimit,
+      s"nearestClusterCol: ${centroids.length} centroids exceed the " +
+        s"literal-plan limit $LiteralCentroidLimit - use " +
+        "assignListsBroadcast + join for large codebooks")
+    val scored = array(centroids.map { case (list, c) =>
+      struct(
+        (-graft.functions.GraftFunctions.cosineSim(
+          vec, array(c.map(lit(_)): _*))).as("neg"),
+        lit(list).as("list"))
+    }: _*)
+    slice(array_sort(scored), 1, 1).getItem(0).getField("list")
+  }
+
   /** Lloyd refinement of driver-held centroids (spherical k-means shape —
     * cosine assignment is scale-invariant, so centroid means need no
     * normalization for argmax purposes). Each iteration: assign every

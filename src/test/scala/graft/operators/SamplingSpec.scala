@@ -244,4 +244,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"rank<=k must push down as WindowGroupLimit:\n$plan")
   }
+  test("clusterBalancedSample: k best per nearest-centroid cluster, deterministic, guard on cluster col") {
+    // three orthogonal centroids; vectors built near each with a known
+    // per-vector score column driving the quality-first cap
+    val cents: Array[(Int, Array[Float])] = Array(
+      0 -> Array(1f, 0f, 0f),
+      1 -> Array(0f, 1f, 0f),
+      2 -> Array(0f, 0f, 1f))
+    // cluster 0: 3 members (ids 1..3), cluster 1: 2 (ids 11,12),
+    // cluster 2: 1 (id 21); small cross-axis noise keeps assignment
+    // unambiguous while exercising the argmax
+    val rows = Seq(
+      (1L, Array(1f, 0.1f, 0f), 5.0), (2L, Array(1f, 0f, 0.1f), 9.0),
+      (3L, Array(0.9f, 0.1f, 0f), 9.0),
+      (11L, Array(0.1f, 1f, 0f), 1.0), (12L, Array(0f, 1f, 0.1f), 2.0),
+      (21L, Array(0f, 0.1f, 1f), 7.0))
+    val df = rows.toDF("vec_id", "embedding", "score")
+    val got = Sampling.clusterBalancedSample(
+      df, "embedding", "vec_id", cents, k = 2, orderBy = $"score")
+      .select($"cluster", $"vec_id").as[(Int, Long)].collect().toSet
+    // cluster 0 keeps its 2 best by (score desc, id asc): 2 (9.0) and
+    // 3 (9.0) — the 5.0 row drops; clusters 1 and 2 are under the cap
+    assert(got == Set((0, 2L), (0, 3L), (1, 11L), (1, 12L), (2, 21L)), s"got $got")
+
+    // deterministic across re-runs and partitionings
+    val again = Sampling.clusterBalancedSample(
+      df.repartition(7), "embedding", "vec_id", cents, k = 2, orderBy = $"score")
+      .select($"cluster", $"vec_id").as[(Int, Long)].collect().toSet
+    assert(again == got)
+
+    // collision guard: a pre-existing cluster column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sampling.clusterBalancedSample(df.withColumn("cluster", lit(0)),
+        "embedding", "vec_id", cents, k = 2, orderBy = $"score")
+    }
+    assert(e.getMessage.contains("cluster"))
+
+    // all caller columns survive (score rides through the cap)
+    val cols = Sampling.clusterBalancedSample(
+      df, "embedding", "vec_id", cents, k = 2, orderBy = $"score").columns.toSet
+    assert(cols == Set("vec_id", "embedding", "score", "cluster"))
+  }
 }

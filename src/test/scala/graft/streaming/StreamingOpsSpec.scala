@@ -469,6 +469,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpusC).select("doc_id").as[Long].collect().toSet == survC)
   }
 
+  test("compactCorpus: ANN index dir folds to one batch_id=-1 partition, probe-identical") {
+    import spark.implicits._
+    import graft.operators.{FrozenAnn, Similarity}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val annDir = Files.createTempDirectory("compact_ann").toString
+    Similarity.appendToIvfPqIndex(emb.where($"vec_id" % 2 === 0), annDir,
+      "embedding", "vec_id", FrozenAnn.coarse, FrozenAnn.pqIndex, batchId = 0)
+    Similarity.appendToIvfPqIndex(emb.where($"vec_id" % 2 === 1), annDir,
+      "embedding", "vec_id", FrozenAnn.coarse, FrozenAnn.pqIndex, batchId = 1)
+    val probes = emb.where($"vec_id" < 20)
+    def probe() = Similarity.ivfPqTopKIndexed(
+      Similarity.loadIvfPqIndex(spark, annDir), probes, "embedding",
+      "vec_id", FrozenAnn.coarse, FrozenAnn.pqIndex, k = 2)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val before = probe()
+
+    // corpus/index dirs that never existed are skipped by compaction —
+    // the ANN dir is the one under test here
+    val emptyCorpus = Files.createTempDirectory("compact_ann_c").toString + "/none"
+    val emptyIndex = Files.createTempDirectory("compact_ann_i").toString + "/none"
+    StreamingOps.compactCorpus(spark, emptyCorpus, emptyIndex,
+      annIndexDir = Some(annDir))
+    val parts = new java.io.File(annDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(parts == Set("batch_id=-1"), s"ANN dir partitions: $parts")
+    assert(probe() == before, "compaction must not change probe results")
+
+    // idempotent
+    StreamingOps.compactCorpus(spark, emptyCorpus, emptyIndex,
+      annIndexDir = Some(annDir))
+    assert(probe() == before)
+  }
+
   test("mergeStreamIntoTable: resumes from a checkpoint across a restart without double-applying") {
     import spark.implicits._
     val src = Files.createTempDirectory("merge_restart_src").toString
