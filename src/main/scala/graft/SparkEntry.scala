@@ -34,6 +34,23 @@ object SparkEntry {
   private val annIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Build-and-memoize the IVF×PQ index artifact for a scale dir — ONE
+    * builder shared by every registration that probes it
+    * (q_ann_ivfpq_indexed, q_hard_negatives_ivfpq_indexed), so the
+    * artifact cannot depend on which query ran first and a build-param
+    * change cannot silently fork the index the others probe. */
+  private def ensureAnnIndex(s: SparkSession, dir: String): String =
+    annIndexDirs.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+      graft.etl.Warehouse.stageParquet(
+        graft.operators.Similarity.buildIvfPqIndex(
+          t(s, d, "embeddings"), "embedding", "vec_id",
+          graft.operators.FrozenAnn.coarse, graft.operators.FrozenAnn.pqIndex,
+          corpusSpill = 2),
+        s"$path/ivfpq")
+      path
+    })
+
   /** Same pattern for the persisted benchmark decontamination index
     * (q_contamination_fuzzy_indexed) — benchmark suites change rarely,
     * so their band/shingle build is a once-per-benchmark-version cost. */
@@ -425,16 +442,7 @@ object SparkEntry {
     //    cosine with the positives excluded, which the oracle restates
     //    from the same frozen codebooks. Production runs partial nProbe ──
     "q_hard_negatives_ivfpq_indexed" -> ((s, dir) => {
-      val idxDir = annIndexDirs.computeIfAbsent(dir, { d =>
-        val path = java.nio.file.Files.createTempDirectory("graft_annidx").toString
-        graft.etl.Warehouse.stageParquet(
-          graft.operators.Similarity.buildIvfPqIndex(
-            t(s, d, "embeddings"), "embedding", "vec_id",
-            graft.operators.FrozenAnn.coarse, graft.operators.FrozenAnn.pqIndex,
-            corpusSpill = 2),
-          s"$path/ivfpq")
-        path
-      })
+      val idxDir = ensureAnnIndex(s, dir)
       val q = t(s, dir, "embeddings").where(col("vec_id") < 20)
       val positives = q.select(col("vec_id").as("q_id"),
           (col("vec_id") + lit(1L)).as("pos_id"))
@@ -516,16 +524,7 @@ object SparkEntry {
     //    q_ann_ivfpq_top1 (SimilaritySpec pins the round-trip), so it
     //    shares the same frozen-artifact oracle ──────────────────────────
     "q_ann_ivfpq_indexed" -> ((s, dir) => {
-      val idxDir = annIndexDirs.computeIfAbsent(dir, { d =>
-        val path = java.nio.file.Files.createTempDirectory("graft_annidx").toString
-        graft.etl.Warehouse.stageParquet(
-          graft.operators.Similarity.buildIvfPqIndex(
-            t(s, d, "embeddings"), "embedding", "vec_id",
-            graft.operators.FrozenAnn.coarse, graft.operators.FrozenAnn.pqIndex,
-            corpusSpill = 2),
-          s"$path/ivfpq")
-        path
-      })
+      val idxDir = ensureAnnIndex(s, dir)
       graft.operators.Similarity.ivfPqTopKIndexed(
         s.read.parquet(s"$idxDir/ivfpq"),
         t(s, dir, "embeddings").where(col("vec_id") < 20), "embedding", "vec_id",
@@ -1623,7 +1622,18 @@ object SparkEntry {
     * oracles are byte-compatible with the pre-observation shape. */
   private def pipelineStatsRow(s: SparkSession,
       p: graft.pipeline.CorpusPipeline.Prepared,
-      docStats: DataFrame, chunkStats: DataFrame): DataFrame = {
+      extraDocStats: Seq[Column] = Nil): DataFrame = {
+    val docAggs = Seq(
+      sum(col("doc_id")).cast("long").as("id_checksum"),
+      sum(length(col("text"))).cast("long").as("text_len_sum")) ++
+      extraDocStats ++ Seq(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
+    val docStats = p.documents.agg(docAggs.head, docAggs.tail: _*)
+    val chunkStats = p.chunks.agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
     def litsOf(df: DataFrame): Seq[Column] = {
       val row = df.head()
       df.schema.fields.zipWithIndex.map { case (f, i) =>
@@ -1779,16 +1789,7 @@ object SparkEntry {
       decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
-    val docStats = p.documents.agg(
-      sum(col("doc_id")).cast("long").as("id_checksum"),
-      sum(length(col("text"))).cast("long").as("text_len_sum"),
-      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
-      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
-      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
-    val chunkStats = p.chunks.agg(
-      count(lit(1)).as("n_chunks"),
-      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-    pipelineStatsRow(s, p, docStats, chunkStats)
+    pipelineStatsRow(s, p)
   }
 
   /** q_corpus_pipeline_semantic: the pipeline with the SEMANTIC rung on.
@@ -1830,16 +1831,7 @@ object SparkEntry {
       chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, None, cfg)
-    val docStats = p.documents.agg(
-      sum(col("doc_id")).cast("long").as("id_checksum"),
-      sum(length(col("text"))).cast("long").as("text_len_sum"),
-      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
-      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
-      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
-    val chunkStats = p.chunks.agg(
-      count(lit(1)).as("n_chunks"),
-      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-    pipelineStatsRow(s, p, docStats, chunkStats)
+    pipelineStatsRow(s, p)
   }
 
   /** q_corpus_pipeline_fuzzy: the pipeline with the FUZZY decontamination
@@ -1877,16 +1869,7 @@ object SparkEntry {
       chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
-    val docStats = p.documents.agg(
-      sum(col("doc_id")).cast("long").as("id_checksum"),
-      sum(length(col("text"))).cast("long").as("text_len_sum"),
-      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
-      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
-      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
-    val chunkStats = p.chunks.agg(
-      count(lit(1)).as("n_chunks"),
-      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-    pipelineStatsRow(s, p, docStats, chunkStats)
+    pipelineStatsRow(s, p)
   }
 
   /** q_corpus_pipeline_dsir: the pipeline with the DSIR SELECTION rung
@@ -1919,17 +1902,8 @@ object SparkEntry {
       chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
-    val docStats = p.documents.agg(
-      sum(col("doc_id")).cast("long").as("id_checksum"),
-      sum(length(col("text"))).cast("long").as("text_len_sum"),
-      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).cast("long").as("n_target"),
-      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
-      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
-      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
-    val chunkStats = p.chunks.agg(
-      count(lit(1)).as("n_chunks"),
-      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-    pipelineStatsRow(s, p, docStats, chunkStats)
+    pipelineStatsRow(s, p, extraDocStats = Seq(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).cast("long").as("n_target")))
   }
 
   /** q_corpus_pipeline_url: the pipeline with the URL-dedup rung FIRST.
@@ -1954,16 +1928,7 @@ object SparkEntry {
       decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
-    val docStats = p.documents.agg(
-      sum(col("doc_id")).cast("long").as("id_checksum"),
-      sum(length(col("text"))).cast("long").as("text_len_sum"),
-      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
-      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
-      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
-    val chunkStats = p.chunks.agg(
-      count(lit(1)).as("n_chunks"),
-      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-    pipelineStatsRow(s, p, docStats, chunkStats)
+    pipelineStatsRow(s, p)
   }
 
   /** q_corpus_pipeline_c4: the pipeline with the C4 rules folded into
@@ -1986,16 +1951,7 @@ object SparkEntry {
       decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
-    val docStats = p.documents.agg(
-      sum(col("doc_id")).cast("long").as("id_checksum"),
-      sum(length(col("text"))).cast("long").as("text_len_sum"),
-      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
-      sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long").as("n_val"),
-      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
-    val chunkStats = p.chunks.agg(
-      count(lit(1)).as("n_chunks"),
-      sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-    pipelineStatsRow(s, p, docStats, chunkStats)
+    pipelineStatsRow(s, p)
   }
 
   /** DuckDB CTE producing (doc_id, shingles): distinct 3-gram shingles of

@@ -306,16 +306,25 @@ object Similarity {
     * Targets moderate centroid counts (≤ ~64): each centroid is a branch
     * of one literal array expression, so large codebooks blow up codegen.
     * [[assignListsBroadcast]] is the k ≳ 64 path. */
+  /** The (−cosine, list) struct score array over a literal centroid
+    * table — the ONE expression both literal-regime assignment forms
+    * share ([[assignLists]], [[nearestClusterCol]]), so the
+    * (cosine DESC, list ASC) tie-break the oracles restate cannot
+    * drift between them. */
+  private def scoredCentroidArray(vec: Column,
+      centroids: Array[(Int, Array[Float])]): Column =
+    array(centroids.map { case (list, c) =>
+      struct(
+        (-graft.functions.GraftFunctions.cosineSim(
+          vec, array(c.map(lit(_)): _*))).as("neg"),
+        lit(list).as("list"))
+    }: _*)
+
   private[operators] def assignLists(df: DataFrame, vecCol: String, idCol: String,
       centroids: Array[(Int, Array[Float])], idAs: String, vecAs: String,
       keep: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val scored = array(centroids.map { case (list, c) =>
-      struct(
-        (-graft.functions.GraftFunctions.cosineSim(
-          col(vecAs), array(c.map(lit(_)): _*))).as("neg"),
-        lit(list).as("list"))
-    }: _*)
+    val scored = scoredCentroidArray(col(vecAs), centroids)
     df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
       .withColumn("_near", slice(array_sort(scored), 1, keep))
       .select(col(idAs), col(vecAs),
@@ -376,13 +385,8 @@ object Similarity {
       s"nearestClusterCol: ${centroids.length} centroids exceed the " +
         s"literal-plan limit $LiteralCentroidLimit - use " +
         "assignListsBroadcast + join for large codebooks")
-    val scored = array(centroids.map { case (list, c) =>
-      struct(
-        (-graft.functions.GraftFunctions.cosineSim(
-          vec, array(c.map(lit(_)): _*))).as("neg"),
-        lit(list).as("list"))
-    }: _*)
-    slice(array_sort(scored), 1, 1).getItem(0).getField("list")
+    slice(array_sort(scoredCentroidArray(vec, centroids)), 1, 1)
+      .getItem(0).getField("list")
   }
 
   /** Lloyd refinement of driver-held centroids (spherical k-means shape —

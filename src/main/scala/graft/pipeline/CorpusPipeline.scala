@@ -214,6 +214,15 @@ object CorpusPipeline {
     //    what the rewrite empties (the line/span-dedup discipline).
     //    Same narrow scan stage as the gate — no extra pass, and the
     //    "quality" stage count reflects the conjunction.
+    //    Known limit (measured, round 10): c4LineClean evaluates once in
+    //    the page-gate filter (inside c4PagePass's sentence floor) and
+    //    once in the rewrite — a kept-alias projection does NOT help
+    //    because PushDownPredicates substitutes the alias back into the
+    //    pushed filter (verified on the executed plan), and codegen
+    //    subexpression elimination is per-operator. Drops pay 1×,
+    //    survivors 2×; the gate output is materialized so the cost is
+    //    bounded to the single gate scan. Upside of the pushdown: the
+    //    cheap curly/lorem contains-gates reach the parquet scan.
     val c4Source = if (!cfg.c4Rules) source else
       source.where(TextAnalysis.c4PagePass(text))
         .withColumn(cfg.textCol, TextAnalysis.c4LineClean(text))
@@ -228,14 +237,18 @@ object CorpusPipeline {
         (if (cfg.blocklist.nonEmpty)
           !TextAnalysis.containsBlockedWord(text, cfg.blocklist)
         else lit(true)))
-    // With the optional stages on, the gate scan is no longer cheap (a
-    // 14-regexp strip chain + the seven-rule conjunction per document)
-    // and it feeds every downstream dedup stage PLUS the per-stage count
-    // aggregates `Prepared.stages` exposes — materialize it once instead
-    // of re-running the scan per consumer (the plain-config gate stays a
-    // lazy narrow scan, exactly as before).
+    // With the optional stages on, the gate's upstream is no longer a
+    // cheap narrow scan (URL-dedup shuffles; strip is a 14-regexp chain;
+    // C4/Gopher add per-document rule conjunctions) and it feeds MULTIPLE
+    // downstream consumers (exactByContent reads it twice, the dedup
+    // rungs and both final actions read on) — materialize it once
+    // instead of re-running the expensive scan per consumer. Stage
+    // COUNTS are no longer a consumer (they ride as observations); the
+    // multi-consumer rationale is what remains. The plain-config gate
+    // stays a lazy narrow scan, exactly as before.
     val filtered = observed("quality",
-      if (cfg.stripHtml || cfg.c4Rules || cfg.gopherRules)
+      if (cfg.urlCol.isDefined || cfg.stripHtml || cfg.c4Rules ||
+          cfg.gopherRules)
         Dedup.materialize(gate)
       else gate)
 

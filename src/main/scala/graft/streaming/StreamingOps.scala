@@ -277,9 +277,21 @@ object StreamingOps {
       .start()
   }
 
-  /** Replay a parquet directory as a file stream (test/dev harness:
-    * batch parquet in, stream semantics out; `maxFilesPerTrigger` paces
-    * the replay). */
+  /** Optional embedding-side index maintenance for
+    * [[dedupStreamIntoCorpus]]: when set, each batch's SURVIVORS (post
+    * gate/dedup/decon — a doc that never lands in the corpus must never
+    * land in the ANN index either) are PQ-encoded with the frozen
+    * (coarse, pq) artifacts and appended to `indexDir` under the same
+    * `batch_id=` replay-safe discipline as the dedup index
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]]), so the
+    * streaming corpus stays ANN-probeable without ever re-encoding. */
+  final case class AnnIndexConfig(
+      indexDir: String,
+      embedCol: String,
+      coarse: Array[(Int, Array[Float])],
+      pq: graft.operators.Similarity.PqIndex,
+      corpusSpill: Int = 2)
+
   /** Continuous corpus ingestion with near-duplicate suppression — the
     * streaming form of the daily-increment dedup shape: each micro-batch
     * is deduped against the PERSISTED index of everything already
@@ -330,21 +342,6 @@ object StreamingOps {
     * every previous batch's (enforced per batch by the incremental
     * operator's id check; ingest-assigned ids satisfy it by
     * construction). */
-  /** Optional embedding-side index maintenance for
-    * [[dedupStreamIntoCorpus]]: when set, each batch's SURVIVORS (post
-    * gate/dedup/decon — a doc that never lands in the corpus must never
-    * land in the ANN index either) are PQ-encoded with the frozen
-    * (coarse, pq) artifacts and appended to `indexDir` under the same
-    * `batch_id=` replay-safe discipline as the dedup index
-    * ([[graft.operators.Similarity.appendToIvfPqIndex]]), so the
-    * streaming corpus stays ANN-probeable without ever re-encoding. */
-  final case class AnnIndexConfig(
-      indexDir: String,
-      embedCol: String,
-      coarse: Array[(Int, Array[Float])],
-      pq: graft.operators.Similarity.PqIndex,
-      corpusSpill: Int = 2)
-
   def dedupStreamIntoCorpus(streamed: DataFrame, corpusDir: String,
       indexDir: String, textCol: String, idCol: String,
       threshold: Double = 0.8, n: Int = 3, k: Int = 128,
@@ -504,6 +501,9 @@ object StreamingOps {
     fs.rename(staging, new Path(root, s"batch_id=$CompactedBatchId"))
   }
 
+  /** Replay a parquet directory as a file stream (test/dev harness:
+    * batch parquet in, stream semantics out; `maxFilesPerTrigger` paces
+    * the replay). */
   def replayParquet(spark: SparkSession, dir: String, schema: StructType,
       maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
