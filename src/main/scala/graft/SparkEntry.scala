@@ -1787,7 +1787,8 @@ object SparkEntry {
       minAlphaRatio = 0.4, lineDedupMinDocs = Some(2),
       dedupThreshold = 0.5, shingleN = 3, tunedNearDedup = tuned,
       decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
-      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
     pipelineStatsRow(s, p)
   }
@@ -1829,7 +1830,8 @@ object SparkEntry {
       semanticDedup = Some(graft.pipeline.CorpusPipeline.SemanticDedupConfig(
         "embedding", graft.operators.FrozenAnn.coarse, threshold = 0.9)),
       chunkTokens = 64, overlapTokens = 16,
-      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, None, cfg)
     pipelineStatsRow(s, p)
   }
@@ -1867,7 +1869,8 @@ object SparkEntry {
       minAlphaRatio = 0.4, dedupThreshold = 0.8, shingleN = 3,
       decontaminateN = 8, fuzzyDecontaminate = Some(0.4),
       chunkTokens = 64, overlapTokens = 16,
-      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
     pipelineStatsRow(s, p)
   }
@@ -1900,7 +1903,8 @@ object SparkEntry {
       dsirSelect = Some(graft.pipeline.CorpusPipeline.DsirSelectConfig(
         graft.operators.FrozenDsir.model, k = 150)),
       chunkTokens = 64, overlapTokens = 16,
-      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
     pipelineStatsRow(s, p, extraDocStats = Seq(
       sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).cast("long").as("n_target")))
@@ -1926,7 +1930,8 @@ object SparkEntry {
       langs = Set("en"), minTokens = 10, maxTokens = 100000,
       minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
       decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
-      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
     pipelineStatsRow(s, p)
   }
@@ -1949,7 +1954,8 @@ object SparkEntry {
       langs = Set("en"), minTokens = 10, maxTokens = 100000,
       minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
       decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
-      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
     pipelineStatsRow(s, p)
   }
@@ -1973,6 +1979,46 @@ object SparkEntry {
       "SELECT (SELECT count(*) FROM documents WHERE doc_id >= 300) AS n_incoming, " +
       "count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept"
 
+  // ── Shared DuckDB fragments of the composed corpus-pipeline oracles —
+  // ONE copy of each chain-invariant block (the language-vote CTE, the
+  // PII redaction fold, the 8-gram shingle CTE, and the redact → chunk →
+  // split tail), so a fix to the shared chain cannot silently miss one
+  // of the seven restatements. Byte-identity with the pre-refactor
+  // oracle strings was pinned by regenerating oracle_sql.json and
+  // diffing (round 10). ─────────────────────────────────────────────────
+
+  /** The 4-language stopword-vote + Han-ratio language CTE over `tok`. */
+  private lazy val pipelineLangCteSql: String =
+    "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
+      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
+      "(SELECT doc_id, text, greatest(" +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
+      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), "
+
+  /** The PII redaction chain over a `text` column, generated FROM
+    * piiClasses (patterns cannot drift). */
+  private lazy val piiRedactSql: String =
+    graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
+      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
+    }
+
+  /** (doc_id, sh) distinct 8-gram shingles of token array `t` in src. */
+  private def gram8CteSql(src: String): String =
+    s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
+      s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+
+  /** The redact → re-tokenize → chunk(64/16) → split(0.9/0.05/0.05)
+    * tail over the final content stage `src`. */
+  private def pipelineTailSql(src: String): String =
+    s"red AS (SELECT doc_id, $piiRedactSql AS rt FROM $src), " +
+      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
+      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
+      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM " + src + ") "
+
   /** Ground truth for q_corpus_pipeline: every stage's already-proven
     * DuckDB restatement (the q_html_strip chain + newline-preserving
     * collapse, lang-ID voting, the seven generated Gopher rules,
@@ -1984,12 +2030,7 @@ object SparkEntry {
     * augmentation). */
   private lazy val corpusPipelineOracle: String = {
     // redaction chain generated FROM piiClasses — patterns cannot drift
-    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
-      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
-    }
-    def gram8(src: String): String =
-      s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
-        s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+    def gram8(src: String): String = gram8CteSql(src)
     val renorm = "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
     // quality gate = the config gate AND the seven generated Gopher rules
     val gopher = gopherRuleSqls("tok.text", "tok.t", "tok.norm")
@@ -2013,13 +2054,7 @@ object SparkEntry {
       "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
       "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t " +
       "FROM aug1 WHERE doc_id % 50 = 0), " +
-      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
-      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
-      "(SELECT doc_id, text, greatest(" +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      pipelineLangCteSql +
       "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
       "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
       "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
@@ -2051,12 +2086,7 @@ object SparkEntry {
       s"sh8b AS (${gram8("btok")}), " +
       "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
       "q4 AS (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
-      s"red AS (SELECT doc_id, $redact AS rt FROM q4), " +
-      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
-      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
-      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
-      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
-      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q4) " +
+      pipelineTailSql("q4") +
       "SELECT (SELECT count(*) FROM documents) AS n_input, " +
       "(SELECT count(*) FROM q1) AS n_quality, " +
       "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
@@ -2081,9 +2111,6 @@ object SparkEntry {
     * documents ⨝ embeddings corpus plus the reversed-token/jittered-
     * embedding paraphrase twins. */
   private lazy val corpusPipelineSemanticOracle: String = {
-    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
-      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
-    }
     "WITH RECURSIVE " +
       AnnOracles.coarseCtes + ", " +
       "dv AS (SELECT d.doc_id, d.text, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v " +
@@ -2100,13 +2127,7 @@ object SparkEntry {
       "aug AS MATERIALIZED (SELECT doc_id, text, v FROM dv UNION ALL SELECT doc_id, text, v FROM tw), " +
       "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
       "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
-      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
-      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
-      "(SELECT doc_id, text, greatest(" +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      pipelineLangCteSql +
       "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
       "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
       "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
@@ -2140,12 +2161,7 @@ object SparkEntry {
       "sranked AS (SELECT slab.id, ROW_NUMBER() OVER (PARTITION BY slab.label " +
       "ORDER BY sasg.cc ASC, slab.id ASC) AS rk FROM slab JOIN sasg ON sasg.id = slab.id), " +
       "q3s AS (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT id FROM sranked WHERE rk > 1)), " +
-      s"red AS (SELECT doc_id, $redact AS rt FROM q3s), " +
-      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
-      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
-      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
-      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
-      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q3s) " +
+      pipelineTailSql("q3s") +
       "SELECT (SELECT count(*) FROM aug) AS n_input, " +
       "(SELECT count(*) FROM q1) AS n_quality, " +
       "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
@@ -2168,12 +2184,7 @@ object SparkEntry {
     * documents fixture plus the marker-inserted reworded twins (exactly
     * the Spark side's construction, restated in SQL). */
   private lazy val corpusPipelineFuzzyOracle: String = {
-    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
-      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
-    }
-    def gram8(src: String): String =
-      s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
-        s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+    def gram8(src: String): String = gram8CteSql(src)
     "WITH RECURSIVE " +
       "d0 AS (SELECT doc_id, text, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents), " +
       // reworded twins: a per-doc marker token after every 7th normalized
@@ -2190,13 +2201,7 @@ object SparkEntry {
       "btok AS (SELECT doc_id, t FROM d0 WHERE doc_id % 50 = 0), " +
       "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
       "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
-      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
-      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
-      "(SELECT doc_id, text, greatest(" +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      pipelineLangCteSql +
       "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
       "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
       "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
@@ -2224,12 +2229,7 @@ object SparkEntry {
       "c.doc_id IN (SELECT doc_id FROM q4) AND " +
       "len(list_intersect(c.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(c.sh,b.sh))),1) >= 0.4), " +
       "q5 AS (SELECT * FROM q4 WHERE doc_id NOT IN (SELECT doc_id FROM fcont)), " +
-      s"red AS (SELECT doc_id, $redact AS rt FROM q5), " +
-      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
-      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
-      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
-      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
-      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q5) " +
+      pipelineTailSql("q5") +
       "SELECT (SELECT count(*) FROM aug) AS n_input, " +
       "(SELECT count(*) FROM q1) AS n_quality, " +
       "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
@@ -2254,12 +2254,7 @@ object SparkEntry {
     * The weight table and filler are the SAME literals the Spark side
     * serves (DsirOracle discipline). */
   private lazy val corpusPipelineDsirOracle: String = {
-    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
-      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
-    }
-    def gram8(src: String): String =
-      s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
-        s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+    def gram8(src: String): String = gram8CteSql(src)
     val m = graft.operators.FrozenDsir.model
     val w = m.weightsScaled.mkString("[", ",", "]") + "::BIGINT[]"
     val filler = QmOracle.fillerSuffix
@@ -2270,13 +2265,7 @@ object SparkEntry {
       "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
       "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
       "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
-      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
-      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
-      "(SELECT doc_id, text, greatest(" +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      pipelineLangCteSql +
       "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
       "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
       "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
@@ -2310,12 +2299,7 @@ object SparkEntry {
       "FROM q4 LEFT JOIN sw ON q4.doc_id = sw.doc_id), " +
       "sel AS (SELECT doc_id FROM keyed ORDER BY z DESC, doc_id LIMIT 150), " +
       "q5 AS (SELECT * FROM q4 WHERE doc_id IN (SELECT doc_id FROM sel)), " +
-      s"red AS (SELECT doc_id, $redact AS rt FROM q5), " +
-      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
-      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
-      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
-      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
-      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q5) " +
+      pipelineTailSql("q5") +
       "SELECT (SELECT count(*) FROM aug) AS n_input, " +
       "(SELECT count(*) FROM q1) AS n_quality, " +
       "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
@@ -2340,12 +2324,7 @@ object SparkEntry {
     * decontamination → redact → chunk → split), the dsir oracle's
     * upstream skeleton without the filler augmentation. */
   private lazy val corpusPipelineUrlOracle: String = {
-    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
-      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
-    }
-    def gram8(src: String): String =
-      s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
-        s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+    def gram8(src: String): String = gram8CteSql(src)
     "WITH RECURSIVE " +
       s"aug AS (SELECT doc_id, text, CASE WHEN doc_id % 7 = 3 THEN NULL ELSE $urlVariantSql END AS url FROM documents), " +
       urlCanonCtes("aug") + ", " +
@@ -2354,13 +2333,7 @@ object SparkEntry {
       "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
       "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM u1), " +
       "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
-      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
-      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
-      "(SELECT doc_id, text, greatest(" +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      pipelineLangCteSql +
       "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
       "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
       "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
@@ -2379,12 +2352,7 @@ object SparkEntry {
       s"sh8b AS (${gram8("btok")}), " +
       "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
       "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
-      s"red AS (SELECT doc_id, $redact AS rt FROM q4), " +
-      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
-      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
-      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
-      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
-      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q4) " +
+      pipelineTailSql("q4") +
       "SELECT (SELECT count(*) FROM aug) AS n_input, " +
       "(SELECT count(*) FROM u1) AS n_url_dedup, " +
       "(SELECT count(*) FROM q1) AS n_quality, " +
@@ -2406,12 +2374,7 @@ object SparkEntry {
     * [[c4AugSql]] fixture — followed by the plain-config chain, the url
     * oracle's skeleton with the C4 front end instead of the URL rung. */
   private lazy val corpusPipelineC4Oracle: String = {
-    val redact = graft.functions.TextAnalysis.piiClasses.foldLeft("text") {
-      case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
-    }
-    def gram8(src: String): String =
-      s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
-        s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+    def gram8(src: String): String = gram8CteSql(src)
     "WITH RECURSIVE " +
       s"aug0 AS (SELECT doc_id, $c4AugSql AS t FROM documents), " +
       "cln AS MATERIALIZED (SELECT doc_id, t, array_to_string(list_filter(" +
@@ -2422,13 +2385,7 @@ object SparkEntry {
       "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
       "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM u1), " +
       "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
-      "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
-      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
-      "(SELECT doc_id, text, greatest(" +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), " +
+      pipelineLangCteSql +
       "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
       "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
       "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
@@ -2447,12 +2404,7 @@ object SparkEntry {
       s"sh8b AS (${gram8("btok")}), " +
       "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
       "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
-      s"red AS (SELECT doc_id, $redact AS rt FROM q4), " +
-      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
-      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
-      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
-      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
-      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q4) " +
+      pipelineTailSql("q4") +
       "SELECT (SELECT count(*) FROM aug0) AS n_input, " +
       "(SELECT count(*) FROM q1) AS n_quality, " +
       "(SELECT count(*) FROM q2) AS n_exact_dedup, " +

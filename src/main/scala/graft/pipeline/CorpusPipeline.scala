@@ -101,7 +101,8 @@ object CorpusPipeline {
       dsirSelect: Option[DsirSelectConfig] = None,
       chunkTokens: Int = 512,
       overlapTokens: Int = 64,
-      splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+      splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      materializeDocuments: Boolean = false)
 
   /** The kept documents (post-filter/dedup/decontaminate, text redacted,
     * `split` assigned) and their chunks (split inherited from the
@@ -369,10 +370,20 @@ object CorpusPipeline {
           cfg.idCol, dc.model, dc.k, dc.salt)))
     }
 
-    // 5. PII redaction + 6. per-DOCUMENT split assignment
-    val documents = Sampling.hashSplit(
+    // 5. PII redaction + 6. per-DOCUMENT split assignment.
+    //    `materializeDocuments` checkpoints the finished documents frame
+    //    ONCE so that every consumer — the caller's own actions AND the
+    //    chunk derivation below — reads the materialized survivors
+    //    instead of re-executing the full chain per action (a production
+    //    run stages the final documents to storage before chunking for
+    //    exactly this reason; at test scale it is a survivor-sized local
+    //    checkpoint). Default off: the lazy-API contract stands.
+    val documentsPlan = Sampling.hashSplit(
       selected.withColumn(cfg.textCol, TextAnalysis.redactPii(text)),
       cfg.idCol, cfg.splits)
+    val documents =
+      if (cfg.materializeDocuments) Dedup.materialize(documentsPlan)
+      else documentsPlan
 
     // 7. chunks get the SAME split: it is a pure function of the id
     //    (md5 bucket), so re-deriving it on the chunker's output is a

@@ -368,6 +368,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(!off.stages.map(_._1).contains("url_dedup"))
   }
 
+  test("materializeDocuments: identical documents and chunks, observations still fire") {
+    val corpus = docs.select($"doc_id", $"text")
+    val benchmark = docs.where($"doc_id" % 50 === 0).select($"doc_id", $"text")
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      chunkTokens = 64, overlapTokens = 16, splits = Seq("train" -> 1.0))
+    val lazyOut = CorpusPipeline.prepare(corpus, Some(benchmark), cfg)
+    val matOut = CorpusPipeline.prepare(corpus, Some(benchmark),
+      cfg.copy(materializeDocuments = true))
+    def docSet(p: CorpusPipeline.Prepared) =
+      p.documents.select($"doc_id", $"split", length($"text").as("l"))
+        .as[(Long, String, Int)].collect().toSet
+    def chunkSet(p: CorpusPipeline.Prepared) =
+      p.chunks.select($"doc_id", $"chunk_idx",
+        $"n_chunk_tokens".cast("long"), $"split")
+        .as[(Long, Long, Long, String)].collect().toSet
+    assert(docSet(matOut) == docSet(lazyOut))
+    assert(chunkSet(matOut) == chunkSet(lazyOut))
+    // the eager checkpoint executed the chain, so every observation is
+    // already collected — stage counts agree between the two modes
+    assert(matOut.observedCounts == {
+      lazyOut.documents.count(); lazyOut.observedCounts
+    })
+  }
+
   test("optional C4 rules: line clean + page gates fold into the quality scan, off = unchanged") {
     val prose = "It was a fine day. The tests all passed! Did they really? " +
       "“Yes indeed.” And so it goes on for a while with this fine weather."
