@@ -131,7 +131,10 @@ object CorpusPipeline {
       * single materializing pass; calling before any such action BLOCKS
       * until one runs (the upstream rungs' own eager materializations
       * inside [[prepare]] already fire most observations, but the
-      * tail stages' only fire with the caller's action). */
+      * tail stages' only fire with the caller's action). With
+      * `Config.materializeDocuments` on, the documents checkpoint
+      * executes the whole chain inside [[prepare]], so every count is
+      * available the moment prepare returns. */
     def observedCounts: Seq[(String, Long)] =
       observations.map { case (name, o) =>
         name -> o.get("n_kept").asInstanceOf[Long]
