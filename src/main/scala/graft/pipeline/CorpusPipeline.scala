@@ -137,7 +137,13 @@ object CorpusPipeline {
       * available the moment prepare returns. */
     def observedCounts: Seq[(String, Long)] =
       observations.map { case (name, o) =>
-        name -> o.get("n_kept").asInstanceOf[Long]
+        // A completed observation can carry an EMPTY metrics map: AQE
+        // may replace the node's whole runtime stage with an empty
+        // relation, so the CollectMetrics node sits in the plan but no
+        // task ever executes it — which can only happen when zero rows
+        // flowed through the stage (observed on a fully-gated empty
+        // corpus; EdgeCasesSpec pins it). Count = 0 is exact there.
+        name -> o.get.get("n_kept").map(_.asInstanceOf[Long]).getOrElse(0L)
       }
 
     /** The per-stage accounting artifact a production corpus run logs:

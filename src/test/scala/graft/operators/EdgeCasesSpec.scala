@@ -108,6 +108,34 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Checks.duplicateKeys(sales, Seq("product_id")).count() == 0)
   }
 
+  test("CorpusPipeline.prepare on an EMPTY corpus: zero-row outputs, zero observed counts, no crash") {
+    // the streaming edge: a micro-batch can gate to nothing; the full
+    // composed pipeline (url rung, strip, C4, gopher, line dedup, fuzzy
+    // decon, materialized documents) must flow an empty frame through
+    // every rung — CC loops, window caps, checkpoints — without throwing
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("url", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val bench = Seq((10L, "shared words here for the benchmark tonight"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.CorpusPipeline.prepare(empty, Some(bench),
+      graft.pipeline.CorpusPipeline.Config(
+        urlCol = Some("url"), stripHtml = true, c4Rules = true,
+        gopherRules = true, lineDedupMinDocs = Some(2),
+        fuzzyDecontaminate = Some(0.5),
+        materializeDocuments = true, splits = Seq("train" -> 1.0)))
+    assert(out.documents.count() == 0)
+    assert(out.chunks.count() == 0)
+    // materializeDocuments executed the chain, so every observation is
+    // collected — and every stage saw zero rows
+    assert(out.observedCounts.forall(_._2 == 0L),
+      s"empty corpus must observe zero everywhere: ${out.observedCounts}")
+    assert(out.stageReport.forall { case (_, kept, dropped) =>
+      kept == 0L && dropped == 0L })
+  }
+
   test("round-6 operators on null / empty / degenerate inputs") {
     import graft.functions.TextAnalysis
     // null text: every text function yields null (never throws), so a
