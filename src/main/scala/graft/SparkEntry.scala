@@ -2377,11 +2377,15 @@ object SparkEntry {
     def gram8(src: String): String = gram8CteSql(src)
     "WITH RECURSIVE " +
       s"aug0 AS (SELECT doc_id, $c4AugSql AS t FROM documents), " +
-      "cln AS MATERIALIZED (SELECT doc_id, t, array_to_string(list_filter(" +
-      s"string_split(t, chr(10)), l -> $c4KeepSql), chr(10)) AS text FROM aug0), " +
+      // u0 = the raw-page gates alone (the engine's c4_page_gate stage);
+      // the line clean is computed only for its survivors, then the
+      // sentence floor — exactly the restructured single-evaluation chain
+      "u0 AS MATERIALIZED (SELECT doc_id, t FROM aug0 WHERE " +
+      "NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')), " +
+      "cln AS MATERIALIZED (SELECT doc_id, array_to_string(list_filter(" +
+      s"string_split(t, chr(10)), l -> $c4KeepSql), chr(10)) AS text FROM u0), " +
       "u1 AS MATERIALIZED (SELECT doc_id, text FROM cln WHERE " +
-      "NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum') " +
-      "AND len(regexp_extract_all(text, '[.!?]+')) >= 5), " +
+      "len(regexp_extract_all(text, '[.!?]+')) >= 5), " +
       "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
       "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM u1), " +
       "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
@@ -2406,6 +2410,7 @@ object SparkEntry {
       "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
       pipelineTailSql("q4") +
       "SELECT (SELECT count(*) FROM aug0) AS n_input, " +
+      "(SELECT count(*) FROM u0) AS n_c4_page_gate, " +
       "(SELECT count(*) FROM q1) AS n_quality, " +
       "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
       "(SELECT count(*) FROM q3) AS n_near_dedup, " +

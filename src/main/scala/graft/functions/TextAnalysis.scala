@@ -375,9 +375,20 @@ object TextAnalysis {
     struct(
       (!c.contains("{")).as("no_curly_ok"),
       (!lower(c).contains("lorem ipsum")).as("no_lorem_ok"),
-      (coalesce(regexp_count(cleaned, lit("[.!?]+")), lit(0)) >= 5)
-        .as("min_sentences_ok"))
+      c4MinSentencesOk(cleaned).as("min_sentences_ok"))
   }
+
+  /** The two C4 page rules that read the RAW page (no curly bracket, no
+    * "lorem ipsum") — the cheap contains-gates a pipeline runs BEFORE the
+    * line clean so they push into the scan. */
+  def c4RawPagePass(c: Column): Column =
+    !c.contains("{") && !lower(c).contains("lorem ipsum")
+
+  /** The C4 page sentence floor over ALREADY-cleaned text — split out so
+    * a pipeline that computes the cleaned column once can gate on the
+    * attribute instead of re-deriving the clean inside the flag. */
+  def c4MinSentencesOk(cleaned: Column): Column =
+    coalesce(regexp_count(cleaned, lit("[.!?]+")), lit(0)) >= 5
 
   /** Conjunction of all [[c4PageFlags]] — the page survives the C4 page
     * gate (bad-word list aside, see [[c4PageFlags]]). */

@@ -109,8 +109,8 @@ object CorpusPipeline {
     * document; (idCol, chunk_idx, chunk_text, n_chunk_tokens, split)).
     *
     * `stages` exposes each intermediate frame by name (input,
-    * [url_dedup], quality, exact_dedup, [line_dedup], [span_dedup],
-    * near_dedup, [semantic_dedup], decontaminated,
+    * [url_dedup], [c4_page_gate], quality, exact_dedup, [line_dedup],
+    * [span_dedup], near_dedup, [semantic_dedup], decontaminated,
     * [decontaminated_fuzzy], [dsir_selected]; the bracketed stages appear
     * iff enabled) for ad-hoc inspection — but do NOT count them to build
     * a stage report: each count re-executes that stage's upstream chain.
@@ -128,23 +128,75 @@ object CorpusPipeline {
     /** Per-stage kept counts, in pipeline order, collected by the
       * observation accumulators. Contract: call AFTER at least one
       * action over `documents` (or `chunks`) — the counts ride that
-      * single materializing pass; calling before any such action BLOCKS
-      * until one runs (the upstream rungs' own eager materializations
-      * inside [[prepare]] already fire most observations, but the
-      * tail stages' only fire with the caller's action). With
+      * single materializing pass (the upstream rungs' own eager
+      * materializations inside [[prepare]] already fire most
+      * observations, but the tail stages' only fire with the caller's
+      * action); calling before any such action throws a descriptive
+      * IllegalStateException instead of blocking. With
       * `Config.materializeDocuments` on, the documents checkpoint
       * executes the whole chain inside [[prepare]], so every count is
-      * available the moment prepare returns. */
-    def observedCounts: Seq[(String, Long)] =
-      observations.map { case (name, o) =>
-        // A completed observation can carry an EMPTY metrics map: AQE
-        // may replace the node's whole runtime stage with an empty
-        // relation, so the CollectMetrics node sits in the plan but no
-        // task ever executes it — which can only happen when zero rows
-        // flowed through the stage (observed on a fully-gated empty
-        // corpus; EdgeCasesSpec pins it). Count = 0 is exact there.
-        name -> o.get.get("n_kept").map(_.asInstanceOf[Long]).getOrElse(0L)
+      * available the moment prepare returns.
+      *
+      * A count can legitimately be ABSENT from a fired observation: AQE
+      * may replace the stage's whole runtime subtree with an empty
+      * relation, so the CollectMetrics node never executes — which only
+      * happens when zero rows flowed (observed on a fully-gated empty
+      * corpus; EdgeCasesSpec pins it). An absent count is therefore
+      * coerced to 0 ONLY when the chain proves it exact (the previous
+      * stage kept 0 rows — the pipeline is a monotone filter chain — or,
+      * for the input row, no stage anywhere reports a survivor);
+      * otherwise the count is recomputed from the matching `stages`
+      * frame (bounded, loud-in-cost — never a silent wrong 0), and an
+      * UNFIRED observation below a live stage fails fast. */
+    def observedCounts: Seq[(String, Long)] = {
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      // The promise completes on the async listener bus, typically
+      // milliseconds after the materializing action returns — await with
+      // a BOUND (vs `o.get`'s unbounded block), so a missing action
+      // fails with a descriptive error instead of hanging the driver.
+      // In the normal call-after-action case every future is already
+      // complete and the await returns immediately; the bound is only
+      // ever paid once, on the first genuinely-unfired stage.
+      val rowCache =
+        scala.collection.mutable.Map.empty[Int, Option[org.apache.spark.sql.Row]]
+      def rowOf(i: Int): Option[org.apache.spark.sql.Row] =
+        rowCache.getOrElseUpdate(i, scala.util
+          .Try(Await.result(observations(i)._2.future, 10.seconds)).toOption)
+      // `None` = the promise never completed: no action has executed a
+      // plan containing this stage's accumulator yet.
+      // `Some(row)` without the field = the query ran but the node was
+      // elided (AQE empty-relation, or a reused exchange dropping a
+      // duplicate) — fired, but silent.
+      def valueOf(row: org.apache.spark.sql.Row): Option[Long] =
+        if (row.schema == null) None
+        else row.schema.fieldNames.indexOf("n_kept") match {
+          case -1 => None
+          case i  => Some(row.getLong(i))
+        }
+      lazy val anySurvivor = observations.indices
+        .exists(i => rowOf(i).exists(r => valueOf(r).exists(_ > 0L)))
+      var prev: Option[Long] = None
+      observations.zipWithIndex.map { case ((name, _), i) =>
+        val c = rowOf(i) match {
+          case Some(row) => valueOf(row).getOrElse {
+            if (prev.contains(0L) || (prev.isEmpty && !anySurvivor)) 0L
+            else stages.collectFirst { case (`name`, df) => df.count() }
+              .getOrElse(throw new IllegalStateException(
+                s"stage '$name': observed count was dropped from the plan and " +
+                  "no stage frame exists to recompute it"))
+          }
+          case None =>
+            if (prev.contains(0L)) 0L // monotone chain: upstream kept 0
+            else throw new IllegalStateException(
+              s"stage '$name' has not been executed yet - run an action over " +
+                "documents or chunks first (or set Config.materializeDocuments " +
+                "to collect every stage count inside prepare)")
+        }
+        prev = Some(c)
+        name -> c
       }
+    }
 
     /** The per-stage accounting artifact a production corpus run logs:
       * (stage, kept, dropped-by-this-stage), in pipeline order, derived
@@ -215,27 +267,31 @@ object CorpusPipeline {
 
     // 0b. optional C4 cleaning (Raffel et al. 2020 §2.2, the same public
     //    rules the standalone c4LineClean/c4PagePass columns implement):
-    //    the page gates read the PRE-clean text (no '{', no lorem ipsum;
-    //    the sentence floor counts on the cleaned text, as c4PageFlags
-    //    does) and the line clean REWRITES the text — so it runs after
-    //    the strip (rules read text lines, not markup) and before the
-    //    quality gate, whose token/alpha/lang signals must see the text
-    //    that will actually train and whose minTokens floor re-gates
-    //    what the rewrite empties (the line/span-dedup discipline).
-    //    Same narrow scan stage as the gate — no extra pass, and the
-    //    "quality" stage count reflects the conjunction.
-    //    Known limit (measured, round 10): c4LineClean evaluates once in
-    //    the page-gate filter (inside c4PagePass's sentence floor) and
-    //    once in the rewrite — a kept-alias projection does NOT help
-    //    because PushDownPredicates substitutes the alias back into the
-    //    pushed filter (verified on the executed plan), and codegen
-    //    subexpression elimination is per-operator. Drops pay 1×,
-    //    survivors 2×; the gate output is materialized so the cost is
-    //    bounded to the single gate scan. Upside of the pushdown: the
-    //    cheap curly/lorem contains-gates reach the parquet scan.
-    val c4Source = if (!cfg.c4Rules) source else
-      source.where(TextAnalysis.c4PagePass(text))
-        .withColumn(cfg.textCol, TextAnalysis.c4LineClean(text))
+    //    runs after the strip (rules read text lines, not markup) and
+    //    before the quality gate, whose token/alpha/lang signals must see
+    //    the text that will actually train and whose minTokens floor
+    //    re-gates what the rewrite empties (the line/span-dedup
+    //    discipline). Three sub-steps, ONE c4LineClean evaluation per
+    //    surviving row (round 10 measured the naive gate-then-rewrite
+    //    shape at 2× on survivors):
+    //     1. the raw-page rules (no '{', no lorem ipsum) filter FIRST —
+    //        cheap contains-gates that push into the parquet scan;
+    //     2. the line clean rewrites the text in one projection, and the
+    //        `c4_page_gate` stage count's CollectMetrics node doubles as
+    //        the pushdown barrier: PushDownPredicates would otherwise
+    //        substitute the cleaned-text alias back into the sentence
+    //        floor below the projection (measured, round 10) and pay the
+    //        14-op clean twice — a filter cannot cross an observation
+    //        (that is the SEMANTICS of a stage count), so
+    //     3. the sentence floor above it reads the cleaned ATTRIBUTE.
+    //    The extra reported stage is honest accounting: a production C4
+    //    run reports page-rule drops separately from the quality gate.
+    val c4Gated = if (!cfg.c4Rules) source else
+      observed("c4_page_gate",
+        source.where(TextAnalysis.c4RawPagePass(text))
+          .withColumn(cfg.textCol, TextAnalysis.c4LineClean(text)))
+    val c4Source = if (!cfg.c4Rules) c4Gated
+      else c4Gated.where(TextAnalysis.c4MinSentencesOk(text))
 
     // 1. quality + language gate: one narrow codegen'd scan stage
     //    (+ optional Gopher rule conjunction — same scan, no extra stage)
@@ -405,7 +461,8 @@ object CorpusPipeline {
 
     Prepared(documents, chunks, Seq(
       "input" -> corpusO) ++
-      cfg.urlCol.map(_ => "url_dedup" -> urlDeduped) ++ Seq(
+      cfg.urlCol.map(_ => "url_dedup" -> urlDeduped) ++
+      (if (cfg.c4Rules) Seq("c4_page_gate" -> c4Gated) else Nil) ++ Seq(
       "quality" -> filtered, "exact_dedup" -> exactDeduped) ++
       cfg.lineDedupMinDocs.map(_ => "line_dedup" -> lineDeduped) ++
       cfg.spanDedupN.map(_ => "span_dedup" -> spanDeduped) ++ Seq(
