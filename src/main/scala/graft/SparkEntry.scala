@@ -799,6 +799,12 @@ object SparkEntry {
     "q_corpus_pipeline_dsir" -> ((s, dir) => corpusPipelineDsirQuery(s, dir)),
     "q_corpus_pipeline_url" -> ((s, dir) => corpusPipelineUrlQuery(s, dir)),
     "q_corpus_pipeline_c4" -> ((s, dir) => corpusPipelineC4Query(s, dir)),
+    // ── The pipeline with the MODEL quality gate folded into the
+    //    quality scan: the frozen hashed-linear scorer's logit joins the
+    //    rule conjunction (one more codegen'd term, no extra stage) and
+    //    only the filler-augmented target class clears minLogit=0. See
+    //    corpusPipelineModelQuery ───────────────────────────────────────
+    "q_corpus_pipeline_model" -> ((s, dir) => corpusPipelineModelQuery(s, dir)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -1960,6 +1966,40 @@ object SparkEntry {
     pipelineStatsRow(s, p)
   }
 
+  /** q_corpus_pipeline_model: the pipeline with the MODEL quality gate
+    * on. Corpus = documents with the q_quality_model_score filler
+    * fixture (even ids get QmOracle.fillerSuffix — the frozen model's
+    * positive class; odd ids score negative), benchmark = the raw %50
+    * slice. The FrozenQualityModel logit folds into the quality-gate
+    * scan at minLogit=0, so the "quality" stage count collapses to
+    * (roughly) the even-id class — n_target pins it, and the logit's
+    * scaled-long fold is bit-identical cross-engine by construction
+    * (the QmOracle discipline). Plain config otherwise. */
+  private def corpusPipelineModelQuery(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(QmOracle.fillerSuffix)))
+        .otherwise(col("text")).as("text"))
+    // benchmark = the RAW %50 slice (no filler) — an augmented benchmark
+    // would share the filler's 8-grams with every target-class doc and
+    // decontaminate the whole surviving class away (the dsir fixture's
+    // rationale)
+    val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4,
+      modelGate = Some(graft.pipeline.CorpusPipeline.ModelGateConfig(
+        graft.operators.FrozenQualityModel.model, minLogit = 0.0)),
+      dedupThreshold = 0.5, shingleN = 3,
+      decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    pipelineStatsRow(s, p, extraDocStats = Seq(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).cast("long").as("n_target")))
+  }
+
   /** DuckDB CTE producing (doc_id, shingles): distinct 3-gram shingles of
     * the normalized text — the oracle-side mirror of
     * [[graft.operators.Dedup.shingleSets]], shared by every dedup oracle. */
@@ -2309,6 +2349,70 @@ object SparkEntry {
       "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q5) AS id_checksum, " +
       "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
       "(SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM q5) AS n_target, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_model: the filler-augmented
+    * fixture chain (the dsir oracle's skeleton) with the MODEL gate
+    * joined into q1 — the FrozenQualityModel scaled-long fold over the
+    * FILTERED token list (normTokens drops empties; the md5 feature
+    * hash, exact integer sum, mean + bias — the QmOracle restatement)
+    * at minLogit=0 — and no selection rung. */
+  private lazy val corpusPipelineModelOracle: String = {
+    def gram8(src: String): String = gram8CteSql(src)
+    val m = graft.operators.FrozenQualityModel.model
+    val w = m.weightsScaled.mkString("[", ",", "]") + "::BIGINT[]"
+    val scale = graft.operators.QualityModel.WeightScale
+    val filler = QmOracle.fillerSuffix
+    require(!filler.contains("'"), "filler must be quote-free")
+    "WITH RECURSIVE " +
+      s"aug AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text || '$filler' ELSE text END AS text FROM documents), " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      pipelineLangCteSql +
+      // the model gate: FrozenQualityModel fold over the FILTERED tokens
+      // (normTokens drops empties), exact long sum, mean + bias
+      s"mw AS (SELECT $w AS w), " +
+      "mft AS (SELECT doc_id, unnest(list_filter(t, x -> x <> '')) AS tok FROM tok), " +
+      s"mpt AS (SELECT doc_id, w[CAST(CAST(concat('0x', substr(md5(tok),1,8)) AS BIGINT) % ${m.dim} AS INT) + 1] AS wt FROM mft, mw), " +
+      "msw AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS s FROM mpt GROUP BY doc_id), " +
+      s"mlg AS (SELECT tok.doc_id AS doc_id, ${java.lang.Double.toString(m.bias)} + " +
+      s"(CAST(COALESCE(msw.s, 0) AS DOUBLE) / ${java.lang.Double.toString(scale.toDouble)}) / " +
+      "CAST(greatest(len(list_filter(tok.t, x -> x <> '')), 1) AS DOUBLE) AS logit " +
+      "FROM tok LEFT JOIN msw ON tok.doc_id = msw.doc_id), " +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "JOIN mlg ON tok.doc_id = mlg.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en' AND mlg.logit >= 0.0), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      pipelineTailSql("q4") +
+      "SELECT (SELECT count(*) FROM aug) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM q4) AS n_target, " +
       "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
       "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
       "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
@@ -3214,6 +3318,7 @@ object SparkEntry {
     },
     "q_corpus_pipeline_url" -> corpusPipelineUrlOracle,
     "q_corpus_pipeline_c4" -> corpusPipelineC4Oracle,
+    "q_corpus_pipeline_model" -> corpusPipelineModelOracle,
     "q_c4_line_filter" -> {
       // line predicate + page gates restated from TextAnalysis.c4LineKeep
       // / c4PageFlags — same terminal-punctuation class, same word split,

@@ -66,15 +66,23 @@ object QualityModel {
     * The plan is one narrow projection over the scan — no Exchange
     * (spec-asserted). At 100 TB this is the cheapest possible model
     * gate: strictly less work than the rule conjunction it distills. */
+  /** The scoring logit as a bare Column over raw text — the gate form a
+    * pipeline folds into its quality-scan conjunction (one more narrow
+    * codegen'd term, no extra stage). Caller must have run
+    * [[GraftFunctions.register]] on the session (score/prepare do). */
+  def logitCol(text: Column, model: Model): Column = {
+    val toks = GraftFunctions.normTokens(text)
+    lit(model.bias) +
+      (foldScaled(toks, model).cast("double") / lit(WeightScale.toDouble)) /
+        greatest(size(toks), lit(1)).cast("double")
+  }
+
   def score(df: DataFrame, textCol: String, idCol: String,
       model: Model): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val toks = GraftFunctions.normTokens(col(textCol))
-    val n = size(toks)
-    val logit = lit(model.bias) +
-      (foldScaled(toks, model).cast("double") / lit(WeightScale.toDouble)) /
-        greatest(n, lit(1)).cast("double")
-    df.select(col(idCol), n.as("n_tokens"), logit.as("logit"),
+    val logit = logitCol(col(textCol), model)
+    df.select(col(idCol), size(toks).as("n_tokens"), logit.as("logit"),
       (logit >= 0).as("predicted"))
   }
 

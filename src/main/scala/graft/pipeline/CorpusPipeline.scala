@@ -74,6 +74,19 @@ object CorpusPipeline {
       k: Int,
       salt: String = Dsir.DefaultSalt)
 
+  /** The optional MODEL-BASED quality gate: the trained hashed-linear
+    * scorer ([[graft.operators.QualityModel]] — the fastText-shape
+    * classifier stage of CCNet/DCLM-style pipelines) folded into the
+    * SAME quality-gate scan as the rule conjunction. Documents whose
+    * logit falls below `minLogit` drop in the "quality" stage. The
+    * scorer is one narrow codegen'd term (scaled-long fold through a
+    * literal weight table — strictly cheaper than the regex-heavy rule
+    * gates it usually replaces), so at 100 TB this adds zero stages and
+    * zero shuffles. */
+  final case class ModelGateConfig(
+      model: graft.operators.QualityModel.Model,
+      minLogit: Double = 0.0)
+
   /** Tuning for [[prepare]]; defaults are the common pre-training shape. */
   final case class Config(
       textCol: String = "text",
@@ -86,6 +99,7 @@ object CorpusPipeline {
       minTokens: Int = 10,
       maxTokens: Int = 100000,
       minAlphaRatio: Double = 0.4,
+      modelGate: Option[ModelGateConfig] = None,
       blocklist: Seq[String] = Nil,
       lineDedupMinDocs: Option[Int] = None,
       spanDedupN: Option[Int] = None,
@@ -294,12 +308,16 @@ object CorpusPipeline {
       else c4Gated.where(TextAnalysis.c4MinSentencesOk(text))
 
     // 1. quality + language gate: one narrow codegen'd scan stage
-    //    (+ optional Gopher rule conjunction — same scan, no extra stage)
+    //    (+ optional Gopher rule conjunction and/or the trained
+    //    model-gate logit — same scan, no extra stage: the model scorer
+    //    is one more scaled-long fold term in the conjunction)
     val gate = c4Source.where(
       TextAnalysis.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
         TextAnalysis.alphaRatio(text) >= cfg.minAlphaRatio &&
         GraftFunctions.langIdNative(text).isin(cfg.langs.toSeq: _*) &&
         (if (cfg.gopherRules) TextAnalysis.gopherPass(text) else lit(true)) &&
+        cfg.modelGate.fold(lit(true)) { mg =>
+          graft.operators.QualityModel.logitCol(text, mg.model) >= mg.minLogit } &&
         (if (cfg.blocklist.nonEmpty)
           !TextAnalysis.containsBlockedWord(text, cfg.blocklist)
         else lit(true)))
@@ -314,7 +332,7 @@ object CorpusPipeline {
     // stays a lazy narrow scan, exactly as before.
     val filtered = observed("quality",
       if (cfg.urlCol.isDefined || cfg.stripHtml || cfg.c4Rules ||
-          cfg.gopherRules)
+          cfg.gopherRules || cfg.modelGate.isDefined)
         Dedup.materialize(gate)
       else gate)
 

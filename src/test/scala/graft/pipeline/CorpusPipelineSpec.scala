@@ -393,6 +393,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
     })
   }
 
+  test("optional model quality gate: below-threshold docs drop in the quality scan, off = unchanged") {
+    import graft.operators.{FrozenQualityModel, QualityModel}
+    // the frozen model's positive class: filler-augmented (even) docs
+    val corpus = docs.select($"doc_id",
+      when($"doc_id" % 2 === 0,
+        concat($"text", lit(graft.QmOracle.fillerSuffix)))
+        .otherwise($"text").as("text"))
+    val cfg = CorpusPipeline.Config(langs = Set("en"), minTokens = 10,
+      dedupThreshold = 0.5, chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 1.0))
+    val predicted = QualityModel
+      .score(corpus, "text", "doc_id", FrozenQualityModel.model)
+      .where($"predicted").select("doc_id").as[Long].collect().toSet
+    assert(predicted.nonEmpty, "fixture must have a positive class")
+
+    val on = CorpusPipeline.prepare(corpus, None, cfg.copy(modelGate =
+      Some(CorpusPipeline.ModelGateConfig(FrozenQualityModel.model, minLogit = 0.0))))
+    val onIds = on.documents.select("doc_id").as[Long].collect().toSet
+    assert(onIds.nonEmpty && onIds.subsetOf(predicted),
+      "no below-threshold doc may survive the model gate")
+    // no extra stage: the logit folds into the quality scan
+    assert(on.stages.map(_._1) ==
+      Seq("input", "quality", "exact_dedup", "near_dedup", "decontaminated"))
+
+    // off → low-logit docs flow through to the end
+    val off = CorpusPipeline.prepare(corpus, None, cfg)
+    val offIds = off.documents.select("doc_id").as[Long].collect().toSet
+    assert((offIds -- predicted).nonEmpty,
+      "gate off must keep below-threshold docs")
+  }
+
   test("observedCounts before any action fails fast with a descriptive error, not a hang") {
     val corpus = docs.select($"doc_id", $"text").limit(40)
     val out = CorpusPipeline.prepare(corpus, None, CorpusPipeline.Config(
