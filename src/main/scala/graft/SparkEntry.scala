@@ -805,6 +805,13 @@ object SparkEntry {
     //    only the filler-augmented target class clears minLogit=0. See
     //    corpusPipelineModelQuery ───────────────────────────────────────
     "q_corpus_pipeline_model" -> ((s, dir) => corpusPipelineModelQuery(s, dir)),
+    // ── The pipeline with the TRAINING-MIX TAIL on: per-source cap after
+    //    the gate (WindowGroupLimit), token-share mixing after the
+    //    selection rungs (key-pure md5 rates from the survivors' token
+    //    histogram), and greedy sequence packing of the final chunks —
+    //    the three stages a real pre-training run executes between
+    //    curation and the trainer. See corpusPipelineMixQuery ──────────
+    "q_corpus_pipeline_mix" -> ((s, dir) => corpusPipelineMixQuery(s, dir)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -1217,6 +1224,23 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("pos") * col("doc_id")).cast("long").as("order_checksum"))
         .orderBy(col("shard"))
+    }),
+
+    // ── North star multimodal: PERCEPTUAL image near-dup pairs — dHash
+    //    over the REAL decode + bilinear-resize path (javax.imageio, no
+    //    external codec), then the same Hamming-LSH chunk banding as the
+    //    text simhash family. Fixture: 60 deterministic PNGs in
+    //    base/near-dup/unrelated triples (ImageFixture). The oracle
+    //    restates hash → band → Hamming from the FROZEN 9×8 luma grids
+    //    (FrozenImageGrids — the oracle cannot decode PNG; the decode
+    //    itself is pinned by MultimodalSpec's live ≡ frozen assert, the
+    //    FrozenAnn discipline) ──────────────────────────────────────────
+    "q_image_near_dups" -> ((s, dir) => {
+      val media = graft.operators.ImageFixture.frame(s)
+      graft.operators.Dedup.imageNearDupPairs(
+          media, "media_id", "media_type", "content", maxHamming = 6)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ── North star multimodal: binary payload → batched stub feature
@@ -1649,8 +1673,15 @@ object SparkEntry {
     }
     val docCols = litsOf(docStats)   // action #1: fires every stage obs
     val chunkCols = litsOf(chunkStats) // action #2 (chunk re-derivation)
+    // action #3 (only when packing is on): example-level rollup totals
+    val packedCols = p.packed.toSeq.flatMap { pk =>
+      litsOf(pk.agg(
+        count(lit(1)).as("n_examples"),
+        coalesce(sum(col("n_chunks")), lit(0L)).cast("long").as("packed_chunk_sum"),
+        coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("packed_token_sum")))
+    }
     val stageCols = p.observedCounts.map { case (n, c) => lit(c).as(s"n_$n") }
-    s.range(1).select(stageCols ++ docCols ++ chunkCols: _*)
+    s.range(1).select(stageCols ++ docCols ++ chunkCols ++ packedCols: _*)
   }
 
   /** Deterministic URL-variant fixture shared by q_url_dedup and
@@ -2000,6 +2031,38 @@ object SparkEntry {
       sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).cast("long").as("n_target")))
   }
 
+  /** q_corpus_pipeline_mix: the pipeline with the TRAINING-MIX TAIL on —
+    * domainCap(source, k=15) right after the quality gate (best-first by
+    * token count, ties by id), mixToShares(source, {src0:0.5, src1:0.3,
+    * src2:0.2}) after decontamination (every other source drops; kept
+    * token mass proportional to the shares at the largest
+    * downsample-only total), and packTokenBudget=256 rolling the final
+    * chunks into greedy-packed examples. Corpus = raw documents (the
+    * `source` column is the native per-document domain); benchmark = the
+    * %50 slice, so the decon rung stays live. Per-source kept counts pin
+    * the mix; the packed totals pin the example assignment. */
+  private def corpusPipelineMixQuery(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      col("source"))
+    val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4,
+      domainCap = Some(graft.pipeline.CorpusPipeline.DomainCapConfig(
+        "source", k = 15)),
+      dedupThreshold = 0.5, shingleN = 3, decontaminateN = 8,
+      mixToShares = Some(graft.pipeline.CorpusPipeline.MixConfig(
+        "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
+      chunkTokens = 64, overlapTokens = 16,
+      packTokenBudget = Some(256L),
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    pipelineStatsRow(s, p, extraDocStats = Seq("src0", "src1", "src2").map(src =>
+      sum(when(col("source") === src, 1L).otherwise(0L)).cast("long").as(s"n_$src")))
+  }
+
   /** DuckDB CTE producing (doc_id, shingles): distinct 3-gram shingles of
     * the normalized text — the oracle-side mirror of
     * [[graft.operators.Dedup.shingleSets]], shared by every dedup oracle. */
@@ -2055,7 +2118,10 @@ object SparkEntry {
     s"red AS (SELECT doc_id, $piiRedactSql AS rt FROM $src), " +
       "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
       "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
-      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      // chunk_idx = s // stride: the surviving start list is a PREFIX of
+      // range (only tail starts drop), so position == s/stride — used by
+      // the packing rollup, inert for the other pipeline oracles
+      "ck AS (SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
       "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
       "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM " + src + ") "
 
@@ -2418,6 +2484,92 @@ object SparkEntry {
       "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
       "(SELECT count(*) FROM ck) AS n_chunks, " +
       "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_mix: the plain chain over raw
+    * documents (source carried through) with the TRAINING-MIX TAIL —
+    * the per-source cap (row_number ≤ 15 by token count desc, id asc)
+    * after q1, the token-share rate derivation re-run in SQL after q4
+    * (the q_token_mix float discipline: c = min(toks/w), round(·,4),
+    * thresholdHex as hex()), and the greedy packing recursion (the
+    * q_packed_examples pattern) over the tail's chunk windows. */
+  private lazy val corpusPipelineMixOracle: String = {
+    def gram8(src: String): String = gram8CteSql(src)
+    "WITH RECURSIVE " +
+      "aug AS (SELECT doc_id, text, source FROM documents), " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, source, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, source, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      pipelineLangCteSql +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.source AS source, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      // per-source cap: best-first by token count, ties by ascending id
+      "qc AS MATERIALIZED (SELECT doc_id, text, source, norm, t FROM " +
+      "(SELECT q1.*, ROW_NUMBER() OVER (PARTITION BY source ORDER BY len(t) DESC, doc_id ASC) AS rk FROM q1) " +
+      "WHERE rk <= 15), " +
+      "q2 AS (SELECT * FROM qc WHERE doc_id IN (SELECT min(doc_id) FROM qc GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      // token-share mix: the q_token_mix derivation over the SURVIVORS'
+      // token mass (zero-mass strata excluded from min and rates)
+      "mshares(s, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)), " +
+      "mhist AS (SELECT source AS s, CAST(sum(len(t)) AS BIGINT) AS toks " +
+      "FROM q4 WHERE source IN (SELECT s FROM mshares) GROUP BY source HAVING sum(len(t)) > 0), " +
+      "mcst AS (SELECT min(toks / w) AS c FROM mhist JOIN mshares USING (s)), " +
+      "mrates AS (SELECT s, round(least(1.0, c * w / toks), 4) AS rr " +
+      "FROM mhist JOIN mshares USING (s) CROSS JOIN mcst), " +
+      "mth AS (SELECT s, CASE WHEN rr >= 1.0 THEN 'g' ELSE " +
+      "lpad(lower(hex(CAST(least(round(rr * 4294967296.0), 4294967295) AS BIGINT))),8,'0') END AS th FROM mrates), " +
+      "q5 AS MATERIALIZED (SELECT q4.* FROM q4 JOIN mth ON q4.source = mth.s " +
+      "WHERE substr(md5(CAST(q4.doc_id AS VARCHAR)),1,8) < mth.th), " +
+      pipelineTailSql("q5") +
+      // greedy packing over the tail's chunk windows (budget 256), per
+      // (split, md5-hex shard) in (doc_id, chunk_idx) order — the
+      // q_packed_examples recursion (the tail fragment ends comma-free,
+      // ready for a SELECT — re-open the CTE list)
+      ", pord AS MATERIALIZED (SELECT sp.split AS split, substr(md5(CAST(ck.doc_id AS VARCHAR)),1,1) AS shard, " +
+      "ck.doc_id AS doc_id, ck.chunk_idx AS chunk_idx, ck.n AS n, " +
+      "row_number() OVER (PARTITION BY sp.split, substr(md5(CAST(ck.doc_id AS VARCHAR)),1,1) ORDER BY ck.doc_id, ck.chunk_idx) AS rn " +
+      "FROM ck JOIN sp ON ck.doc_id = sp.doc_id), " +
+      "ppk AS (SELECT split, shard, n, rn, CAST(0 AS BIGINT) AS ex, n AS tk FROM pord WHERE rn = 1 " +
+      "UNION ALL SELECT o.split, o.shard, o.n, o.rn, " +
+      "CASE WHEN p.tk > 0 AND p.tk + o.n > 256 THEN p.ex + 1 ELSE p.ex END, " +
+      "CASE WHEN p.tk > 0 AND p.tk + o.n > 256 THEN o.n ELSE p.tk + o.n END " +
+      "FROM ppk p JOIN pord o ON o.split = p.split AND o.shard = p.shard AND o.rn = p.rn + 1), " +
+      "pex AS (SELECT split, shard, ex, count(*) AS nchunks, CAST(sum(n) AS BIGINT) AS ntok FROM ppk GROUP BY 1,2,3) " +
+      "SELECT (SELECT count(*) FROM aug) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM qc) AS n_domain_cap, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT count(*) FROM q5) AS n_mixed, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q5) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) FROM q5) AS n_src0, " +
+      "(SELECT CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) FROM q5) AS n_src1, " +
+      "(SELECT CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) FROM q5) AS n_src2, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum, " +
+      "(SELECT count(*) FROM pex) AS n_examples, " +
+      "(SELECT CAST(sum(nchunks) AS BIGINT) FROM pex) AS packed_chunk_sum, " +
+      "(SELECT CAST(sum(ntok) AS BIGINT) FROM pex) AS packed_token_sum"
   }
 
   /** Ground truth for q_corpus_pipeline_url: the URL rung — canonical-url
@@ -3267,6 +3419,35 @@ object SparkEntry {
       ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50, " +
         "TRUE AS p50_ok, TRUE AS p90_ok " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_image_near_dups" -> {
+      // dHash → chunk-band → Hamming restated from the FROZEN 9×8 luma
+      // grids (the oracle cannot decode PNG; live decode ≡ frozen is
+      // MultimodalSpec's assert). Band boundaries generated from the
+      // SAME hammingChunkLayout the engine bands with — no drift.
+      val rows = graft.operators.FrozenImageGrids.grids
+        .map { case (id, g) => s"($id, ${g.mkString("[", ",", "]")})" }
+        .mkString(", ")
+      val (_, offsets) = graft.operators.Dedup.hammingChunkLayout(6)
+      val chunkCase = "CASE " + (1 to 6).map(j =>
+        s"WHEN b < ${offsets(j)} THEN ${j - 1}").mkString(" ") + " ELSE 6 END"
+      val layRows = (0 to 6).map(j => s"($j, ${offsets(j)})").mkString(", ")
+      s"WITH gr(media_id, g) AS (VALUES $rows), " +
+        "bb AS (SELECT unnest(range(0, 64)) AS b), " +
+        // bit b = row*8+col set iff cell (row, col) > its right neighbor;
+        // grid is row-major 9-wide, DuckDB lists are 1-based
+        "bt AS (SELECT media_id, b, CASE WHEN g[(b//8)*9 + (b%8) + 1] > g[(b//8)*9 + (b%8) + 2] THEN 1 ELSE 0 END AS bit FROM gr, bb), " +
+        s"lay(ck, lo) AS (VALUES $layRows), " +
+        s"ch AS (SELECT media_id, $chunkCase AS ck, b, bit FROM bt), " +
+        "bd AS (SELECT media_id, ck, CAST(sum(bit * (CAST(1 AS BIGINT) << (b - lo))) AS BIGINT) AS key " +
+        "FROM ch JOIN lay USING (ck) GROUP BY media_id, ck), " +
+        "cand AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b " +
+        "FROM bd a JOIN bd b2 ON a.ck = b2.ck AND a.key = b2.key AND a.media_id < b2.media_id), " +
+        "hm AS (SELECT c.id_a, c.id_b, " +
+        "(SELECT count(*) FROM bt x JOIN bt y ON x.b = y.b " +
+        "WHERE x.media_id = c.id_a AND y.media_id = c.id_b AND x.bit <> y.bit) AS hamming FROM cand c) " +
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
+        "CAST(hamming AS BIGINT) AS hamming FROM hm WHERE hamming <= 6 ORDER BY id_a, id_b"
+    },
     "q_gopher_quality" -> {
       // every rule generated by gopherRuleSqls — the SAME generator the
       // corpus-pipeline oracle composes, fed by the engine's own
@@ -3319,6 +3500,7 @@ object SparkEntry {
     "q_corpus_pipeline_url" -> corpusPipelineUrlOracle,
     "q_corpus_pipeline_c4" -> corpusPipelineC4Oracle,
     "q_corpus_pipeline_model" -> corpusPipelineModelOracle,
+    "q_corpus_pipeline_mix" -> corpusPipelineMixOracle,
     "q_c4_line_filter" -> {
       // line predicate + page gates restated from TextAnalysis.c4LineKeep
       // / c4PageFlags — same terminal-punctuation class, same word split,

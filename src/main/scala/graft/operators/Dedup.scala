@@ -556,20 +556,40 @@ object Dedup {
     * bounds, which is also where SimHash is discriminative. */
   def nearDupPairsSimHash(spark: SparkSession, df: DataFrame, textCol: String,
       idCol: String, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming must be in [0, 15], got $maxHamming (complete recall " +
-        "needs maxHamming+1 chunks; more than 16 chunks of a 64-bit hash " +
-        "would bucket on < 4 bits)")
     GraftFunctions.register(spark)
-    val nChunks = maxHamming + 1
-    val widths = Array.tabulate(nChunks)(j =>
-      64 / nChunks + (if (j < 64 % nChunks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("_text"))
       .repartition(cpuParallelism(df), col("id"))
       .select(col("id"),
         GraftFunctions.simhash64(GraftFunctions.normTokens(col("_text"))).as("sh"))
+    hammingPairs64(hashed, maxHamming)
+  }
+
+  /** Chunk layout of the Hamming-LSH banding over a 64-bit hash:
+    * (widths, bit offsets) for `maxHamming + 1` near-equal chunks — the
+    * pigeonhole guarantee (≤ maxHamming differing bits ⇒ at least one
+    * chunk identical). Shared by the band join and the oracle-SQL
+    * generator so the band boundaries cannot drift between engines. */
+  private[graft] def hammingChunkLayout(maxHamming: Int): (Array[Int], Array[Int]) = {
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(j =>
+      64 / nChunks + (if (j < 64 % nChunks) 1 else 0))
+    (widths, widths.scanLeft(0)(_ + _))
+  }
+
+  /** Hamming-LSH pair join over a pre-hashed (id, sh: long) frame — the
+    * banding core [[nearDupPairsSimHash]] and the image dHash family
+    * share: split the 64-bit hash into `maxHamming + 1` chunks, bucket-
+    * join on any identical chunk (complete recall for the bound, by
+    * pigeonhole), verify with the exact `bit_count` XOR distance. Only
+    * (chunk_key, id, sh) triples shuffle — never payloads. */
+  private[graft] def hammingPairs64(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming (complete recall " +
+        "needs maxHamming+1 chunks; more than 16 chunks of a 64-bit hash " +
+        "would bucket on < 4 bits)")
+    val (widths, offsets) = hammingChunkLayout(maxHamming)
+    val nChunks = maxHamming + 1
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until nChunks).map(j =>
         shiftright(col("sh"), offsets(j)).bitwiseAND(lit(mask(widths(j))))): _*)))
@@ -585,6 +605,45 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** PERCEPTUAL near-duplicate image pairs — the multimodal rung of the
+    * dedup family: dHash over the REAL decode + bilinear-resize path
+    * ([[Multimodal.lumaGrid9x8]] — javax.imageio, no external codec),
+    * then the SAME Hamming-LSH banding as the text simhash family.
+    * Returns (id_a, id_b, hamming) for decodable-image pairs within
+    * `maxHamming` bits. Non-image / undecodable payloads drop out of the
+    * comparison (a perceptual hash of bytes that never decoded is
+    * noise, not a near-dup signal).
+    *
+    * Scale shape: decode is a batched per-partition transform (narrow);
+    * after it each image is ONE long — the band join shuffles
+    * (chunk_key, id, hash) triples only, never pixels. */
+  def imageNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, maxHamming: Int = 6): DataFrame = {
+    import df.sparkSession.implicits._
+    val hashed = df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(typeCol).cast("string").as("media_type"),
+      col(binaryCol).as("content")).as[Multimodal.MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap(m => Multimodal.lumaGrid9x8(m)
+          .map(g => (m.media_id, Multimodal.dHash64(g))))
+      }.toDF("id", "sh")
+      .repartition(cpuParallelism(df), col("id"))
+    hammingPairs64(hashed, maxHamming)
+  }
+
+  /** End-to-end perceptual image dedup: [[imageNearDupPairs]] → CC →
+    * keep the minimum id per cluster; undecodable payloads always
+    * survive (no hash ⇒ no duplicate evidence). */
+  def removeNearDuplicateImages(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, maxHamming: Int = 6, maxIter: Int = 20): DataFrame = {
+    val losers = resolveClusters(
+      imageNearDupPairs(df, idCol, typeCol, binaryCol, maxHamming), maxIter)
+      .where(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-duplicate pairs — delegates candidate

@@ -303,6 +303,58 @@ object Multimodal {
     }
   }
 
+  /** 9×8 grayscale grid of a decodable image — the dHash preprocessing
+    * stage (Krawetz's public difference-hash recipe): REAL decode via
+    * the shared [[tryDecodeImage]] policy, bilinear Graphics2D resize to
+    * 9 columns × 8 rows (the same JDK-only resize path as
+    * [[resizeImages]]), then integer luma per cell
+    * ((299·R + 587·G + 114·B) / 1000 — exact integer arithmetic, no
+    * float rounding to drift between runs). Row-major Array of 72 ints
+    * in [0, 255]; None for non-image / undecodable payloads. */
+  def lumaGrid9x8(m: MediaRecord): Option[Array[Int]] =
+    tryDecodeImage(m).map { im =>
+      val out = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(im, 0, 0, 9, 8, null)
+      } finally g.dispose()
+      val grid = new Array[Int](72)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          val p = out.getRGB(x, y)
+          grid(y * 9 + x) =
+            (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      grid
+    }
+
+  /** 64-bit difference hash of a [[lumaGrid9x8]] grid: bit (row·8 + col)
+    * is set iff cell (row, col) is brighter than its right neighbor —
+    * the standard dHash, robust to uniform brightness/contrast shifts
+    * (only horizontal gradients matter). */
+  def dHash64(grid: Array[Int]): Long = {
+    require(grid.length == 72, s"dHash64 needs a 9x8 grid, got ${grid.length}")
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r * 9 + c) > grid(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
   /** STUB frame sampler — keeps every `everyN`-th fixed-size slice of the
     * payload (a real implementation would demux video frames). Shape and
     * determinism are what matter for the plumbing. */

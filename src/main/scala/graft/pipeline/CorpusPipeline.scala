@@ -6,18 +6,20 @@ import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Chunking, Dedup, Dsir, LineDedup, Sampling, SpanDedup}
+import graft.operators.{Chunking, Dedup, Dsir, LineDedup, Packing, Sampling, SpanDedup}
 
 /** End-to-end pre-training corpus preparation — the canonical chain every
   * LLM data pipeline runs, composed from the engine's operators:
   *
   *   [URL dedup] → [HTML strip] → [C4 line/page clean] →
-  *   quality filter (+ optional Gopher rule gates) →
-  *   language filter → exact content dedup → [line-level dedup] →
-  *   [span-level dedup] → near-dup removal → [semantic dedup] →
-  *   benchmark decontamination [+ fuzzy decontamination] →
-  *   [DSIR importance selection] →
-  *   PII redaction → document chunking → train/val/test split.
+  *   quality filter (+ optional Gopher rules / model gate) →
+  *   language filter → [per-domain cap] → exact content dedup →
+  *   [line-level dedup] → [span-level dedup] → near-dup removal →
+  *   [semantic dedup] → benchmark decontamination
+  *   [+ fuzzy decontamination] → [DSIR importance selection] →
+  *   [token-share / temperature mixing] →
+  *   PII redaction → document chunking → train/val/test split
+  *   [→ sequence packing].
   *
   * Composition notes (the order is load-bearing):
   *  - URL dedup (when `urlCol` is set) runs before EVERYTHING, including
@@ -87,6 +89,30 @@ object CorpusPipeline {
       model: graft.operators.QualityModel.Model,
       minLogit: Double = 0.0)
 
+  /** The optional PER-DOMAIN document cap (the C4/RefinedWeb anti-SEO
+    * rung): keep at most `k` documents per `groupCol` value (domain,
+    * source, crawl host), best-first by whitespace token count with ties
+    * broken by ascending id ([[Sampling.capPerGroup]] — one group-key
+    * shuffle planned as a map-side-partial `WindowGroupLimit`). Runs
+    * right after the quality gate and BEFORE the dedup rungs: it reads
+    * only (group, rank signal, id), and every document it sheds is a
+    * document the expensive shingle stages never see. */
+  final case class DomainCapConfig(groupCol: String, k: Int)
+
+  /** The optional TOKEN-SHARE mixing rung ([[Sampling.mixToTokenShares]]):
+    * downsample strata so kept token mass per `strataCol` value is
+    * proportional to `targetShares` at the largest downsample-only total
+    * (strata absent from the map drop). Token mass = whitespace token
+    * count of the (pre-redaction) text. */
+  final case class MixConfig(strataCol: String, targetShares: Map[String, Double])
+
+  /** The optional TEMPERATURE mixing rung
+    * ([[Sampling.temperatureResample]]): per-stratum keep rates ∝
+    * (n_s/N)^alpha scaled to `targetFraction` of the corpus — the
+    * multilingual-LM flattening pass. */
+  final case class TemperatureMixConfig(strataCol: String, alpha: Double,
+      targetFraction: Double)
+
   /** Tuning for [[prepare]]; defaults are the common pre-training shape. */
   final case class Config(
       textCol: String = "text",
@@ -100,6 +126,7 @@ object CorpusPipeline {
       maxTokens: Int = 100000,
       minAlphaRatio: Double = 0.4,
       modelGate: Option[ModelGateConfig] = None,
+      domainCap: Option[DomainCapConfig] = None,
       blocklist: Seq[String] = Nil,
       lineDedupMinDocs: Option[Int] = None,
       spanDedupN: Option[Int] = None,
@@ -113,8 +140,11 @@ object CorpusPipeline {
       bloomFpp: Double = 0.001,
       fuzzyDecontaminate: Option[Double] = None,
       dsirSelect: Option[DsirSelectConfig] = None,
+      mixToShares: Option[MixConfig] = None,
+      temperatureMix: Option[TemperatureMixConfig] = None,
       chunkTokens: Int = 512,
       overlapTokens: Int = 64,
+      packTokenBudget: Option[Long] = None,
       splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       materializeDocuments: Boolean = false)
 
@@ -122,10 +152,15 @@ object CorpusPipeline {
     * `split` assigned) and their chunks (split inherited from the
     * document; (idCol, chunk_idx, chunk_text, n_chunk_tokens, split)).
     *
+    * `packed` carries the greedy-packed training examples when
+    * `Config.packTokenBudget` is set (one row per example — see
+    * [[graft.operators.Packing.packExamples]]).
+    *
     * `stages` exposes each intermediate frame by name (input,
-    * [url_dedup], [c4_page_gate], quality, exact_dedup, [line_dedup],
-    * [span_dedup], near_dedup, [semantic_dedup], decontaminated,
-    * [decontaminated_fuzzy], [dsir_selected]; the bracketed stages appear
+    * [url_dedup], [c4_page_gate], quality, [domain_cap], exact_dedup,
+    * [line_dedup], [span_dedup], near_dedup, [semantic_dedup],
+    * decontaminated, [decontaminated_fuzzy], [dsir_selected], [mixed],
+    * [temperature_mixed]; the bracketed stages appear
     * iff enabled) for ad-hoc inspection — but do NOT count them to build
     * a stage report: each count re-executes that stage's upstream chain.
     *
@@ -137,7 +172,8 @@ object CorpusPipeline {
     * — zero extra scans at any scale. Read them via [[observedCounts]]. */
   final case class Prepared(documents: DataFrame, chunks: DataFrame,
       stages: Seq[(String, DataFrame)] = Nil,
-      observations: Seq[(String, Observation)] = Nil) {
+      observations: Seq[(String, Observation)] = Nil,
+      packed: Option[DataFrame] = None) {
 
     /** Per-stage kept counts, in pipeline order, collected by the
       * observation accumulators. Contract: call AFTER at least one
@@ -336,9 +372,23 @@ object CorpusPipeline {
         Dedup.materialize(gate)
       else gate)
 
+    // 1b. optional per-domain cap — right after the gate, BEFORE the
+    //    dedup rungs: ranks read only (group, token count, id), and a
+    //    capped document is a document the shingle stages never pay for.
+    //    Best-first by token count (the gate's own signal — no new
+    //    column), ties by ascending id: deterministic membership across
+    //    runs, partitionings, and engines. One group-key shuffle, planned
+    //    as a map-side-partial WindowGroupLimit (bounded k-row buffer per
+    //    domain — the 100 TB shape; see Sampling.capPerGroup).
+    val capped = cfg.domainCap.fold(filtered) { dc =>
+      observed("domain_cap",
+        Sampling.capPerGroup(filtered, dc.groupCol, cfg.idCol, dc.k,
+          TextAnalysis.tokenCount(text)))
+    }
+
     // 2. exact content dedup (min-id survivor per normalized text)
     val exactDeduped = observed("exact_dedup",
-      Dedup.exactByContent(filtered, cfg.textCol, cfg.idCol))
+      Dedup.exactByContent(capped, cfg.textCol, cfg.idCol))
 
     // 2b/2c. optional line- then span-level dedup. Both REWRITE text, so
     //    each re-applies the minTokens gate (a doc scrubbed below the
@@ -453,6 +503,33 @@ object CorpusPipeline {
           cfg.idCol, dc.model, dc.k, dc.salt)))
     }
 
+    // 4d. optional MIXING rungs — the training-mix composition step,
+    //    after every selection rung (mix rates must be derived from the
+    //    final surviving corpus, and a mix must never resurrect a
+    //    duplicate or leak) and before redaction (token mass is counted
+    //    on natural text). Both are two-pass by nature: ONE bounded
+    //    aggregate brings #strata scalars to the driver, then the
+    //    applied predicate is a narrow key-pure md5 scan — so when a mix
+    //    rung is on and the upstream tail is not already a checkpoint
+    //    (the DSIR rung's is), the pre-mix survivors are materialized
+    //    once rather than re-executing the whole chain for the histogram
+    //    pass AND every downstream consumer.
+    val mixOn = cfg.mixToShares.isDefined || cfg.temperatureMix.isDefined
+    val mixInput =
+      if (mixOn && cfg.dsirSelect.isEmpty) Dedup.materialize(selected)
+      else selected
+    val shareMixed = cfg.mixToShares.fold(mixInput) { mc =>
+      observed("mixed", Sampling.mixToTokenShares(
+        mixInput.withColumn("_mix_tokens", TextAnalysis.tokenCount(text)),
+        cfg.idCol, mc.strataCol, "_mix_tokens", mc.targetShares)
+        .drop("_mix_tokens"))
+    }
+    val mixed = cfg.temperatureMix.fold(shareMixed) { tc =>
+      observed("temperature_mixed",
+        Sampling.temperatureResample(shareMixed, cfg.idCol, tc.strataCol,
+          tc.alpha, tc.targetFraction))
+    }
+
     // 5. PII redaction + 6. per-DOCUMENT split assignment.
     //    `materializeDocuments` checkpoints the finished documents frame
     //    ONCE so that every consumer — the caller's own actions AND the
@@ -462,7 +539,7 @@ object CorpusPipeline {
     //    exactly this reason; at test scale it is a survivor-sized local
     //    checkpoint). Default off: the lazy-API contract stands.
     val documentsPlan = Sampling.hashSplit(
-      selected.withColumn(cfg.textCol, TextAnalysis.redactPii(text)),
+      mixed.withColumn(cfg.textCol, TextAnalysis.redactPii(text)),
       cfg.idCol, cfg.splits)
     val documents =
       if (cfg.materializeDocuments) Dedup.materialize(documentsPlan)
@@ -477,11 +554,23 @@ object CorpusPipeline {
         documents, cfg.textCol, cfg.idCol, cfg.chunkTokens, cfg.overlapTokens),
       cfg.idCol, cfg.splits)
 
+    // 8. optional sequence packing — the stage after chunking in every
+    //    pre-training pipeline: greedy first-fit of the chunks into
+    //    fixed-budget training examples, per (split, shard) so examples
+    //    never straddle a split ([[Packing.packExamples]] — one hash
+    //    shuffle, O(1)-state streaming pass per task).
+    val packed = cfg.packTokenBudget.map { budget =>
+      Packing.packExamples(chunks, budget, cfg.idCol, "chunk_idx",
+        "n_chunk_tokens", splitCol = Some("split"))
+    }
+
     Prepared(documents, chunks, Seq(
       "input" -> corpusO) ++
       cfg.urlCol.map(_ => "url_dedup" -> urlDeduped) ++
       (if (cfg.c4Rules) Seq("c4_page_gate" -> c4Gated) else Nil) ++ Seq(
-      "quality" -> filtered, "exact_dedup" -> exactDeduped) ++
+      "quality" -> filtered) ++
+      cfg.domainCap.map(_ => "domain_cap" -> capped) ++ Seq(
+      "exact_dedup" -> exactDeduped) ++
       cfg.lineDedupMinDocs.map(_ => "line_dedup" -> lineDeduped) ++
       cfg.spanDedupN.map(_ => "span_dedup" -> spanDeduped) ++ Seq(
       "near_dedup" -> nearDeduped) ++
@@ -491,9 +580,12 @@ object CorpusPipeline {
       // and a stage report must never show a rung that never executed
       benchClean.flatMap(_ => cfg.fuzzyDecontaminate)
         .map(_ => "decontaminated_fuzzy" -> fuzzyClean) ++
-      cfg.dsirSelect.map(_ => "dsir_selected" -> selected),
+      cfg.dsirSelect.map(_ => "dsir_selected" -> selected) ++
+      cfg.mixToShares.map(_ => "mixed" -> shareMixed) ++
+      cfg.temperatureMix.map(_ => "temperature_mixed" -> mixed),
       // observed() is called once per reported stage, in chain order, so
       // the observation list mirrors `stages` name for name
-      stageObs.toList)
+      stageObs.toList,
+      packed)
   }
 }

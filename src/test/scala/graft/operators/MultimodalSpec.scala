@@ -266,4 +266,52 @@ class MultimodalSpec extends AnyFunSuite {
     // 4 full frames (0..3) -> indices 0 and 2 kept
     assert(frames == 2)
   }
+
+  test("lumaGrid9x8: live decode of the image fixture equals the frozen grids (drift detection)") {
+    val live = (0L until ImageFixture.NumImages.toLong).flatMap { id =>
+      Multimodal.lumaGrid9x8(Multimodal.MediaRecord(
+        id, "image/png", ImageFixture.pngBytes(id))).map(g => id -> g.toSeq)
+    }.toMap
+    val frozen = FrozenImageGrids.grids.map { case (id, g) => id -> g.toSeq }.toMap
+    assert(live.keySet == frozen.keySet)
+    live.foreach { case (id, g) =>
+      assert(g == frozen(id),
+        s"grid drift for image $id - rerun graft.FreezeImageGrids AND " +
+          "re-check the q_image_near_dups oracle")
+    }
+    // non-image / undecodable payloads yield no grid (no dedup evidence)
+    assert(Multimodal.lumaGrid9x8(Multimodal.MediaRecord(
+      99L, "text/plain", "not an image".getBytes)).isEmpty)
+    assert(Multimodal.lumaGrid9x8(Multimodal.MediaRecord(
+      99L, "image/png", Array.tabulate(64)(_.toByte))).isEmpty)
+  }
+
+  test("imageNearDupPairs: banded dHash equals brute-force Hamming truth; resolution keeps min-id") {
+    val media = ImageFixture.frame(spark)
+    val got = Dedup.imageNearDupPairs(media, "media_id", "media_type",
+        "content", maxHamming = 6)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force truth over the dHashes of the (frozen-verified) grids
+    val hashes = FrozenImageGrids.grids.map { case (id, g) =>
+      id -> Multimodal.dHash64(g) }
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want, s"banded pairs must equal brute force:\n${got.diff(want)}\n${want.diff(got)}")
+    // the fixture's structure: exactly the 20 planted (3k, 3k+1) twins
+    assert(want.map { case (a, b, _) => (a, b) } ==
+      (0 until 20).map(k => (3L * k, 3L * k + 1)).toSet)
+
+    // end-to-end removal: min-id survivor per pair; an undecodable
+    // payload always survives (no hash -> no duplicate evidence)
+    val withJunk = media.unionByName(Seq(
+      (1000L, "image/png", Array.tabulate(32)(_.toByte)))
+      .toDF("media_id", "media_type", "content"))
+    val kept = Dedup.removeNearDuplicateImages(withJunk, "media_id",
+        "media_type", "content", maxHamming = 6)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == ((0 until 60).map(_.toLong).toSet -- (0 until 20).map(3L * _ + 1)) + 1000L)
+  }
 }

@@ -424,6 +424,63 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "gate off must keep below-threshold docs")
   }
 
+  test("training-mix tail: domain cap, token-share mix, temperature mix, packing compose as rungs") {
+    import graft.functions.TextAnalysis
+    val corpus = docs.select($"doc_id", $"text", $"source")
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      domainCap = Some(CorpusPipeline.DomainCapConfig("source", k = 3)),
+      mixToShares = Some(CorpusPipeline.MixConfig("source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
+      temperatureMix = Some(CorpusPipeline.TemperatureMixConfig("source",
+        alpha = 0.5, targetFraction = 0.9)),
+      chunkTokens = 64, overlapTokens = 16, packTokenBudget = Some(256L),
+      splits = Seq("train" -> 1.0), materializeDocuments = true)
+    val out = CorpusPipeline.prepare(corpus, None, cfg)
+
+    // stage ORDER is load-bearing: cap after the gate / before the dedup
+    // rungs; mixing after every selection rung / before redaction
+    assert(out.stages.map(_._1) == Seq("input", "quality", "domain_cap",
+      "exact_dedup", "near_dedup", "decontaminated", "mixed",
+      "temperature_mixed"))
+
+    // cap keeps at most k per source, and exactly the BEST k (token
+    // count desc, ties by ascending id) of the gate survivors
+    val stages = out.stages.toMap
+    val capRows = stages("domain_cap")
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+    assert(capRows.groupBy(_._1).forall(_._2.length <= 3))
+    val ranked = stages("quality")
+      .select($"source", $"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .as[(String, Long, Int)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).toSeq }
+      .map(r => (r._1, r._2)).toSet
+    assert(capRows.toSet == ranked, "cap must keep the best-k per source")
+
+    // mix: only the target strata survive to documents
+    val outSources = out.documents.select("source").distinct()
+      .as[String].collect().toSet
+    assert(outSources.subsetOf(Set("src0", "src1", "src2")),
+      s"non-target strata must drop at the mix rung: $outSources")
+    assert(outSources.nonEmpty)
+
+    // packing: no example exceeds the budget, and the examples PARTITION
+    // the chunk set (every chunk in exactly one example)
+    val pk = out.packed.get.cache()
+    assert(pk.where($"n_tokens" > 256).count() == 0)
+    assert(pk.agg(sum($"n_chunks")).head().getLong(0) == out.chunks.count())
+    assert(pk.select("example_id").distinct().count() == pk.count())
+
+    // tail off → no extra stages, no packed output
+    val off = CorpusPipeline.prepare(corpus, None, cfg.copy(
+      domainCap = None, mixToShares = None, temperatureMix = None,
+      packTokenBudget = None))
+    assert(off.packed.isEmpty)
+    assert(off.stages.map(_._1) == Seq("input", "quality", "exact_dedup",
+      "near_dedup", "decontaminated"))
+  }
+
   test("observedCounts before any action fails fast with a descriptive error, not a hang") {
     val corpus = docs.select($"doc_id", $"text").limit(40)
     val out = CorpusPipeline.prepare(corpus, None, CorpusPipeline.Config(
