@@ -276,33 +276,60 @@ class StreamingOpsSpec extends AnyFunSuite {
       docs, corpus, index, "text", "doc_id", threshold = 0.5,
       annIndex = Some(StreamingOps.AnnIndexConfig(
         annDir, "embedding", FrozenAnn.coarse, FrozenAnn.pqIndex)))
+    // a probe against whatever the ANN dir holds right now — the
+    // between-batches consumer a live retrieval service is
+    def members(): Set[Long] = Similarity.loadIvfPqIndex(spark, annDir)
+      .select("c_id").as[Long].collect().toSet
+    def probeAll(idxDf: DataFrame, probes: DataFrame): Set[(Long, Long)] =
+      Similarity.ivfPqTopKIndexed(
+        idxDf, probes, "embedding", "doc_id",
+        FrozenAnn.coarse, FrozenAnn.pqIndex, k = 1,
+        nProbe = FrozenAnn.coarse.length)
+        .select("q_id", "c_id").as[(Long, Long)].collect().toSet
     try {
       source.addData((1L, uniqueA, vec(1)), (2L, nearA, vec(2)))
       q.processAllAvailable()
+      // mid-stream: batch 1's survivor is probeable ALREADY (a probe
+      // between batches sees every landed vector, nothing else)
+      assert(members() == Set(1L),
+        "batch 1's survivor must be probeable before batch 2 lands")
       // batch 2: a near-dup of the indexed doc (dropped — must NOT reach
       // the ANN index either) + a new doc (kept and indexed)
       source.addData((3L, nearA, vec(3)), (4L, uniqueB, vec(4)))
       q.processAllAvailable()
+      assert(members() == Set(1L, 4L),
+        "batch 2's new vector must become visible to the next probe")
     } finally q.stop()
 
     // the ANN index holds codes for exactly the corpus survivors
     val annIdx = Similarity.loadIvfPqIndex(spark, annDir)
-    assert(annIdx.select("c_id").as[Long].collect().toSet == Set(1L, 4L),
-      "only dedup survivors may land in the ANN index")
 
     // probing the streamed-and-appended index ≡ probing a fresh build
     // over the final corpus (the append≡rebuild contract, end to end)
     val finalCorpus = spark.read.parquet(corpus)
     val probes = finalCorpus.where($"doc_id" === 1L)
-    def ids(idxDf: DataFrame) = Similarity.ivfPqTopKIndexed(
-      idxDf, probes, "embedding", "doc_id",
-      FrozenAnn.coarse, FrozenAnn.pqIndex, k = 1,
-      nProbe = FrozenAnn.coarse.length)
-      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
-    val viaStream = ids(annIdx)
-    val viaRebuild = ids(Similarity.buildIvfPqIndex(
-      finalCorpus, "embedding", "doc_id", FrozenAnn.coarse, FrozenAnn.pqIndex))
+    val viaStream = probeAll(annIdx, probes)
+    val viaRebuild = probeAll(Similarity.buildIvfPqIndex(
+      finalCorpus, "embedding", "doc_id", FrozenAnn.coarse, FrozenAnn.pqIndex),
+      probes)
     assert(viaStream.nonEmpty && viaStream == viaRebuild)
+
+    // compaction of the STREAMING-PRODUCED dirs (corpus + dedup index +
+    // ANN dir in one call): per-batch partitions fold to batch_id=-1,
+    // survivors and probe results identical — the close of the
+    // batch-lands → index-appends → probe-sees → compaction-preserves
+    // loop
+    StreamingOps.compactCorpus(spark, corpus, index, annIndexDir = Some(annDir))
+    val annParts = new java.io.File(annDir).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSet
+    assert(annParts == Set("batch_id=-1"), s"ANN dir partitions: $annParts")
+    assert(members() == Set(1L, 4L))
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 4L), "compaction must not change corpus survivors")
+    assert(probeAll(Similarity.loadIvfPqIndex(spark, annDir),
+      spark.read.parquet(corpus).where($"doc_id" === 1L)) == viaStream,
+      "compaction must not change probe results")
   }
 
   test("dedupStreamIntoCorpus: per-batch fuzzy decontamination against a stored benchmark index") {
