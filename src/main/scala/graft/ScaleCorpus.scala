@@ -32,14 +32,24 @@ import org.apache.spark.sql.functions._
   *    and ids are remapped `doc_id * factor + k` so min-id survivor
   *    semantics stay deterministic.
   *
-  * Usage: `runMain graft.ScaleCorpus <srcSfDir> <outDir> <factor>`; the
-  * other sf tables are NOT copied — symlink them into `outDir` if a
-  * query under measurement needs them.
+  * The optional `embeddings` table arg also scales `embeddings.parquet`:
+  * replica k of vector v remaps `vec_id * factor + k` and JITTERS every
+  * component by a deterministic hash-derived ±0.02 — replicas stay in
+  * their original coarse cluster (the jitter is far inside the
+  * inter-centroid margin) without being bit-identical, so per-cluster
+  * ranking work is realistic, not a degenerate all-ties sort.
+  *
+  * Usage: `runMain graft.ScaleCorpus <srcSfDir> <outDir> <factor>
+  * [documents|embeddings ...]`; the other sf tables are NOT copied —
+  * symlink them into `outDir` if a query under measurement needs them.
   */
 object ScaleCorpus {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleCorpus <srcSfDir> <outDir> <factor>")
-    val Array(src, out, factorS) = args
+    require(args.length >= 3,
+      "usage: ScaleCorpus <srcSfDir> <outDir> <factor> [documents|embeddings ...]")
+    val Array(src, out, factorS) = args.take(3)
+    val tables: Set[String] =
+      if (args.length > 3) args.drop(3).toSet else Set("documents")
     val factor = factorS.toInt
     require(factor >= 2, s"factor must be >= 2, got $factor")
     val spark = SparkSession.builder()
@@ -49,19 +59,37 @@ object ScaleCorpus {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet(s"$src/documents.parquet")
     val reps = spark.range(0, factor.toLong).select(col("id").cast("int").as("_k"))
-    docs.crossJoin(reps)
-      .select(
-        (col("doc_id") * factor + col("_k")).as("doc_id"),
-        concat_ws(" ", transform(split(col("text"), "\\s+"),
-          t => concat(t, lit("_rep"), col("_k")))).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val n = spark.read.parquet(s"$out/documents.parquet").count()
-    println(s"[scale] wrote $n documents to $out/documents.parquet (factor $factor)")
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      docs.crossJoin(reps)
+        .select(
+          (col("doc_id") * factor + col("_k")).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), "\\s+"),
+            t => concat(t, lit("_rep"), col("_k")))).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val n = spark.read.parquet(s"$out/documents.parquet").count()
+      println(s"[scale] wrote $n documents to $out/documents.parquet (factor $factor)")
+    }
+    if (tables("embeddings")) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      emb.crossJoin(reps)
+        .select(
+          (col("vec_id") * factor + col("_k")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + lit(0.02f) * ((pmod(xxhash64(concat(
+              col("vec_id").cast("string"), lit(":"), col("_k").cast("string"),
+              lit(":"), i.cast("string"))), lit(2001)).cast("float") -
+              lit(1000f)) / lit(1000f))).cast("float")).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      val n = spark.read.parquet(s"$out/embeddings.parquet").count()
+      println(s"[scale] wrote $n embeddings to $out/embeddings.parquet (factor $factor)")
+    }
     spark.stop()
   }
 }

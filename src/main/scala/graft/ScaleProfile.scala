@@ -237,6 +237,34 @@ object ScaleProfile {
       }
     }
 
+    // ── round 11: the model quality gate in ISOLATION — the composed
+    // q_corpus_pipeline_model fixture is scale-ADVERSARIAL by design
+    // (its 250k-doc shared filler suffix is exactly the elevated-
+    // background LSH regime, and that cost belongs to the near-dup
+    // rung's documented story, not the gate); the gate itself is one
+    // narrow codegen'd scan term, measured here ───────────────────────
+    if (sections("modelgate")) {
+      import graft.operators.{FrozenQualityModel, QualityModel}
+      graft.functions.GraftFunctions.register(spark)
+      timed("modelgate.score(frozen hashed-linear, full corpus)") {
+        QualityModel.score(docs, "text", "doc_id", FrozenQualityModel.model)
+          .agg(sum(col("logit")), count(lit(1))).first().getLong(1)
+      }
+      timed("modelgate.gate(logit >= 0 filter, survivor count)") {
+        docs.where(QualityModel.logitCol(col("text"),
+          FrozenQualityModel.model) >= 0).count()
+      }
+    }
+
+    // ── round 11: trained-BPE serving throughput (narrow kernel scan) ──
+    if (sections("bpe")) {
+      import graft.operators.{Bpe, FrozenBpe}
+      timed("bpe.tokenCounts(frozen merges, full corpus)") {
+        Bpe.tokenCounts(docs, "text", "doc_id", FrozenBpe.model)
+          .agg(sum(col("n_pieces")), count(lit(1))).first().getLong(1)
+      }
+    }
+
     // ── SemDeDup skew guard: one runaway cluster, split vs unsplit ────
     // Opt-in (args "semskew"): synthesizes SPARK_GRAFT_SEMSKEW_N vectors
     // (default 24k, dim 64) that nearly all primary-assign to ONE coarse

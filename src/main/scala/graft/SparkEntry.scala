@@ -1226,6 +1226,21 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // ── North star accounting: TRAINED-BPE token counts (Sennrich ACL
+    //    2016 / GPT-2 reference encoder — public algorithm) under the
+    //    frozen in-library-trained merge table: per-doc word count,
+    //    piece count, and an order-sensitive md5 of the piece stream.
+    //    ONE narrow codegen'd kernel scan (BpeEncodeExpr — merge table
+    //    travels as a codegen reference object); the oracle restates
+    //    serving as a FIXED chain of string replaces, provably equal to
+    //    the canonical min-rank loop because training only emits
+    //    fresh-output merges (BpeSpec proves the equivalence against an
+    //    independent reference implementation word by word) ────────────
+    "q_bpe_token_counts" -> ((s, dir) =>
+      graft.operators.Bpe.tokenCounts(t(s, dir, "documents"), "text",
+        "doc_id", graft.operators.FrozenBpe.model)
+        .orderBy(col("doc_id"))),
+
     // ── North star multimodal: PERCEPTUAL image near-dup pairs — dHash
     //    over the REAL decode + bilinear-resize path (javax.imageio, no
     //    external codec), then the same Hamming-LSH chunk banding as the
@@ -3419,6 +3434,35 @@ object SparkEntry {
       ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50, " +
         "TRUE AS p50_ok, TRUE AS p90_ok " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_bpe_token_counts" -> {
+      // serving restated as a FIXED replace chain over the frozen merge
+      // table: each word becomes a spaced-symbol string (" c1  c2 … "),
+      // merge r replaces all " a  b " with " ab " — one pass per rank,
+      // rank order; equal to the canonical min-rank loop because every
+      // merge output is fresh (see Bpe.train scaladoc; BpeSpec proves it
+      // against an independent reference). Distinct words encode once.
+      val merges = graft.operators.FrozenBpe.model.merges
+      require(merges.forall(_.matches("[a-z0-9]+ [a-z0-9]+")),
+        "frozen merges must be plain normalized tokens (SQL-literal-safe)")
+      val chain = merges.foldLeft("s0") { (acc, m) =>
+        val i = m.indexOf(' ')
+        val a = m.substring(0, i); val b = m.substring(i + 1)
+        s"replace($acc, ' $a  $b ', ' $a$b ')"
+      }
+      "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM documents), " +
+        "toks AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM tk), " +
+        "dw AS (SELECT DISTINCT w FROM toks), " +
+        "init AS (SELECT w, ' ' || array_to_string(list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS s0 FROM dw), " +
+        s"enc AS (SELECT w, $chain AS s FROM init), " +
+        "pieces AS (SELECT w, list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS ps FROM enc), " +
+        "perdoc AS (SELECT toks.doc_id AS doc_id, count(*) AS n_toks, " +
+        "CAST(sum(len(ps)) AS BIGINT) AS n_pieces, " +
+        "string_agg(array_to_string(ps, ' '), ' ' ORDER BY pos) AS stream " +
+        "FROM toks JOIN pieces ON toks.w = pieces.w GROUP BY toks.doc_id) " +
+        "SELECT d.doc_id AS doc_id, CAST(COALESCE(p.n_toks, 0) AS BIGINT) AS n_tokens, " +
+        "COALESCE(p.n_pieces, 0) AS n_pieces, md5(COALESCE(p.stream, '')) AS pieces_fp " +
+        "FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id ORDER BY doc_id"
+    },
     "q_image_near_dups" -> {
       // dHash → chunk-band → Hamming restated from the FROZEN 9×8 luma
       // grids (the oracle cannot decode PNG; live decode ≡ frozen is

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding SERVING kernel — the public GPT-2 BPE algorithm
+  * (Sennrich et al. ACL 2016; the gpt-2 reference encoder): pre-tokenize
+  * with the engine's normalization ([[ShingleUtil.normTokens]] — the
+  * same word stream every other text operator counts), then merge each
+  * word's character symbols bottom-up under a trained merge table,
+  * lowest rank first, all occurrences left-to-right non-overlapping.
+  *
+  * Implementation shape: merges apply in RANK ORDER, one exhaustive
+  * pass per rank — provably equivalent to the canonical
+  * min-rank-pair-first loop when every merge's output symbol is fresh
+  * (a symbol is created by exactly one merge, so applying rank k can
+  * only enable pairs that MENTION out_k, and any merge mentioning out_k
+  * was learned after k; [[graft.operators.Bpe.train]] guarantees
+  * freshness by construction). The rank-order form is what the DuckDB
+  * oracle restates as a fixed chain of string replaces — same theorem,
+  * both engines.
+  *
+  * Per-encoder word cache: corpora repeat words (Zipf), so each task
+  * encodes a word once; the cache is bounded by the task's observed
+  * vocabulary. */
+final class BpeEncoder(val merges: Array[String]) extends Serializable {
+
+  /** Parsed merge table in rank order: (left, right, joined). */
+  @transient private lazy val table: Array[(String, String, String)] =
+    merges.map { m =>
+      val i = m.indexOf(' ')
+      require(i > 0 && i < m.length - 1, s"malformed merge '$m' (want 'left right')")
+      val a = m.substring(0, i)
+      val b = m.substring(i + 1)
+      (a, b, a + b)
+    }
+
+  @transient private lazy val cache =
+    new java.util.HashMap[String, Array[String]]()
+
+  /** BPE pieces of ONE pre-tokenized word. */
+  def encodeWord(word: String): Array[String] = {
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    var syms: Array[String] = {
+      val out = new Array[String](word.codePointCount(0, word.length))
+      var i = 0; var j = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        out(j) = word.substring(i, i + n)
+        i += n; j += 1
+      }
+      out
+    }
+    var r = 0
+    while (r < table.length && syms.length > 1) {
+      val (a, b, ab) = table(r)
+      // one exhaustive left-to-right non-overlapping pass (sufficient:
+      // merging (a,b) cannot create a new (a,b) adjacency — the fresh
+      // output ab differs from both a and b)
+      var i = 0
+      var found = false
+      while (!found && i < syms.length - 1) {
+        found = syms(i) == a && syms(i + 1) == b
+        i += 1
+      }
+      if (found) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var p = 0
+        while (p < syms.length) {
+          if (p < syms.length - 1 && syms(p) == a && syms(p + 1) == b) {
+            out += ab; p += 2
+          } else { out += syms(p); p += 1 }
+        }
+        syms = out.toArray
+      }
+      r += 1
+    }
+    cache.put(word, syms)
+    syms
+  }
+
+  /** Pieces of a whole text: normTokens words, each BPE-encoded, flat in
+    * token order. */
+  def encodePieces(text: UTF8String): GenericArrayData = {
+    val toks = ShingleUtil.normTokens(text)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val pieces = encodeWord(toks(i).toString)
+      var j = 0
+      while (j < pieces.length) { out += UTF8String.fromString(pieces(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `bpe_pieces(string) -> array<string>` under a literal merge table —
+  * the BPE piece stream of a document's normalized tokens. Codegen'd:
+  * the encoder travels as a codegen reference object, one JVM call per
+  * row inside whole-stage codegen (the LangIdExpr shape). */
+case class BpeEncodeExpr(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_pieces"
+
+  @transient private lazy val encoder = new BpeEncoder(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    encoder.encodePieces(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", encoder,
+      classOf[BpeEncoder].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encodePieces($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}

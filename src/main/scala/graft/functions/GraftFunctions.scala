@@ -39,6 +39,11 @@ object GraftFunctions {
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sig_agreement", exprs => SigAgreement(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_pieces", exprs => BpeEncodeExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString)), "built-in")
     // Spark's own runtime-filter bloom pair, surfaced as callable
     // functions (they are not in FunctionRegistry by default). Using the
     // engine's pair — not a re-implementation — guarantees the serialized
@@ -91,6 +96,12 @@ object GraftFunctions {
   /** `hash_array64(array<string>) -> array<long>` as a Column — xxhash64
     * per element in one codegen'd loop (seed 42, matching `xxhash64()`). */
   def hashArray64(c: Column): Column = call_function("hash_array64", c)
+
+  /** `bpe_pieces(string, merges) -> array<string>`: BPE piece stream of
+    * the normalized tokens under a trained merge table (rank-ordered
+    * "left right" strings — [[graft.operators.Bpe.Model]] literals). */
+  def bpePieces(c: Column, merges: Array[String]): Column =
+    call_function("bpe_pieces", c, lit(merges))
 
   /** `sig_agreement(array<int>, array<int>) -> double` as a Column —
     * positionwise MinHash-component agreement (unbiased Jaccard

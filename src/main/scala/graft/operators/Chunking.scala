@@ -24,15 +24,23 @@ object Chunking {
     * tokens beyond the overlap is skipped; zero-token docs yield no
     * rows). Emits (idCol, chunk_idx, chunk_text, n_chunk_tokens) —
     * chunk_idx is the 0-based window ordinal, deterministic by
-    * construction. */
+    * construction.
+    *
+    * `tokenizer` selects the unit the windows count: None = whitespace
+    * `norm_tokens` (the default proxy); pass a Column producing an
+    * array<string> over the text — e.g.
+    * [[Bpe.pieces]]`(col(textCol), model)` — to chunk by TRAINED-BPE
+    * pieces, the units a real trainer packs (the same narrow plan; the
+    * kernel swaps, nothing else). */
   def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
-      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+      chunkTokens: Int, overlapTokens: Int = 0,
+      tokenizer: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
     GraftFunctions.register(df.sparkSession)
     val stride = chunkTokens - overlapTokens
-    val toks = GraftFunctions.normTokens(col(textCol))
+    val toks = tokenizer.getOrElse(GraftFunctions.normTokens(col(textCol)))
     df.select(col(idCol), toks.as("_toks"))
       .where(size(col("_toks")) > 0)
       .select(col(idCol),
