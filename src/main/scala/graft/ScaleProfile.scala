@@ -256,6 +256,66 @@ object ScaleProfile {
       }
     }
 
+    // ── round 11: the q_corpus_pipeline_c4 scale attribution, measured —
+    // the fixture plants ONE 20-token prose line on half the corpus
+    // (plus nav/menu boilerplate), which at 250k+ sharing docs is the
+    // elevated-background LSH regime: every pair of sharers collides in
+    // some band, candidates grow quadratically, verify rejects them all.
+    // That shared-line shape is EXACTLY what the line-dedup rung exists
+    // for — scrubbing cross-document lines before near-dup collapses the
+    // background. A/B the same c4 chain with the rung off vs on. ───────
+    if (sections("c4bg")) {
+      import graft.pipeline.CorpusPipeline
+      val aug = docs.select(col("doc_id"), SparkEntry.c4AugCol.as("text"))
+      val bench = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text"))
+      def cfg(lineDedup: Option[Int]) = CorpusPipeline.Config(
+        c4Rules = true, langs = Set("en"), minTokens = 10,
+        maxTokens = 100000, minAlphaRatio = 0.4, dedupThreshold = 0.5,
+        shingleN = 3, decontaminateN = 8, lineDedupMinDocs = lineDedup,
+        chunkTokens = 64, overlapTokens = 16,
+        splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        materializeDocuments = true)
+      timed("c4bg.line_dedup_on(c4 chain + lineDedupMinDocs=2)") {
+        CorpusPipeline.prepare(aug, Some(bench), cfg(Some(2)))
+          .documents.count()
+      }
+      timed("c4bg.line_dedup_off(the registered q_corpus_pipeline_c4 shape)") {
+        CorpusPipeline.prepare(aug, Some(bench), cfg(None))
+          .documents.count()
+      }
+    }
+
+    // ── round 11: the q_corpus_pipeline_model scale attribution — the
+    // fixture appends ONE shared 66-token filler suffix to half the
+    // corpus (the frozen model's positive class), so at 250k sharers
+    // the near-dup rung sits in the elevated-background regime and
+    // FIXED banding OOMs in the verify join (measured at 500k). The
+    // prescribed configuration for high-background corpora is
+    // tunedNearDedup (sampled background → wider bands + signature
+    // prefilter) — run the SAME chain tuned and time it. ───────────────
+    if (sections("modelbg")) {
+      import graft.pipeline.CorpusPipeline
+      import graft.operators.FrozenQualityModel
+      val aug = docs.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(QmOracle.fillerSuffix)))
+          .otherwise(col("text")).as("text"))
+      val bench = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text"))
+      timed("modelbg.tuned(model-gate chain + tunedNearDedup)") {
+        CorpusPipeline.prepare(aug, Some(bench), CorpusPipeline.Config(
+          langs = Set("en"), minTokens = 10, maxTokens = 100000,
+          minAlphaRatio = 0.4,
+          modelGate = Some(CorpusPipeline.ModelGateConfig(
+            FrozenQualityModel.model, minLogit = 0.0)),
+          dedupThreshold = 0.5, shingleN = 3, decontaminateN = 8,
+          tunedNearDedup = true, chunkTokens = 64, overlapTokens = 16,
+          splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+          materializeDocuments = true)).documents.count()
+      }
+    }
+
     // ── round 11: trained-BPE serving throughput (narrow kernel scan) ──
     if (sections("bpe")) {
       import graft.operators.{Bpe, FrozenBpe}

@@ -1726,7 +1726,7 @@ object SparkEntry {
     * %2 (the only docs that can clear the 5-sentence page gate), lorem
     * ipsum on %7, and a curly-braced code line on %9 — every C4 rule
     * exercised both ways. */
-  private def c4AugCol: Column = {
+  private[graft] def c4AugCol: Column = {
     val id = col("doc_id").cast("string")
     concat(
       lit("Intro for doc "), id, lit(": "), col("text"), lit("."),

@@ -457,6 +457,11 @@ class CorpusPipelineSpec extends AnyFunSuite {
         rows.sortBy(r => (-r._3, r._2)).take(3).toSeq }
       .map(r => (r._1, r._2)).toSet
     assert(capRows.toSet == ranked, "cap must keep the best-k per source")
+    // the cap plans as a map-side-partial WindowGroupLimit before its one
+    // exchange (the Sampling.capPerGroup scale shape, composed)
+    val capPlan = stages("domain_cap").queryExecution.executedPlan.toString
+    assert(capPlan.contains("WindowGroupLimit"),
+      s"domain cap must plan a WindowGroupLimit:\n$capPlan")
 
     // mix: only the target strata survive to documents
     val outSources = out.documents.select("source").distinct()
