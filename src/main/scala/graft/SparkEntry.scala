@@ -812,6 +812,12 @@ object SparkEntry {
     //    the three stages a real pre-training run executes between
     //    curation and the trainer. See corpusPipelineMixQuery ──────────
     "q_corpus_pipeline_mix" -> ((s, dir) => corpusPipelineMixQuery(s, dir)),
+    // ── The pipeline chunking/packing on TRAINED-BPE pieces: the
+    //    bpeChunking Config swaps the window unit to the frozen merge
+    //    table's pieces (the units a trainer actually packs), and the
+    //    packing budget then counts true pieces — the accounting a real
+    //    run needs end to end. See corpusPipelineBpeQuery ──────────────
+    "q_corpus_pipeline_bpe" -> ((s, dir) => corpusPipelineBpeQuery(s, dir)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -2078,6 +2084,28 @@ object SparkEntry {
       sum(when(col("source") === src, 1L).otherwise(0L)).cast("long").as(s"n_$src")))
   }
 
+  /** q_corpus_pipeline_bpe: the plain pipeline with chunking AND packing
+    * on TRAINED-BPE pieces (`bpeChunking` + `packTokenBudget`): the
+    * chunk windows slice the FrozenBpe piece stream of the redacted
+    * text, and the greedy packing budget counts those pieces. Corpus =
+    * raw documents; benchmark = the %50 slice. chunk_token_sum /
+    * packed_token_sum pin the piece accounting end to end. */
+  private def corpusPipelineBpeQuery(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+      decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
+      bpeChunking = Some(graft.operators.FrozenBpe.model),
+      packTokenBudget = Some(256L),
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    pipelineStatsRow(s, p)
+  }
+
   /** DuckDB CTE producing (doc_id, shingles): distinct 3-gram shingles of
     * the normalized text — the oracle-side mirror of
     * [[graft.operators.Dedup.shingleSets]], shared by every dedup oracle. */
@@ -2126,6 +2154,46 @@ object SparkEntry {
   private def gram8CteSql(src: String): String =
     s"SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6,1)), " +
       s"i -> array_to_string(list_slice(t,i,i+7),' '))) AS sh FROM $src"
+
+  /** dw → init → enc → pieces CTEs: the frozen-BPE serving restatement
+    * over the DISTINCT words of `src` (any CTE exposing a column `w`) —
+    * each word becomes a spaced-symbol string (" c1  c2 … ") and merge
+    * r replaces all " a  b " with " ab ", one pass per rank in rank
+    * order; equal to the canonical min-rank loop because every trained
+    * merge output is fresh (Bpe.train scaladoc; BpeSpec proves the
+    * equivalence against an independent reference). Shared by
+    * q_bpe_token_counts and the q_corpus_pipeline_bpe tail. */
+  private def bpePieceCtes(src: String): String = {
+    val merges = graft.operators.FrozenBpe.model.merges
+    require(merges.forall(_.matches("[a-z0-9]+ [a-z0-9]+")),
+      "frozen merges must be plain normalized tokens (SQL-literal-safe)")
+    val chain = merges.foldLeft("s0") { (acc, m) =>
+      val i = m.indexOf(' ')
+      val a = m.substring(0, i); val b = m.substring(i + 1)
+      s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+    s"dw AS (SELECT DISTINCT w FROM $src), " +
+      "init AS (SELECT w, ' ' || array_to_string(list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS s0 FROM dw), " +
+      s"enc AS (SELECT w, $chain AS s FROM init), " +
+      "pieces AS (SELECT w, list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS ps FROM enc), "
+  }
+
+  /** The greedy-packing rollup CTEs (pord → ppk → pex) over the tail's
+    * `ck` (doc_id, chunk_idx, n) and `sp` (doc_id, split) — the
+    * q_packed_examples recursion at `budget`, per (split, md5-hex
+    * shard) in (doc_id, chunk_idx) order. Emitted with a LEADING comma
+    * (the tail fragments end comma-free, ready for a SELECT). */
+  private def packingCtes(budget: Long): String =
+    ", pord AS MATERIALIZED (SELECT sp.split AS split, substr(md5(CAST(ck.doc_id AS VARCHAR)),1,1) AS shard, " +
+      "ck.doc_id AS doc_id, ck.chunk_idx AS chunk_idx, ck.n AS n, " +
+      "row_number() OVER (PARTITION BY sp.split, substr(md5(CAST(ck.doc_id AS VARCHAR)),1,1) ORDER BY ck.doc_id, ck.chunk_idx) AS rn " +
+      "FROM ck JOIN sp ON ck.doc_id = sp.doc_id), " +
+      "ppk AS (SELECT split, shard, n, rn, CAST(0 AS BIGINT) AS ex, n AS tk FROM pord WHERE rn = 1 " +
+      "UNION ALL SELECT o.split, o.shard, o.n, o.rn, " +
+      s"CASE WHEN p.tk > 0 AND p.tk + o.n > $budget THEN p.ex + 1 ELSE p.ex END, " +
+      s"CASE WHEN p.tk > 0 AND p.tk + o.n > $budget THEN o.n ELSE p.tk + o.n END " +
+      "FROM ppk p JOIN pord o ON o.split = p.split AND o.shard = p.shard AND o.rn = p.rn + 1), " +
+      "pex AS (SELECT split, shard, ex, count(*) AS nchunks, CAST(sum(n) AS BIGINT) AS ntok FROM ppk GROUP BY 1,2,3) "
 
   /** The redact → re-tokenize → chunk(64/16) → split(0.9/0.05/0.05)
     * tail over the final content stage `src`. */
@@ -2551,20 +2619,7 @@ object SparkEntry {
       "q5 AS MATERIALIZED (SELECT q4.* FROM q4 JOIN mth ON q4.source = mth.s " +
       "WHERE substr(md5(CAST(q4.doc_id AS VARCHAR)),1,8) < mth.th), " +
       pipelineTailSql("q5") +
-      // greedy packing over the tail's chunk windows (budget 256), per
-      // (split, md5-hex shard) in (doc_id, chunk_idx) order — the
-      // q_packed_examples recursion (the tail fragment ends comma-free,
-      // ready for a SELECT — re-open the CTE list)
-      ", pord AS MATERIALIZED (SELECT sp.split AS split, substr(md5(CAST(ck.doc_id AS VARCHAR)),1,1) AS shard, " +
-      "ck.doc_id AS doc_id, ck.chunk_idx AS chunk_idx, ck.n AS n, " +
-      "row_number() OVER (PARTITION BY sp.split, substr(md5(CAST(ck.doc_id AS VARCHAR)),1,1) ORDER BY ck.doc_id, ck.chunk_idx) AS rn " +
-      "FROM ck JOIN sp ON ck.doc_id = sp.doc_id), " +
-      "ppk AS (SELECT split, shard, n, rn, CAST(0 AS BIGINT) AS ex, n AS tk FROM pord WHERE rn = 1 " +
-      "UNION ALL SELECT o.split, o.shard, o.n, o.rn, " +
-      "CASE WHEN p.tk > 0 AND p.tk + o.n > 256 THEN p.ex + 1 ELSE p.ex END, " +
-      "CASE WHEN p.tk > 0 AND p.tk + o.n > 256 THEN o.n ELSE p.tk + o.n END " +
-      "FROM ppk p JOIN pord o ON o.split = p.split AND o.shard = p.shard AND o.rn = p.rn + 1), " +
-      "pex AS (SELECT split, shard, ex, count(*) AS nchunks, CAST(sum(n) AS BIGINT) AS ntok FROM ppk GROUP BY 1,2,3) " +
+      packingCtes(256) +
       "SELECT (SELECT count(*) FROM aug) AS n_input, " +
       "(SELECT count(*) FROM q1) AS n_quality, " +
       "(SELECT count(*) FROM qc) AS n_domain_cap, " +
@@ -2577,6 +2632,66 @@ object SparkEntry {
       "(SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) FROM q5) AS n_src0, " +
       "(SELECT CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) FROM q5) AS n_src1, " +
       "(SELECT CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) FROM q5) AS n_src2, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum, " +
+      "(SELECT count(*) FROM pex) AS n_examples, " +
+      "(SELECT CAST(sum(nchunks) AS BIGINT) FROM pex) AS packed_chunk_sum, " +
+      "(SELECT CAST(sum(ntok) AS BIGINT) FROM pex) AS packed_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_bpe: the plain chain over raw
+    * documents, with the TAIL's chunk windows sliced over the FrozenBpe
+    * PIECE stream of the redacted text ([[bpePieceCtes]] over the
+    * redacted tokens, flattened per doc in token order) and the packing
+    * recursion counting those pieces. */
+  private lazy val corpusPipelineBpeOracle: String = {
+    def gram8(src: String): String = gram8CteSql(src)
+    "WITH RECURSIVE " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      pipelineLangCteSql +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      // BPE tail: redact → tokenize → FrozenBpe pieces per distinct word
+      // → per-doc piece stream in token order → chunk windows → split
+      s"red AS (SELECT doc_id, $piiRedactSql AS rt FROM q4), " +
+      "rtok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(rt),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM red), " +
+      "rtoks AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM rtok), " +
+      bpePieceCtes("rtoks") +
+      "pstream AS MATERIALIZED (SELECT rtoks.doc_id AS doc_id, flatten(list(ps ORDER BY pos)) AS t " +
+      "FROM rtoks JOIN pieces ON rtoks.w = pieces.w GROUP BY rtoks.doc_id), " +
+      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM pstream WHERE len(t) > 0), " +
+      "ck AS (SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q4) " +
+      packingCtes(256) +
+      "SELECT (SELECT count(*) FROM documents) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
       "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
       "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
       "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
@@ -3436,25 +3551,10 @@ object SparkEntry {
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_bpe_token_counts" -> {
       // serving restated as a FIXED replace chain over the frozen merge
-      // table: each word becomes a spaced-symbol string (" c1  c2 … "),
-      // merge r replaces all " a  b " with " ab " — one pass per rank,
-      // rank order; equal to the canonical min-rank loop because every
-      // merge output is fresh (see Bpe.train scaladoc; BpeSpec proves it
-      // against an independent reference). Distinct words encode once.
-      val merges = graft.operators.FrozenBpe.model.merges
-      require(merges.forall(_.matches("[a-z0-9]+ [a-z0-9]+")),
-        "frozen merges must be plain normalized tokens (SQL-literal-safe)")
-      val chain = merges.foldLeft("s0") { (acc, m) =>
-        val i = m.indexOf(' ')
-        val a = m.substring(0, i); val b = m.substring(i + 1)
-        s"replace($acc, ' $a  $b ', ' $a$b ')"
-      }
+      // table ([[bpePieceCtes]]); distinct words encode once
       "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM documents), " +
         "toks AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM tk), " +
-        "dw AS (SELECT DISTINCT w FROM toks), " +
-        "init AS (SELECT w, ' ' || array_to_string(list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS s0 FROM dw), " +
-        s"enc AS (SELECT w, $chain AS s FROM init), " +
-        "pieces AS (SELECT w, list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS ps FROM enc), " +
+        bpePieceCtes("toks") +
         "perdoc AS (SELECT toks.doc_id AS doc_id, count(*) AS n_toks, " +
         "CAST(sum(len(ps)) AS BIGINT) AS n_pieces, " +
         "string_agg(array_to_string(ps, ' '), ' ' ORDER BY pos) AS stream " +
@@ -3545,6 +3645,7 @@ object SparkEntry {
     "q_corpus_pipeline_c4" -> corpusPipelineC4Oracle,
     "q_corpus_pipeline_model" -> corpusPipelineModelOracle,
     "q_corpus_pipeline_mix" -> corpusPipelineMixOracle,
+    "q_corpus_pipeline_bpe" -> corpusPipelineBpeOracle,
     "q_c4_line_filter" -> {
       // line predicate + page gates restated from TextAnalysis.c4LineKeep
       // / c4PageFlags — same terminal-punctuation class, same word split,

@@ -144,6 +144,7 @@ object CorpusPipeline {
       temperatureMix: Option[TemperatureMixConfig] = None,
       chunkTokens: Int = 512,
       overlapTokens: Int = 64,
+      bpeChunking: Option[graft.operators.Bpe.Model] = None,
       packTokenBudget: Option[Long] = None,
       splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       materializeDocuments: Boolean = false)
@@ -548,10 +549,17 @@ object CorpusPipeline {
     // 7. chunks get the SAME split: it is a pure function of the id
     //    (md5 bucket), so re-deriving it on the chunker's output is a
     //    narrow projection that matches the document's split exactly —
-    //    no join, and the documents subtree evaluates once, not twice
+    //    no join, and the documents subtree evaluates once, not twice.
+    //    `bpeChunking` swaps the window unit from whitespace tokens to
+    //    TRAINED-BPE pieces (the units a real trainer packs) — same
+    //    narrow chunking plan, the codegen'd kernel swaps in; the
+    //    downstream packing budget then counts true pieces too (it
+    //    reads the chunker's n_chunk_tokens).
     val chunks = Sampling.hashSplit(
       Chunking.chunkByTokens(
-        documents, cfg.textCol, cfg.idCol, cfg.chunkTokens, cfg.overlapTokens),
+        documents, cfg.textCol, cfg.idCol, cfg.chunkTokens, cfg.overlapTokens,
+        tokenizer = cfg.bpeChunking.map(m =>
+          graft.operators.Bpe.pieces(text, m))),
       cfg.idCol, cfg.splits)
 
     // 8. optional sequence packing — the stage after chunking in every

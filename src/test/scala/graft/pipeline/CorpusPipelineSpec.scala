@@ -486,6 +486,35 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "near_dedup", "decontaminated"))
   }
 
+  test("bpeChunking: chunk windows and packing budget count trained-BPE pieces") {
+    import graft.operators.{Bpe, FrozenBpe}
+    val corpus = docs.select($"doc_id", $"text").limit(60)
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      chunkTokens = 64, overlapTokens = 16, packTokenBudget = Some(256L),
+      splits = Seq("train" -> 1.0), materializeDocuments = true)
+    val bpe = CorpusPipeline.prepare(corpus, None,
+      cfg.copy(bpeChunking = Some(FrozenBpe.model)))
+    // chunk token mass == the BPE piece mass of the surviving documents
+    val pieceMass = bpe.documents.select(
+      sum(size(Bpe.pieces($"text", FrozenBpe.model)))).head().getLong(0)
+    val chunkMass = bpe.chunks.agg(
+      sum(when($"chunk_idx" === 0, $"n_chunk_tokens")
+        .otherwise($"n_chunk_tokens" - 16))).head().getLong(0)
+    assert(chunkMass == pieceMass,
+      s"BPE chunk windows must cover the piece stream: $chunkMass vs $pieceMass")
+    // packing budget holds in piece units, and examples partition chunks
+    val pk = bpe.packed.get.cache()
+    assert(pk.where($"n_tokens" > 256).count() == 0)
+    assert(pk.agg(sum($"n_chunks")).head().getLong(0) == bpe.chunks.count())
+    // off = whitespace units: the same docs yield a different (smaller)
+    // token mass — BPE pieces per word >= 1
+    val ws = CorpusPipeline.prepare(corpus, None, cfg)
+    val wsMass = ws.chunks.agg(sum($"n_chunk_tokens")).head().getLong(0)
+    val bpeMass = bpe.chunks.agg(sum($"n_chunk_tokens")).head().getLong(0)
+    assert(bpeMass >= wsMass, "piece mass must dominate word mass")
+  }
+
   test("observedCounts before any action fails fast with a descriptive error, not a hang") {
     val corpus = docs.select($"doc_id", $"text").limit(40)
     val out = CorpusPipeline.prepare(corpus, None, CorpusPipeline.Config(
