@@ -23,9 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle restates as a fixed chain of string replaces — same theorem,
   * both engines.
   *
-  * Per-encoder word cache: corpora repeat words (Zipf), so each task
-  * encodes a word once; the cache is bounded by the task's observed
-  * vocabulary. */
+  * Per-encoder word cache: corpora repeat words (Zipf), so each word
+  * encodes once; the cache is bounded by the observed vocabulary. The
+  * encoder travels as a codegen REFERENCE OBJECT, which Spark shares
+  * across every task thread running the plan in one executor — the
+  * cache is a ConcurrentHashMap for that reason (a plain HashMap would
+  * race under concurrent put and can corrupt). */
 final class BpeEncoder(val merges: Array[String]) extends Serializable {
 
   /** Parsed merge table in rank order: (left, right, joined). */
@@ -39,7 +42,7 @@ final class BpeEncoder(val merges: Array[String]) extends Serializable {
     }
 
   @transient private lazy val cache =
-    new java.util.HashMap[String, Array[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
   /** BPE pieces of ONE pre-tokenized word. */
   def encodeWord(word: String): Array[String] = {

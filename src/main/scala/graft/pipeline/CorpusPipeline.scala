@@ -520,10 +520,17 @@ object CorpusPipeline {
       if (mixOn && cfg.dsirSelect.isEmpty) Dedup.materialize(selected)
       else selected
     val shareMixed = cfg.mixToShares.fold(mixInput) { mc =>
-      observed("mixed", Sampling.mixToTokenShares(
-        mixInput.withColumn("_mix_tokens", TextAnalysis.tokenCount(text)),
-        cfg.idCol, mc.strataCol, "_mix_tokens", mc.targetShares)
-        .drop("_mix_tokens"))
+      // An EMPTY pre-mix corpus (a fully-gated streaming micro-batch)
+      // has no histogram to derive rates from — pass it through rather
+      // than tripping the operator's no-positive-mass misconfiguration
+      // guard. The isEmpty probe reads the checkpoint (mixInput is
+      // always materialized when a mix rung is on), not the chain.
+      observed("mixed",
+        if (mixInput.isEmpty) mixInput
+        else Sampling.mixToTokenShares(
+          mixInput.withColumn("_mix_tokens", TextAnalysis.tokenCount(text)),
+          cfg.idCol, mc.strataCol, "_mix_tokens", mc.targetShares)
+          .drop("_mix_tokens"))
     }
     val mixed = cfg.temperatureMix.fold(shareMixed) { tc =>
       observed("temperature_mixed",

@@ -125,9 +125,23 @@ class EdgeCasesSpec extends AnyFunSuite {
         urlCol = Some("url"), stripHtml = true, c4Rules = true,
         gopherRules = true, lineDedupMinDocs = Some(2),
         fuzzyDecontaminate = Some(0.5),
+        // round-11 rungs: the model gate, the training-mix tail, and
+        // BPE chunking must all flow an empty frame too (the mix rung's
+        // histogram derivation has nothing to derive from — it must
+        // pass the empty corpus through, not throw)
+        modelGate = Some(graft.pipeline.CorpusPipeline.ModelGateConfig(
+          graft.operators.FrozenQualityModel.model)),
+        domainCap = Some(graft.pipeline.CorpusPipeline.DomainCapConfig("url", 5)),
+        mixToShares = Some(graft.pipeline.CorpusPipeline.MixConfig("url",
+          Map("a" -> 1.0))),
+        temperatureMix = Some(graft.pipeline.CorpusPipeline.TemperatureMixConfig(
+          "url", alpha = 0.5, targetFraction = 0.5)),
+        bpeChunking = Some(graft.operators.FrozenBpe.model),
+        packTokenBudget = Some(256L),
         materializeDocuments = true, splits = Seq("train" -> 1.0)))
     assert(out.documents.count() == 0)
     assert(out.chunks.count() == 0)
+    assert(out.packed.get.count() == 0)
     // materializeDocuments executed the chain, so every observation is
     // collected — and every stage saw zero rows
     assert(out.observedCounts.forall(_._2 == 0L),
