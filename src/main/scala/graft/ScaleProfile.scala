@@ -316,6 +316,41 @@ object ScaleProfile {
       }
     }
 
+    // ── round 11: perceptual image dedup at scale — synthesize
+    // SPARK_GRAFT_IMAGES PNGs (default 60k) with the ImageFixture
+    // generator (draw + encode INSIDE the tasks, fixture triples =
+    // 1/3 planted near-dup pairs) and time decode→dHash→band→verify
+    // and the full removal. The decode is the dominant narrow span;
+    // the band join ships (chunk_key, id, hash) only. ──────────────────
+    if (sections("imagededup")) {
+      import graft.operators.{Dedup, ImageFixture, Multimodal}
+      val n = sys.env.getOrElse("SPARK_GRAFT_IMAGES", "60000").toInt
+      // Hamming bound: h=6 needs 9-bit chunks (64/7), whose 512-bucket
+      // space saturates with background band collisions around ~1e5
+      // images; the at-scale setting is a tighter bound (h=3 -> 16-bit
+      // chunks -> 65k buckets, good to ~1e7) - the standard dHash
+      // near-identical regime
+      val h = sys.env.getOrElse("SPARK_GRAFT_IMAGES_H", "6").toInt
+      import spark.implicits._
+      val media = spark.range(n).as[Long]
+        .mapPartitions(_.map(id => (id, "image/png", ImageFixture.pngBytes(id))))
+        .toDF("media_id", "media_type", "content")
+      timed(s"imagededup.decode+hash(n=$n lumaGrid9x8 + dHash64)") {
+        media.as[Multimodal.MediaRecord].mapPartitions { it =>
+          it.flatMap(m => Multimodal.lumaGrid9x8(m)
+            .map(g => (m.media_id, Multimodal.dHash64(g))))
+        }.count()
+      }
+      timed(s"imagededup.pairs(n=$n banded Hamming <= $h)") {
+        Dedup.imageNearDupPairs(media, "media_id", "media_type", "content",
+          maxHamming = h).count()
+      }
+      timed(s"imagededup.removal(n=$n h=$h pairs -> CC -> min-id survivor)") {
+        Dedup.removeNearDuplicateImages(media, "media_id", "media_type",
+          "content", maxHamming = h).count()
+      }
+    }
+
     // ── round 11: trained-BPE serving throughput (narrow kernel scan) ──
     if (sections("bpe")) {
       import graft.operators.{Bpe, FrozenBpe}

@@ -618,7 +618,13 @@ object Dedup {
     *
     * Scale shape: decode is a batched per-partition transform (narrow);
     * after it each image is ONE long — the band join shuffles
-    * (chunk_key, id, hash) triples only, never pixels. */
+    * (chunk_key, id, hash) triples only, never pixels. Pick `maxHamming`
+    * against corpus size: the chunks are 64/(maxHamming+1) bits wide,
+    * and background band collisions grow as n²/2^width — h=6 (9-bit
+    * chunks, 512 buckets) is comfortable to ~1e5 images, h=3 (16-bit
+    * chunks, 65k buckets) to ~1e7; beyond that, shard by a cheap
+    * pre-key (dimensions, source) first. Measured decade table in
+    * BASELINE.md (round 11). */
   def imageNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
       binaryCol: String, maxHamming: Int = 6): DataFrame = {
     import df.sparkSession.implicits._
