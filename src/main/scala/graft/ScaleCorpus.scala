@@ -50,6 +50,9 @@ object ScaleCorpus {
     val Array(src, out, factorS) = args.take(3)
     val tables: Set[String] =
       if (args.length > 3) args.drop(3).toSet else Set("documents")
+    require(tables.subsetOf(Set("documents", "embeddings")),
+      s"unknown table arg(s): ${tables -- Set("documents", "embeddings")} " +
+        "(a typo here would silently scale nothing)")
     val factor = factorS.toInt
     require(factor >= 2, s"factor must be >= 2, got $factor")
     val spark = SparkSession.builder()

@@ -2175,7 +2175,10 @@ object SparkEntry {
     s"dw AS (SELECT DISTINCT w FROM $src), " +
       "init AS (SELECT w, ' ' || array_to_string(list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS s0 FROM dw), " +
       s"enc AS (SELECT w, $chain AS s FROM init), " +
-      "pieces AS (SELECT w, list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS ps FROM enc), "
+      // first piece of each word carries the '▁' word-boundary marker
+      // (the engine kernel's SentencePiece-style convention)
+      "pieces AS (SELECT w, list_concat([('▁' || p0[1])], p0[2:]) AS ps FROM " +
+      "(SELECT w, list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS p0 FROM enc)), "
   }
 
   /** The greedy-packing rollup CTEs (pord → ppk → pex) over the tail's

@@ -87,7 +87,11 @@ final class BpeEncoder(val merges: Array[String]) extends Serializable {
   }
 
   /** Pieces of a whole text: normTokens words, each BPE-encoded, flat in
-    * token order. */
+    * token order. The FIRST piece of every word carries the
+    * SentencePiece-style word-boundary marker '▁' (public convention),
+    * so the flat stream is losslessly detokenizable — a chunk window
+    * that splits mid-word can never conflate piece boundaries with word
+    * boundaries when the pieces are re-joined as text. */
   def encodePieces(text: UTF8String): GenericArrayData = {
     val toks = ShingleUtil.normTokens(text)
     val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length * 2)
@@ -95,7 +99,11 @@ final class BpeEncoder(val merges: Array[String]) extends Serializable {
     while (i < toks.length) {
       val pieces = encodeWord(toks(i).toString)
       var j = 0
-      while (j < pieces.length) { out += UTF8String.fromString(pieces(j)); j += 1 }
+      while (j < pieces.length) {
+        out += UTF8String.fromString(
+          if (j == 0) "▁" + pieces(0) else pieces(j))
+        j += 1
+      }
       i += 1
     }
     new GenericArrayData(out.toArray)

@@ -628,15 +628,28 @@ object Dedup {
   def imageNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
       binaryCol: String, maxHamming: Int = 6): DataFrame = {
     import df.sparkSession.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // fail FAST on a non-integral id: cast("long") would turn string ids
+    // into nulls and crash the non-nullable encoder deep in the executor
+    val idT = df.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(idT),
+      s"imageNearDupPairs: idCol '$idCol' must be an integral type, got " +
+        s"$idT - remap or hash string ids first")
+    // repartition BEFORE the decode (the nearDupPairsSimHash discipline):
+    // the decode is the dominant CPU span and must not inherit source
+    // skew / AQE byte-size coalescing; the payload shuffle is the price
+    // of pinned decode parallelism (callers with well-partitioned media
+    // dirs can pre-partition and skip the cost upstream)
     val hashed = df.select(
       col(idCol).cast("long").as("media_id"),
       col(typeCol).cast("string").as("media_type"),
-      col(binaryCol).as("content")).as[Multimodal.MediaRecord]
+      col(binaryCol).as("content"))
+      .repartition(cpuParallelism(df), col("media_id"))
+      .as[Multimodal.MediaRecord]
       .mapPartitions { it =>
         it.flatMap(m => Multimodal.lumaGrid9x8(m)
           .map(g => (m.media_id, Multimodal.dHash64(g))))
       }.toDF("id", "sh")
-      .repartition(cpuParallelism(df), col("id"))
     hammingPairs64(hashed, maxHamming)
   }
 

@@ -57,18 +57,12 @@ object QualityModel {
       acc + element_at(w, (featureIndex(t, model.dim) + 1).cast("int")))
   }
 
-  /** Per-document quality scores: (idCol, n_tokens, logit, predicted).
-    * logit = bias + (Σ_t w[h(t)]) / n  (mean token weight + bias; empty
-    * docs score the bare bias). `predicted` = logit ≥ 0 (the gate
-    * decision); sigmoid(logit) is monotone in logit, so thresholding
-    * logit IS thresholding the probability.
-    *
-    * The plan is one narrow projection over the scan — no Exchange
-    * (spec-asserted). At 100 TB this is the cheapest possible model
-    * gate: strictly less work than the rule conjunction it distills. */
   /** The scoring logit as a bare Column over raw text — the gate form a
     * pipeline folds into its quality-scan conjunction (one more narrow
-    * codegen'd term, no extra stage). Caller must have run
+    * codegen'd term, no extra stage). logit = bias + (Σ_t w[h(t)]) / n
+    * (mean token weight + bias; empty docs score the bare bias);
+    * sigmoid(logit) is monotone in logit, so thresholding logit IS
+    * thresholding the probability. Caller must have run
     * [[GraftFunctions.register]] on the session (score/prepare do). */
   def logitCol(text: Column, model: Model): Column = {
     val toks = GraftFunctions.normTokens(text)
@@ -77,6 +71,12 @@ object QualityModel {
         greatest(size(toks), lit(1)).cast("double")
   }
 
+  /** Per-document quality scores: (idCol, n_tokens, logit, predicted) —
+    * [[logitCol]] plus the token count and the `predicted` = logit ≥ 0
+    * gate decision. The plan is one narrow projection over the scan —
+    * no Exchange (spec-asserted). At 100 TB this is the cheapest
+    * possible model gate: strictly less work than the rule conjunction
+    * it distills. */
   def score(df: DataFrame, textCol: String, idCol: String,
       model: Model): DataFrame = {
     GraftFunctions.register(df.sparkSession)

@@ -240,9 +240,11 @@ object CorpusPipeline {
           case None =>
             if (prev.contains(0L)) 0L // monotone chain: upstream kept 0
             else throw new IllegalStateException(
-              s"stage '$name' has not been executed yet - run an action over " +
-                "documents or chunks first (or set Config.materializeDocuments " +
-                "to collect every stage count inside prepare)")
+              s"stage '$name' has no observed count: either no action has " +
+                "executed it yet (run an action over documents or chunks, " +
+                "or set Config.materializeDocuments to collect every count " +
+                "inside prepare), or the driver's metrics listener is still " +
+                "delivering a just-finished query - retry shortly")
         }
         prev = Some(c)
         name -> c
@@ -498,11 +500,17 @@ object CorpusPipeline {
     // stage count — without the checkpoint each consumer re-runs the
     // Gumbel-scored top-k over the whole upstream chain (the cleanM
     // multi-consumer rationale, at a k-row materialization cost).
-    val selected = cfg.dsirSelect.fold(fuzzyClean) { dc =>
-      observed("dsir_selected",
-        Dedup.materialize(Dsir.resampleRows(fuzzyClean, cfg.textCol,
-          cfg.idCol, dc.model, dc.k, dc.salt)))
+    // The dsir checkpoint is kept BARE alongside its observed wrapper:
+    // any emptiness probe downstream must read the bare frame — a
+    // limit-1 take through the stage's CollectMetrics node would
+    // complete the observation with a partial count (the promise keeps
+    // the FIRST action's metrics), silently corrupting the stage report.
+    val dsirBare = cfg.dsirSelect.map { dc =>
+      Dedup.materialize(Dsir.resampleRows(fuzzyClean, cfg.textCol,
+        cfg.idCol, dc.model, dc.k, dc.salt))
     }
+    val selected = dsirBare.map(b => observed("dsir_selected", b))
+      .getOrElse(fuzzyClean)
 
     // 4d. optional MIXING rungs — the training-mix composition step,
     //    after every selection rung (mix rates must be derived from the
@@ -516,17 +524,27 @@ object CorpusPipeline {
     //    once rather than re-executing the whole chain for the histogram
     //    pass AND every downstream consumer.
     val mixOn = cfg.mixToShares.isDefined || cfg.temperatureMix.isDefined
-    val mixInput =
-      if (mixOn && cfg.dsirSelect.isEmpty) Dedup.materialize(selected)
-      else selected
+    // `mixProbe` is the OBSERVE-FREE checkpoint emptiness probes read
+    // (see dsirBare above); with no dsir rung the pre-mix survivors are
+    // checkpointed here (the checkpoint action itself flows every row
+    // through the upstream accumulators, so their counts complete FULL)
+    // and the checkpoint-result frame — whose plan carries no
+    // CollectMetrics — doubles as the probe.
+    val (mixInput, mixProbe) =
+      if (!mixOn) (selected, selected)
+      else dsirBare match {
+        case Some(bare) => (selected, bare)
+        case None =>
+          val m = Dedup.materialize(selected)
+          (m, m)
+      }
     val shareMixed = cfg.mixToShares.fold(mixInput) { mc =>
       // An EMPTY pre-mix corpus (a fully-gated streaming micro-batch)
       // has no histogram to derive rates from — pass it through rather
       // than tripping the operator's no-positive-mass misconfiguration
-      // guard. The isEmpty probe reads the checkpoint (mixInput is
-      // always materialized when a mix rung is on), not the chain.
+      // guard.
       observed("mixed",
-        if (mixInput.isEmpty) mixInput
+        if (mixProbe.isEmpty) mixInput
         else Sampling.mixToTokenShares(
           mixInput.withColumn("_mix_tokens", TextAnalysis.tokenCount(text)),
           cfg.idCol, mc.strataCol, "_mix_tokens", mc.targetShares)

@@ -105,6 +105,20 @@ class BpeSpec extends AnyFunSuite {
     val plan = withMass.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"BPE count must not shuffle:\n$plan")
 
+    // the marked piece stream is losslessly detokenizable: concatenating
+    // pieces and splitting on the '▁' word-boundary marker reconstructs
+    // the exact normalized word stream (piece boundaries never conflate
+    // with word boundaries)
+    val one = docs.limit(5)
+    val roundTrips = one.select(
+      GraftFunctions.normTokens($"text").as("words"),
+      Bpe.pieces($"text", FrozenBpe.model).as("ps"))
+      .as[(Seq[String], Seq[String])].collect()
+    roundTrips.foreach { case (words, ps) =>
+      assert(ps.mkString("").split("▁").filter(_.nonEmpty).toSeq == words,
+        "piece stream must detokenize to the word stream")
+    }
+
     // chunking by BPE pieces: same windows machinery, piece units — the
     // budget counts what the trainer actually packs
     val bpeChunks = Chunking.chunkByTokens(docs, "text", "doc_id",

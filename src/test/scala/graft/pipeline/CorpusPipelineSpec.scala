@@ -486,6 +486,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "near_dedup", "decontaminated"))
   }
 
+  test("dsir selection + mixing combined: the dsir stage count stays the FULL k") {
+    // regression: the mix rung's emptiness probe used to run a limit-1
+    // take THROUGH the dsir stage's CollectMetrics node, completing the
+    // observation with a partial count (first action wins) — the probe
+    // must read the bare checkpoint instead
+    import graft.operators.FrozenDsir
+    val corpus = docs.select($"doc_id",
+      when($"doc_id" % 2 === 0,
+        concat($"text", lit(graft.QmOracle.fillerSuffix)))
+        .otherwise($"text").as("text"), $"source")
+    val shares = (0 until 20).map(i => s"src$i" -> 0.05).toMap
+    val out = CorpusPipeline.prepare(corpus, None, CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      dsirSelect = Some(CorpusPipeline.DsirSelectConfig(FrozenDsir.model, k = 20)),
+      mixToShares = Some(CorpusPipeline.MixConfig("source", shares)),
+      chunkTokens = 64, overlapTokens = 16, splits = Seq("train" -> 1.0),
+      materializeDocuments = true))
+    val counts = out.observedCounts.toMap
+    assert(counts("dsir_selected") == 20L,
+      s"dsir count must be the full k, not a probe-truncated partial: $counts")
+    assert(counts("mixed") <= 20L && counts("mixed") > 0L)
+    out.stageReport.foreach { case (n, _, dropped) =>
+      assert(dropped >= 0L, s"stage $n reports negative drop: $dropped") }
+  }
+
   test("bpeChunking: chunk windows and packing budget count trained-BPE pieces") {
     import graft.operators.{Bpe, FrozenBpe}
     val corpus = docs.select($"doc_id", $"text").limit(60)
