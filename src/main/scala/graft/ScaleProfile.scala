@@ -65,7 +65,15 @@ object ScaleProfile {
     //    combined `dedup` section's detect arm leaves JIT + page cache
     //    warm, making any same-JVM total read falsely low) ──────────────
     if (sections("dedupfixed")) {
-      timed("dedupfixed.total(removeNearDuplicates)") {
+      timed("dedupfixed.total(removeNearDuplicatesFixed)") {
+        Dedup.removeNearDuplicatesFixed(docs, "text", "doc_id", 0.5).count()
+      }
+    }
+    // the round-12 DEFAULT: auto-selected detector (fixed vs tuned from
+    // the sampled background) — A/B against dedupfixed/deduptuned reads
+    // the decision's overhead and which plan it picked at each decade
+    if (sections("dedupauto")) {
+      timed("dedupauto.total(removeNearDuplicates, auto detector)") {
         Dedup.removeNearDuplicates(docs, "text", "doc_id", 0.5).count()
       }
     }
@@ -303,16 +311,25 @@ object ScaleProfile {
           .otherwise(col("text")).as("text"))
       val bench = docs.where(col("doc_id") % 50 === 0)
         .select(col("doc_id"), col("text"))
+      def modelCfg(tuned: Boolean) = CorpusPipeline.Config(
+        langs = Set("en"), minTokens = 10, maxTokens = 100000,
+        minAlphaRatio = 0.4,
+        modelGate = Some(CorpusPipeline.ModelGateConfig(
+          FrozenQualityModel.model, minLogit = 0.0)),
+        dedupThreshold = 0.5, shingleN = 3, decontaminateN = 8,
+        tunedNearDedup = tuned, chunkTokens = 64, overlapTokens = 16,
+        splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        materializeDocuments = true)
+      // round 12: the DEFAULT config (auto detector) must complete where
+      // fixed banding OOM'd — the verdict-item-1 done-criterion. Run the
+      // default FIRST (cold) so its number is the honest one.
+      timed("modelbg.default(model-gate chain, AUTO detector)") {
+        CorpusPipeline.prepare(aug, Some(bench), modelCfg(tuned = false))
+          .documents.count()
+      }
       timed("modelbg.tuned(model-gate chain + tunedNearDedup)") {
-        CorpusPipeline.prepare(aug, Some(bench), CorpusPipeline.Config(
-          langs = Set("en"), minTokens = 10, maxTokens = 100000,
-          minAlphaRatio = 0.4,
-          modelGate = Some(CorpusPipeline.ModelGateConfig(
-            FrozenQualityModel.model, minLogit = 0.0)),
-          dedupThreshold = 0.5, shingleN = 3, decontaminateN = 8,
-          tunedNearDedup = true, chunkTokens = 64, overlapTokens = 16,
-          splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-          materializeDocuments = true)).documents.count()
+        CorpusPipeline.prepare(aug, Some(bench), modelCfg(tuned = true))
+          .documents.count()
       }
     }
 

@@ -24,12 +24,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * both engines.
   *
   * Per-encoder word cache: corpora repeat words (Zipf), so each word
-  * encodes once; the cache is bounded by the observed vocabulary. The
-  * encoder travels as a codegen REFERENCE OBJECT, which Spark shares
-  * across every task thread running the plan in one executor — the
-  * cache is a ConcurrentHashMap for that reason (a plain HashMap would
-  * race under concurrent put and can corrupt). */
-final class BpeEncoder(val merges: Array[String]) extends Serializable {
+  * encodes once. The encoder travels as a codegen REFERENCE OBJECT,
+  * which Spark shares across every task thread running the plan in one
+  * executor — the cache is a ConcurrentHashMap for that reason (a plain
+  * HashMap would race under concurrent put and can corrupt).
+  *
+  * The cache is CAPPED, not "bounded by the observed vocabulary": a
+  * web-scale corpus's distinct-word tail is unbounded (hex ids, numbers
+  * and URLs survive normTokens), so a long-lived executor caching every
+  * word it ever saw would OOM at the 100 TB horizon. Two guards, both
+  * cheap: words longer than `maxCachedWordLen` never cache (long
+  * pseudo-words are exactly the unbounded tail, and their re-encode
+  * cost is what the Zipf head never pays anyway), and insertion stops
+  * once the map holds `maxCacheEntries` (the Zipf head is cached by
+  * then; the size() read is approximate under concurrency, so the cap
+  * may overshoot by a handful of in-flight puts — a bound, not a
+  * ledger). Encoding an uncached word is always correct, only slower. */
+final class BpeEncoder(val merges: Array[String],
+    maxCacheEntries: Int = BpeEncoder.DefaultMaxCacheEntries,
+    maxCachedWordLen: Int = BpeEncoder.DefaultMaxCachedWordLen)
+    extends Serializable {
 
   /** Parsed merge table in rank order: (left, right, joined). */
   @transient private lazy val table: Array[(String, String, String)] =
@@ -82,9 +96,13 @@ final class BpeEncoder(val merges: Array[String]) extends Serializable {
       }
       r += 1
     }
-    cache.put(word, syms)
+    if (word.length <= maxCachedWordLen && cache.size() < maxCacheEntries)
+      cache.put(word, syms)
     syms
   }
+
+  /** Test hook: current cache occupancy. */
+  private[graft] def cachedWords: Int = cache.size()
 
   /** Pieces of a whole text: normTokens words, each BPE-encoded, flat in
     * token order. The FIRST piece of every word carries the
@@ -108,6 +126,17 @@ final class BpeEncoder(val merges: Array[String]) extends Serializable {
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+object BpeEncoder {
+  /** ~1M cached words × (word + pieces ≈ 200 B) ≈ 200 MB/executor worst
+    * case — the Zipf head of any natural-language corpus fits well
+    * inside (a 100k-word vocabulary saturates BPE statistics; see
+    * [[graft.operators.Bpe.train]]'s cap rationale). */
+  val DefaultMaxCacheEntries: Int = 1 << 20
+  /** Natural words are short; longer strings are the ids/hashes/URLs
+    * tail that would otherwise grow the cache without ever repeating. */
+  val DefaultMaxCachedWordLen: Int = 32
 }
 
 /** `bpe_pieces(string) -> array<string>` under a literal merge table —

@@ -34,10 +34,52 @@ import graft.functions.GraftFunctions
   * plan literal; no shuffle, no UDF, no join. */
 object Bpe {
 
-  /** A trained merge table, rank-ordered; each entry is "left right". */
+  /** A trained merge table, rank-ordered; each entry is "left right".
+    *
+    * Validates FRESHNESS, not just shape: the engine serves merges in
+    * rank order (one exhaustive pass per rank — see
+    * [[graft.functions.BpeEncoder]]), which is provably equal to the
+    * canonical min-rank-pair-first loop ONLY when every merge's output
+    * symbol is fresh. [[train]] guarantees freshness by construction; an
+    * EXTERNAL table (e.g. a string-level restatement of real GPT-2
+    * merges) can violate it — and would previously tokenize silently
+    * divergently. The checks (each O(V) with a hash set):
+    *   - no output equals an earlier or later output (duplicate outputs
+    *     mean one string was "created twice" — the conflation the
+    *     equivalence proof excludes);
+    *   - no output equals a CONSTITUENT of an earlier-rank merge (an
+    *     earlier merge consuming a later output's string means min-rank
+    *     order and rank order disagree on which applies first);
+    *   - no output is a single code point (it would collide with a base
+    *     character symbol that exists before any merge). */
   final case class Model(merges: Array[String]) {
     require(merges.forall(m => m.count(_ == ' ') == 1),
       "each merge must be 'left right'")
+    locally {
+      val outputs = scala.collection.mutable.HashSet.empty[String]
+      val earlierConstituents = scala.collection.mutable.HashSet.empty[String]
+      merges.zipWithIndex.foreach { case (m, rank) =>
+        val i = m.indexOf(' ')
+        val a = m.substring(0, i); val b = m.substring(i + 1)
+        val out = a + b
+        require(out.codePointCount(0, out.length) > 1,
+          s"merge #$rank '$m': output '$out' is a single code point and " +
+            "collides with a base symbol - not a fresh-output table. " +
+            "Rank-ordered serving requires fresh outputs; use Bpe.train " +
+            "(fresh by construction) or a canonical min-rank encoder for " +
+            "this table.")
+        require(!outputs.contains(out),
+          s"merge #$rank '$m': output '$out' duplicates an earlier merge's " +
+            "output - not a fresh-output table (see Model scaladoc).")
+        require(!earlierConstituents.contains(out),
+          s"merge #$rank '$m': output '$out' is a constituent of an " +
+            "earlier-rank merge - rank-ordered serving would diverge from " +
+            "canonical min-rank BPE on this table (see Model scaladoc).")
+        outputs += out
+        earlierConstituents += a
+        earlierConstituents += b
+      }
+    }
   }
 
   /** Train `numMerges` BPE merges on a text column. */

@@ -460,21 +460,158 @@ object Dedup {
     // ~0.3–0.5 s — an order of magnitude under the savings. Below the
     // gate the single-plan fixed path is already sub-5-s and the
     // prefilter would only add its fixed cost.
-    if (expectedCandidates(rr, b, nDocs, est) >= prefilterMinCandidates &&
-        math.min(prefilterHashes, rr * b) > 0) {
+    val h = math.min(prefilterHashes, rr * b)
+    val ct = expectedCandidates(rr, b, nDocs, est)
+    detectOnShingles(sh, shH, DetectorDecision(rr, b, tuned = true,
+      prefilterH = if (ct >= prefilterMinCandidates && h > 0) h else 0,
+      estCandidates = ct, estVerifyInput = ct), threshold)
+  }
+
+  /** The detector plan [[selectDetector]] chose for a corpus: banding
+    * (r, b), whether it is the per-corpus tuned geometry, the signature
+    * prefilter head width (0 = prefilter off), and the two volume
+    * estimates the choice was priced on (band-join candidates; candidates
+    * surviving the prefilter and reaching the array verify join). */
+  final case class DetectorDecision(r: Int, b: Int, tuned: Boolean,
+      prefilterH: Int, estCandidates: Double, estVerifyInput: Double)
+
+  /** Expected candidate volume SURVIVING the signature prefilter and
+    * reaching the shingle-array verify join: nPairs · mean over sampled
+    * pair Jaccards of collision · [j ≥ cut], where cut is the
+    * prefilter's own acceptance bound (threshold − 3.5·√(τ(1−τ)/h) — the
+    * deterministic approximation of its binomial agreement test; see
+    * [[prefilterBySignature]]). Same ~10×-accuracy contract as
+    * [[expectedCandidates]] — it feeds an order-of-magnitude circuit
+    * breaker, not a cost model. */
+  private[graft] def expectedVerifyInput(r: Int, b: Int, nDocs: Long,
+      est: BackgroundEstimate, threshold: Double, h: Int): Double = {
+    if (h <= 0) return expectedCandidates(r, b, nDocs, est)
+    val cut = threshold - 3.5 * math.sqrt(threshold * (1.0 - threshold) / h)
+    val nPairs = nDocs.toDouble * math.max(nDocs - 1, 0).toDouble / 2.0
+    if (est.pairJaccards.isEmpty) 0.0
+    else nPairs * est.pairJaccards.iterator.map { j =>
+      if (j < cut) 0.0
+      else 1.0 - math.pow(1.0 - math.pow(j, r), b.toDouble)
+    }.sum / est.pairJaccards.size
+  }
+
+  /** AUTOMATIC detector selection for the near-dup rung — the component
+    * that closes the "the engine computes everything needed to decide,
+    * but the caller flips the switch" gap (round-11 verdict #1). Pure
+    * function of the corpus profile; the decision logic in one place so
+    * it can be unit-tested against synthetic backgrounds without running
+    * a 500k-doc corpus:
+    *
+    *  1. price the threshold-only FIXED banding ([[minHashBands]]) on
+    *     the sampled background; below `escalateMinCandidates` band-join
+    *     candidates the fixed single-plan path wins (its candidate join
+    *     is already sub-dominant and the tuned path's fixed O(N)
+    *     overheads — extra checkpoints, the k≈hundreds signature pass —
+    *     would only add cost). Toy and typical-background corpora land
+    *     here, keeping the proven default geometry and plan;
+    *  2. above the gate, ESCALATE: per-corpus tuned banding
+    *     ([[minHashBandsTunedFor]]) with the signature prefilter under
+    *     its existing self-gate — exactly the configuration that
+    *     completes the high-background 500k corpora where fixed banding
+    *     floods (×29.6 c4 fixture) or OOMs (model fixture) — measured,
+    *     BASELINE.md rounds 7/11;
+    *  3. CIRCUIT BREAKER: if even the escalated plan's estimated
+    *     verify-join input (post-prefilter, [[expectedVerifyInput]])
+    *     still exceeds `maxVerifyCandidates`, the corpus's background
+    *     similarity sits at/above the threshold — the near-all-pairs
+    *     regime no banding inside the hash budget can escape — and the
+    *     verify join would OOM or run for hours. Fail LOUDLY with the
+    *     remedies named instead of letting the join die mid-shuffle.
+    *
+    * `maxVerifyCandidates` defaults to 4e9 (at the measured 1–7 µs and
+    * ~KB payload per verified candidate: hours of single-box compute,
+    * terabytes of shuffle — far past the point a caller should have
+    * restructured the corpus). Size it to the cluster when a genuinely
+    * enormous verify is intended. */
+  private[graft] def selectDetector(threshold: Double, nDocs: Long,
+      est: BackgroundEstimate, recallTarget: Double = 0.85, maxK: Int = 1024,
+      prefilterHashes: Int = 64,
+      escalateMinCandidates: Double = 4e6,
+      prefilterMinCandidates: Double = 4e6,
+      maxVerifyCandidates: Double = 4e9): DetectorDecision = {
+    val (r0, b0) = minHashBands(threshold)
+    val c0 = expectedCandidates(r0, b0, nDocs, est)
+    if (c0 < escalateMinCandidates)
+      DetectorDecision(r0, b0, tuned = false, prefilterH = 0,
+        estCandidates = c0, estVerifyInput = c0)
+    else {
+      val (rt, bt) = minHashBandsTunedFor(threshold, nDocs, est, recallTarget, maxK)
+      val ct = expectedCandidates(rt, bt, nDocs, est)
+      val h = math.min(prefilterHashes, rt * bt)
+      val pre = ct >= prefilterMinCandidates && h > 0
+      val vin = expectedVerifyInput(rt, bt, nDocs, est, threshold,
+        if (pre) h else 0)
+      if (vin >= maxVerifyCandidates) throw new IllegalStateException(
+        f"selectDetector: even the tuned banding (r=$rt, b=$bt) with the " +
+          f"signature prefilter projects ~$vin%.2g verify-join candidates " +
+          f"(cap $maxVerifyCandidates%.2g) - the sampled background " +
+          f"similarity sits at or above the threshold ($threshold), the " +
+          "near-all-pairs regime no banding in the hash budget escapes. " +
+          "Remedies: strip the shared boilerplate first (enable the " +
+          "line-level dedup rung - CorpusPipeline.Config.lineDedupMinDocs " +
+          "- or LineDedup.removeDuplicatedLines), raise the threshold, " +
+          "partition the corpus and dedup per group (source/domain), or " +
+          "raise maxVerifyCandidates if the cluster is sized for it.")
+      DetectorDecision(rt, bt, tuned = true, prefilterH = if (pre) h else 0,
+        estCandidates = ct, estVerifyInput = vin)
+    }
+  }
+
+  /** Run the ONE shared detect plan (band → candidates → [prefilter] →
+    * exact verify) for a [[DetectorDecision]] over prepared shingle
+    * frames (`sh` sorted string shingles, `shH` 64-bit-hashed — both
+    * materialized by the caller). The tuned and auto entry points both
+    * come through here so the band/prefilter/verify construction cannot
+    * drift between them. */
+  private def detectOnShingles(sh: DataFrame, shH: DataFrame,
+      d: DetectorDecision, threshold: Double): DataFrame =
+    if (d.prefilterH > 0) {
       // ONE signature pass, materialized: feeds the band rows AND the
       // prefilter head (re-deriving either would re-hash the corpus)
       val sigM = materialize(
-        minHashSignatures(sh.withColumnRenamed("sh", "shingles"), rr * b)
+        minHashSignatures(sh.withColumnRenamed("sh", "shingles"), d.r * d.b)
           .select(col("id"), size(col("shingles")).as("sz"), col("sig")))
-      val candidates = minHashCandidates(bandProjection(sigM, rr, b), threshold)
-      val kept = prefilterBySignature(candidates, sigM, threshold,
-        math.min(prefilterHashes, rr * b))
+      val candidates = minHashCandidates(bandProjection(sigM, d.r, d.b), threshold)
+      val kept = prefilterBySignature(candidates, sigM, threshold, d.prefilterH)
       verifyJaccard(kept, shH, threshold)
     } else {
-      val banded = minHashBandRows(sh, rr * b, rr, b)
+      val banded = minHashBandRows(sh, d.r * d.b, d.r, d.b)
       verifyJaccard(minHashCandidates(banded, threshold), shH, threshold)
     }
+
+  /** Near-dup pairs with AUTOMATIC fixed-vs-tuned detector selection
+    * ([[selectDetector]]): one shingle pass, a bounded background sample
+    * ([[sampleBackgroundJaccard]] — `sampleDocs` docs to the driver, the
+    * k-means-training shape) and a corpus count pick the plan; toy and
+    * typical-background corpora run the exact fixed-banding plan
+    * ([[nearDupPairsMinHash]]'s geometry, byte-identical candidates),
+    * high-background corpora escalate to tuned banding + the signature
+    * prefilter, and the near-all-pairs regime fails loudly with the
+    * remedy named (circuit breaker) instead of OOMing the verify join.
+    * Either plan exact-verifies every candidate — the threshold
+    * semantics never change, only the cost. This is the DEFAULT detector
+    * behind [[removeNearDuplicates]] and the pipeline's near-dup rung. */
+  def nearDupPairsMinHashAuto(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, n: Int = 3, recallTarget: Double = 0.85,
+      maxK: Int = 1024, sampleDocs: Int = 128,
+      prefilterHashes: Int = 64,
+      escalateMinCandidates: Double = 4e6,
+      prefilterMinCandidates: Double = 4e6,
+      maxVerifyCandidates: Double = 4e9): DataFrame = {
+    val sh = materialize(shingleSets(df, textCol, idCol, n)
+      .select(col("id"), array_sort(col("shingles")).as("sh")))
+    val shH = materialize(hashShingles(sh))
+    val est = sampleBackgroundJaccard(shH, sampleDocs)
+    val nDocs = sh.count()
+    val d = selectDetector(threshold, nDocs, est, recallTarget, maxK,
+      prefilterHashes, escalateMinCandidates, prefilterMinCandidates,
+      maxVerifyCandidates)
+    detectOnShingles(sh, shH, d, threshold)
   }
 
   /** SIGNATURE-AGREEMENT PREFILTER between LSH candidate generation and
@@ -733,8 +870,28 @@ object Dedup {
   /** End-to-end near-duplicate REMOVAL: detect pairs (MinHash+LSH,
     * exact-verified), cluster them, and keep one survivor per cluster
     * (minimum id). Everything the detection found goes; the rest of the
-    * corpus passes through untouched (left-anti on the loser ids). */
+    * corpus passes through untouched (left-anti on the loser ids).
+    *
+    * The detector is the AUTO-selected one ([[nearDupPairsMinHashAuto]]):
+    * toy/typical corpora run the fixed-banding plan (identical pairs to
+    * [[nearDupPairsMinHash]]), high-background corpora escalate to tuned
+    * banding + the signature prefilter by themselves, and the
+    * near-all-pairs regime fails loudly with the remedy named instead of
+    * OOMing — the DEFAULT configuration is scale-safe without a caller
+    * knowing to flip a switch. [[removeNearDuplicatesFixed]] pins the
+    * fixed detector (A/B isolation); [[removeNearDuplicatesTuned]] pins
+    * the tuned one. */
   def removeNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20): DataFrame =
+    removeByPairs(df, idCol,
+      nearDupPairsMinHashAuto(df, textCol, idCol, threshold, n), maxIter)
+
+  /** [[removeNearDuplicates]] pinned to the FIXED-banding detector
+    * ([[nearDupPairsMinHash]] — no background sample, no escalation).
+    * Exists for A/B isolation (ScaleProfile's fixed-vs-tuned decades)
+    * and for callers who have measured that the sampling jobs are not
+    * worth it on their corpus shape; the auto form is the default. */
+  def removeNearDuplicatesFixed(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20): DataFrame =
     removeByPairs(df, idCol,
       nearDupPairsMinHash(df, textCol, idCol, threshold, n), maxIter)

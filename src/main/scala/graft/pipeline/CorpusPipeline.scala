@@ -412,13 +412,18 @@ object CorpusPipeline {
     }
 
     // 3. near-dup removal (MinHash+LSH detect → CC → min-id survivor).
-    //    `tunedNearDedup` swaps in the per-corpus tuned detector (sampled
-    //    background band tuning + self-gating signature prefilter) — the
-    //    scale configuration for high-background corpora where fixed
-    //    banding floods with candidates; survivors are identical (both
-    //    detectors exact-verify the same threshold), only the cost moves.
-    //    Crossover guidance (measured): see removeNearDuplicatesTuned's
-    //    scaladoc — millions of docs per group, not below.
+    //    The DEFAULT detector is AUTO-selected per corpus
+    //    (Dedup.selectDetector: a bounded background sample + corpus
+    //    count price the fixed banding; toy/typical corpora keep the
+    //    fixed single-plan geometry, high-background corpora escalate to
+    //    tuned banding + the signature prefilter by themselves, and the
+    //    near-all-pairs regime fails loudly with the remedy named —
+    //    line-dedup rung / higher threshold / per-group dedup — instead
+    //    of OOMing the verify join). `tunedNearDedup` PINS the tuned
+    //    detector (skip the decision; the forced form for corpora the
+    //    caller has already profiled). Survivors are identical across
+    //    detectors (every candidate is exact-verified at the same
+    //    threshold); only the cost moves.
     val nearDeduped = observed("near_dedup",
       if (cfg.tunedNearDedup)
         Dedup.removeNearDuplicatesTuned(
@@ -539,12 +544,23 @@ object CorpusPipeline {
           (m, m)
       }
     val shareMixed = cfg.mixToShares.fold(mixInput) { mc =>
-      // An EMPTY pre-mix corpus (a fully-gated streaming micro-batch)
-      // has no histogram to derive rates from — pass it through rather
-      // than tripping the operator's no-positive-mass misconfiguration
-      // guard.
+      // A pre-mix corpus with NO target stratum carrying positive token
+      // mass (fully-gated streaming micro-batch; a batch whose survivors
+      // all sit in non-target strata) has no histogram to derive rates
+      // from. That is a reachable DATA state, not operator misuse — so
+      // the pipeline path resolves it itself: the largest achievable
+      // downsample-only total is 0, hence the mix's correct output is
+      // the empty frame (every non-target stratum drops; every target
+      // stratum rate is 0). The operator's own require stays reserved
+      // for direct misuse. One bounded existence probe on the
+      // checkpointed pre-mix frame (mixProbe — observe-free, see above).
+      val noTargetMass = mixProbe
+        .where(col(mc.strataCol).cast("string")
+          .isin(mc.targetShares.keys.toSeq: _*) &&
+          TextAnalysis.tokenCount(text) > 0)
+        .isEmpty
       observed("mixed",
-        if (mixProbe.isEmpty) mixInput
+        if (noTargetMass) mixInput.where(lit(false))
         else Sampling.mixToTokenShares(
           mixInput.withColumn("_mix_tokens", TextAnalysis.tokenCount(text)),
           cfg.idCol, mc.strataCol, "_mix_tokens", mc.targetShares)

@@ -136,4 +136,40 @@ class BpeSpec extends AnyFunSuite {
     assert(chunked == pieceTotal,
       s"BPE chunk windows must cover the piece stream: $chunked vs $pieceTotal")
   }
+
+  test("word cache is capped: long words and past-cap words encode correctly without caching") {
+    val enc = new BpeEncoder(Array("a a"), maxCacheEntries = 2,
+      maxCachedWordLen = 8)
+    // a word over the length bound encodes correctly and never caches
+    val long = "a" * 20
+    assert(enc.encodeWord(long).toSeq ==
+      Seq.fill(10)("aa"), "uncached encode must stay correct")
+    assert(enc.cachedWords == 0, "over-length words must not cache")
+    // entry cap: third distinct short word encodes but does not insert
+    enc.encodeWord("aab"); enc.encodeWord("abab")
+    assert(enc.cachedWords == 2)
+    enc.encodeWord("bbaa")
+    assert(enc.cachedWords == 2, "cache must stop growing at the cap")
+    assert(enc.encodeWord("bbaa").toSeq == Seq("b", "b", "aa"),
+      "past-cap words re-encode correctly every call")
+  }
+
+  test("Model rejects non-fresh external merge tables; train output always passes") {
+    // duplicate output: ranks 1 and 2 both create 'ab'
+    val dup = intercept[IllegalArgumentException] {
+      Bpe.Model(Array("a b", "a b"))
+    }
+    assert(dup.getMessage.contains("duplicates"))
+    // output of rank 1 ('cd') was a constituent of rank 0 — min-rank and
+    // rank-order serving diverge on such tables
+    val constit = intercept[IllegalArgumentException] {
+      Bpe.Model(Array("cd e", "c d"))
+    }
+    assert(constit.getMessage.contains("constituent"))
+    // a trained table is fresh by construction and must construct fine
+    val corpus = Seq.fill(20)("the cat sat on the mat").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    Bpe.Model(Bpe.train(corpus, "text", numMerges = 10).merges)
+    Bpe.Model(FrozenBpe.model.merges)
+  }
 }

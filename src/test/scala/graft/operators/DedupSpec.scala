@@ -662,6 +662,72 @@ class DedupSpec extends AnyFunSuite {
       == corpus.count())
   }
 
+  test("selectDetector: toy corpora keep the fixed default plan, high-background scale corpora auto-escalate") {
+    val toy = Dedup.BackgroundEstimate(Seq.fill(8128)(0.001), meanShingles = 200)
+    val dToy = Dedup.selectDetector(0.5, 5000L, toy)
+    assert(!dToy.tuned && dToy.prefilterH == 0,
+      s"toy corpus must stay on the single fixed plan, got $dToy")
+    assert((dToy.r, dToy.b) == Dedup.minHashBands(0.5),
+      "fixed decision must reproduce the default geometry exactly (byte-identical candidates)")
+    // the 500k scale-corpus profile (mid-J tail over a low mean): fixed
+    // banding floods -> the decision escalates to tuned + wider bands
+    val scaleProfile = Dedup.BackgroundEstimate(
+      Seq.fill(20)(0.35) ++ Seq.fill(8108)(0.001), meanShingles = 200)
+    val dScale = Dedup.selectDetector(0.5, 500000L, scaleProfile)
+    assert(dScale.tuned, s"scale profile must escalate, got $dScale")
+    assert(dScale.r > dToy.r,
+      s"escalation should widen bands: ${dScale.r} vs fixed ${dToy.r}")
+    assert((dScale.r, dScale.b) ==
+      Dedup.minHashBandsTunedFor(0.5, 500000L, scaleProfile),
+      "escalated geometry must be the tuner's pick")
+    assert(dScale.estVerifyInput <= dScale.estCandidates,
+      "prefilter can only shrink the verify input estimate")
+  }
+
+  test("selectDetector circuit breaker: background at the threshold fails loudly with the remedy named") {
+    // background J == threshold: every pair collides at the recall bound
+    // AND survives the prefilter cut - the near-all-pairs regime no
+    // banding in the hash budget escapes. ~1e11 projected verify rows.
+    val atThreshold = Dedup.BackgroundEstimate(
+      Seq.fill(1000)(0.5), meanShingles = 200)
+    val e = intercept[IllegalStateException] {
+      Dedup.selectDetector(0.5, 500000L, atThreshold)
+    }
+    assert(e.getMessage.contains("lineDedupMinDocs") &&
+      e.getMessage.contains("threshold"),
+      s"breaker must name the remedies, got: ${e.getMessage}")
+    // same profile on a toy corpus is fine (volume, not ratio, breaks)
+    val dToy = Dedup.selectDetector(0.5, 500L, atThreshold)
+    assert(!dToy.tuned)
+  }
+
+  test("auto detector: pairs and survivors identical to the fixed path on a typical corpus") {
+    val fixedPairs = Dedup.nearDupPairsMinHash(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val autoPairs = Dedup.nearDupPairsMinHashAuto(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(autoPairs == fixedPairs,
+      s"auto must pick the byte-identical fixed plan at toy scale: " +
+        s"missed=${fixedPairs -- autoPairs} spurious=${autoPairs -- fixedPairs}")
+    val fixedKept = Dedup.removeNearDuplicatesFixed(docs, "text", "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val autoKept = Dedup.removeNearDuplicates(docs, "text", "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(autoKept == fixedKept, "auto-default removal == fixed removal survivors")
+  }
+
+  test("auto detector: FORCED escalation (gate=0) runs the tuned+prefilter plan with identical verified pairs") {
+    // escalate + engage the prefilter unconditionally: the plan-switch
+    // path itself must be result-identical (everything is exact-verified)
+    val forced = Dedup.nearDupPairsMinHashAuto(docs, "text", "doc_id", 0.5,
+      escalateMinCandidates = 0.0, prefilterMinCandidates = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(forced == exact,
+      s"escalated plan must still match ground truth: missed=${exact -- forced} spurious=${forced -- exact}")
+  }
+
   implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

@@ -486,6 +486,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "near_dedup", "decontaminated"))
   }
 
+  test("mix rung: NON-empty corpus with zero target-stratum mass yields empty output, not a crash") {
+    // survivors exist, but every one sits outside the target strata —
+    // the data-dependent state the rung must resolve itself (round-11
+    // ADVICE): largest achievable downsample-only total is 0 => empty.
+    val corpus = docs.select($"doc_id", $"text", $"source")
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      mixToShares = Some(CorpusPipeline.MixConfig("source",
+        Map("no_such_source" -> 1.0))),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 1.0), materializeDocuments = true)
+    val out = CorpusPipeline.prepare(corpus, None, cfg)
+    assert(out.documents.count() == 0L, "no target mass => empty mix output")
+    val counts = out.observedCounts.toMap
+    assert(counts("decontaminated") > 0L, "pre-mix survivors must exist")
+    assert(counts("mixed") == 0L)
+    // the operator itself keeps its misuse guard when called directly
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.mixToTokenShares(
+        corpus.withColumn("_n", org.apache.spark.sql.functions.lit(5L)),
+        "doc_id", "source", "_n", Map("no_such_source" -> 1.0))
+    }
+    assert(e.getMessage.contains("no target stratum"))
+  }
+
   test("dsir selection + mixing combined: the dsir stage count stays the FULL k") {
     // regression: the mix rung's emptiness probe used to run a limit-1
     // take THROUGH the dsir stage's CollectMetrics node, completing the
