@@ -97,7 +97,20 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} quer(ies) FAILED: ${errors.keys.mkString(", ")}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO write the record to a file: the driver reconstructs its
+    // BENCH_r*.json from a truncated stdout tail, which has dropped the
+    // per-query map two rounds running ("parsed": null) — a file
+    // artifact survives any stdout framing. Path override via
+    // SPARK_GRAFT_BENCH_OUT; default lands next to the repo's other
+    // bench records.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

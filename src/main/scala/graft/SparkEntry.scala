@@ -582,8 +582,23 @@ object SparkEntry {
     //    every other scan (no repartition needed; the round-1 HOF form
     //    required one). Oracle: same heuristic restated in DuckDB SQL ──
     "q_lang_id" -> ((s, dir) => {
+      // Multilingual fixture: doc_id % 30 ∈ [0, 26) swaps in the
+      // LangProfiles sample for that code (26 languages — 17 stopword-
+      // voted + 9 script-detected), the rest keep the original text.
+      // The fixture is generated from the SAME LangProfiles source the
+      // kernel and the oracle derive from; LangIdSpec separately pins
+      // each sample to its intended code (ground truth, not just
+      // cross-engine agreement).
       graft.functions.GraftFunctions.register(s)
+      val lp = graft.functions.LangProfiles
+      val aug = lp.sampleCodes.zipWithIndex.foldLeft(Option.empty[Column]) {
+        case (acc, (code, k)) =>
+          val cond = col("doc_id") % 30 === k
+          val sample = lit(lp.samples(code))
+          Some(acc.fold(when(cond, sample))(_.when(cond, sample)))
+      }.get.otherwise(col("text"))
       t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("text"))
         .groupBy(graft.functions.GraftFunctions.langIdNative(col("text")).as("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang_pred"))
@@ -799,6 +814,15 @@ object SparkEntry {
     "q_corpus_pipeline_dsir" -> ((s, dir) => corpusPipelineDsirQuery(s, dir)),
     "q_corpus_pipeline_url" -> ((s, dir) => corpusPipelineUrlQuery(s, dir)),
     "q_corpus_pipeline_c4" -> ((s, dir) => corpusPipelineC4Query(s, dir)),
+
+    // ── The SCALE-PRESCRIBED c4 configuration (round-11 verdict item 2):
+    //    the same C4 chain with the line-level dedup rung on — shared
+    //    boilerplate lines are scrubbed before shingling, which is the
+    //    measured 237.5 → 96.4 s fix at 500k on high-boilerplate crawl
+    //    corpora. This registered+benched form IS the configuration
+    //    users should run at scale ─────────────────────────────────────
+    "q_corpus_pipeline_c4_lines" -> ((s, dir) =>
+      corpusPipelineC4Query(s, dir, lineDedup = true)),
     // ── The pipeline with the MODEL quality gate folded into the
     //    quality scan: the frozen hashed-linear scorer's logit joins the
     //    rule conjunction (one more codegen'd term, no extra stage) and
@@ -818,6 +842,14 @@ object SparkEntry {
     //    packing budget then counts true pieces — the accounting a real
     //    run needs end to end. See corpusPipelineBpeQuery ──────────────
     "q_corpus_pipeline_bpe" -> ((s, dir) => corpusPipelineBpeQuery(s, dir)),
+
+    // ── The multimodal pipeline variant: documents carry an image
+    //    payload (ImageFixture PNGs on doc_id < 60, NULL elsewhere) and
+    //    the perceptual image-dedup rung (128-bit h∥v dHash) runs
+    //    between near-dup and decontamination. Oracle restates the
+    //    image stage from the frozen grids (imageHamming128Ctes) +
+    //    recursive-CTE CC over stage-3 survivors ─────────────────────────
+    "q_corpus_pipeline_image" -> ((s, dir) => corpusPipelineImageQuery(s, dir)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -1108,6 +1140,33 @@ object SparkEntry {
         .orderBy(col("example_id"))
     }),
 
+    // ── North star packing #2: token IDS from packing — chunk on the
+    //    FrozenBpe piece stream, pack at the budget, and emit each
+    //    example's `input_ids` (member pieces' vocab ids in pack order;
+    //    id space = merge rank ∪ code points × the '▁' marker bit,
+    //    deterministic from the merge table alone). The tensor a trainer
+    //    consumes, pinned id-for-id against the oracle's replace-chain
+    //    piece stream + the same id arithmetic ─────────────────────────
+    "q_packed_input_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.FrozenBpe.model
+      val chunks = graft.operators.Chunking.chunkByTokens(
+        docs, "text", "doc_id", chunkTokens = 64, overlapTokens = 16,
+        tokenizer = Some(graft.operators.Bpe.pieces(col("text"), model)))
+      val splits = graft.operators.Sampling.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))
+      graft.operators.Packing.packExamples(
+        chunks.join(splits, Seq("doc_id")), tokenBudget = 256,
+        splitCol = Some("split"),
+        inputIds = Some(graft.operators.Bpe.pieceIds(col("chunk_text"), model)))
+        .select(col("example_id"), col("split"), col("n_chunks"),
+          col("n_tokens"),
+          array_join(transform(col("input_ids"), i => i.cast("string")), ",")
+            .as("input_ids_str"))
+        .orderBy(col("example_id"))
+    }),
+
     // ── North star quality: unigram log-probability score (the CCNet-ish
     //    LM-filtering proxy) — corpus unigram frequencies joined back to
     //    token occurrences; per-token ln rounds into DECIMAL(25,9) so
@@ -1259,6 +1318,19 @@ object SparkEntry {
     "q_image_near_dups" -> ((s, dir) => {
       val media = graft.operators.ImageFixture.frame(s)
       graft.operators.Dedup.imageNearDupPairs(
+          media, "media_id", "media_type", "content", maxHamming = 6)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── The 128-bit companion: horizontal ∥ vertical dHash banded over
+    //    maxHamming+1 chunks of the concat — chunks twice as wide as the
+    //    64-bit layout at the same bound, so background bucket
+    //    collisions fall ~2^9 per chunk while recall stays complete
+    //    (pigeonhole). Oracle restated from BOTH frozen grid families ──
+    "q_image_near_dups_128" -> ((s, dir) => {
+      val media = graft.operators.ImageFixture.frame(s)
+      graft.operators.Dedup.imageNearDupPairs128(
           media, "media_id", "media_type", "content", maxHamming = 6)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
@@ -1673,7 +1745,8 @@ object SparkEntry {
     * oracles are byte-compatible with the pre-observation shape. */
   private def pipelineStatsRow(s: SparkSession,
       p: graft.pipeline.CorpusPipeline.Prepared,
-      extraDocStats: Seq[Column] = Nil): DataFrame = {
+      extraDocStats: Seq[Column] = Nil,
+      extraPackedStats: Seq[Column] = Nil): DataFrame = {
     val docAggs = Seq(
       sum(col("doc_id")).cast("long").as("id_checksum"),
       sum(length(col("text"))).cast("long").as("text_len_sum")) ++
@@ -1696,10 +1769,12 @@ object SparkEntry {
     val chunkCols = litsOf(chunkStats) // action #2 (chunk re-derivation)
     // action #3 (only when packing is on): example-level rollup totals
     val packedCols = p.packed.toSeq.flatMap { pk =>
-      litsOf(pk.agg(
+      val aggs = Seq(
         count(lit(1)).as("n_examples"),
         coalesce(sum(col("n_chunks")), lit(0L)).cast("long").as("packed_chunk_sum"),
-        coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("packed_token_sum")))
+        coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("packed_token_sum")) ++
+        extraPackedStats
+      litsOf(pk.agg(aggs.head, aggs.tail: _*))
     }
     val stageCols = p.observedCounts.map { case (n, c) => lit(c).as(s"n_$n") }
     s.range(1).select(stageCols ++ docCols ++ chunkCols ++ packedCols: _*)
@@ -2003,7 +2078,8 @@ object SparkEntry {
     * token/lang gate sees the text. Benchmark = the raw %50 slice (the
     * intro line carries the doc's own text verbatim, so surviving %50
     * docs still drop at decon). Plain config otherwise. */
-  private def corpusPipelineC4Query(s: SparkSession, dir: String): DataFrame = {
+  private def corpusPipelineC4Query(s: SparkSession, dir: String,
+      lineDedup: Boolean = false): DataFrame = {
     val corpus = t(s, dir, "documents").select(col("doc_id"), c4AugCol.as("text"))
     val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
       .select(col("doc_id"), col("text"))
@@ -2011,6 +2087,7 @@ object SparkEntry {
       c4Rules = true,
       langs = Set("en"), minTokens = 10, maxTokens = 100000,
       minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+      lineDedupMinDocs = if (lineDedup) Some(2) else None,
       decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       materializeDocuments = true)
@@ -2090,6 +2167,35 @@ object SparkEntry {
     * text, and the greedy packing budget counts those pieces. Corpus =
     * raw documents; benchmark = the %50 slice. chunk_token_sum /
     * packed_token_sum pin the piece accounting end to end. */
+  /** q_corpus_pipeline_image: the plain chain over documents carrying an
+    * opaque image payload (the ImageFixture PNGs on doc_id < 60, NULLs
+    * elsewhere — payloads draw INSIDE the typed map, nothing ships from
+    * the driver), with the perceptual image-dedup rung on. Stage counts
+    * + id_checksum pin which members each image cluster lost. */
+  private def corpusPipelineImageQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.as[(Long, String)].map { case (id, tx) =>
+      val img = id < graft.operators.ImageFixture.NumImages
+      (id, tx,
+        if (img) "image/png" else null,
+        if (img) graft.operators.ImageFixture.pngBytes(id) else null)
+    }.toDF("doc_id", "text", "media_type", "content")
+    val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+      decontaminateN = 8,
+      imageDedup = Some(graft.pipeline.CorpusPipeline.ImageDedupConfig(
+        "media_type", "content", maxHamming = 6)),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    pipelineStatsRow(s, p)
+  }
+
   private def corpusPipelineBpeQuery(s: SparkSession, dir: String): DataFrame = {
     val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
@@ -2103,7 +2209,12 @@ object SparkEntry {
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       materializeDocuments = true)
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
-    pipelineStatsRow(s, p)
+    // input_id_sum pins the pieces→ids mapping INSIDE the pipeline (the
+    // packed rollup's input_ids column, summed — id arithmetic restated
+    // in the oracle via bpePidExpr)
+    pipelineStatsRow(s, p, extraPackedStats = Seq(
+      coalesce(sum(aggregate(col("input_ids"), lit(0L),
+        (acc, x) => acc + x)), lit(0L)).cast("long").as("input_id_sum")))
   }
 
   /** DuckDB CTE producing (doc_id, shingles): distinct 3-gram shingles of
@@ -2134,14 +2245,31 @@ object SparkEntry {
   // diffing (round 10). ─────────────────────────────────────────────────
 
   /** The 4-language stopword-vote + Han-ratio language CTE over `tok`. */
+  /** The per-language vote string (lpad(score)||code) greatest() argmax
+    * over a token-array expression — GENERATED from
+    * [[graft.functions.LangProfiles.stopwords]] (no-drift; the greatest
+    * on "score||code" strings reproduces the kernel's highest-score-
+    * then-highest-code tie-break). */
+  private def langVoteGreatestSql(tokArr: String): String =
+    graft.functions.LangProfiles.stopwords.toSeq.sortBy(_._1).map {
+      case (code, words) =>
+        val lst = words.map(w => s"'$w'").mkString(",")
+        s"lpad(CAST(len(list_filter($tokArr, x -> list_contains([$lst], x))) AS VARCHAR),8,'0')||'$code'"
+    }.mkString("greatest(", ", ", ")")
+
+  /** The ordered script-ratio WHEN branches over a text expression —
+    * GENERATED from [[graft.functions.LangProfiles.scriptRules]]
+    * (RE2 char classes; same thresholds and order as the kernel). */
+  private def langScriptWhensSql(textExpr: String): String =
+    graft.functions.LangProfiles.scriptRules.map { r =>
+      s"WHEN len(regexp_extract_all($textExpr,'[${r.sqlClass}]'))*1.0/" +
+        s"greatest(length($textExpr),1) > ${r.thresholdSql} THEN '${r.code}'"
+    }.mkString(" ")
+
   private lazy val pipelineLangCteSql: String =
-    "lang AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text,'\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
-      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
-      "(SELECT doc_id, text, greatest(" +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS VARCHAR),8,'0')||'de', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS VARCHAR),8,'0')||'en', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS VARCHAR),8,'0')||'es', " +
-      "lpad(CAST(len(list_filter(t, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS VARCHAR),8,'0')||'fr') AS b FROM tok) x), "
+    "lang AS (SELECT doc_id, CASE " + langScriptWhensSql("text") +
+      " WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
+      s"(SELECT doc_id, text, ${langVoteGreatestSql("t")} AS b FROM tok) x), "
 
   /** The PII redaction chain over a `text` column, generated FROM
     * piiClasses (patterns cannot drift). */
@@ -2180,6 +2308,72 @@ object SparkEntry {
       "pieces AS (SELECT w, list_concat([('▁' || p0[1])], p0[2:]) AS ps FROM " +
       "(SELECT w, list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS p0 FROM enc)), "
   }
+
+  /** The 128-bit perceptual-hash pair CTEs (frozen grids → h∥v dHash
+    * bits → chunk band → exact Hamming), with every CTE name prefixed
+    * by `p` so the chain composes into larger oracles. Both frozen grid
+    * families ride as VALUES; the 128-bit concat = horizontal dHash
+    * bits [0, 64) ∥ vertical bits [64, 128); chunk boundaries come from
+    * the SAME [[graft.operators.Dedup.hammingChunkLayout128]] the
+    * engine bands with (no drift). Ends with `${p}hm(id_a, id_b,
+    * hamming)` — NOT bound-filtered (the consumer applies `<= h`). */
+  private def imageHamming128Ctes(p: String, maxHamming: Int): String = {
+    val hRows = graft.operators.FrozenImageGrids.grids
+      .map { case (id, g) => s"($id, ${g.mkString("[", ",", "]")})" }
+      .mkString(", ")
+    val vRows = graft.operators.FrozenImageGrids.gridsV
+      .map { case (id, g) => s"($id, ${g.mkString("[", ",", "]")})" }
+      .mkString(", ")
+    val (_, offsets) = graft.operators.Dedup.hammingChunkLayout128(maxHamming)
+    val chunkCase = "CASE " + (1 to maxHamming).map(j =>
+      s"WHEN b < ${offsets(j)} THEN ${j - 1}").mkString(" ") + s" ELSE $maxHamming END"
+    val layRows = (0 to maxHamming).map(j => s"($j, ${offsets(j)})").mkString(", ")
+    s"${p}grh(media_id, g) AS (VALUES $hRows), " +
+      s"${p}grv(media_id, g) AS (VALUES $vRows), " +
+      s"${p}bb AS (SELECT unnest(range(0, 64)) AS b), " +
+      // horizontal: bit b = row*8+col set iff 9-wide cell (row,col) >
+      // right neighbor; vertical (at concat bit 64+b): 8-wide cell
+      // (row,col) > the cell below. DuckDB lists are 1-based.
+      s"${p}bt AS (" +
+      s"SELECT media_id, b, CASE WHEN g[(b//8)*9 + (b%8) + 1] > g[(b//8)*9 + (b%8) + 2] THEN 1 ELSE 0 END AS bit FROM ${p}grh, ${p}bb " +
+      "UNION ALL " +
+      s"SELECT media_id, b + 64, CASE WHEN g[(b//8)*8 + (b%8) + 1] > g[(b//8 + 1)*8 + (b%8) + 1] THEN 1 ELSE 0 END FROM ${p}grv, ${p}bb), " +
+      s"${p}lay(ck, lo) AS (VALUES $layRows), " +
+      s"${p}ch AS (SELECT media_id, $chunkCase AS ck, b, bit FROM ${p}bt), " +
+      // chunk keys as bit STRINGS (equality is all the band join needs)
+      s"${p}bd AS (SELECT media_id, ck, string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS key " +
+      s"FROM ${p}ch JOIN ${p}lay USING (ck) GROUP BY media_id, ck), " +
+      s"${p}cand AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b " +
+      s"FROM ${p}bd a JOIN ${p}bd b2 ON a.ck = b2.ck AND a.key = b2.key AND a.media_id < b2.media_id), " +
+      s"${p}hm AS (SELECT c.id_a, c.id_b, " +
+      s"(SELECT count(*) FROM ${p}bt x JOIN ${p}bt y ON x.b = y.b " +
+      s"WHERE x.media_id = c.id_a AND y.media_id = c.id_b AND x.bit <> y.bit) AS hamming FROM ${p}cand c)"
+  }
+
+  /** The piece→vocab-id mapping the engine's `bpe_piece_ids` kernel
+    * applies ([[graft.functions.BpeEncoder.idOfPiece]]), restated for
+    * DuckDB: a VALUES table of the frozen merge OUTPUTS with their
+    * ranks, and the id arithmetic (merge rank; else M + codepoint;
+    * '▁'-marked pieces shift by the unmarked-space size M + 0x110000).
+    * The merge table alone defines the space — no extra artifact. */
+  private lazy val bpeIdmCte: String = {
+    val vals = graft.operators.FrozenBpe.model.merges.zipWithIndex
+      .map { case (m, k) => s"('${m.replace(" ", "")}',$k)" }.mkString(",")
+    s"idm AS (SELECT * FROM (VALUES $vals) AS _idm(piece, rk))"
+  }
+
+  /** Id expression over a piece column `p` (use with a LEFT JOIN on
+    * [[bpeIdmJoin]]); `rk` comes from that join. */
+  private def bpePidExpr(p: String): String = {
+    val m = graft.operators.FrozenBpe.model.merges.length
+    s"(CASE WHEN starts_with($p,'▁') THEN ${m + 0x110000} ELSE 0 END) + " +
+      s"COALESCE(idm.rk, $m + unicode(CASE WHEN starts_with($p,'▁') " +
+      s"THEN substr($p,2) ELSE $p END))"
+  }
+
+  private def bpeIdmJoin(p: String): String =
+    s"LEFT JOIN idm ON idm.piece = (CASE WHEN starts_with($p,'▁') " +
+      s"THEN substr($p,2) ELSE $p END)"
 
   /** The greedy-packing rollup CTEs (pord → ppk → pex) over the tail's
     * `ck` (doc_id, chunk_idx, n) and `sp` (doc_id, split) — the
@@ -2645,6 +2839,61 @@ object SparkEntry {
       "(SELECT CAST(sum(ntok) AS BIGINT) FROM pex) AS packed_token_sum"
   }
 
+  /** Ground truth for q_corpus_pipeline_image: the plain chain (quality/
+    * lang gate → exact dedup → trigram near-dup CC → decontamination →
+    * tail) with the PERCEPTUAL IMAGE stage between near-dup and
+    * decontamination: frozen-grid 128-bit pairs ([[imageHamming128Ctes]])
+    * restricted to stage-3 survivors, recursive-CTE CC, min-id
+    * survivor. */
+  private lazy val corpusPipelineImageOracle: String = {
+    def gram8(src: String): String = gram8CteSql(src)
+    "WITH RECURSIVE " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      pipelineLangCteSql +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      imageHamming128Ctes("i", 6) + ", " +
+      // the image stage: frozen-grid pairs among the docs that REACH it
+      "ipair AS (SELECT id_a, id_b FROM ihm WHERE hamming <= 6 " +
+      "AND id_a IN (SELECT doc_id FROM q3) AND id_b IN (SELECT doc_id FROM q3)), " +
+      "ie AS (SELECT id_a AS src, id_b AS dst FROM ipair UNION ALL SELECT id_b, id_a FROM ipair), " +
+      "ir AS (SELECT src AS id, src AS label FROM ie UNION SELECT ie.dst AS id, ir.label FROM ir JOIN ie ON ie.src = ir.id), " +
+      "ilab AS (SELECT id, min(label) AS label FROM ir GROUP BY id), " +
+      "q3i AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT id FROM ilab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3i")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3i WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      pipelineTailSql("q4") +
+      "SELECT (SELECT count(*) FROM documents) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q3i) AS n_image_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
   /** Ground truth for q_corpus_pipeline_bpe: the plain chain over raw
     * documents, with the TAIL's chunk windows sliced over the FrozenBpe
     * PIECE stream of the redacted text ([[bpePieceCtes]] over the
@@ -2685,6 +2934,11 @@ object SparkEntry {
       "FROM rtoks JOIN pieces ON rtoks.w = pieces.w GROUP BY rtoks.doc_id), " +
       "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM pstream WHERE len(t) > 0), " +
       "ck AS (SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      // every packed chunk's pieces through the vocab-id arithmetic —
+      // summed, this pins the engine-side input_ids end to end
+      "cpc AS (SELECT unnest(list_slice(t, s + 1, s + 64)) AS p FROM st), " +
+      bpeIdmCte + ", " +
+      s"cpid AS (SELECT ${bpePidExpr("p")} AS pid FROM cpc ${bpeIdmJoin("p")}), " +
       "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
       "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q4) " +
       packingCtes(256) +
@@ -2702,7 +2956,8 @@ object SparkEntry {
       "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum, " +
       "(SELECT count(*) FROM pex) AS n_examples, " +
       "(SELECT CAST(sum(nchunks) AS BIGINT) FROM pex) AS packed_chunk_sum, " +
-      "(SELECT CAST(sum(ntok) AS BIGINT) FROM pex) AS packed_token_sum"
+      "(SELECT CAST(sum(ntok) AS BIGINT) FROM pex) AS packed_token_sum, " +
+      "(SELECT CAST(sum(pid) AS BIGINT) FROM cpid) AS input_id_sum"
   }
 
   /** Ground truth for q_corpus_pipeline_url: the URL rung — canonical-url
@@ -2802,6 +3057,76 @@ object SparkEntry {
       "(SELECT count(*) FROM u0) AS n_c4_page_gate, " +
       "(SELECT count(*) FROM q1) AS n_quality, " +
       "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_c4_lines: the C4 chain
+    * ([[corpusPipelineC4Oracle]]) with the LINE-LEVEL dedup stage
+    * between exact and near-dup — the configuration prescribed for
+    * high-boilerplate crawl corpora at scale (the measured 237.5 →
+    * 96.4 s fix at 500k, BASELINE.md round 11): shared nav/menu lines
+    * are scrubbed BEFORE shingling, so they can never flood the
+    * near-dup band join. Line stage = the q_line_dedup restatement
+    * (lines in ≥ 2 distinct docs scrubbed everywhere, blank lines
+    * exempt, order-preserving reassembly, minTokens re-gate). */
+  private lazy val corpusPipelineC4LinesOracle: String = {
+    def gram8(src: String): String = gram8CteSql(src)
+    val renorm = "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
+    "WITH RECURSIVE " +
+      s"aug0 AS (SELECT doc_id, $c4AugSql AS t FROM documents), " +
+      "u0 AS MATERIALIZED (SELECT doc_id, t FROM aug0 WHERE " +
+      "NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')), " +
+      "cln AS MATERIALIZED (SELECT doc_id, array_to_string(list_filter(" +
+      s"string_split(t, chr(10)), l -> $c4KeepSql), chr(10)) AS text FROM u0), " +
+      "u1 AS MATERIALIZED (SELECT doc_id, text FROM cln WHERE " +
+      "len(regexp_extract_all(text, '[.!?]+')) >= 5), " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM u1), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      pipelineLangCteSql +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      // line-level dedup (the q_line_dedup restatement; see
+      // corpusPipelineOracle's identical block)
+      "lls AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+      "generate_subscripts(string_split(text, chr(10)), 1) AS lpos FROM q2), " +
+      "ldup AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lls WHERE trim(line) <> '') " +
+      "GROUP BY line HAVING count(*) >= 2), " +
+      "lkept AS (SELECT doc_id, line, lpos FROM lls WHERE trim(line) = '' OR line NOT IN (SELECT line FROM ldup)), " +
+      "lreb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY lpos) AS t2 FROM lkept GROUP BY doc_id), " +
+      "q2l0 AS (SELECT q2.doc_id AS doc_id, COALESCE(lreb.t2, '') AS text FROM q2 LEFT JOIN lreb ON q2.doc_id = lreb.doc_id), " +
+      s"q2l AS MATERIALIZED (SELECT doc_id, text, $renorm AS norm, regexp_split_to_array($renorm,'\\s+') AS t " +
+      s"FROM q2l0 WHERE len(regexp_split_to_array($renorm,'\\s+')) >= 10), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2l), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2l WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      pipelineTailSql("q4") +
+      "SELECT (SELECT count(*) FROM aug0) AS n_input, " +
+      "(SELECT count(*) FROM u0) AS n_c4_page_gate, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q2l) AS n_line_dedup, " +
       "(SELECT count(*) FROM q3) AS n_near_dedup, " +
       "(SELECT count(*) FROM q4) AS n_decontaminated, " +
       "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
@@ -3305,6 +3630,39 @@ object SparkEntry {
         "CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / 256.0 AS fill_ratio, " +
         "string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR), ',' ORDER BY doc_id, chunk_idx) AS members " +
         "FROM packed GROUP BY split, shard, ex ORDER BY example_id"),
+    // input_ids ground truth: the replace-chain piece stream (bpePieceCtes)
+    // chunked at 64/16, packed at 256 (the q_packed_examples recursion),
+    // every piece mapped through the merge-rank/codepoint/marker id
+    // arithmetic (bpePidExpr) and concatenated in pack order
+    "q_packed_input_ids" ->
+      ("WITH RECURSIVE tk0 AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS t FROM documents), " +
+        "toks AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM tk0), " +
+        bpePieceCtes("toks") +
+        "pstream AS MATERIALIZED (SELECT toks.doc_id AS doc_id, flatten(list(ps ORDER BY pos)) AS t " +
+        "FROM toks JOIN pieces ON toks.w = pieces.w GROUP BY toks.doc_id), " +
+        "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM pstream WHERE len(t) > 0), " +
+        "ckp AS MATERIALIZED (SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx, list_slice(t, s + 1, s + 64) AS ps FROM st), " +
+        "ch AS (SELECT doc_id, chunk_idx, CAST(len(ps) AS BIGINT) AS n FROM ckp), " +
+        "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM documents), " +
+        "ordered AS MATERIALIZED (SELECT sp.split AS split, substr(md5(CAST(ch.doc_id AS VARCHAR)),1,1) AS shard, " +
+        "ch.doc_id AS doc_id, ch.chunk_idx AS chunk_idx, ch.n AS n, " +
+        "row_number() OVER (PARTITION BY sp.split, substr(md5(CAST(ch.doc_id AS VARCHAR)),1,1) ORDER BY ch.doc_id, ch.chunk_idx) AS rn " +
+        "FROM ch JOIN sp ON ch.doc_id = sp.doc_id), " +
+        "packed AS (SELECT split, shard, doc_id, chunk_idx, n, rn, CAST(0 AS BIGINT) AS ex, n AS tok FROM ordered WHERE rn = 1 " +
+        "UNION ALL SELECT o.split, o.shard, o.doc_id, o.chunk_idx, o.n, o.rn, " +
+        "CASE WHEN p.tok > 0 AND p.tok + o.n > 256 THEN p.ex + 1 ELSE p.ex END, " +
+        "CASE WHEN p.tok > 0 AND p.tok + o.n > 256 THEN o.n ELSE p.tok + o.n END " +
+        "FROM packed p JOIN ordered o ON o.split = p.split AND o.shard = p.shard AND o.rn = p.rn + 1), " +
+        bpeIdmCte + ", " +
+        "pcs AS (SELECT doc_id, chunk_idx, unnest(ps) AS p, generate_subscripts(ps, 1) AS i FROM ckp), " +
+        s"pid AS (SELECT doc_id, chunk_idx, i, ${bpePidExpr("p")} AS pid FROM pcs ${bpeIdmJoin("p")}), " +
+        "cids AS (SELECT doc_id, chunk_idx, string_agg(CAST(pid AS VARCHAR), ',' ORDER BY i) AS ids FROM pid GROUP BY 1, 2) " +
+        "SELECT p.split || '/' || p.shard || '/' || CAST(p.ex AS VARCHAR) AS example_id, p.split AS split, " +
+        "count(*) AS n_chunks, CAST(sum(p.n) AS BIGINT) AS n_tokens, " +
+        "string_agg(c.ids, ',' ORDER BY p.doc_id, p.chunk_idx) AS input_ids_str " +
+        "FROM packed p JOIN cids c ON p.doc_id = c.doc_id AND p.chunk_idx = c.chunk_idx " +
+        "GROUP BY p.split, p.shard, p.ex ORDER BY example_id"),
     "q_unigram_logprob" ->
       ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+')) AS token FROM documents), " +
         "tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''), " +
@@ -3395,19 +3753,20 @@ object SparkEntry {
     // (multiplicity-aware), argmax encoded as a zero-padded sortable
     // string so greatest() applies (score first, then language code —
     // matching Spark's array_max struct ordering), CJK gate, und fallback.
-    "q_lang_id" ->
-      ("WITH tk AS (SELECT text, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS tok FROM documents), " +
-        "sc AS (SELECT text, " +
-        "len(list_filter(tok, x -> list_contains(['the','and','of','to','in','is','it','you','that','was','for','are','with','this'], x))) AS s_en, " +
-        "len(list_filter(tok, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','ich','zu','mit','auf','für','sich'], x))) AS s_de, " +
-        "len(list_filter(tok, x -> list_contains(['el','la','de','que','y','en','un','una','es','se','no','los','las','por'], x))) AS s_es, " +
-        "len(list_filter(tok, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour','dans','ce','pas','sur'], x))) AS s_fr " +
-        "FROM tk), " +
-        "best AS (SELECT text, greatest(lpad(CAST(s_de AS VARCHAR),8,'0')||'de', lpad(CAST(s_en AS VARCHAR),8,'0')||'en', " +
-        "lpad(CAST(s_es AS VARCHAR),8,'0')||'es', lpad(CAST(s_fr AS VARCHAR),8,'0')||'fr') AS b FROM sc), " +
-        "pred AS (SELECT CASE WHEN len(regexp_extract_all(text, '\\p{Han}'))*1.0/greatest(length(text),1) > 0.3 THEN 'zh' " +
-        "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang_pred FROM best) " +
-        "SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred ORDER BY lang_pred"),
+    // GENERATED from LangProfiles (samples fixture + vote + script
+    // rules — the same source the kernel compiles from)
+    "q_lang_id" -> {
+      val lp = graft.functions.LangProfiles
+      val whens = lp.sampleCodes.zipWithIndex.map { case (code, k) =>
+        s"WHEN doc_id % 30 = $k THEN '${lp.samples(code)}'"
+      }.mkString(" ")
+      s"WITH aug AS (SELECT doc_id, CASE $whens ELSE text END AS text FROM documents), " +
+        "tk AS (SELECT doc_id, text, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS tok FROM aug), " +
+        s"sc AS (SELECT text, ${langVoteGreatestSql("tok")} AS b FROM tk), " +
+        "pred AS (SELECT CASE " + langScriptWhensSql("text") +
+        " WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang_pred FROM sc) " +
+        "SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred ORDER BY lang_pred"
+    },
     "q_ann_top1" ->
       ("SELECT a.vec_id AS q_id, " +
         "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id " +
@@ -3595,6 +3954,10 @@ object SparkEntry {
         "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
         "CAST(hamming AS BIGINT) AS hamming FROM hm WHERE hamming <= 6 ORDER BY id_a, id_b"
     },
+    "q_image_near_dups_128" -> (
+      "WITH " + imageHamming128Ctes("", 6) +
+        " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
+        "CAST(hamming AS BIGINT) AS hamming FROM hm WHERE hamming <= 6 ORDER BY id_a, id_b"),
     "q_gopher_quality" -> {
       // every rule generated by gopherRuleSqls — the SAME generator the
       // corpus-pipeline oracle composes, fed by the engine's own
@@ -3646,9 +4009,11 @@ object SparkEntry {
     },
     "q_corpus_pipeline_url" -> corpusPipelineUrlOracle,
     "q_corpus_pipeline_c4" -> corpusPipelineC4Oracle,
+    "q_corpus_pipeline_c4_lines" -> corpusPipelineC4LinesOracle,
     "q_corpus_pipeline_model" -> corpusPipelineModelOracle,
     "q_corpus_pipeline_mix" -> corpusPipelineMixOracle,
     "q_corpus_pipeline_bpe" -> corpusPipelineBpeOracle,
+    "q_corpus_pipeline_image" -> corpusPipelineImageOracle,
     "q_c4_line_filter" -> {
       // line predicate + page gates restated from TextAnalysis.c4LineKeep
       // / c4PageFlags — same terminal-punctuation class, same word split,

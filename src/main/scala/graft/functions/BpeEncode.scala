@@ -104,6 +104,76 @@ final class BpeEncoder(val merges: Array[String],
   /** Test hook: current cache occupancy. */
   private[graft] def cachedWords: Int = cache.size()
 
+  // ── vocab ids ─────────────────────────────────────────────────────────
+  // The merge table alone defines a TOTAL, deterministic id space over
+  // every piece serving can emit (a trainer consumes input_ids, not
+  // piece strings):
+  //   [0, M)                      merge outputs, id = rank
+  //   [M, M + 0x110000)           single code points, id = M + codepoint
+  //                               (serving only ever emits merge outputs
+  //                               or single code points — any multi-char
+  //                               piece was built by some merge)
+  //   [M + 0x110000, 2(M+0x110000))  the same space with the '▁'
+  //                               word-boundary marker bit set
+  // Sparse by design: a frozen-table id space needs determinism and
+  // losslessness, not density (remapping to a dense range is a bijection
+  // a trainer can apply downstream if it cares).
+
+  @transient private lazy val rankOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](table.length * 2)
+    var i = 0
+    while (i < table.length) { m.put(table(i)._3, i); i += 1 }
+    m
+  }
+
+  /** Offset the marker bit adds: size of the unmarked id space. */
+  def markerOffset: Int = merges.length + 0x110000
+
+  /** Vocab id of one emitted piece (marked or unmarked). Throws on a
+    * string outside the emittable space (a multi-code-point piece that
+    * is no merge output cannot come from this table's serving). */
+  def idOfPiece(piece: String): Int = {
+    val marked = piece.startsWith("▁")
+    val base = if (marked) piece.substring(1) else piece
+    require(base.nonEmpty, s"empty piece '$piece'")
+    val r = rankOf.get(base)
+    val pid =
+      if (r != null) r.intValue()
+      else {
+        require(base.codePointCount(0, base.length) == 1,
+          s"piece '$base' is neither a merge output nor a single code " +
+            "point - not emittable by this merge table's serving")
+        merges.length + base.codePointAt(0)
+      }
+    if (marked) pid + markerOffset else pid
+  }
+
+  /** Inverse of [[idOfPiece]] (tests / detokenization). */
+  def pieceOfId(id: Int): String = {
+    require(id >= 0 && id < 2 * markerOffset, s"id $id out of range")
+    val marked = id >= markerOffset
+    val pid = if (marked) id - markerOffset else id
+    val base =
+      if (pid < merges.length) table(pid)._3
+      else new String(Character.toChars(pid - merges.length))
+    if (marked) "▁" + base else base
+  }
+
+  /** Vocab ids of a SPACE-JOINED piece stream (the `chunk_text` a
+    * BPE-driven [[graft.operators.Chunking]] emits — pieces never
+    * contain spaces, so the join is lossless). One kernel call per
+    * chunk row; no re-encoding — the pieces are already BPE output,
+    * this is a pure id lookup. */
+  def idsOfJoinedPieces(joined: UTF8String): GenericArrayData = {
+    val s = joined.toString
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val parts = s.split(' ')
+    val out = new Array[Any](parts.length)
+    var i = 0
+    while (i < parts.length) { out(i) = idOfPiece(parts(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Pieces of a whole text: normTokens words, each BPE-encoded, flat in
     * token order. The FIRST piece of every word carries the
     * SentencePiece-style word-boundary marker '▁' (public convention),
@@ -160,5 +230,29 @@ case class BpeEncodeExpr(child: Expression, merges: Array[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_piece_ids(string) -> array<int>` under a literal merge table —
+  * vocab ids of a space-joined piece stream (see
+  * [[BpeEncoder.idsOfJoinedPieces]]). Codegen'd like [[BpeEncodeExpr]]. */
+case class BpePieceIdsExpr(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_piece_ids"
+
+  @transient private lazy val encoder = new BpeEncoder(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    encoder.idsOfJoinedPieces(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", encoder,
+      classOf[BpeEncoder].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.idsOfJoinedPieces($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpePieceIdsExpr =
     copy(child = newChild)
 }

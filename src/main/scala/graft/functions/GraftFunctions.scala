@@ -44,6 +44,11 @@ object GraftFunctions {
         exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toArray[org.apache.spark.unsafe.types.UTF8String](
             org.apache.spark.sql.types.StringType).map(_.toString)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_piece_ids", exprs => BpePieceIdsExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString)), "built-in")
     // Spark's own runtime-filter bloom pair, surfaced as callable
     // functions (they are not in FunctionRegistry by default). Using the
     // engine's pair — not a re-implementation — guarantees the serialized
@@ -102,6 +107,12 @@ object GraftFunctions {
     * "left right" strings — [[graft.operators.Bpe.Model]] literals). */
   def bpePieces(c: Column, merges: Array[String]): Column =
     call_function("bpe_pieces", c, lit(merges))
+
+  /** `bpe_piece_ids(string, merges) -> array<int>`: vocab ids of a
+    * space-joined BPE piece stream (merge rank / code-point / marker-bit
+    * id space — [[BpeEncoder.idOfPiece]]). */
+  def bpePieceIds(c: Column, merges: Array[String]): Column =
+    call_function("bpe_piece_ids", c, lit(merges))
 
   /** `sig_agreement(array<int>, array<int>) -> double` as a Column —
     * positionwise MinHash-component agreement (unbiased Jaccard

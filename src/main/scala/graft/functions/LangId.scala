@@ -7,67 +7,97 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native language-ID kernel — the codegen'd form of
   * [[TextAnalysis.langId]] (bit-identical semantics, pinned by
-  * TextAnalysisSpec): tokenize via [[ShingleUtil.normTokens]], vote each
-  * token against the per-language stopword lists (multiplicity-aware), take
-  * the (score, lang) argmax with `array_max` struct ordering (highest
-  * score, then highest language code), gate on the CJK character ratio,
-  * fall back to "und".
+  * TextAnalysisSpec), with every table GENERATED from [[LangProfiles]]
+  * (the no-drift source both DuckDB oracle fragments also derive from).
   *
-  * Why native: the Column form filters the token array once per language —
-  * four interpreted higher-order `filter` passes per row, the last
-  * non-codegen corpus-scan kernel in the hot set (round-1 profile). Here
-  * each token does ONE hash-map probe yielding a language bitmask, inside
-  * whole-stage codegen. */
+  * Two families, in order: script-ratio rules (one codepoint pass
+  * counting the tracked Unicode scripts, then the ordered threshold
+  * checks — ja before zh, since Japanese text carries Han), then
+  * stopword voting over the normalized tokens (each token ONE hash-map
+  * probe yielding a language bitmask, inside whole-stage codegen; argmax
+  * = highest score, then highest language code).
+  *
+  * Why native: the Column form filters the token array once per language
+  * — interpreted higher-order `filter` passes per row (round-1 profile
+  * measured ~100× on a corpus scan); here the whole vote is one
+  * codegen'd loop. */
 object LangIdUtil {
 
-  /** Language codes in ascending order — vote index = position. */
+  /** Stopword-voted language codes in ascending order — vote index =
+    * position (the tie-break relies on this order: ascending scan with
+    * `>=` makes the LATER code win equal scores). */
   private val langCodes: Array[UTF8String] =
-    Array("de", "en", "es", "fr").map(UTF8String.fromString)
+    LangProfiles.stopwords.keys.toArray.sorted.map(UTF8String.fromString)
 
   private val und = UTF8String.fromString("und")
-  private val zh = UTF8String.fromString("zh")
 
   /** token -> bitmask of languages whose stopword list contains it (words
     * like "de"/"la" legitimately vote for several Romance languages). */
   private val stopwordMask: java.util.HashMap[UTF8String, Integer] = {
-    val lists = Map(
-      0 -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "ich", "zu", "mit", "auf", "für", "sich"),
-      1 -> Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "was", "for", "are", "with", "this"),
-      2 -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "se", "no", "los", "las", "por"),
-      3 -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour", "dans", "ce", "pas", "sur"))
+    val codeIdx = langCodes.zipWithIndex.map { case (c, i) => c.toString -> i }.toMap
     val m = new java.util.HashMap[UTF8String, Integer]()
-    for ((idx, words) <- lists; w <- words) {
+    for ((code, words) <- LangProfiles.stopwords; w <- words) {
       val k = UTF8String.fromString(w)
       val prev = m.get(k)
-      m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << idx)))
+      m.put(k, Integer.valueOf(
+        (if (prev == null) 0 else prev.intValue()) | (1 << codeIdx(code))))
     }
     m
   }
 
-  /** Han-script codepoint count ÷ total codepoint count (the `[\p{IsHan}]`
-    * regexp-count ratio of the Column form). ASCII fast path: a text with
-    * no high bytes has CJK ratio 0 without leaving the byte array. */
-  private def cjkRatio(text: UTF8String): Double = {
+  /** The distinct scripts any rule counts, with a dense index. */
+  private val trackedScripts: Array[Character.UnicodeScript] =
+    LangProfiles.scriptRules.flatMap(_.scripts).distinct.toArray
+  private val scriptIdx: java.util.EnumMap[Character.UnicodeScript, Integer] = {
+    val m = new java.util.EnumMap[Character.UnicodeScript, Integer](
+      classOf[Character.UnicodeScript])
+    trackedScripts.zipWithIndex.foreach { case (s, i) => m.put(s, i) }
+    m
+  }
+  /** (code, tracked-script indices, threshold) in rule order. */
+  private val rules: Array[(UTF8String, Array[Int], Double)] =
+    LangProfiles.scriptRules.map { r =>
+      (UTF8String.fromString(r.code),
+        r.scripts.map(s => scriptIdx.get(s).intValue()).toArray,
+        r.threshold)
+    }.toArray
+
+  /** Script-rule decision, or null when no rule fires. ASCII fast path:
+    * a text with no high bytes has every tracked-script count 0 without
+    * leaving the byte array. One codepoint pass for all rules. */
+  private def scriptLang(text: UTF8String): UTF8String = {
     val bytes = text.getBytes
     var ascii = true
     var i = 0
     while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
-    if (ascii) return 0.0
+    if (ascii) return null
     val s = text.toString
+    val counts = new Array[Int](trackedScripts.length)
     var cp = 0
-    var han = 0
     var n = 0
     while (cp < s.length) {
       val c = s.codePointAt(cp)
-      if (Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN) han += 1
+      val idx = scriptIdx.get(Character.UnicodeScript.of(c))
+      if (idx != null) counts(idx.intValue()) += 1
       n += 1
       cp += Character.charCount(c)
     }
-    if (n == 0) 0.0 else han.toDouble / n
+    if (n == 0) return null
+    var r = 0
+    while (r < rules.length) {
+      val (code, idxs, thr) = rules(r)
+      var hits = 0
+      var j = 0
+      while (j < idxs.length) { hits += counts(idxs(j)); j += 1 }
+      if (hits.toDouble / n > thr) return code
+      r += 1
+    }
+    null
   }
 
   def langId(text: UTF8String): UTF8String = {
-    if (cjkRatio(text) > 0.3) return zh
+    val scripted = scriptLang(text)
+    if (scripted != null) return scripted
     val toks = ShingleUtil.normTokens(text)
     val votes = new Array[Int](langCodes.length)
     var i = 0

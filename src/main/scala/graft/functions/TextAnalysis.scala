@@ -52,19 +52,19 @@ object TextAnalysis {
 
   // ── language ID ───────────────────────────────────────────────────────
 
-  /** Tiny public stopword lists per language — enough signal for a
-    * coarse-grained heuristic router. `private[graft]`: oracle SQL for the
-    * stopword-based gates is GENERATED from this map (no-drift). */
-  private[graft] val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "was", "for", "are", "with", "this"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "ich", "zu", "mit", "auf", "für", "sich"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "se", "no", "los", "las", "por"),
-    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour", "dans", "ce", "pas", "sur"))
+  /** Stopword lists per language — the [[LangProfiles]] single source
+    * (oracle SQL for the stopword-based gates is GENERATED from it —
+    * no-drift). Kept as an alias: older call sites and the gopher rule
+    * generator read `TextAnalysis.stopwords`. */
+  private[graft] val stopwords: Map[String, Seq[String]] = LangProfiles.stopwords
 
   /** CJK-character ratio of the raw text (Chinese detection — CJK text
     * doesn't whitespace-tokenize, so stopword voting can't see it). */
-  def cjkRatio(c: Column): Column =
-    coalesce(regexp_count(c, lit("[\\p{IsHan}]")), lit(0)).cast("double") /
+  def cjkRatio(c: Column): Column = scriptRatio(c, "\\p{IsHan}")
+
+  /** Tracked-script codepoint ratio (script-rule family). */
+  private def scriptRatio(c: Column, javaClass: String): Column =
+    coalesce(regexp_count(c, lit(s"[$javaClass]")), lit(0)).cast("double") /
       greatest(length(c), lit(1))
 
   /** Per-language stopword hit count (multiplicity-aware: filter, not
@@ -74,18 +74,24 @@ object TextAnalysis {
     size(filter(toks, t => array_contains(stops, t)))
   }
 
-  /** Heuristic language ID: "zh" when the CJK ratio dominates, otherwise
-    * argmax of stopword votes (deterministic ties: highest vote, then
-    * language code). Returns "und" (undetermined) when no stopword hits. */
+  /** Heuristic language ID — the Column REFERENCE form of the
+    * [[LangIdUtil]] kernel (TextAnalysisSpec pins the equivalence), both
+    * generated from [[LangProfiles]]: the ordered script-ratio rules
+    * decide first (ja/ko/zh/ru/ar/he/el/hi/th — scripts the `[a-z0-9]`
+    * tokenizer cannot vote on; ja before zh because Japanese carries
+    * Han), then argmax of stopword votes (deterministic ties: highest
+    * vote, then language code). "und" when nothing matches. */
   def langId(c: Column): Column = {
     val toks = tokens(c)
     val scored = array(stopwords.keys.toSeq.sorted.map { lang =>
       struct(stopwordHits(toks, lang).as("score"), lit(lang).as("lang"))
     }: _*)
     val best = array_max(scored)
-    when(cjkRatio(c) > 0.3, lit("zh"))
-      .when(best.getField("score") > 0, best.getField("lang"))
+    val voted = when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
+    LangProfiles.scriptRules.foldRight(voted) { (r, acc) =>
+      when(scriptRatio(c, r.javaClass) > r.threshold, lit(r.code)).otherwise(acc)
+    }
   }
 
   // ── PII redaction ─────────────────────────────────────────────────────

@@ -172,6 +172,16 @@ object Bpe {
     * chunking/packing/mixing accounting. */
   def tokenCount(c: Column, model: Model): Column = size(pieces(c, model))
 
+  /** Vocab ids (array<int>) of a SPACE-JOINED piece stream column — the
+    * `chunk_text` a BPE-driven [[Chunking.chunkByTokens]] emits. The id
+    * space is total and deterministic from the merge table alone
+    * ([[graft.functions.BpeEncoder.idOfPiece]]: merge rank, then code
+    * points, doubled by the '▁' word-boundary bit), so a trainer gets
+    * `input_ids` without any extra vocabulary artifact. Pure lookup —
+    * no re-encoding. */
+  def pieceIds(joinedPieces: Column, model: Model): Column =
+    GraftFunctions.bpePieceIds(joinedPieces, model.merges)
+
   /** Per-document BPE accounting: (idCol, n_tokens, n_pieces, pieces_fp)
     * — word count, piece count, and an md5 fingerprint of the full
     * piece stream (order-sensitive). One narrow scan. */

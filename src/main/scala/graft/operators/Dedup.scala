@@ -802,6 +802,107 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Chunk layout over a 128-bit hash: `maxHamming + 1` near-equal chunk
+    * widths and their bit offsets (the [[hammingChunkLayout]] rule at
+    * width 128). */
+  private[graft] def hammingChunkLayout128(maxHamming: Int): (Array[Int], Array[Int]) = {
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(j =>
+      128 / nChunks + (if (j < 128 % nChunks) 1 else 0))
+    (widths, widths.scanLeft(0)(_ + _))
+  }
+
+  /** Hamming-LSH pair join over a pre-hashed (id, lo: long, hi: long)
+    * frame — the 128-bit companion of [[hammingPairs64]]: bits [0, 64)
+    * live in `lo`, bits [64, 128) in `hi`; chunks may straddle the
+    * boundary (assembled from both words with plan-time-constant
+    * shifts). Complete recall for the bound by the same pigeonhole;
+    * verify = bit_count(lo⊕lo') + bit_count(hi⊕hi'). Wider chunks than
+    * the 64-bit layout at the same bound (128/(h+1) bits) ⇒
+    * exponentially fewer background bucket collisions — the precision
+    * win the 128-bit signature buys. */
+  private[graft] def hammingPairs128(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming (complete recall " +
+        "needs maxHamming+1 chunks; more than 32 chunks of a 128-bit hash " +
+        "would bucket on < 4 bits)")
+    val (widths, offsets) = hammingChunkLayout128(maxHamming)
+    val nChunks = maxHamming + 1
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+    // chunk j covers bits [offsets(j), offsets(j) + widths(j)) of the
+    // 128-bit concat; extract from the word(s) it touches
+    def chunkKey(j: Int): Column = {
+      val s = offsets(j); val w = widths(j); val e = s + w
+      if (e <= 64)
+        shiftright(col("lo"), s).bitwiseAND(lit(mask(w)))
+      else if (s >= 64)
+        shiftright(col("hi"), s - 64).bitwiseAND(lit(mask(w)))
+      else {
+        val fromLo = 64 - s
+        shiftright(col("lo"), s).bitwiseAND(lit(mask(fromLo)))
+          .bitwiseOR(shiftleft(
+            col("hi").bitwiseAND(lit(mask(w - fromLo))), fromLo))
+      }
+    }
+    val chunked = hashed.select(col("id"), col("lo"), col("hi"),
+      posexplode(array((0 until nChunks).map(chunkKey): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_key")
+    val left = chunked.select(col("chunk"), col("chunk_key"),
+      col("id").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val right = chunked.select(col("chunk"), col("chunk_key"),
+      col("id").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+    left.join(right, Seq("chunk", "chunk_key"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** [[imageNearDupPairs]] over the 128-BIT perceptual signature
+    * (horizontal dHash ∥ vertical dHash — [[Multimodal.dHash64]] over
+    * the 9×8 grid in `lo`, [[Multimodal.dHash64v]] over the 8×9 grid in
+    * `hi`): the same decode-once narrow stage emits both grids, the
+    * band join ships (chunk, id, lo, hi) only, and the chunks are twice
+    * as wide as the 64-bit layout at the same bound — tighter precision
+    * (vertical gradients catch what horizontal ones miss), same
+    * complete-recall pigeonhole. */
+  def imageNearDupPairs128(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, maxHamming: Int = 6): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idT = df.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(idT),
+      s"imageNearDupPairs128: idCol '$idCol' must be an integral type, got " +
+        s"$idT - remap or hash string ids first")
+    val hashed = df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(typeCol).cast("string").as("media_type"),
+      col(binaryCol).as("content"))
+      .repartition(cpuParallelism(df), col("media_id"))
+      .as[Multimodal.MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap(m => Multimodal.lumaGrids128(m).map { case (gh, gv) =>
+          (m.media_id, Multimodal.dHash64(gh), Multimodal.dHash64v(gv))
+        })
+      }.toDF("id", "lo", "hi")
+    hammingPairs128(hashed, maxHamming)
+  }
+
+  /** End-to-end 128-bit perceptual image dedup ([[imageNearDupPairs128]]
+    * → CC → min-id survivor); undecodable payloads always survive. */
+  def removeNearDuplicateImages128(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, maxHamming: Int = 6, maxIter: Int = 20): DataFrame = {
+    val losers = resolveClusters(
+      imageNearDupPairs128(df, idCol, typeCol, binaryCol, maxHamming), maxIter)
+      .where(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs — delegates candidate
     * generation + verification to [[Similarity.cosinePairs]] (banded
     * sign-LSH, threshold-derived r/b, exact verify). */

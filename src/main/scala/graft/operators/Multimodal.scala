@@ -303,38 +303,88 @@ object Multimodal {
     }
   }
 
-  /** 9×8 grayscale grid of a decodable image — the dHash preprocessing
-    * stage (Krawetz's public difference-hash recipe): REAL decode via
-    * the shared [[tryDecodeImage]] policy, bilinear Graphics2D resize to
-    * 9 columns × 8 rows (the same JDK-only resize path as
-    * [[resizeImages]]), then integer luma per cell
-    * ((299·R + 587·G + 114·B) / 1000 — exact integer arithmetic, no
-    * float rounding to drift between runs). Row-major Array of 72 ints
-    * in [0, 255]; None for non-image / undecodable payloads. */
-  def lumaGrid9x8(m: MediaRecord): Option[Array[Int]] =
-    tryDecodeImage(m).map { im =>
-      val out = new java.awt.image.BufferedImage(
-        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = out.createGraphics()
-      try {
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(im, 0, 0, 9, 8, null)
-      } finally g.dispose()
-      val grid = new Array[Int](72)
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 9) {
-          val p = out.getRGB(x, y)
-          grid(y * 9 + x) =
+  /** cols×rows grayscale grid of a decodable image — the dHash
+    * preprocessing stage (Krawetz's public difference-hash recipe): REAL
+    * decode via the shared [[tryDecodeImage]] policy, then an
+    * ENGINE-OWNED integer AREA resample: target cell (cx, cy) averages
+    * the source pixels it covers, fractional edge pixels weighted by
+    * exact overlap in (cols×rows)-denominator fixed point — pure Long
+    * arithmetic, no Graphics2D, no float. Luma per source pixel is the
+    * integer (299·R + 587·G + 114·B) / 1000.
+    *
+    * Why engine-owned (round-11 ADVICE): the previous Graphics2D
+    * bilinear resize pinned JDK RENDERING behavior into the frozen
+    * oracle grids — a platform whose Graphics2D rounds differently
+    * would fail the oracle even though the engine is internally
+    * consistent. Exact integer area-averaging is deterministic from the
+    * decoded pixels alone (and is the standard downscale for perceptual
+    * hashing — it reads every pixel, where point-sampling bilinear at
+    * large factors aliases). Row-major Array of cols·rows ints in
+    * [0, 255]; None for non-image / undecodable payloads. */
+  def lumaGrid(m: MediaRecord, cols: Int, rows: Int): Option[Array[Int]] =
+    tryDecodeImage(m).map(gridOf(_, cols, rows))
+
+  /** BOTH dHash grids (9×8 horizontal, 8×9 vertical) from ONE decode —
+    * the 128-bit signature's per-image stage (decode dominates; the two
+    * O(w·h) resample passes are noise next to it). */
+  def lumaGrids128(m: MediaRecord): Option[(Array[Int], Array[Int])] =
+    tryDecodeImage(m).map(im => (gridOf(im, 9, 8), gridOf(im, 8, 9)))
+
+  private def gridOf(im: java.awt.image.BufferedImage, cols: Int,
+      rows: Int): Array[Int] = {
+      val w = im.getWidth
+      val h = im.getHeight
+      // cell (cx, cy) covers source x in [cx·w/cols, (cx+1)·w/cols) —
+      // scale x by cols (y by rows) so boundaries are integers: pixel px
+      // spans [cols·px, cols·px+cols), cell cx spans [cx·w, (cx+1)·w).
+      // ONE pass over the source; each pixel feeds the ≤ 2×2 cells it
+      // overlaps — O(w·h) work, O(cols·rows) state, no full-frame buffer
+      // beyond the decoder's own.
+      val acc = new Array[Long](cols * rows)
+      var py = 0
+      while (py < h) {
+        val ys = py.toLong * rows
+        val cy0 = (ys / h).toInt
+        val cy1 = math.min(((ys + rows - 1) / h).toInt, rows - 1)
+        var px = 0
+        while (px < w) {
+          val p = im.getRGB(px, py)
+          val l =
             (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
-          x += 1
+          val xs = px.toLong * cols
+          val cx0 = (xs / w).toInt
+          val cx1 = math.min(((xs + cols - 1) / w).toInt, cols - 1)
+          var cy = cy0
+          while (cy <= cy1) {
+            val oy = math.min((cy + 1).toLong * h, ys + rows) -
+              math.max(cy.toLong * h, ys)
+            var cx = cx0
+            while (cx <= cx1) {
+              val ox = math.min((cx + 1).toLong * w, xs + cols) -
+                math.max(cx.toLong * w, xs)
+              acc(cy * cols + cx) += l * ox * oy
+              cx += 1
+            }
+            cy += 1
+          }
+          px += 1
         }
-        y += 1
+        py += 1
+      }
+      // total weight per cell = w·h exactly (pixel overlaps tile it)
+      val grid = new Array[Int](cols * rows)
+      var i = 0
+      while (i < grid.length) {
+        grid(i) = (acc(i) / (w.toLong * h)).toInt; i += 1
       }
       grid
-    }
+  }
+
+  /** The horizontal-dHash grid: 9 columns × 8 rows. */
+  def lumaGrid9x8(m: MediaRecord): Option[Array[Int]] = lumaGrid(m, 9, 8)
+
+  /** The vertical-dHash grid: 8 columns × 9 rows. */
+  def lumaGrid8x9(m: MediaRecord): Option[Array[Int]] = lumaGrid(m, 8, 9)
 
   /** 64-bit difference hash of a [[lumaGrid9x8]] grid: bit (row·8 + col)
     * is set iff cell (row, col) is brighter than its right neighbor —
@@ -348,6 +398,28 @@ object Multimodal {
       var c = 0
       while (c < 8) {
         if (grid(r * 9 + c) > grid(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** 64-bit VERTICAL difference hash of a [[lumaGrid8x9]] grid (8
+    * columns × 9 rows, row-major): bit (row·8 + col) is set iff cell
+    * (row, col) is brighter than the cell BELOW it — the standard
+    * dHash-vertical companion. Concatenated with [[dHash64]] it gives a
+    * 128-bit perceptual signature: vertical gradients catch edits
+    * horizontal gradients are blind to (and vice versa), so banding the
+    * 128-bit concat buys precision at the same recall bound. */
+  def dHash64v(grid: Array[Int]): Long = {
+    require(grid.length == 72, s"dHash64v needs an 8x9 grid, got ${grid.length}")
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r * 8 + c) > grid((r + 1) * 8 + c)) h |= 1L << (r * 8 + c)
         c += 1
       }
       r += 1

@@ -40,7 +40,7 @@ object Packing {
   def assignExamples(chunks: DataFrame, tokenBudget: Long,
       idCol: String = "doc_id", chunkIdxCol: String = "chunk_idx",
       nTokensCol: String = "n_chunk_tokens", splitCol: Option[String] = None,
-      shardHexDigits: Int = 1): DataFrame = {
+      shardHexDigits: Int = 1, carryCols: Seq[String] = Nil): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
     require(shardHexDigits >= 1 && shardHexDigits <= 8,
       s"shardHexDigits must be in [1, 8], got $shardHexDigits")
@@ -56,12 +56,16 @@ object Packing {
         coalesce(nTok.cast("string"), lit("null")),
         lit(s" for $idCol="), col(idCol).cast("string"))))
       .otherwise(nTok)
-    val base = chunks.select(
+    // `carryCols` ride the shuffle untouched (APPENDED after the five
+    // greedy-pass columns so the pass's positional reads stay fixed) —
+    // the packExamples input_ids path carries each chunk's piece-id
+    // array through to the example rollup without a second join.
+    val base = chunks.select(Seq(
       splitC.cast("string").as("split"),
       substring(md5(col(idCol).cast("string")), 1, shardHexDigits).as("shard"),
       col(idCol),
       col(chunkIdxCol).cast("long").as(chunkIdxCol),
-      checkedTok.as(nTokensCol))
+      checkedTok.as(nTokensCol)) ++ carryCols.map(col): _*)
     // hash-partition on (split, shard) so each group lands WHOLLY in one
     // task, then sort within partitions — the greedy pass below streams
     // group by group with constant state, no per-group buffering
@@ -83,7 +87,7 @@ object Packing {
         }
         if (tok > 0 && tok + n > tokenBudget) { exIdx += 1; tok = 0L }
         tok += n
-        Row(r.get(0), r.get(1), r.get(2), r.get(3), n, exIdx)
+        Row.fromSeq(r.toSeq :+ exIdx)
       }
     }(Encoders.row(outSchema))
   }
@@ -92,25 +96,43 @@ object Packing {
     * training example — (example_id, split, n_chunks, n_tokens,
     * fill_ratio, members) where `members` lists "docId:chunkIdx" in pack
     * order and `example_id` is the deterministic "split/shard/idx"
-    * composite. */
+    * composite.
+    *
+    * `inputIds` (a Column over the input chunk rows yielding one
+    * array<int> per chunk — e.g. [[Bpe.pieceIds]] over the BPE chunker's
+    * `chunk_text`) adds an `input_ids` column: the member chunks' id
+    * arrays concatenated in pack order — the tensor a trainer actually
+    * consumes. The ids are computed BEFORE the packing shuffle and ride
+    * it as a carried column (ints, roughly the size of the text they
+    * replace), so the rollup needs no second join with the corpus. */
   def packExamples(chunks: DataFrame, tokenBudget: Long,
       idCol: String = "doc_id", chunkIdxCol: String = "chunk_idx",
       nTokensCol: String = "n_chunk_tokens", splitCol: Option[String] = None,
-      shardHexDigits: Int = 1): DataFrame = {
-    val assigned = assignExamples(chunks, tokenBudget, idCol, chunkIdxCol,
-      nTokensCol, splitCol, shardHexDigits)
+      shardHexDigits: Int = 1, inputIds: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val withIds = inputIds.fold(chunks)(c => chunks.withColumn("_piece_ids", c))
+    val assigned = assignExamples(withIds, tokenBudget, idCol, chunkIdxCol,
+      nTokensCol, splitCol, shardHexDigits,
+      carryCols = if (inputIds.isDefined) Seq("_piece_ids") else Nil)
+    val memberAggs = Seq(
+      count(lit(1)).as("n_chunks"),
+      sum(col(nTokensCol)).as("n_tokens"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col(idCol), col(chunkIdxCol)))),
+          x => concat(x.getField(idCol).cast("string"), lit(":"),
+            x.getField(chunkIdxCol).cast("string"))),
+        ",").as("members")) ++
+      // pack order == (idCol, chunkIdx) order within the example (the
+      // greedy pass assigns in exactly that sort); the struct prefix
+      // makes array_sort reproduce it, then the id arrays flatten
+      inputIds.map(_ => flatten(transform(
+        array_sort(collect_list(struct(col(idCol), col(chunkIdxCol),
+          col("_piece_ids")))),
+        x => x.getField("_piece_ids"))).as("input_ids"))
     assigned
       .groupBy(col("split"), col("shard"), col("example_idx"))
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(col(nTokensCol)).as("n_tokens"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col(idCol), col(chunkIdxCol)))),
-            x => concat(x.getField(idCol).cast("string"), lit(":"),
-              x.getField(chunkIdxCol).cast("string"))),
-          ",").as("members"))
-      .select(
+      .agg(memberAggs.head, memberAggs.tail: _*)
+      .select(Seq(
         concat_ws("/", col("split"), col("shard"), col("example_idx")).as("example_id"),
         col("split"),
         col("n_chunks"),
@@ -119,6 +141,7 @@ object Packing {
         // engines — bit-identical cross-engine, unlike accumulated
         // float sums
         (col("n_tokens").cast("double") / lit(tokenBudget.toDouble)).as("fill_ratio"),
-        col("members"))
+        col("members")) ++
+        inputIds.map(_ => col("input_ids")): _*)
   }
 }

@@ -64,6 +64,23 @@ object CorpusPipeline {
       assignKeep: Int = 1,
       maxClusterSize: Int = 20000)
 
+  /** The optional PERCEPTUAL IMAGE dedup rung for multimodal corpora:
+    * documents carry an opaque image payload (`binaryCol` binary,
+    * `typeCol` mime string; docs without an image hold NULLs and always
+    * survive — no hash, no duplicate evidence). Near-identical images
+    * collapse to the min-id survivor via banded dHash
+    * ([[Dedup.removeNearDuplicateImages128]] — horizontal ∥ vertical
+    * 128-bit signature by default; `use128 = false` selects the 64-bit
+    * horizontal-only form). Runs AFTER the text dedup rungs (cheapest
+    * evidence first; the payload is id-stable metadata the line/span
+    * text rewrites never touch) and BEFORE decontamination, like the
+    * semantic rung it composes next to. */
+  final case class ImageDedupConfig(
+      typeCol: String,
+      binaryCol: String,
+      maxHamming: Int = 6,
+      use128: Boolean = true)
+
   /** The optional DSIR SELECTION rung: importance-resample `k` documents
     * toward the fitted target distribution ([[Dsir.resampleRows]] with
     * the frozen `model`). Runs LAST among the content stages — after
@@ -135,6 +152,7 @@ object CorpusPipeline {
       shingleN: Int = 3,
       tunedNearDedup: Boolean = false,
       semanticDedup: Option[SemanticDedupConfig] = None,
+      imageDedup: Option[ImageDedupConfig] = None,
       decontaminateN: Int = 8,
       bloomDecontaminate: Boolean = false,
       bloomFpp: Double = 0.001,
@@ -448,6 +466,24 @@ object CorpusPipeline {
           maxClusterSize = sc.maxClusterSize))
     }
 
+    // 3c. optional PERCEPTUAL IMAGE dedup — the multimodal rung: docs
+    //    whose image payloads are near-identical (banded dHash within
+    //    the Hamming bound) collapse to the min-id survivor; NULL /
+    //    undecodable payloads always pass. After the text rungs (the
+    //    payload is id-stable metadata; text evidence is cheaper and
+    //    should shrink the decode population first), before
+    //    decontamination (an image-dup of a contaminated doc must drop
+    //    here, not survive its twin's later removal).
+    val imgDeduped = cfg.imageDedup.fold(semDeduped) { ic =>
+      observed("image_dedup",
+        if (ic.use128)
+          Dedup.removeNearDuplicateImages128(semDeduped, cfg.idCol,
+            ic.typeCol, ic.binaryCol, ic.maxHamming)
+        else
+          Dedup.removeNearDuplicateImages(semDeduped, cfg.idCol,
+            ic.typeCol, ic.binaryCol, ic.maxHamming))
+    }
+
     // 4. benchmark decontamination. DELIBERATELY a larger n than the
     //    dedup shingles: any-single-trigram overlap would scrub nearly
     //    every English document (common trigrams are everywhere); the
@@ -457,12 +493,12 @@ object CorpusPipeline {
     //    (the corpus-side shuffle shrinks from "all shingles" to "true
     //    hits + fpp noise"); survivors are IDENTICAL by construction —
     //    the exact confirm join removes bloom false positives at any fpp.
-    val clean = benchClean.fold(semDeduped)(b =>
+    val clean = benchClean.fold(imgDeduped)(b =>
       if (cfg.bloomDecontaminate)
-        Dedup.removeContaminatedBloom(semDeduped, b, cfg.textCol, cfg.idCol,
+        Dedup.removeContaminatedBloom(imgDeduped, b, cfg.textCol, cfg.idCol,
           cfg.decontaminateN, cfg.bloomFpp)
       else
-        Dedup.removeContaminated(semDeduped, b, cfg.textCol, cfg.idCol,
+        Dedup.removeContaminated(imgDeduped, b, cfg.textCol, cfg.idCol,
           cfg.decontaminateN))
 
     // 4b. optional FUZZY decontamination — the reworded-leak net: a
@@ -608,9 +644,15 @@ object CorpusPipeline {
     //    fixed-budget training examples, per (split, shard) so examples
     //    never straddle a split ([[Packing.packExamples]] — one hash
     //    shuffle, O(1)-state streaming pass per task).
+    // With BPE chunking on, chunk_text IS a space-joined piece stream —
+    // the packed examples additionally emit `input_ids` (the member
+    // pieces' vocab ids under the same merge table, in pack order): the
+    // tensor a trainer consumes, closing the text→training-example path.
     val packed = cfg.packTokenBudget.map { budget =>
       Packing.packExamples(chunks, budget, cfg.idCol, "chunk_idx",
-        "n_chunk_tokens", splitCol = Some("split"))
+        "n_chunk_tokens", splitCol = Some("split"),
+        inputIds = cfg.bpeChunking.map(m =>
+          graft.operators.Bpe.pieceIds(col("chunk_text"), m)))
     }
 
     Prepared(documents, chunks, Seq(
@@ -623,7 +665,8 @@ object CorpusPipeline {
       cfg.lineDedupMinDocs.map(_ => "line_dedup" -> lineDeduped) ++
       cfg.spanDedupN.map(_ => "span_dedup" -> spanDeduped) ++ Seq(
       "near_dedup" -> nearDeduped) ++
-      cfg.semanticDedup.map(_ => "semantic_dedup" -> semDeduped) ++ Seq(
+      cfg.semanticDedup.map(_ => "semantic_dedup" -> semDeduped) ++
+      cfg.imageDedup.map(_ => "image_dedup" -> imgDeduped) ++ Seq(
       "decontaminated" -> cleanM) ++
       // keyed on BOTH switches: with no benchmark the stage does not run,
       // and a stage report must never show a rung that never executed

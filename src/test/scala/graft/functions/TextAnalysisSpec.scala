@@ -25,6 +25,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("langId: every LangProfiles sample maps to its own code — 26 languages, kernel == Column form") {
+    GraftFunctions.register(spark)
+    val df = LangProfiles.sampleCodes
+      .map(c => (c, LangProfiles.samples(c))).toDF("code", "text")
+    val rows = df.select($"code",
+      TextAnalysis.langId($"text").as("col_form"),
+      GraftFunctions.langIdNative($"text").as("native")).collect()
+    assert(rows.length == 26)
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+        s"Column form: expected ${r.getString(0)} got ${r.getString(1)}")
+      assert(r.getString(2) == r.getString(0),
+        s"kernel: expected ${r.getString(0)} got ${r.getString(2)}")
+    }
+    // Japanese (kana + Han) must NOT fall into zh: the ja rule precedes
+    val ja = Seq(LangProfiles.samples("ja")).toDF("text")
+      .select(GraftFunctions.langIdNative($"text")).head().getString(0)
+    assert(ja == "ja")
+  }
+
   test("langId returns 'und' for stopword-free text") {
     val pred = Seq("zzz qqq xxx").toDF("text")
       .select(TextAnalysis.langId($"text")).head().getString(0)

@@ -154,6 +154,29 @@ class BpeSpec extends AnyFunSuite {
       "past-cap words re-encode correctly every call")
   }
 
+  test("vocab ids: piece<->id bijection; engine input_ids reassemble real chunk piece streams") {
+    val enc = new BpeEncoder(FrozenBpe.model.merges)
+    // round-trip for every emittable shape: merge output, single char,
+    // digit — marked and unmarked
+    for (p <- Seq("low", "▁low", "x", "▁x", "9", "▁9"))
+      assert(enc.pieceOfId(enc.idOfPiece(p)) == p, s"round-trip failed on '$p'")
+    // a multi-char non-output is not emittable and must fail loudly
+    intercept[IllegalArgumentException](enc.idOfPiece("zq"))
+    // kernel ids over real BPE chunk texts decode back to the pieces
+    GraftFunctions.register(spark)
+    val chunks = Chunking.chunkByTokens(docs, "text", "doc_id", 64, 16,
+      tokenizer = Some(Bpe.pieces($"text", FrozenBpe.model)))
+    val rows = chunks.select($"chunk_text",
+      Bpe.pieceIds($"chunk_text", FrozenBpe.model).as("ids")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pieces = r.getString(0).split(' ').toSeq
+      val ids = r.getSeq[Int](1)
+      assert(ids.map(enc.pieceOfId) == pieces,
+        s"ids must decode to the pieces for chunk '${r.getString(0).take(60)}'")
+    }
+  }
+
   test("Model rejects non-fresh external merge tables; train output always passes") {
     // duplicate output: ranks 1 and 2 both create 'ab'
     val dup = intercept[IllegalArgumentException] {

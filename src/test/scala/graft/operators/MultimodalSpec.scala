@@ -314,4 +314,38 @@ class MultimodalSpec extends AnyFunSuite {
       .select("media_id").as[Long].collect().toSet
     assert(kept == ((0 until 60).map(_.toLong).toSet -- (0 until 20).map(3L * _ + 1)) + 1000L)
   }
+
+  test("imageNearDupPairs128: banded h∥v dHash equals brute-force 128-bit Hamming truth") {
+    val media = ImageFixture.frame(spark)
+    val got = Dedup.imageNearDupPairs128(media, "media_id", "media_type",
+        "content", maxHamming = 6)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force truth over both frozen grid families
+    val h = FrozenImageGrids.grids.map { case (id, g) => id -> Multimodal.dHash64(g) }.toMap
+    val v = FrozenImageGrids.gridsV.map { case (id, g) => id -> Multimodal.dHash64v(g) }.toMap
+    val ids = h.keys.toSeq.sorted
+    val want = (for {
+      ia <- ids; ib <- ids if ia < ib
+      d = java.lang.Long.bitCount(h(ia) ^ h(ib)) +
+        java.lang.Long.bitCount(v(ia) ^ v(ib)) if d <= 6
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want,
+      s"banded 128-bit pairs must equal brute force:\n${got.diff(want)}\n${want.diff(got)}")
+    // the live path decodes once and matches the frozen grids
+    val liveV = (0L until ImageFixture.NumImages.toLong).flatMap { id =>
+      Multimodal.lumaGrids128(Multimodal.MediaRecord(
+        id, "image/png", ImageFixture.pngBytes(id))).map { case (_, gv) => id -> gv.toSeq }
+    }.toMap
+    FrozenImageGrids.gridsV.foreach { case (id, g) =>
+      assert(liveV(id) == g.toSeq,
+        s"vertical grid drift for image $id - rerun graft.FreezeImageGrids")
+    }
+    // every 64-bit-detected twin pair remains detected (vertical bits
+    // only ADD distance the pair genuinely has; the planted edits are
+    // one-block, within the bound in both gradients)
+    assert(want.map { case (a, b, _) => (a, b) } ==
+      (0 until 20).map(k => (3L * k, 3L * k + 1)).toSet,
+      "fixture twins must survive the 128-bit bound")
+  }
 }

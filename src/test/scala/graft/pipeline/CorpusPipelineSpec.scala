@@ -486,6 +486,64 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "near_dedup", "decontaminated"))
   }
 
+  test("image dedup rung: stage order, min-id survivors among planted twins, null payloads pass") {
+    import graft.operators.ImageFixture
+    val base = docs.select($"doc_id", $"text")
+    val corpus = base.as[(Long, String)].map { case (id, tx) =>
+      val img = id < ImageFixture.NumImages
+      (id, tx, if (img) "image/png" else null,
+        if (img) ImageFixture.pngBytes(id) else null)
+    }.toDF("doc_id", "text", "media_type", "content")
+    val out = CorpusPipeline.prepare(corpus, None, CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      imageDedup = Some(CorpusPipeline.ImageDedupConfig(
+        "media_type", "content", maxHamming = 6)),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 1.0), materializeDocuments = true))
+    // stage ORDER: the image rung sits between near-dup and decon
+    assert(out.stages.map(_._1) == Seq("input", "quality", "exact_dedup",
+      "near_dedup", "image_dedup", "decontaminated"))
+    val st = out.stages.toMap
+    val near = st("near_dedup").select("doc_id").as[Long].collect().toSet
+    val img = st("image_dedup").select("doc_id").as[Long].collect().toSet
+    // the fixture's only <=6-bit pairs are the planted (3k, 3k+1) twins
+    // (MultimodalSpec pins this); where BOTH reach the stage, min id wins.
+    // Docs without a payload (id >= 60) must all pass through.
+    val expectedLosers = (0 until 20)
+      .map(k => (3L * k, 3L * k + 1))
+      .filter { case (a, b) => near(a) && near(b) }
+      .map(_._2).toSet
+    assert(img == near -- expectedLosers,
+      s"unexpected image-stage delta: ${(near -- img) -- expectedLosers}")
+    assert(expectedLosers.nonEmpty, "fixture must exercise the rung")
+    assert((near -- img).forall(_ < ImageFixture.NumImages),
+      "null-payload docs must never drop at the image rung")
+  }
+
+  test("langs config with a non-en set: the gate keeps exactly the configured languages") {
+    val lp = graft.functions.LangProfiles
+    // plant Spanish (stopword-voted) and Russian (script-detected) docs
+    // among the English corpus; gate on {es, ru}. The token/alpha-ratio
+    // proxies are Latin-specific, so a non-Latin pipeline relaxes them —
+    // the realistic multilingual configuration.
+    val corpus = docs.select($"doc_id",
+      when($"doc_id" % 3 === 0, lit(lp.samples("es")))
+        .when($"doc_id" % 3 === 1, lit(lp.samples("ru")))
+        .otherwise($"text").as("text"))
+    val out = CorpusPipeline.prepare(corpus, None, CorpusPipeline.Config(
+      langs = Set("es", "ru"), minTokens = 0, minAlphaRatio = 0.0,
+      dedupThreshold = 0.5, chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 1.0), materializeDocuments = true))
+    graft.functions.GraftFunctions.register(spark)
+    val langs = out.documents
+      .select(graft.functions.GraftFunctions.langIdNative($"text").as("l"))
+      .distinct().as[String].collect().toSet
+    assert(langs == Set("es", "ru"),
+      s"gate must keep exactly the configured languages, got $langs")
+    // identical planted texts collapse to one survivor per language
+    assert(out.documents.count() == 2L)
+  }
+
   test("mix rung: NON-empty corpus with zero target-stratum mass yields empty output, not a crash") {
     // survivors exist, but every one sits outside the target strata —
     // the data-dependent state the rung must resolve itself (round-11
