@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{FrozenNgramLm, NgramLm}
+
+/** DuckDB oracle SQL for q_ngram_lm_score (and the LM CTE fragment the
+  * q_corpus_pipeline_ppl oracle composes) — generated from the SAME
+  * [[graft.operators.FrozenNgramLm]] literals the Spark queries serve
+  * (the QmOracle/DsirOracle no-drift pattern) and the same filler
+  * constant the Spark side augments with.
+  *
+  * What the oracles check: given the frozen scaled-long trigram LM,
+  * both engines agree BIT-EXACTLY on tokenize → sentinel pad → trigram/
+  * bigram/unigram lookup → Stupid-Backoff COALESCE chain → exact
+  * integer fold → mean per-token log-score (and, in the pipeline form,
+  * on the integer gate decision). The backoff decision itself restates
+  * as three LEFT JOINs + one COALESCE (absent key ≡ NULL ≡ backoff, on
+  * both engines); the only float op is one division chain on identical
+  * integer operands. TRAINING (three bounded n-gram count aggregations
+  * + driver log-ratios) is deliberately not restated —
+  * [[FreezeNgramLm]] pins its output, NgramLmSpec checks its
+  * properties. */
+object NgramLmOracle {
+
+  private def values(ks: Array[String], vs: Array[Long]): String =
+    ks.zip(vs).map { case (k, v) =>
+      require(!k.contains("'"), s"gram key must be quote-free: $k")
+      s"('$k',$v)"
+    }.mkString("(VALUES ", ", ", ")")
+
+  /** The LM scoring CTE chain over a source CTE `src(doc_id, ft)` where
+    * `ft` is the FILTERED token list (normTokens semantics): emits
+    * nlm_pad … nlm_sw(doc_id, score) with score = the exact scaled-long
+    * Stupid-Backoff fold (docs with 0 tokens are absent — COALESCE to 0
+    * downstream). Composable: the standalone oracle and the pipeline
+    * CTE both call this, so the restatement cannot drift. */
+  def scoreCteChain(src: String): String = {
+    val m = FrozenNgramLm.model
+    s"nlm_pad AS (SELECT doc_id, len(ft) AS n, list_concat(['<s>','<s>'], ft) AS p FROM $src), " +
+      "nlm_pos AS (SELECT doc_id, unnest(range(1, n + 1)) AS i, p FROM nlm_pad WHERE n > 0), " +
+      "nlm_g AS (SELECT doc_id, p[i+2] AS uni, p[i+1] || ' ' || p[i+2] AS bi, " +
+      "p[i] || ' ' || p[i+1] || ' ' || p[i+2] AS tri FROM nlm_pos), " +
+      s"nlm_ut AS (SELECT * FROM ${values(m.uniKeys, m.uniVals)} AS t(k, v)), " +
+      s"nlm_bt AS (SELECT * FROM ${values(m.biKeys, m.biVals)} AS t(k, v)), " +
+      s"nlm_tt AS (SELECT * FROM ${values(m.triKeys, m.triVals)} AS t(k, v)), " +
+      s"nlm_sc AS (SELECT g.doc_id, COALESCE(tt.v, ${m.backoffScaled} + " +
+      s"COALESCE(bt.v, ${m.backoffScaled} + COALESCE(ut.v, ${m.unkScaled}))) AS s " +
+      "FROM nlm_g g LEFT JOIN nlm_tt tt ON g.tri = tt.k " +
+      "LEFT JOIN nlm_bt bt ON g.bi = bt.k LEFT JOIN nlm_ut ut ON g.uni = ut.k), " +
+      "nlm_sw AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM nlm_sc GROUP BY doc_id)"
+  }
+
+  /** The oracle restatement of the scoring scan over the augmented
+    * documents table: (doc_id, n_tokens, score_scaled, mean_log). */
+  def ngramLmScore: String = {
+    val filler = QmOracle.fillerSuffix
+    require(!filler.contains("'"), "filler must be quote-free")
+    s"WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text || '$filler' ELSE text END AS text FROM documents), " +
+      "nlm_ft AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS ft FROM d), " +
+      scoreCteChain("nlm_ft") + " " +
+      "SELECT f.doc_id, CAST(len(f.ft) AS BIGINT) AS n_tokens, " +
+      "CAST(COALESCE(sw.score, 0) AS BIGINT) AS score_scaled, " +
+      s"CAST(COALESCE(sw.score, 0) AS DOUBLE) / (${NgramLm.WeightScale.toDouble} * CAST(greatest(len(f.ft), 1) AS DOUBLE)) AS mean_log " +
+      "FROM nlm_ft f LEFT JOIN nlm_sw sw ON f.doc_id = sw.doc_id ORDER BY f.doc_id"
+  }
+}

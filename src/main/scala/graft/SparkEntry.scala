@@ -829,6 +829,13 @@ object SparkEntry {
     //    only the filler-augmented target class clears minLogit=0. See
     //    corpusPipelineModelQuery ───────────────────────────────────────
     "q_corpus_pipeline_model" -> ((s, dir) => corpusPipelineModelQuery(s, dir)),
+    // ── The pipeline with the PERPLEXITY gate folded into the quality
+    //    scan: the frozen trigram Stupid-Backoff LM's per-token mean
+    //    log-score gates at minMeanLog (exact integer decision — one
+    //    more codegen'd term, no extra stage); only the filler-bearing
+    //    reference-shaped class clears the cut. The CCNet LM-filter
+    //    rung, composed. See corpusPipelinePplQuery ────────────────────
+    "q_corpus_pipeline_ppl" -> ((s, dir) => corpusPipelinePplQuery(s, dir)),
     // ── The pipeline with the TRAINING-MIX TAIL on: per-source cap after
     //    the gate (WindowGroupLimit), token-share mixing after the
     //    selection rungs (key-pure md5 rates from the survivors' token
@@ -1599,6 +1606,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── North star quality: trained trigram-LM perplexity filter — the
+    //    CCNet recipe (Wenzek et al. LREC 2020) under Stupid Backoff
+    //    (Brants et al. EMNLP 2007): FrozenNgramLm pins the LM trained
+    //    on the reference slice (even-id filler-augmented docs — fluent
+    //    English), and every document scores Σ log S(w|context) as an
+    //    exact scaled-LONG fold in ONE narrow codegen'd projection (the
+    //    tables ride a codegen reference object; no shuffle/join/UDF).
+    //    The backoff decision restates in DuckDB as three LEFT JOINs +
+    //    a COALESCE chain from the same literals (NgramLmOracle) ───────
+    "q_ngram_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(QmOracle.fillerSuffix)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.NgramLm.score(docs, "text", "doc_id",
+        graft.operators.FrozenNgramLm.model)
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── North star selection: DSIR importance weights (Xie et al.
     //    NeurIPS 2023) — the GENERATIVE selection score next to the
     //    discriminative model gate above. FrozenDsir pins the fitted
@@ -2120,6 +2147,44 @@ object SparkEntry {
       minAlphaRatio = 0.4,
       modelGate = Some(graft.pipeline.CorpusPipeline.ModelGateConfig(
         graft.operators.FrozenQualityModel.model, minLogit = 0.0)),
+      dedupThreshold = 0.5, shingleN = 3,
+      decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    pipelineStatsRow(s, p, extraDocStats = Seq(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).cast("long").as("n_target")))
+  }
+
+  /** The q_corpus_pipeline_ppl / q_ngram_lm_score gate threshold: sits
+    * between the frozen LM's reference-shaped (≈ −1.8 nat/token) and
+    * off-reference (≈ −4.3) class means, so the gate decision — an
+    * EXACT integer comparison on both engines — separates the classes. */
+  private val PplMinMeanLog: Double = -3.0
+
+  /** q_corpus_pipeline_ppl: the pipeline with the PERPLEXITY gate on.
+    * Corpus = the filler-augmented fixture (even ids carry
+    * QmOracle.fillerSuffix — the text FrozenNgramLm trained on; odd ids
+    * stay raw and score ≈ −4.3 nat/token), benchmark = the raw %50
+    * slice. The trigram Stupid-Backoff mean log-score gates the quality
+    * scan at minMeanLog = −3.0 as the exact integer comparison
+    * score_scaled ≥ ⌊−3.0·1e9⌋·n_tokens, so the "quality" stage count
+    * collapses to (roughly) the even-id class — n_target pins it.
+    * Plain config otherwise. */
+  private def corpusPipelinePplQuery(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(QmOracle.fillerSuffix)))
+        .otherwise(col("text")).as("text"))
+    // raw %50 benchmark — the model-variant rationale: an augmented
+    // benchmark would decontaminate the whole surviving class away
+    val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4,
+      perplexityGate = Some(graft.pipeline.CorpusPipeline.PerplexityGateConfig(
+        graft.operators.FrozenNgramLm.model, minMeanLog = PplMinMeanLog)),
       dedupThreshold = 0.5, shingleN = 3,
       decontaminateN = 8, chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
@@ -2737,6 +2802,65 @@ object SparkEntry {
       "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
       "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
       "AND lang.lang = 'en' AND mlg.logit >= 0.0), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      pipelineTailSql("q4") +
+      "SELECT (SELECT count(*) FROM aug) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM q4) AS n_target, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_ppl: the filler-augmented
+    * fixture chain (the model oracle's skeleton) with the PERPLEXITY
+    * gate joined into q1 — the FrozenNgramLm Stupid-Backoff fold over
+    * the FILTERED token list ([[NgramLmOracle.scoreCteChain]], the same
+    * three-LEFT-JOIN COALESCE restatement the standalone oracle uses)
+    * gated by the exact integer comparison score ≥ ⌊−3.0·1e9⌋·n. */
+  private lazy val corpusPipelinePplOracle: String = {
+    def gram8(src: String): String = gram8CteSql(src)
+    val thrScaled = math.round(PplMinMeanLog * graft.operators.NgramLm.WeightScale)
+    val filler = QmOracle.fillerSuffix
+    require(!filler.contains("'"), "filler must be quote-free")
+    "WITH RECURSIVE " +
+      s"aug AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text || '$filler' ELSE text END AS text FROM documents), " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      pipelineLangCteSql +
+      // the perplexity gate: FrozenNgramLm backoff fold over the
+      // FILTERED tokens, exact integer threshold decision
+      "nlm_ft AS (SELECT doc_id, list_filter(t, x -> x <> '') AS ft FROM tok), " +
+      NgramLmOracle.scoreCteChain("nlm_ft") + ", " +
+      "ngate AS (SELECT f.doc_id AS doc_id, " +
+      s"COALESCE(sw.score, 0) >= $thrScaled * len(f.ft) AS pass " +
+      "FROM nlm_ft f LEFT JOIN nlm_sw sw ON f.doc_id = sw.doc_id), " +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "JOIN ngate ON tok.doc_id = ngate.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en' AND ngate.pass), " +
       "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
       "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
       "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
@@ -3803,6 +3927,7 @@ object SparkEntry {
     // literals the Spark queries probe (AnnOracles — no-drift pattern)
     "q_semantic_dedup" -> AnnOracles.semanticDedup(threshold = 0.9),
     "q_quality_model_score" -> QmOracle.qualityModelScore,
+    "q_ngram_lm_score" -> NgramLmOracle.ngramLmScore,
     // DSIR selection family: SQL generated from the SAME FrozenDsir
     // literals the Spark queries fold (DsirOracle — no-drift pattern)
     "q_dsir_logweight" -> DsirOracle.dsirLogWeight,
@@ -4011,6 +4136,7 @@ object SparkEntry {
     "q_corpus_pipeline_c4" -> corpusPipelineC4Oracle,
     "q_corpus_pipeline_c4_lines" -> corpusPipelineC4LinesOracle,
     "q_corpus_pipeline_model" -> corpusPipelineModelOracle,
+    "q_corpus_pipeline_ppl" -> corpusPipelinePplOracle,
     "q_corpus_pipeline_mix" -> corpusPipelineMixOracle,
     "q_corpus_pipeline_bpe" -> corpusPipelineBpeOracle,
     "q_corpus_pipeline_image" -> corpusPipelineImageOracle,

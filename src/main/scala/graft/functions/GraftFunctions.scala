@@ -49,6 +49,19 @@ object GraftFunctions {
         exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toArray[org.apache.spark.unsafe.types.UTF8String](
             org.apache.spark.sql.types.StringType).map(_.toString)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_lm_score", exprs => {
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.StringType
+        import org.apache.spark.unsafe.types.UTF8String
+        def strs(i: Int) = exprs(i).eval(null).asInstanceOf[ArrayData]
+          .toArray[UTF8String](StringType).map(_.toString)
+        def lngs(i: Int) = exprs(i).eval(null).asInstanceOf[ArrayData].toLongArray()
+        NgramLmScoreExpr(exprs.head, new NgramLmScorer(
+          strs(1), lngs(2), strs(3), lngs(4), strs(5), lngs(6),
+          exprs(7).eval(null).asInstanceOf[Long],
+          exprs(8).eval(null).asInstanceOf[Long]))
+      }, "built-in")
     // Spark's own runtime-filter bloom pair, surfaced as callable
     // functions (they are not in FunctionRegistry by default). Using the
     // engine's pair — not a re-implementation — guarantees the serialized

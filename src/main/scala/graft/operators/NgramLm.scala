@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, NgramLmScorer}
+
+/** Trained trigram language model for perplexity-style quality
+  * filtering — the CCNet recipe (Wenzek et al., LREC 2020): train an LM
+  * on a TRUSTED reference corpus (curated text, a target domain), score
+  * every candidate document by its per-token log-score under that LM,
+  * and gate on a threshold — fluent, reference-like text scores high;
+  * boilerplate, gibberish and lexicon soup score low. The LM itself is
+  * Stupid Backoff (Brants et al., EMNLP 2007), chosen over Kneser-Ney
+  * deliberately: its training is nothing but n-gram COUNTING — two
+  * shuffles and a bounded driver merge in Spark terms — and the paper
+  * shows the quality gap vanishes at large training data, which is the
+  * regime this engine targets.
+  *
+  * Training ([[fit]]): count padded 1/2/3-grams of the reference's
+  * normalized token stream (three aggregations, each pruned to
+  * `minCount` and capped at `maxEntriesPerOrder` via TakeOrdered — the
+  * [[Bpe.train]] bounded-driver-histogram discipline), then derive
+  * per-entry scaled-long log-scores on the driver:
+  * ln(c(gram)/c(context)) · 1e9. Entries whose context gram was pruned
+  * are dropped (backoff covers them) so serving can never divide by a
+  * count it does not have. Driver state ≤ 3·maxEntriesPerOrder entries.
+  *
+  * Serving ([[scoreCol]]): ONE narrow codegen'd projection — the frozen
+  * tables travel inside a [[graft.functions.NgramLmScorer]] codegen
+  * reference object, the fold is exact integer arithmetic, and the
+  * whole scan restates verbatim in DuckDB ([[graft.NgramLmOracle]]).
+  * At 100 TB this is embarrassingly parallel: no shuffle, no join, no
+  * UDF, no driver round-trip.
+  *
+  * Scale note on [[fit]]: the n-gram count aggregations shuffle the
+  * reference corpus once per order; the reference is a SAMPLE by
+  * construction (CCNet trains on Wikipedia, not on the crawl), so the
+  * training input is bounded long before the candidate corpus is. */
+object NgramLm {
+
+  /** Fixed-point scale (the [[Dsir.WeightScale]] discipline). */
+  val WeightScale: Long = 1000000000L
+
+  /** Brants et al.'s backoff constant λ = 0.4. */
+  val Lambda: Double = 0.4
+
+  /** Left-context sentinel — [[graft.functions.ShingleUtil.normTokens]]
+    * emits only [a-z0-9]+ tokens, so `<s>` cannot collide. */
+  val Sentinel: String = "<s>"
+
+  /** A trained trigram Stupid-Backoff model. Keys are space-joined
+    * grams ("w", "a w", "a b w"); values are 1e9-scaled
+    * ln(c(gram)/c(context)) longs. `backoffScaled` = ⌊ln λ·1e9⌋,
+    * `unkScaled` = ⌊ln(1/(N+1))·1e9⌋ (the unknown-token floor, N =
+    * total reference tokens). Sorted-key arrays (not Maps) so frozen
+    * literals diff deterministically. */
+  final case class Model(uniKeys: Array[String], uniVals: Array[Long],
+      biKeys: Array[String], biVals: Array[Long],
+      triKeys: Array[String], triVals: Array[Long],
+      backoffScaled: Long, unkScaled: Long) {
+    require(uniKeys.length == uniVals.length &&
+      biKeys.length == biVals.length && triKeys.length == triVals.length,
+      "table shape mismatch")
+    require(backoffScaled < 0, s"backoffScaled must be ln(lambda)<0 scaled: $backoffScaled")
+
+    @transient lazy val scorer: NgramLmScorer = new NgramLmScorer(
+      uniKeys, uniVals, biKeys, biVals, triKeys, triVals,
+      backoffScaled, unkScaled)
+  }
+
+  /** Normalized tokens with NULL text coalescing to the EMPTY array —
+    * the [[Dsir]] discipline: a null-text document scores 0 with 0
+    * tokens instead of propagating NULL through the fold (which would
+    * silently diverge from the oracle's COALESCE(sum, 0)). */
+  private def tokensOf(text: Column): Column =
+    coalesce(GraftFunctions.normTokens(text), array().cast("array<string>"))
+
+  /** Padded token array of a text column: two sentinels + normTokens. */
+  private def padded(text: Column): Column =
+    concat(array(lit(Sentinel), lit(Sentinel)), tokensOf(text))
+
+  /** All space-joined k-grams of the PADDED stream (every position —
+    * context grams like `<s> <s>` included: they are the denominators).
+    * Guarded so a short stream yields the empty array (Spark's
+    * `sequence(1, 0)` would DESCEND, not empty out). */
+  private def kgramsAll(text: Column, k: Int): Column = {
+    val p = padded(text)
+    when(size(p) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(p) - (k - 1)),
+        i => concat_ws(" ", slice(p, i, lit(k)))))
+  }
+
+  /** One order's pruned count table: (gram, count), count ≥ minCount,
+    * top `maxEntries` by (count DESC, gram) — a TakeOrdered, never a
+    * global sort; ≤ maxEntries rows to the driver. */
+  private def countTable(reference: DataFrame, textCol: String, k: Int,
+      minCount: Long, maxEntries: Int): Array[(String, Long)] =
+    reference.select(explode(kgramsAll(col(textCol), k)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+      .orderBy(col("c").desc, col("g"))
+      .limit(maxEntries)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  /** Train on a reference corpus. One scalar aggregation (N) + three
+    * bounded count aggregations; all remaining work is a driver pass
+    * over ≤ 3·maxEntriesPerOrder entries. */
+  def fit(reference: DataFrame, textCol: String,
+      maxEntriesPerOrder: Int = 1 << 16, minCount: Long = 2L): Model = {
+    require(maxEntriesPerOrder > 0, s"maxEntriesPerOrder: $maxEntriesPerOrder")
+    require(minCount >= 1, s"minCount: $minCount")
+    GraftFunctions.register(reference.sparkSession)
+    val n = reference
+      .select(sum(size(GraftFunctions.normTokens(col(textCol)))).cast("long"))
+      .collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    require(n > 0, "reference corpus has no tokens")
+    val c1 = countTable(reference, textCol, 1, minCount, maxEntriesPerOrder)
+    val c2 = countTable(reference, textCol, 2, minCount, maxEntriesPerOrder)
+    val c3 = countTable(reference, textCol, 3, minCount, maxEntriesPerOrder)
+    val uniCount = c1.toMap
+    val biCount = c2.toMap
+
+    def scaled(num: Long, den: Long): Long =
+      math.round(math.log(num.toDouble / den.toDouble) * WeightScale)
+
+    // Unigram scores: real tokens only (the sentinel is context-only —
+    // serving can never look it up as a predicted token); denominator N.
+    val uni = c1.iterator.filter(_._1 != Sentinel)
+      .map { case (w, c) => (w, scaled(c, n)) }.toArray.sortBy(_._1)
+    // Bigram scores: predicted slot must be a real token ("<s> <s>" is
+    // context-only); context unigram must have survived pruning.
+    val bi = c2.iterator
+      .filter { case (g, _) => !g.endsWith(" " + Sentinel) }
+      .flatMap { case (g, c) =>
+        val ctx = g.substring(0, g.indexOf(' '))
+        uniCount.get(ctx).map(cc => (g, scaled(c, cc)))
+      }.toArray.sortBy(_._1)
+    val tri = c3.iterator
+      .filter { case (g, _) => !g.endsWith(" " + Sentinel) }
+      .flatMap { case (g, c) =>
+        val ctx = g.substring(0, g.lastIndexOf(' '))
+        biCount.get(ctx).map(cc => (g, scaled(c, cc)))
+      }.toArray.sortBy(_._1)
+
+    Model(uni.map(_._1), uni.map(_._2), bi.map(_._1), bi.map(_._2),
+      tri.map(_._1), tri.map(_._2),
+      backoffScaled = math.round(math.log(Lambda) * WeightScale),
+      unkScaled = math.round(math.log(1.0 / (n.toDouble + 1.0)) * WeightScale))
+  }
+
+  /** The exact scaled-long score as a Column over a TOKEN-ARRAY column —
+    * compose as `scoreScaledCol(GraftFunctions.normTokens(text), m)` so
+    * subexpression elimination shares the tokenize with
+    * `size(norm_tokens(text))` in the same projection. Session must be
+    * [[GraftFunctions.register]]ed (every entry-point method here is). */
+  def scoreScaledCol(tokens: Column, model: Model): Column =
+    call_function("ngram_lm_score", tokens,
+      lit(model.uniKeys), lit(model.uniVals), lit(model.biKeys),
+      lit(model.biVals), lit(model.triKeys), lit(model.triVals),
+      lit(model.backoffScaled), lit(model.unkScaled))
+
+  /** Per-document scores: (idCol, n_tokens, score_scaled, mean_log) —
+    * mean_log = score/(1e9·max(n,1)), the per-token log-score a CCNet
+    * threshold reads (cast from identical integer operands on every
+    * engine). ONE narrow projection. */
+  def score(df: DataFrame, textCol: String, idCol: String,
+      model: Model): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val toks = tokensOf(col(textCol))
+    df.select(col(idCol), size(toks).as("n_tokens"),
+        scoreScaledCol(toks, model).as("score_scaled"))
+      .withColumn("mean_log",
+        col("score_scaled").cast("double") /
+          (lit(WeightScale.toDouble) * greatest(col("n_tokens"), lit(1)).cast("double")))
+  }
+
+  /** Gate predicate: per-token mean log-score ≥ `minMeanLog`, evaluated
+    * as the EXACT integer comparison score_scaled ≥ ⌊minMeanLog·1e9⌋ ·
+    * n_tokens (no float in the decision — both engines agree bit-for-
+    * bit). Empty documents (n=0, score=0) pass iff minMeanLog ≤ 0 —
+    * the length floor upstream is the operator that rejects those. */
+  def gateCol(text: Column, model: Model, minMeanLog: Double): Column = {
+    val toks = tokensOf(text)
+    scoreScaledCol(toks, model) >=
+      lit(math.round(minMeanLog * WeightScale)) * size(toks).cast("long")
+  }
+
+  /** Rows whose per-token mean log-score clears `minMeanLog`. */
+  def filterByScore(df: DataFrame, textCol: String, model: Model,
+      minMeanLog: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.where(gateCol(col(textCol), model, minMeanLog))
+  }
+}

@@ -106,6 +106,19 @@ object CorpusPipeline {
       model: graft.operators.QualityModel.Model,
       minLogit: Double = 0.0)
 
+  /** The optional PERPLEXITY gate: the trained trigram Stupid-Backoff
+    * LM ([[graft.operators.NgramLm]] — the CCNet recipe's LM-filter
+    * stage, the generative sibling of [[ModelGateConfig]]'s
+    * discriminative scorer) folded into the SAME quality-gate scan.
+    * Documents whose per-token mean log-score under the reference LM
+    * falls below `minMeanLog` drop in the "quality" stage. The decision
+    * is the exact integer comparison score_scaled ≥
+    * ⌊minMeanLog·1e9⌋·n_tokens ([[graft.operators.NgramLm.gateCol]]) —
+    * one narrow codegen'd term, zero extra stages or shuffles. */
+  final case class PerplexityGateConfig(
+      model: graft.operators.NgramLm.Model,
+      minMeanLog: Double)
+
   /** The optional PER-DOMAIN document cap (the C4/RefinedWeb anti-SEO
     * rung): keep at most `k` documents per `groupCol` value (domain,
     * source, crawl host), best-first by whitespace token count with ties
@@ -143,6 +156,7 @@ object CorpusPipeline {
       maxTokens: Int = 100000,
       minAlphaRatio: Double = 0.4,
       modelGate: Option[ModelGateConfig] = None,
+      perplexityGate: Option[PerplexityGateConfig] = None,
       domainCap: Option[DomainCapConfig] = None,
       blocklist: Seq[String] = Nil,
       lineDedupMinDocs: Option[Int] = None,
@@ -375,6 +389,8 @@ object CorpusPipeline {
         (if (cfg.gopherRules) TextAnalysis.gopherPass(text) else lit(true)) &&
         cfg.modelGate.fold(lit(true)) { mg =>
           graft.operators.QualityModel.logitCol(text, mg.model) >= mg.minLogit } &&
+        cfg.perplexityGate.fold(lit(true)) { pg =>
+          graft.operators.NgramLm.gateCol(text, pg.model, pg.minMeanLog) } &&
         (if (cfg.blocklist.nonEmpty)
           !TextAnalysis.containsBlockedWord(text, cfg.blocklist)
         else lit(true)))
@@ -389,7 +405,8 @@ object CorpusPipeline {
     // stays a lazy narrow scan, exactly as before.
     val filtered = observed("quality",
       if (cfg.urlCol.isDefined || cfg.stripHtml || cfg.c4Rules ||
-          cfg.gopherRules || cfg.modelGate.isDefined)
+          cfg.gopherRules || cfg.modelGate.isDefined ||
+          cfg.perplexityGate.isDefined)
         Dedup.materialize(gate)
       else gate)
 

@@ -424,6 +424,38 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "gate off must keep below-threshold docs")
   }
 
+  test("optional perplexity gate: low mean-log docs drop in the quality scan, off = unchanged") {
+    import graft.operators.{FrozenNgramLm, NgramLm}
+    // the frozen LM's reference class: filler-augmented (even) docs
+    val corpus = docs.select($"doc_id",
+      when($"doc_id" % 2 === 0,
+        concat($"text", lit(graft.QmOracle.fillerSuffix)))
+        .otherwise($"text").as("text"))
+    val cfg = CorpusPipeline.Config(langs = Set("en"), minTokens = 10,
+      dedupThreshold = 0.5, chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 1.0))
+    val thr = -3.0
+    val cleared = NgramLm
+      .filterByScore(corpus, "text", FrozenNgramLm.model, thr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleared.nonEmpty, "fixture must have a reference-shaped class")
+
+    val on = CorpusPipeline.prepare(corpus, None, cfg.copy(perplexityGate =
+      Some(CorpusPipeline.PerplexityGateConfig(FrozenNgramLm.model, minMeanLog = thr))))
+    val onIds = on.documents.select("doc_id").as[Long].collect().toSet
+    assert(onIds.nonEmpty && onIds.subsetOf(cleared),
+      "no below-threshold doc may survive the perplexity gate")
+    // no extra stage: the LM score folds into the quality scan
+    assert(on.stages.map(_._1) ==
+      Seq("input", "quality", "exact_dedup", "near_dedup", "decontaminated"))
+
+    // off → low-score docs flow through to the end
+    val off = CorpusPipeline.prepare(corpus, None, cfg)
+    val offIds = off.documents.select("doc_id").as[Long].collect().toSet
+    assert((offIds -- cleared).nonEmpty,
+      "gate off must keep below-threshold docs")
+  }
+
   test("training-mix tail: domain cap, token-share mix, temperature mix, packing compose as rungs") {
     import graft.functions.TextAnalysis
     val corpus = docs.select($"doc_id", $"text", $"source")
