@@ -272,7 +272,7 @@ object ScaleProfile {
     // That shared-line shape is EXACTLY what the line-dedup rung exists
     // for — scrubbing cross-document lines before near-dup collapses the
     // background. A/B the same c4 chain with the rung off vs on. ───────
-    if (sections("c4bg")) {
+    if (sections("c4bg") || sections("c4bgon") || sections("c4bgoff")) {
       import graft.pipeline.CorpusPipeline
       val aug = docs.select(col("doc_id"), SparkEntry.c4AugCol.as("text"))
       val bench = docs.where(col("doc_id") % 50 === 0)
@@ -284,14 +284,19 @@ object ScaleProfile {
         chunkTokens = 64, overlapTokens = 16,
         splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
         materializeDocuments = true)
-      timed("c4bg.line_dedup_on(c4 chain + lineDedupMinDocs=2)") {
-        CorpusPipeline.prepare(aug, Some(bench), cfg(Some(2)))
-          .documents.count()
-      }
-      timed("c4bg.line_dedup_off(the registered q_corpus_pipeline_c4 shape)") {
-        CorpusPipeline.prepare(aug, Some(bench), cfg(None))
-          .documents.count()
-      }
+      // single-arm sections (c4bgon / c4bgoff) for fresh-JVM isolation —
+      // and because at the fifth decade the line-dedup-OFF arm is the
+      // measured x29.6 flood: the scale row wants the ON arm alone
+      if (sections("c4bg") || sections("c4bgon"))
+        timed("c4bg.line_dedup_on(c4 chain + lineDedupMinDocs=2)") {
+          CorpusPipeline.prepare(aug, Some(bench), cfg(Some(2)))
+            .documents.count()
+        }
+      if (sections("c4bg") || sections("c4bgoff"))
+        timed("c4bg.line_dedup_off(the registered q_corpus_pipeline_c4 shape)") {
+          CorpusPipeline.prepare(aug, Some(bench), cfg(None))
+            .documents.count()
+        }
     }
 
     // ── round 11: the q_corpus_pipeline_model scale attribution — the
@@ -344,6 +349,54 @@ object ScaleProfile {
     // 1/3 planted near-dup pairs) and time decode→dHash→band→verify
     // and the full removal. The decode is the dominant narrow span;
     // the band join ships (chunk_key, id, hash) only. ──────────────────
+    // ── round 12: the trained trigram-LM (Stupid Backoff) scoring
+    // kernel, isolated per decade — like modelgate, a narrow codegen'd
+    // scan (tables ride a reference object, exact integer fold): the
+    // decade table should show clean linearity ─────────────────────────
+    if (sections("ngramlm")) {
+      import graft.operators.{FrozenNgramLm, NgramLm}
+      timed("ngramlm.score(frozen trigram backoff, full corpus)") {
+        NgramLm.score(docs, "text", "doc_id", FrozenNgramLm.model)
+          .agg(sum(col("score_scaled")), count(lit(1))).first().getLong(1)
+      }
+      timed("ngramlm.gate(mean_log >= -3 filter, survivor count)") {
+        NgramLm.filterByScore(docs, "text", FrozenNgramLm.model, -3.0).count()
+      }
+    }
+
+    // ── round 12: perceptual audio dedup at scale — synthesize
+    // SPARK_GRAFT_CLIPS WAVs (default 60k) with the AudioFixture
+    // generator (synthesize + RIFF-encode INSIDE the tasks, fixture
+    // triples = 1/3 planted near-dup pairs) and time decode→hash→band→
+    // verify and the full removal. PCM decode is the dominant narrow
+    // span; the band join ships (chunk, id, hash) longs only. ──────────
+    if (sections("audiodedup")) {
+      import graft.operators.{Dedup, AudioFixture, Multimodal}
+      val n = sys.env.getOrElse("SPARK_GRAFT_CLIPS", "60000").toInt
+      // same chunk-saturation arithmetic as imagededup: h=4 -> 13-bit
+      // chunks -> 8k buckets, saturating around ~1e5 clips; at corpus
+      // scale tighten to h=2 (21-bit chunks, ~2M buckets, good to ~1e7)
+      val h = sys.env.getOrElse("SPARK_GRAFT_CLIPS_H", "4").toInt
+      import spark.implicits._
+      val media = spark.range(n).as[Long]
+        .mapPartitions(_.map(id => (id, "audio/wav", AudioFixture.wavBytes(id))))
+        .toDF("media_id", "media_type", "content")
+      timed(s"audiodedup.decode+hash(n=$n audioEnvelope + audioHash64)") {
+        media.as[Multimodal.MediaRecord].mapPartitions { it =>
+          it.flatMap(m => Multimodal.audioEnvelope(m)
+            .map(e => (m.media_id, Multimodal.audioHash64(e))))
+        }.count()
+      }
+      timed(s"audiodedup.pairs(n=$n banded Hamming <= $h)") {
+        Dedup.audioNearDupPairs(media, "media_id", "media_type", "content",
+          maxHamming = h).count()
+      }
+      timed(s"audiodedup.removal(n=$n h=$h pairs -> CC -> min-id survivor)") {
+        Dedup.removeNearDuplicateAudio(media, "media_id", "media_type",
+          "content", maxHamming = h).count()
+      }
+    }
+
     if (sections("imagededup")) {
       import graft.operators.{Dedup, ImageFixture, Multimodal}
       val n = sys.env.getOrElse("SPARK_GRAFT_IMAGES", "60000").toInt

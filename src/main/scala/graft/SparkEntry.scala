@@ -1343,6 +1343,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── North star multimodal: PERCEPTUAL audio near-dup pairs — the
+    //    Haitsma-Kalker-style sign-of-energy-difference fingerprint
+    //    (time-envelope form) over the REAL javax.sound.sampled PCM
+    //    decode, banded with the same Hamming-LSH chunks as the
+    //    simhash/image families. Fixture: 60 deterministic WAVs in
+    //    base/near-dup/unrelated triples (AudioFixture); the synthesis
+    //    is a ±A square wave so each window's L1 envelope is EXACTLY
+    //    64·amplitude — the oracle restates hash → band → Hamming from
+    //    that analytic envelope (stronger than a frozen-decode pin;
+    //    MultimodalSpec asserts live decode ≡ analytic) ────────────────
+    "q_audio_near_dups" -> ((s, dir) => {
+      val media = graft.operators.AudioFixture.frame(s)
+      graft.operators.Dedup.audioNearDupPairs(
+          media, "media_id", "media_type", "content", maxHamming = 4)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── North star multimodal: binary payload → batched stub feature
     //    extraction; n_bytes is the oracle-checkable invariant ─────────
     "q_multimodal_features" -> ((s, dir) => {
@@ -4083,6 +4101,39 @@ object SparkEntry {
       "WITH " + imageHamming128Ctes("", 6) +
         " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
         "CAST(hamming AS BIGINT) AS hamming FROM hm WHERE hamming <= 6 ORDER BY id_a, id_b"),
+    "q_audio_near_dups" -> {
+      // envelope-delta hash → chunk-band → Hamming restated from the
+      // ANALYTIC envelope (the ±A square-wave fixture makes each
+      // window's L1 energy exactly 64·amplitude; live PCM decode ≡
+      // analytic is MultimodalSpec's assert). Band boundaries generated
+      // from the SAME hammingChunkLayout the engine bands with.
+      val maxH = 4
+      val rows = (0 until graft.operators.AudioFixture.NumClips).map { id =>
+        val env = (0 until graft.operators.AudioFixture.Windows)
+          .map(w => 64L * graft.operators.AudioFixture.windowAmplitude(id.toLong, w))
+        s"($id, ${env.mkString("[", ",", "]")})"
+      }.mkString(", ")
+      val (_, offsets) = graft.operators.Dedup.hammingChunkLayout(maxH)
+      val chunkCase = "CASE " + (1 to maxH).map(j =>
+        s"WHEN b < ${offsets(j)} THEN ${j - 1}").mkString(" ") + s" ELSE $maxH END"
+      val layRows = (0 to maxH).map(j => s"($j, ${offsets(j)})").mkString(", ")
+      s"WITH gr(media_id, g) AS (VALUES $rows), " +
+        "bb AS (SELECT unnest(range(0, 64)) AS b), " +
+        // bit b set iff window b+1 carries more L1 energy than window b
+        // (DuckDB lists are 1-based)
+        "bt AS (SELECT media_id, b, CASE WHEN g[b + 2] > g[b + 1] THEN 1 ELSE 0 END AS bit FROM gr, bb), " +
+        s"lay(ck, lo) AS (VALUES $layRows), " +
+        s"ch AS (SELECT media_id, $chunkCase AS ck, b, bit FROM bt), " +
+        "bd AS (SELECT media_id, ck, CAST(sum(bit * (CAST(1 AS BIGINT) << (b - lo))) AS BIGINT) AS key " +
+        "FROM ch JOIN lay USING (ck) GROUP BY media_id, ck), " +
+        "cand AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b " +
+        "FROM bd a JOIN bd b2 ON a.ck = b2.ck AND a.key = b2.key AND a.media_id < b2.media_id), " +
+        "hm AS (SELECT c.id_a, c.id_b, " +
+        "(SELECT count(*) FROM bt x JOIN bt y ON x.b = y.b " +
+        "WHERE x.media_id = c.id_a AND y.media_id = c.id_b AND x.bit <> y.bit) AS hamming FROM cand c) " +
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
+        s"CAST(hamming AS BIGINT) AS hamming FROM hm WHERE hamming <= $maxH ORDER BY id_a, id_b"
+    },
     "q_gopher_quality" -> {
       // every rule generated by gopherRuleSqls — the SAME generator the
       // corpus-pipeline oracle composes, fed by the engine's own

@@ -793,6 +793,53 @@ object Dedup {
   /** End-to-end perceptual image dedup: [[imageNearDupPairs]] → CC →
     * keep the minimum id per cluster; undecodable payloads always
     * survive (no hash ⇒ no duplicate evidence). */
+  /** PERCEPTUAL near-duplicate AUDIO pairs — the audio rung of the dedup
+    * family: 64-bit envelope difference hash over the REAL PCM decode
+    * ([[Multimodal.audioEnvelope]] → [[Multimodal.audioHash64]] —
+    * javax.sound.sampled, no external codec; Haitsma-Kalker-style
+    * sign-of-energy-difference, time-envelope form), then the SAME
+    * Hamming-LSH chunk banding as the simhash/image families. Returns
+    * (id_a, id_b, hamming) for decodable-audio pairs within
+    * `maxHamming` bits; non-audio / undecodable / sub-65-sample payloads
+    * drop out of the comparison (and always SURVIVE
+    * [[removeNearDuplicateAudio]] — absence of evidence).
+    *
+    * Scale shape (the [[imageNearDupPairs]] contract): decode is a
+    * batched per-partition transform behind an explicit repartition
+    * that pins decode parallelism; after it each clip is ONE long — the
+    * band join shuffles (chunk_key, id, hash) triples only, never PCM. */
+  def audioNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, maxHamming: Int = 4): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idT = df.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(idT),
+      s"audioNearDupPairs: idCol '$idCol' must be an integral type, got " +
+        s"$idT - remap or hash string ids first")
+    val hashed = df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(typeCol).cast("string").as("media_type"),
+      col(binaryCol).as("content"))
+      .repartition(cpuParallelism(df), col("media_id"))
+      .as[Multimodal.MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap(m => Multimodal.audioEnvelope(m)
+          .map(e => (m.media_id, Multimodal.audioHash64(e))))
+      }.toDF("id", "sh")
+    hammingPairs64(hashed, maxHamming)
+  }
+
+  /** End-to-end perceptual audio dedup: [[audioNearDupPairs]] → CC →
+    * keep each cluster's min id; undecodable payloads always survive. */
+  def removeNearDuplicateAudio(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, maxHamming: Int = 4, maxIter: Int = 20): DataFrame = {
+    val losers = resolveClusters(
+      audioNearDupPairs(df, idCol, typeCol, binaryCol, maxHamming), maxIter)
+      .where(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def removeNearDuplicateImages(df: DataFrame, idCol: String, typeCol: String,
       binaryCol: String, maxHamming: Int = 6, maxIter: Int = 20): DataFrame = {
     val losers = resolveClusters(

@@ -427,6 +427,81 @@ object Multimodal {
     h
   }
 
+  // ── perceptual AUDIO fingerprint ──────────────────────────────────────
+
+  /** L1-energy envelope of a PCM audio payload: decode (the REAL
+    * javax.sound.sampled WAV/AIFF path — the [[decodeAudio]] byte loop,
+    * integer-exact Long sample reconstruction up to 32-bit) and sum
+    * |sample| per window over `windows` equal sample-index windows.
+    * ALL-INTEGER arithmetic (the luma-grid discipline): the envelope is
+    * bit-identical on every JVM, so it can anchor a frozen oracle.
+    * Returns None for non-audio types, undecodable bytes, or streams
+    * shorter than `windows` samples (an envelope with empty windows
+    * would fingerprint silence ordering, not content). */
+  def audioEnvelope(m: MediaRecord, windows: Int = 65): Option[Array[Long]] = {
+    if (m.media_type == null || !m.media_type.startsWith("audio")) return None
+    val parsed =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val pcm = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = fmt.getSampleSizeInBits
+          if (pcm && bits > 0 && bits % 8 == 0 && bits <= 32)
+            Some((fmt, in.readAllBytes()))
+          else None
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    parsed.flatMap { case (fmt, data) =>
+      val bits = fmt.getSampleSizeInBits
+      val bps = bits / 8
+      val signed =
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val big = fmt.isBigEndian
+      val shift = 64 - bits
+      val n = data.length / bps
+      if (n < windows) None
+      else {
+        val env = new Array[Long](windows)
+        var s = 0
+        while (s < n) {
+          val i = s * bps
+          var v = 0L
+          if (big) { var j = 0; while (j < bps) { v = (v << 8) | (data(i + j) & 0xffL); j += 1 } }
+          else { var j = bps - 1; while (j >= 0) { v = (v << 8) | (data(i + j) & 0xffL); j -= 1 } }
+          val x = if (signed) (v << shift) >> shift else v - (1L << (bits - 1))
+          // window by sample index: w = s·windows / n (exact integer)
+          env((s.toLong * windows / n).toInt) += math.abs(x)
+          s += 1
+        }
+        Some(env)
+      }
+    }
+  }
+
+  /** 64-bit envelope difference hash of a 65-window [[audioEnvelope]]:
+    * bit i is set iff window i+1 carries more L1 energy than window i —
+    * the temporal-envelope analogue of [[dHash64]], inspired by the
+    * sign-of-energy-difference fingerprint of Haitsma & Kalker ("A
+    * Highly Robust Audio Fingerprinting System", ISMIR 2002; theirs
+    * differences spectral bands, this differences the time envelope —
+    * the zero-codec form the sandbox permits). Invariant under exact
+    * positive amplitude scaling (a monotone map preserves every
+    * comparison) and under uniform DC-free re-encoding. */
+  def audioHash64(env: Array[Long]): Long = {
+    require(env.length == 65, s"audioHash64 needs 65 windows, got ${env.length}")
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (env(i + 1) > env(i)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
   /** STUB frame sampler — keeps every `everyN`-th fixed-size slice of the
     * payload (a real implementation would demux video frames). Shape and
     * determinism are what matter for the plumbing. */

@@ -348,4 +348,84 @@ class MultimodalSpec extends AnyFunSuite {
       (0 until 20).map(k => (3L * k, 3L * k + 1)).toSet,
       "fixture twins must survive the 128-bit bound")
   }
+
+  test("audioEnvelope: live PCM decode of the audio fixture equals the analytic envelope") {
+    // the ±A square-wave synthesis makes each window's L1 energy EXACTLY
+    // 64·amplitude — the analytic truth the q_audio_near_dups oracle is
+    // generated from (stronger than a frozen-decode pin)
+    (0L until AudioFixture.NumClips.toLong).foreach { id =>
+      val live = Multimodal.audioEnvelope(Multimodal.MediaRecord(
+        id, "audio/wav", AudioFixture.wavBytes(id)))
+      val want = (0 until AudioFixture.Windows)
+        .map(w => 64L * AudioFixture.windowAmplitude(id, w))
+      assert(live.map(_.toSeq).contains(want),
+        s"decoded envelope must equal the analytic envelope for clip $id")
+    }
+    // non-audio / undecodable / too-short payloads yield no envelope
+    assert(Multimodal.audioEnvelope(Multimodal.MediaRecord(
+      99L, "text/plain", "not audio".getBytes)).isEmpty)
+    assert(Multimodal.audioEnvelope(Multimodal.MediaRecord(
+      99L, "audio/wav", Array.tabulate(32)(_.toByte))).isEmpty)
+    // a valid WAV with fewer samples than windows: 10 samples < 65
+    val tiny = {
+      val b = java.nio.ByteBuffer.allocate(44 + 20)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 20).put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(20)
+      (0 until 10).foreach(i => b.putShort((i * 100).toShort))
+      b.array()
+    }
+    assert(Multimodal.audioEnvelope(Multimodal.MediaRecord(
+      99L, "audio/wav", tiny)).isEmpty,
+      "sub-65-sample streams carry no envelope evidence")
+  }
+
+  test("audioHash64: amplitude-scaling invariance and the planted-edit bit bound") {
+    // exact positive scaling preserves every comparison -> identical hash
+    val env = Array.tabulate(65)(w => 64L * AudioFixture.windowAmplitude(0L, w))
+    val scaled = env.map(_ * 4 / 5) // amplitudes are multiples of 5: exact
+    assert(Multimodal.audioHash64(env) == Multimodal.audioHash64(scaled))
+    // the twin differs from the base in ONE window -> at most 2 delta bits
+    (0 until 20).foreach { k =>
+      val base = Array.tabulate(65)(w => 64L * AudioFixture.windowAmplitude(3L * k, w))
+      val twin = Array.tabulate(65)(w => 64L * AudioFixture.windowAmplitude(3L * k + 1, w))
+      val d = java.lang.Long.bitCount(
+        Multimodal.audioHash64(base) ^ Multimodal.audioHash64(twin))
+      assert(d <= 2, s"twin $k must sit within 2 bits, got $d")
+    }
+  }
+
+  test("audioNearDupPairs: banded envelope hash equals brute-force Hamming truth; min-id survives") {
+    val media = AudioFixture.frame(spark)
+    val got = Dedup.audioNearDupPairs(media, "media_id", "media_type",
+        "content", maxHamming = 4)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force truth over the analytic envelopes
+    val hashes = (0L until AudioFixture.NumClips.toLong).map { id =>
+      id -> Multimodal.audioHash64(
+        Array.tabulate(65)(w => 64L * AudioFixture.windowAmplitude(id, w)))
+    }
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want,
+      s"banded pairs must equal brute force:\n${got.diff(want)}\n${want.diff(got)}")
+    // the fixture's structure: exactly the 20 planted (3k, 3k+1) twins
+    assert(want.map { case (a, b, _) => (a, b) } ==
+      (0 until 20).map(k => (3L * k, 3L * k + 1)).toSet)
+
+    // end-to-end removal: min-id survivor per pair; an undecodable
+    // payload always survives (no hash -> no duplicate evidence)
+    val withJunk = media.unionByName(Seq(
+      (1000L, "audio/wav", Array.tabulate(16)(_.toByte)))
+      .toDF("media_id", "media_type", "content"))
+    val kept = Dedup.removeNearDuplicateAudio(withJunk, "media_id",
+        "media_type", "content", maxHamming = 4)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == ((0 until 60).map(_.toLong).toSet -- (0 until 20).map(3L * _ + 1)) + 1000L)
+  }
 }
