@@ -857,6 +857,12 @@ object SparkEntry {
     //    image stage from the frozen grids (imageHamming128Ctes) +
     //    recursive-CTE CC over stage-3 survivors ─────────────────────────
     "q_corpus_pipeline_image" -> ((s, dir) => corpusPipelineImageQuery(s, dir)),
+    // ── The pipeline with the perceptual AUDIO rung composed in: WAV
+    //    payloads on doc_id < 60 (AudioFixture triples), twins collapse
+    //    to min-id at the audio stage, payload-less docs pass. Oracle
+    //    restates the stage from the ANALYTIC envelope
+    //    (audioHammingCtes). See corpusPipelineAudioQuery ──────────────
+    "q_corpus_pipeline_audio" -> ((s, dir) => corpusPipelineAudioQuery(s, dir)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -2279,6 +2285,35 @@ object SparkEntry {
     pipelineStatsRow(s, p)
   }
 
+  /** q_corpus_pipeline_audio: the pipeline with the perceptual AUDIO
+    * rung composed in — the image-variant fixture with WAV payloads
+    * attached to doc_id < 60 (the AudioFixture triples: the 20 planted
+    * twin pairs collapse to min-id at the audio stage; docs without a
+    * payload pass). Plain config otherwise. */
+  private def corpusPipelineAudioQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.as[(Long, String)].map { case (id, tx) =>
+      val aud = id < graft.operators.AudioFixture.NumClips
+      (id, tx,
+        if (aud) "audio/wav" else null,
+        if (aud) graft.operators.AudioFixture.wavBytes(id) else null)
+    }.toDF("doc_id", "text", "media_type", "content")
+    val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+      decontaminateN = 8,
+      audioDedup = Some(graft.pipeline.CorpusPipeline.AudioDedupConfig(
+        "media_type", "content", maxHamming = 4)),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    pipelineStatsRow(s, p)
+  }
+
   private def corpusPipelineBpeQuery(s: SparkSession, dir: String): DataFrame = {
     val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
@@ -2425,6 +2460,40 @@ object SparkEntry {
       s"${p}ch AS (SELECT media_id, $chunkCase AS ck, b, bit FROM ${p}bt), " +
       // chunk keys as bit STRINGS (equality is all the band join needs)
       s"${p}bd AS (SELECT media_id, ck, string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS key " +
+      s"FROM ${p}ch JOIN ${p}lay USING (ck) GROUP BY media_id, ck), " +
+      s"${p}cand AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b " +
+      s"FROM ${p}bd a JOIN ${p}bd b2 ON a.ck = b2.ck AND a.key = b2.key AND a.media_id < b2.media_id), " +
+      s"${p}hm AS (SELECT c.id_a, c.id_b, " +
+      s"(SELECT count(*) FROM ${p}bt x JOIN ${p}bt y ON x.b = y.b " +
+      s"WHERE x.media_id = c.id_a AND y.media_id = c.id_b AND x.bit <> y.bit) AS hamming FROM ${p}cand c)"
+  }
+
+  /** DuckDB CTE chain producing `${p}hm(id_a, id_b, hamming)` for the
+    * AUDIO fixture: envelope-delta bits from the ANALYTIC envelope (the
+    * ±A square-wave fixture makes window w's L1 energy exactly
+    * 64·amplitude — [[graft.operators.AudioFixture.windowAmplitude]];
+    * live PCM decode ≡ analytic is MultimodalSpec's assert), banded
+    * over the SAME hammingChunkLayout the engine bands with. Shared by
+    * the standalone q_audio_near_dups oracle and the composed
+    * q_corpus_pipeline_audio restatement. */
+  private def audioHammingCtes(p: String, maxHamming: Int): String = {
+    val rows = (0 until graft.operators.AudioFixture.NumClips).map { id =>
+      val env = (0 until graft.operators.AudioFixture.Windows)
+        .map(w => 64L * graft.operators.AudioFixture.windowAmplitude(id.toLong, w))
+      s"($id, ${env.mkString("[", ",", "]")})"
+    }.mkString(", ")
+    val (_, offsets) = graft.operators.Dedup.hammingChunkLayout(maxHamming)
+    val chunkCase = "CASE " + (1 to maxHamming).map(j =>
+      s"WHEN b < ${offsets(j)} THEN ${j - 1}").mkString(" ") + s" ELSE $maxHamming END"
+    val layRows = (0 to maxHamming).map(j => s"($j, ${offsets(j)})").mkString(", ")
+    s"${p}gr(media_id, g) AS (VALUES $rows), " +
+      s"${p}bb AS (SELECT unnest(range(0, 64)) AS b), " +
+      // bit b set iff window b+1 carries more L1 energy than window b
+      // (DuckDB lists are 1-based)
+      s"${p}bt AS (SELECT media_id, b, CASE WHEN g[b + 2] > g[b + 1] THEN 1 ELSE 0 END AS bit FROM ${p}gr, ${p}bb), " +
+      s"${p}lay(ck, lo) AS (VALUES $layRows), " +
+      s"${p}ch AS (SELECT media_id, $chunkCase AS ck, b, bit FROM ${p}bt), " +
+      s"${p}bd AS (SELECT media_id, ck, CAST(sum(bit * (CAST(1 AS BIGINT) << (b - lo))) AS BIGINT) AS key " +
       s"FROM ${p}ch JOIN ${p}lay USING (ck) GROUP BY media_id, ck), " +
       s"${p}cand AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b " +
       s"FROM ${p}bd a JOIN ${p}bd b2 ON a.ck = b2.ck AND a.key = b2.key AND a.media_id < b2.media_id), " +
@@ -3026,6 +3095,59 @@ object SparkEntry {
       "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
       "(SELECT count(*) FROM q3) AS n_near_dedup, " +
       "(SELECT count(*) FROM q3i) AS n_image_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_audio: the plain chain with the
+    * AUDIO rung between near-dup and decontamination: analytic-envelope
+    * pairs ([[audioHammingCtes]]) restricted to stage-3 survivors,
+    * recursive-CTE CC, min-id survivor (the image-variant skeleton). */
+  private lazy val corpusPipelineAudioOracle: String = {
+    def gram8(src: String): String = gram8CteSql(src)
+    "WITH RECURSIVE " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      pipelineLangCteSql +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      audioHammingCtes("a", 4) + ", " +
+      // the audio stage: analytic-envelope pairs among the docs that REACH it
+      "apair AS (SELECT id_a, id_b FROM ahm WHERE hamming <= 4 " +
+      "AND id_a IN (SELECT doc_id FROM q3) AND id_b IN (SELECT doc_id FROM q3)), " +
+      "ae AS (SELECT id_a AS src, id_b AS dst FROM apair UNION ALL SELECT id_b, id_a FROM apair), " +
+      "ar AS (SELECT src AS id, src AS label FROM ae UNION SELECT ae.dst AS id, ar.label FROM ar JOIN ae ON ae.src = ar.id), " +
+      "alab AS (SELECT id, min(label) AS label FROM ar GROUP BY id), " +
+      "q3a AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT id FROM alab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3a")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3a WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      pipelineTailSql("q4") +
+      "SELECT (SELECT count(*) FROM documents) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q3a) AS n_audio_dedup, " +
       "(SELECT count(*) FROM q4) AS n_decontaminated, " +
       "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
       "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
@@ -4101,39 +4223,14 @@ object SparkEntry {
       "WITH " + imageHamming128Ctes("", 6) +
         " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
         "CAST(hamming AS BIGINT) AS hamming FROM hm WHERE hamming <= 6 ORDER BY id_a, id_b"),
-    "q_audio_near_dups" -> {
+    "q_audio_near_dups" -> (
       // envelope-delta hash → chunk-band → Hamming restated from the
-      // ANALYTIC envelope (the ±A square-wave fixture makes each
-      // window's L1 energy exactly 64·amplitude; live PCM decode ≡
-      // analytic is MultimodalSpec's assert). Band boundaries generated
-      // from the SAME hammingChunkLayout the engine bands with.
-      val maxH = 4
-      val rows = (0 until graft.operators.AudioFixture.NumClips).map { id =>
-        val env = (0 until graft.operators.AudioFixture.Windows)
-          .map(w => 64L * graft.operators.AudioFixture.windowAmplitude(id.toLong, w))
-        s"($id, ${env.mkString("[", ",", "]")})"
-      }.mkString(", ")
-      val (_, offsets) = graft.operators.Dedup.hammingChunkLayout(maxH)
-      val chunkCase = "CASE " + (1 to maxH).map(j =>
-        s"WHEN b < ${offsets(j)} THEN ${j - 1}").mkString(" ") + s" ELSE $maxH END"
-      val layRows = (0 to maxH).map(j => s"($j, ${offsets(j)})").mkString(", ")
-      s"WITH gr(media_id, g) AS (VALUES $rows), " +
-        "bb AS (SELECT unnest(range(0, 64)) AS b), " +
-        // bit b set iff window b+1 carries more L1 energy than window b
-        // (DuckDB lists are 1-based)
-        "bt AS (SELECT media_id, b, CASE WHEN g[b + 2] > g[b + 1] THEN 1 ELSE 0 END AS bit FROM gr, bb), " +
-        s"lay(ck, lo) AS (VALUES $layRows), " +
-        s"ch AS (SELECT media_id, $chunkCase AS ck, b, bit FROM bt), " +
-        "bd AS (SELECT media_id, ck, CAST(sum(bit * (CAST(1 AS BIGINT) << (b - lo))) AS BIGINT) AS key " +
-        "FROM ch JOIN lay USING (ck) GROUP BY media_id, ck), " +
-        "cand AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b " +
-        "FROM bd a JOIN bd b2 ON a.ck = b2.ck AND a.key = b2.key AND a.media_id < b2.media_id), " +
-        "hm AS (SELECT c.id_a, c.id_b, " +
-        "(SELECT count(*) FROM bt x JOIN bt y ON x.b = y.b " +
-        "WHERE x.media_id = c.id_a AND y.media_id = c.id_b AND x.bit <> y.bit) AS hamming FROM cand c) " +
-        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
-        s"CAST(hamming AS BIGINT) AS hamming FROM hm WHERE hamming <= $maxH ORDER BY id_a, id_b"
-    },
+      // ANALYTIC envelope (audioHammingCtes — shared with the composed
+      // pipeline oracle; live PCM decode ≡ analytic is MultimodalSpec's
+      // assert). Band boundaries from the engine's own chunk layout.
+      "WITH " + audioHammingCtes("", 4) +
+        " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
+        "CAST(hamming AS BIGINT) AS hamming FROM hm WHERE hamming <= 4 ORDER BY id_a, id_b"),
     "q_gopher_quality" -> {
       // every rule generated by gopherRuleSqls — the SAME generator the
       // corpus-pipeline oracle composes, fed by the engine's own
@@ -4191,6 +4288,7 @@ object SparkEntry {
     "q_corpus_pipeline_mix" -> corpusPipelineMixOracle,
     "q_corpus_pipeline_bpe" -> corpusPipelineBpeOracle,
     "q_corpus_pipeline_image" -> corpusPipelineImageOracle,
+    "q_corpus_pipeline_audio" -> corpusPipelineAudioOracle,
     "q_c4_line_filter" -> {
       // line predicate + page gates restated from TextAnalysis.c4LineKeep
       // / c4PageFlags — same terminal-punctuation class, same word split,

@@ -81,6 +81,18 @@ object CorpusPipeline {
       maxHamming: Int = 6,
       use128: Boolean = true)
 
+  /** The optional PERCEPTUAL AUDIO dedup rung — the audio sibling of
+    * [[ImageDedupConfig]]: near-identical PCM payloads (banded
+    * envelope-delta fingerprint within the Hamming bound —
+    * [[Dedup.removeNearDuplicateAudio]]) collapse to the min-id
+    * survivor; NULL / undecodable / sub-65-sample payloads always pass.
+    * Composes in the same slot discipline: after the text rungs,
+    * next to the image rung, before decontamination. */
+  final case class AudioDedupConfig(
+      typeCol: String,
+      binaryCol: String,
+      maxHamming: Int = 4)
+
   /** The optional DSIR SELECTION rung: importance-resample `k` documents
     * toward the fitted target distribution ([[Dsir.resampleRows]] with
     * the frozen `model`). Runs LAST among the content stages — after
@@ -167,6 +179,7 @@ object CorpusPipeline {
       tunedNearDedup: Boolean = false,
       semanticDedup: Option[SemanticDedupConfig] = None,
       imageDedup: Option[ImageDedupConfig] = None,
+      audioDedup: Option[AudioDedupConfig] = None,
       decontaminateN: Int = 8,
       bloomDecontaminate: Boolean = false,
       bloomFpp: Double = 0.001,
@@ -192,6 +205,7 @@ object CorpusPipeline {
     * `stages` exposes each intermediate frame by name (input,
     * [url_dedup], [c4_page_gate], quality, [domain_cap], exact_dedup,
     * [line_dedup], [span_dedup], near_dedup, [semantic_dedup],
+    * [image_dedup], [audio_dedup],
     * decontaminated, [decontaminated_fuzzy], [dsir_selected], [mixed],
     * [temperature_mixed]; the bracketed stages appear
     * iff enabled) for ad-hoc inspection — but do NOT count them to build
@@ -510,12 +524,20 @@ object CorpusPipeline {
     //    (the corpus-side shuffle shrinks from "all shingles" to "true
     //    hits + fpp noise"); survivors are IDENTICAL by construction —
     //    the exact confirm join removes bloom false positives at any fpp.
-    val clean = benchClean.fold(imgDeduped)(b =>
+    // 3d. optional PERCEPTUAL AUDIO dedup — the image rung's audio
+    //    sibling, same slot discipline (see [[AudioDedupConfig]]).
+    val audDeduped = cfg.audioDedup.fold(imgDeduped) { ac =>
+      observed("audio_dedup",
+        Dedup.removeNearDuplicateAudio(imgDeduped, cfg.idCol,
+          ac.typeCol, ac.binaryCol, ac.maxHamming))
+    }
+
+    val clean = benchClean.fold(audDeduped)(b =>
       if (cfg.bloomDecontaminate)
-        Dedup.removeContaminatedBloom(imgDeduped, b, cfg.textCol, cfg.idCol,
+        Dedup.removeContaminatedBloom(audDeduped, b, cfg.textCol, cfg.idCol,
           cfg.decontaminateN, cfg.bloomFpp)
       else
-        Dedup.removeContaminated(imgDeduped, b, cfg.textCol, cfg.idCol,
+        Dedup.removeContaminated(audDeduped, b, cfg.textCol, cfg.idCol,
           cfg.decontaminateN))
 
     // 4b. optional FUZZY decontamination — the reworded-leak net: a
@@ -683,7 +705,8 @@ object CorpusPipeline {
       cfg.spanDedupN.map(_ => "span_dedup" -> spanDeduped) ++ Seq(
       "near_dedup" -> nearDeduped) ++
       cfg.semanticDedup.map(_ => "semantic_dedup" -> semDeduped) ++
-      cfg.imageDedup.map(_ => "image_dedup" -> imgDeduped) ++ Seq(
+      cfg.imageDedup.map(_ => "image_dedup" -> imgDeduped) ++
+      cfg.audioDedup.map(_ => "audio_dedup" -> audDeduped) ++ Seq(
       "decontaminated" -> cleanM) ++
       // keyed on BOTH switches: with no benchmark the stage does not run,
       // and a stage report must never show a rung that never executed

@@ -552,6 +552,40 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "null-payload docs must never drop at the image rung")
   }
 
+  test("audio dedup rung: stage order, min-id survivors among planted twins, null payloads pass") {
+    import graft.operators.AudioFixture
+    val base = docs.select($"doc_id", $"text")
+    val corpus = base.as[(Long, String)].map { case (id, tx) =>
+      val aud = id < AudioFixture.NumClips
+      (id, tx, if (aud) "audio/wav" else null,
+        if (aud) AudioFixture.wavBytes(id) else null)
+    }.toDF("doc_id", "text", "media_type", "content")
+    val out = CorpusPipeline.prepare(corpus, None, CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      audioDedup = Some(CorpusPipeline.AudioDedupConfig(
+        "media_type", "content", maxHamming = 4)),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 1.0), materializeDocuments = true))
+    // stage ORDER: the audio rung sits between near-dup and decon
+    assert(out.stages.map(_._1) == Seq("input", "quality", "exact_dedup",
+      "near_dedup", "audio_dedup", "decontaminated"))
+    val st = out.stages.toMap
+    val near = st("near_dedup").select("doc_id").as[Long].collect().toSet
+    val aud = st("audio_dedup").select("doc_id").as[Long].collect().toSet
+    // the fixture's only <=4-bit pairs are the planted (3k, 3k+1) twins
+    // (MultimodalSpec pins this); where BOTH reach the stage, min id wins.
+    // Docs without a payload (id >= 60) must all pass through.
+    val expectedLosers = (0 until 20)
+      .map(k => (3L * k, 3L * k + 1))
+      .filter { case (a, b) => near(a) && near(b) }
+      .map(_._2).toSet
+    assert(aud == near -- expectedLosers,
+      s"unexpected audio-stage delta: ${(near -- aud) -- expectedLosers}")
+    assert(expectedLosers.nonEmpty, "fixture must exercise the rung")
+    assert((near -- aud).forall(_ < AudioFixture.NumClips),
+      "null-payload docs must never drop at the audio rung")
+  }
+
   test("langs config with a non-en set: the gate keeps exactly the configured languages") {
     val lp = graft.functions.LangProfiles
     // plant Spanish (stopword-voted) and Russian (script-detected) docs

@@ -623,4 +623,34 @@ class StreamingOpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(indexedIds == Set(1L), s"gated docs must never index, got $indexedIds")
   }
+
+  test("dedupStreamIntoCorpus: the trained-LM perplexity gate composes through streaming ingestion") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the CCNet LM-filter rung as the streaming qualityGate: the frozen
+    // trigram backoff LM's exact integer decision (NgramLm.gateCol) is
+    // just a boolean Column, so continuous ingestion gets the same gate
+    // the batch pipeline's Config.perplexityGate applies — and the
+    // kernel resolves on the cloned foreachBatch session because the
+    // operator registers GraftFunctions itself (the pinned regression)
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    val corpus = Files.createTempDirectory("ppl_corpus").toString
+    val index = Files.createTempDirectory("ppl_index").toString
+    val fluent = graft.QmOracle.fillerSuffix.trim // the LM's reference prose
+    val offRef = "hash join scan batch filter column merge row value stream window table sort key agg"
+    val gate = graft.operators.NgramLm.gateCol(col("text"),
+      graft.operators.FrozenNgramLm.model, minMeanLog = -3.0)
+    val q = StreamingOps.dedupStreamIntoCorpus(
+      docs, corpus, index, "text", "doc_id", threshold = 0.5,
+      qualityGate = Some(gate))
+    try {
+      source.addData((1L, fluent), (2L, offRef))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L),
+        s"only the reference-shaped doc may clear the LM gate, got $kept")
+    } finally q.stop()
+  }
 }
