@@ -34,6 +34,11 @@ object SparkEntry {
   private val annIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Same pattern for the persisted perceptual media-hash index
+    * (q_media_dedup_incremental). */
+  private val mediaIdxDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Build-and-memoize the IVF×PQ index artifact for a scale dir — ONE
     * builder shared by every registration that probes it
     * (q_ann_ivfpq_indexed, q_hard_negatives_ivfpq_indexed), so the
@@ -1367,6 +1372,43 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── North star multimodal: INCREMENTAL batch-vs-corpus perceptual
+    //    dedup probing a PERSISTED hash index — the multimodal sibling
+    //    of q_incremental_dedup_indexed: the corpus's (id, sh) frame is
+    //    written once (memoized parquet round-trip — the production
+    //    probe shape), each batch decodes once and probes one-sidedly.
+    //    Fixture: existing = the 60 AudioFixture clips; incoming = 30
+    //    fresh ids where even ordinals are EXACT amplitude-scaled
+    //    copies of corpus bases (identical fingerprint → tainted) and
+    //    odd ordinals are unrelated clips (survive) ────────────────────
+    "q_media_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val idx = mediaIdxDirs.computeIfAbsent(dir, { _ =>
+        val path = java.nio.file.Files.createTempDirectory("graft_mediaidx").toString
+        graft.etl.Warehouse.stageParquet(
+          graft.operators.Dedup.audioHashFrame(
+            graft.operators.AudioFixture.frame(s),
+            "media_id", "media_type", "content"),
+          s"$path/hashes")
+        path
+      })
+      val exHashes = s.read.parquet(s"$idx/hashes")
+      val incoming = s.range(30).as[Long].mapPartitions(_.map { j =>
+        val id = 1000L + j
+        val bytes =
+          if (j % 2 == 0)
+            graft.operators.AudioFixture.wavBytesScaled(3L * (j / 2), 4, 5)
+          else graft.operators.AudioFixture.wavBytes(id)
+        (id, "audio/wav", bytes)
+      }).toDF("media_id", "media_type", "content")
+      val kept = graft.operators.Dedup.removeNearDuplicateMediaIncremental(
+        exHashes, incoming, "media_id", "media_type", "content",
+        kind = "audio", maxHamming = 4)
+      incoming.agg(count(lit(1)).as("n_incoming")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("media_id")).cast("long").as("id_checksum")))
+    }),
+
     // ── North star multimodal: binary payload → batched stub feature
     //    extraction; n_bytes is the oracle-checkable invariant ─────────
     "q_multimodal_features" -> ((s, dir) => {
@@ -2476,12 +2518,20 @@ object SparkEntry {
     * over the SAME hammingChunkLayout the engine bands with. Shared by
     * the standalone q_audio_near_dups oracle and the composed
     * q_corpus_pipeline_audio restatement. */
-  private def audioHammingCtes(p: String, maxHamming: Int): String = {
-    val rows = (0 until graft.operators.AudioFixture.NumClips).map { id =>
-      val env = (0 until graft.operators.AudioFixture.Windows)
-        .map(w => 64L * graft.operators.AudioFixture.windowAmplitude(id.toLong, w))
-      s"($id, ${env.mkString("[", ",", "]")})"
-    }.mkString(", ")
+  private def audioHammingCtes(p: String, maxHamming: Int): String =
+    audioHammingCtesFromRows(p, maxHamming,
+      (0 until graft.operators.AudioFixture.NumClips).map { id =>
+        s"($id, ${analyticEnvelope(id.toLong).mkString("[", ",", "]")})"
+      }.mkString(", "))
+
+  /** The ANALYTIC L1 envelope of fixture clip `id`: 64·amplitude per
+    * window (the ±A square-wave identity). */
+  private def analyticEnvelope(id: Long): Seq[Long] =
+    (0 until graft.operators.AudioFixture.Windows)
+      .map(w => 64L * graft.operators.AudioFixture.windowAmplitude(id, w))
+
+  private def audioHammingCtesFromRows(p: String, maxHamming: Int,
+      rows: String): String = {
     val (_, offsets) = graft.operators.Dedup.hammingChunkLayout(maxHamming)
     val chunkCase = "CASE " + (1 to maxHamming).map(j =>
       s"WHEN b < ${offsets(j)} THEN ${j - 1}").mkString(" ") + s" ELSE $maxHamming END"
@@ -4289,6 +4339,37 @@ object SparkEntry {
     "q_corpus_pipeline_bpe" -> corpusPipelineBpeOracle,
     "q_corpus_pipeline_image" -> corpusPipelineImageOracle,
     "q_corpus_pipeline_audio" -> corpusPipelineAudioOracle,
+    "q_media_dedup_incremental" -> {
+      // existing = the 60 fixture envelopes; incoming = 30 fresh ids:
+      // even ordinals carry EXACT 4/5-scaled copies of corpus bases
+      // (envelope · 4/5, exact — identical fingerprint), odd ordinals
+      // are unrelated analytic clips. One-sided probe (pairs must touch
+      // an incoming id), recursive-CTE CC, text-incremental taint
+      // semantics (clusters touching the corpus drop all incoming
+      // members; pure-incoming clusters keep min id).
+      val exRows = (0 until graft.operators.AudioFixture.NumClips).map { id =>
+        s"($id, ${analyticEnvelope(id.toLong).mkString("[", ",", "]")})"
+      }
+      val inRows = (0 until 30).map { j =>
+        val env =
+          if (j % 2 == 0) analyticEnvelope(3L * (j / 2)).map(_ * 4 / 5)
+          else analyticEnvelope(1000L + j)
+        s"(${1000 + j}, ${env.mkString("[", ",", "]")})"
+      }
+      "WITH RECURSIVE " +
+        audioHammingCtesFromRows("", 4, (exRows ++ inRows).mkString(", ")) + ", " +
+        "p2 AS (SELECT id_a, id_b FROM hm WHERE hamming <= 4 AND id_b >= 1000), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p2 UNION ALL SELECT id_b, id_a FROM p2), " +
+        "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+        "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+        "tainted AS (SELECT DISTINCT label FROM lab WHERE id < 1000), " +
+        "losers AS (SELECT id FROM lab WHERE id >= 1000 AND " +
+        "(label IN (SELECT label FROM tainted) OR id <> label)), " +
+        "inc AS (SELECT unnest(range(1000, 1030)) AS id), " +
+        "kept AS (SELECT id FROM inc WHERE id NOT IN (SELECT id FROM losers)) " +
+        "SELECT (SELECT count(*) FROM inc) AS n_incoming, count(*) AS n_kept, " +
+        "CAST(sum(id) AS BIGINT) AS id_checksum FROM kept"
+    },
     "q_c4_line_filter" -> {
       // line predicate + page gates restated from TextAnalysis.c4LineKeep
       // / c4PageFlags — same terminal-punctuation class, same word split,

@@ -52,10 +52,21 @@ object AudioFixture {
     }
   }
 
+  /** [[wavBytes]] with every window amplitude scaled by `num/den` —
+    * exact when amplitudes are multiples of `den` (they are multiples
+    * of 5), so the clip's envelope fingerprint is IDENTICAL to the
+    * original's: the incremental-dedup fixture's "re-encoded copy of a
+    * corpus clip" (tainted by the index, hamming 0). */
+  def wavBytesScaled(id: Long, num: Int, den: Int): Array[Byte] =
+    synth(w => windowAmplitude(id, w) * num / den)
+
   /** One mono 16-bit 8 kHz PCM WAV, synthesized sample-by-sample —
     * fully deterministic (hand-rolled canonical RIFF header, PCM is
     * lossless). */
-  def wavBytes(id: Long): Array[Byte] = {
+  def wavBytes(id: Long): Array[Byte] =
+    synth(w => windowAmplitude(id, w))
+
+  private def synth(amp: Int => Int): Array[Byte] = {
     val n = Windows * SamplesPerWindow
     val dataLen = n * 2
     val out = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -72,7 +83,7 @@ object AudioFixture {
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var s = 0
     while (s < n) {
-      val a = windowAmplitude(id, s / SamplesPerWindow)
+      val a = amp(s / SamplesPerWindow)
       out.putShort((if (s % 2 == 0) a else -a).toShort)
       s += 1
     }

@@ -724,14 +724,7 @@ object Dedup {
       s"maxHamming must be in [0, 15], got $maxHamming (complete recall " +
         "needs maxHamming+1 chunks; more than 16 chunks of a 64-bit hash " +
         "would bucket on < 4 bits)")
-    val (widths, offsets) = hammingChunkLayout(maxHamming)
-    val nChunks = maxHamming + 1
-    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
-    val chunked = hashed.select(col("id"), col("sh"),
-      posexplode(array((0 until nChunks).map(j =>
-        shiftright(col("sh"), offsets(j)).bitwiseAND(lit(mask(widths(j))))): _*)))
-      .withColumnRenamed("pos", "chunk")
-      .withColumnRenamed("col", "chunk_key")
+    val chunked = hammingChunks(hashed, maxHamming)
     val left = chunked.select(col("chunk"), col("chunk_key"),
       col("id").as("id_a"), col("sh").as("sh_a"))
     val right = chunked.select(col("chunk"), col("chunk_key"),
@@ -763,32 +756,14 @@ object Dedup {
     * pre-key (dimensions, source) first. Measured decade table in
     * BASELINE.md (round 11). */
   def imageNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
-      binaryCol: String, maxHamming: Int = 6): DataFrame = {
-    import df.sparkSession.implicits._
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    // fail FAST on a non-integral id: cast("long") would turn string ids
-    // into nulls and crash the non-nullable encoder deep in the executor
-    val idT = df.schema(idCol).dataType
-    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(idT),
-      s"imageNearDupPairs: idCol '$idCol' must be an integral type, got " +
-        s"$idT - remap or hash string ids first")
-    // repartition BEFORE the decode (the nearDupPairsSimHash discipline):
-    // the decode is the dominant CPU span and must not inherit source
-    // skew / AQE byte-size coalescing; the payload shuffle is the price
-    // of pinned decode parallelism (callers with well-partitioned media
-    // dirs can pre-partition and skip the cost upstream)
-    val hashed = df.select(
-      col(idCol).cast("long").as("media_id"),
-      col(typeCol).cast("string").as("media_type"),
-      col(binaryCol).as("content"))
-      .repartition(cpuParallelism(df), col("media_id"))
-      .as[Multimodal.MediaRecord]
-      .mapPartitions { it =>
-        it.flatMap(m => Multimodal.lumaGrid9x8(m)
-          .map(g => (m.media_id, Multimodal.dHash64(g))))
-      }.toDF("id", "sh")
-    hammingPairs64(hashed, maxHamming)
-  }
+      binaryCol: String, maxHamming: Int = 6): DataFrame =
+    // repartition BEFORE the decode (inside imageHashFrame — the
+    // nearDupPairsSimHash discipline): the decode is the dominant CPU
+    // span and must not inherit source skew / AQE byte-size coalescing;
+    // the payload shuffle is the price of pinned decode parallelism
+    // (callers with well-partitioned media dirs can pre-partition and
+    // skip the cost upstream)
+    hammingPairs64(imageHashFrame(df, idCol, typeCol, binaryCol), maxHamming)
 
   /** End-to-end perceptual image dedup: [[imageNearDupPairs]] → CC →
     * keep the minimum id per cluster; undecodable payloads always
@@ -809,24 +784,45 @@ object Dedup {
     * that pins decode parallelism; after it each clip is ONE long — the
     * band join shuffles (chunk_key, id, hash) triples only, never PCM. */
   def audioNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
-      binaryCol: String, maxHamming: Int = 4): DataFrame = {
+      binaryCol: String, maxHamming: Int = 4): DataFrame =
+    hammingPairs64(audioHashFrame(df, idCol, typeCol, binaryCol), maxHamming)
+
+  /** The persistable AUDIO perceptual-hash frame (id, sh): one 64-bit
+    * envelope-delta fingerprint per decodable clip — what a
+    * build-once/probe-per-batch media index stores
+    * ([[removeNearDuplicateMediaIncremental]]). Decode behind an
+    * explicit repartition, exactly the pair-detector's shape. */
+  def audioHashFrame(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String): DataFrame =
+    mediaHashFrame(df, idCol, typeCol, binaryCol, "audioNearDupPairs") { m =>
+      Multimodal.audioEnvelope(m).map(e => Multimodal.audioHash64(e))
+    }
+
+  /** The persistable IMAGE perceptual-hash frame (id, sh): the 64-bit
+    * horizontal dHash per decodable image. */
+  def imageHashFrame(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String): DataFrame =
+    mediaHashFrame(df, idCol, typeCol, binaryCol, "imageNearDupPairs") { m =>
+      Multimodal.lumaGrid9x8(m).map(g => Multimodal.dHash64(g))
+    }
+
+  private def mediaHashFrame(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, caller: String)(
+      hash: Multimodal.MediaRecord => Option[Long]): DataFrame = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idT = df.schema(idCol).dataType
     require(Seq(LongType, IntegerType, ShortType, ByteType).contains(idT),
-      s"audioNearDupPairs: idCol '$idCol' must be an integral type, got " +
+      s"$caller: idCol '$idCol' must be an integral type, got " +
         s"$idT - remap or hash string ids first")
-    val hashed = df.select(
+    df.select(
       col(idCol).cast("long").as("media_id"),
       col(typeCol).cast("string").as("media_type"),
       col(binaryCol).as("content"))
       .repartition(cpuParallelism(df), col("media_id"))
       .as[Multimodal.MediaRecord]
-      .mapPartitions { it =>
-        it.flatMap(m => Multimodal.audioEnvelope(m)
-          .map(e => (m.media_id, Multimodal.audioHash64(e))))
-      }.toDF("id", "sh")
-    hammingPairs64(hashed, maxHamming)
+      .mapPartitions(_.flatMap(m => hash(m).map(h => (m.media_id, h))))
+      .toDF("id", "sh")
   }
 
   /** End-to-end perceptual audio dedup: [[audioNearDupPairs]] → CC →
@@ -838,6 +834,88 @@ object Dedup {
       .where(col("label") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental batch-vs-corpus PERCEPTUAL media dedup — the multimodal
+    * sibling of [[removeNearDuplicatesIncrementalIndexed]] (text) and
+    * the ANN persisted-index probe: `existingHashes` is the PERSISTED
+    * perceptual-hash index (the (id, sh) frame [[imageHashFrame]] /
+    * [[audioHashFrame]] builds — one long per media item, round-trips
+    * through parquet), and each incoming batch decodes ONCE, probes the
+    * index one-sidedly, self-dedups, and returns its survivors. Append
+    * the survivors' hash frame to the index and later batches dedup
+    * against them — the corpus payloads are never re-decoded.
+    *
+    * Cluster semantics mirror the text incremental exactly: the pair
+    * graph is (incoming↔existing probe pairs) ∪ (incoming self pairs);
+    * clusters touching the existing corpus drop ALL their incoming
+    * members (an existing item is always the canonical survivor),
+    * purely-incoming clusters keep the min id. Undecodable incoming
+    * payloads carry no hash and always survive.
+    *
+    * Scale shape: the probe joins |Δ|·(maxHamming+1) chunk rows against
+    * the index's chunk projection — (chunk, key, id, sh) longs only,
+    * the index side is a parquet scan of one long per corpus item. */
+  def removeNearDuplicateMediaIncremental(existingHashes: DataFrame,
+      incoming: DataFrame, idCol: String, typeCol: String, binaryCol: String,
+      kind: String, maxHamming: Int, checkDisjointIds: Boolean = true,
+      maxIter: Int = 20): DataFrame = {
+    val inH = materialize(kind match {
+      case "image" => imageHashFrame(incoming, idCol, typeCol, binaryCol)
+      case "audio" => audioHashFrame(incoming, idCol, typeCol, binaryCol)
+      case other => throw new IllegalArgumentException(
+        s"removeNearDuplicateMediaIncremental: kind must be 'image' or " +
+          s"'audio', got '$other'")
+    })
+    val exH = existingHashes.select(col("id"), col("sh"))
+    if (checkDisjointIds) {
+      val overlap = inH.select(col("id")).join(exH.select(col("id")), Seq("id"), "left_semi")
+      require(overlap.isEmpty,
+        s"removeNearDuplicateMediaIncremental: incoming and existing share " +
+          s"ids (e.g. ${overlap.limit(3).collect().mkString(",")}) — id " +
+          "spaces must be disjoint")
+    }
+    // one-sided probe: incoming chunks × (incoming ∪ existing) chunks —
+    // existing↔existing pairs are unrepresentable in this join's output
+    val inChunks = hammingChunks(inH, maxHamming)
+    val allChunks = inChunks.unionByName(hammingChunks(exH, maxHamming))
+    val pairs = inChunks.as("a")
+      .join(allChunks.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_key") === col("b.chunk_key") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+    val labels = resolveClusters(pairs, maxIter)
+    val incomingLabeled = labels.join(inH.select(col("id")), Seq("id"), "left_semi")
+    val taintedLabels = labels.join(exH.select(col("id")), Seq("id"), "left_semi")
+      .select(col("label")).distinct()
+    val losers = incomingLabeled.join(taintedLabels, Seq("label"), "left_semi")
+      .select(col("id"))
+      .unionByName(
+        incomingLabeled.join(taintedLabels, Seq("label"), "left_anti")
+          .where(col("id") =!= col("label")).select(col("id")))
+      .withColumnRenamed("id", idCol)
+    incoming.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** The (id, sh, chunk, chunk_key) projection [[hammingPairs64]] bands
+    * on — factored so the incremental probe shares the exact layout. */
+  private def hammingChunks(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val (widths, offsets) = hammingChunkLayout(maxHamming)
+    val nChunks = maxHamming + 1
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+    hashed.select(col("id"), col("sh"),
+      posexplode(array((0 until nChunks).map(j =>
+        shiftright(col("sh"), offsets(j)).bitwiseAND(lit(mask(widths(j))))): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_key")
   }
 
   def removeNearDuplicateImages(df: DataFrame, idCol: String, typeCol: String,

@@ -428,4 +428,62 @@ class MultimodalSpec extends AnyFunSuite {
       .select("media_id").as[Long].collect().toSet
     assert(kept == ((0 until 60).map(_.toLong).toSet -- (0 until 20).map(3L * _ + 1)) + 1000L)
   }
+
+  test("removeNearDuplicateMediaIncremental: persisted-index probe, taint + min-id semantics") {
+    // existing corpus = the 60 fixture clips, indexed as (id, sh) and
+    // round-tripped through parquet (the production probe shape)
+    val existing = AudioFixture.frame(spark)
+    val idxDir = java.nio.file.Files.createTempDirectory("media_idx").toString
+    Dedup.audioHashFrame(existing, "media_id", "media_type", "content")
+      .write.mode("overwrite").parquet(idxDir)
+    val exHashes = spark.read.parquet(idxDir)
+
+    // incoming: 1000+j — even j = exact-scaled copy of corpus base
+    // 3*(j/2) (tainted); odd j = unrelated fresh clip (survives); plus
+    // a PURE-INCOMING twin pair (2000, 2001 share a fresh waveform no
+    // corpus clip resembles → min id survives) and one junk payload
+    val freshTwinBytes = AudioFixture.wavBytes(5000L)
+    val incoming = (0 until 30).map { j =>
+      val id = 1000L + j
+      val bytes =
+        if (j % 2 == 0) AudioFixture.wavBytesScaled(3L * (j / 2), 4, 5)
+        else AudioFixture.wavBytes(id)
+      (id, "audio/wav", bytes)
+    } ++ Seq(
+      (2000L, "audio/wav", freshTwinBytes),
+      (2001L, "audio/wav", freshTwinBytes),
+      (3000L, "audio/wav", Array.tabulate(16)(_.toByte))) // undecodable
+    val inDf = incoming.toDF("media_id", "media_type", "content")
+
+    val kept = Dedup.removeNearDuplicateMediaIncremental(
+        exHashes, inDf, "media_id", "media_type", "content",
+        kind = "audio", maxHamming = 4)
+      .select("media_id").as[Long].collect().toSet
+    val expected = (0 until 30).filter(_ % 2 == 1).map(1000L + _).toSet +
+      2000L + // pure-incoming twin cluster keeps min id
+      3000L   // undecodable payload always survives
+    assert(kept == expected, s"got $kept")
+
+    // image kind through the same operator: bases indexed, twins tainted,
+    // unrelated survive
+    import graft.operators.ImageFixture
+    val exImg = Dedup.imageHashFrame(
+      ImageFixture.frame(spark).where($"media_id" % 3 === 0),
+      "media_id", "media_type", "content")
+    val inImg = ImageFixture.frame(spark).where($"media_id" % 3 =!= 0)
+    val keptImg = Dedup.removeNearDuplicateMediaIncremental(
+        exImg, inImg, "media_id", "media_type", "content",
+        kind = "image", maxHamming = 6)
+      .select("media_id").as[Long].collect().toSet
+    assert(keptImg == (0 until 20).map(3L * _ + 2).toSet,
+      s"twins must taint, unrelated must survive: $keptImg")
+
+    // disjoint-id contract fails fast
+    val boom = intercept[IllegalArgumentException] {
+      Dedup.removeNearDuplicateMediaIncremental(
+        exHashes, existing, "media_id", "media_type", "content",
+        kind = "audio", maxHamming = 4).count()
+    }
+    assert(boom.getMessage.contains("disjoint"))
+  }
 }
