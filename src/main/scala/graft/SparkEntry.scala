@@ -868,6 +868,13 @@ object SparkEntry {
     //    restates the stage from the ANALYTIC envelope
     //    (audioHammingCtes). See corpusPipelineAudioQuery ──────────────
     "q_corpus_pipeline_audio" -> ((s, dir) => corpusPipelineAudioQuery(s, dir)),
+    // ── The pipeline with the perceptual VIDEO rung composed in: AVI
+    //    payloads on doc_id < 45 (VideoFixture triples — REAL container
+    //    decode, raw BI_RGB frames), twins collapse to min-id at the
+    //    video stage via the aligned-frame matched gate, payload-less
+    //    docs pass. Oracle restates the stage from the ANALYTIC frame
+    //    grids (videoMatchCtes). See corpusPipelineVideoQuery ──────────
+    "q_corpus_pipeline_video" -> ((s, dir) => corpusPipelineVideoQuery(s, dir)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -1366,6 +1373,40 @@ object SparkEntry {
     //    MultimodalSpec asserts live decode ≡ analytic) ────────────────
     "q_audio_near_dups" -> ((s, dir) => {
       val media = graft.operators.AudioFixture.frame(s)
+      graft.operators.Dedup.audioNearDupPairs(
+          media, "media_id", "media_type", "content", maxHamming = 4)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── North star multimodal: perceptual near-duplicate VIDEO pairs —
+    //    REAL AVI container decode (RIFF walk, raw BI_RGB frames — zero
+    //    codec, integer-exact), every-2nd-frame sampling, per-frame
+    //    dHash banded with the shared Hamming-LSH chunks PER ALIGNED
+    //    FRAME, pairs kept when ≥ ceil(0.6·min(nFrames)) frames agree
+    //    within 4 bits. Fixture: 45 AVIs of 6 9×8 grayscale frames in
+    //    base/near-dup/unrelated triples (VideoFixture) — frames ARE the
+    //    dHash grid, so the oracle restates bits from the planted pixel
+    //    matrix (MultimodalSpec pins live container decode ≡ analytic) ──
+    "q_video_near_dups" -> ((s, dir) => {
+      val media = graft.operators.VideoFixture.frame(s)
+      graft.operators.Dedup.videoNearDupPairs(
+          media, "media_id", "media_type", "content",
+          everyN = 2, maxHamming = 4, minMatchFrac = 0.6)
+        .select(col("id_a"), col("id_b"), col("n_matched"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── North star multimodal: G.711 µ-law COMPRESSED audio through the
+    //    same perceptual rung — the JDK parser reports the companded
+    //    encoding, each byte expands through the ENGINE-OWNED integer
+    //    µ-law table (Multimodal.G711), and the envelope hash bands as
+    //    usual. Fixture: 30 µ-law WAVs whose square-wave synthesis makes
+    //    window w's decoded L1 envelope exactly 64·ulaw(mag field) — the
+    //    oracle restates hash → band → Hamming from that analytic
+    //    expansion, so the G.711 table itself is oracle-pinned ──────────
+    "q_audio_ulaw_near_dups" -> ((s, dir) => {
+      val media = graft.operators.AudioFixture.frameUlaw(s)
       graft.operators.Dedup.audioNearDupPairs(
           media, "media_id", "media_type", "content", maxHamming = 4)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
@@ -2356,6 +2397,31 @@ object SparkEntry {
     pipelineStatsRow(s, p)
   }
 
+  private def corpusPipelineVideoQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.as[(Long, String)].map { case (id, tx) =>
+      val vid = id < graft.operators.VideoFixture.NumClips
+      (id, tx,
+        if (vid) "video/avi" else null,
+        if (vid) graft.operators.VideoFixture.aviBytes(id) else null)
+    }.toDF("doc_id", "text", "media_type", "content")
+    val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+      decontaminateN = 8,
+      videoDedup = Some(graft.pipeline.CorpusPipeline.VideoDedupConfig(
+        "media_type", "content", everyN = 2, maxHamming = 4,
+        minMatchFrac = 0.6)),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    pipelineStatsRow(s, p)
+  }
+
   private def corpusPipelineBpeQuery(s: SparkSession, dir: String): DataFrame = {
     val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
@@ -2529,6 +2595,51 @@ object SparkEntry {
   private def analyticEnvelope(id: Long): Seq[Long] =
     (0 until graft.operators.AudioFixture.Windows)
       .map(w => 64L * graft.operators.AudioFixture.windowAmplitude(id, w))
+
+  /** [[audioHammingCtes]] for the G.711 µ-LAW fixture: the analytic
+    * envelope is 64 · the ENGINE's own µ-law expansion of the planted
+    * companded magnitude field ([[graft.operators.AudioFixture
+    * .ulawWindowAmplitude]] → [[graft.operators.G711.ulawToLinear]]) —
+    * so a wrong expansion table would hash-mismatch here, not just in a
+    * spec. */
+  private def audioUlawHammingCtes(p: String, maxHamming: Int): String =
+    audioHammingCtesFromRows(p, maxHamming,
+      (0 until graft.operators.AudioFixture.NumUlawClips).map { id =>
+        val env = (0 until graft.operators.AudioFixture.Windows)
+          .map(w => 64L * graft.operators.AudioFixture.ulawWindowAmplitude(id.toLong, w))
+        s"($id, ${env.mkString("[", ",", "]")})"
+      }.mkString(", "))
+
+  /** DuckDB CTE chain producing `vm(id_a, id_b, n_matched)` for the
+    * VIDEO fixture: per-sampled-frame dHash bits from the ANALYTIC 9×8
+    * pixel grids (fixture frames ARE the dHash grid and are grayscale,
+    * so decoded luma ≡ planted value —
+    * [[graft.operators.VideoFixture.frameGrid]]; live AVI container
+    * decode ≡ analytic is MultimodalSpec's assert), then BRUTE-FORCE
+    * aligned-frame Hamming — equivalent ground truth to the engine's
+    * banding because chunk recall is complete within the bound, so
+    * band→verify and brute-force→filter select the same pair set —
+    * and the matched-frame count per pair. */
+  private def videoMatchCtes(p: String): String = {
+    val rows = (for {
+      id <- 0 until graft.operators.VideoFixture.NumClips
+      f <- Seq(0, 2, 4) // 6 frames sampled every 2nd
+    } yield s"($id, $f, " +
+      s"${graft.operators.VideoFixture.frameGrid(id.toLong, f).mkString("[", ",", "]")})")
+      .mkString(", ")
+    s"${p}vgr(media_id, f, g) AS (VALUES $rows), " +
+      s"${p}vbb AS (SELECT rr.r AS r, cc.c AS c FROM " +
+      "(SELECT unnest(range(0, 8)) AS r) rr, (SELECT unnest(range(0, 8)) AS c) cc), " +
+      // dHash bit (r·8+c): cell (r, c) brighter than its right neighbor
+      // (1-based DuckDB list indexing over the row-major 9-wide grid)
+      s"${p}vbt AS (SELECT media_id, f, r * 8 + c AS b, " +
+      s"CASE WHEN g[r * 9 + c + 1] > g[r * 9 + c + 2] THEN 1 ELSE 0 END AS bit FROM ${p}vgr, ${p}vbb), " +
+      s"${p}vhm AS (SELECT a.media_id AS id_a, b2.media_id AS id_b, a.f AS f, " +
+      "sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS hamming " +
+      s"FROM ${p}vbt a JOIN ${p}vbt b2 ON a.f = b2.f AND a.b = b2.b AND a.media_id < b2.media_id " +
+      "GROUP BY 1, 2, 3), " +
+      s"${p}vm AS (SELECT id_a, id_b, count(*) AS n_matched FROM ${p}vhm WHERE hamming <= 4 GROUP BY 1, 2)"
+  }
 
   private def audioHammingCtesFromRows(p: String, maxHamming: Int,
       rows: String): String = {
@@ -3198,6 +3309,62 @@ object SparkEntry {
       "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
       "(SELECT count(*) FROM q3) AS n_near_dedup, " +
       "(SELECT count(*) FROM q3a) AS n_audio_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_video: the plain chain with the
+    * VIDEO rung between near-dup and decontamination: analytic
+    * per-frame-grid matched pairs ([[videoMatchCtes]], matched-frame
+    * gate ≥ ceil(0.6·3) = 2) restricted to stage-3 survivors,
+    * recursive-CTE CC, min-id survivor (the image/audio-variant
+    * skeleton). */
+  private lazy val corpusPipelineVideoOracle: String = {
+    def gram8(src: String): String = gram8CteSql(src)
+    "WITH RECURSIVE " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      pipelineLangCteSql +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      videoMatchCtes("v") + ", " +
+      // the video stage: analytic matched-frame pairs among the docs
+      // that REACH it (≥ 2 of 3 aligned frames within 4 bits)
+      "vpair AS (SELECT id_a, id_b FROM vvm WHERE n_matched >= 2 " +
+      "AND id_a IN (SELECT doc_id FROM q3) AND id_b IN (SELECT doc_id FROM q3)), " +
+      "ve AS (SELECT id_a AS src, id_b AS dst FROM vpair UNION ALL SELECT id_b, id_a FROM vpair), " +
+      "vr AS (SELECT src AS id, src AS label FROM ve UNION SELECT ve.dst AS id, vr.label FROM vr JOIN ve ON ve.src = vr.id), " +
+      "vlab AS (SELECT id, min(label) AS label FROM vr GROUP BY id), " +
+      "q3v AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT id FROM vlab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3v")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3v WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      pipelineTailSql("q4") +
+      "SELECT (SELECT count(*) FROM documents) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q3v) AS n_video_dedup, " +
       "(SELECT count(*) FROM q4) AS n_decontaminated, " +
       "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
       "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
@@ -4281,6 +4448,21 @@ object SparkEntry {
       "WITH " + audioHammingCtes("", 4) +
         " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
         "CAST(hamming AS BIGINT) AS hamming FROM hm WHERE hamming <= 4 ORDER BY id_a, id_b"),
+    "q_video_near_dups" -> (
+      // per-frame dHash bits from the ANALYTIC pixel grids (fixture
+      // frames ARE the 9×8 dHash grid), brute-force aligned-frame
+      // Hamming (≡ the engine's complete-recall banding within the
+      // bound), matched-frame gate at ceil(0.6 · 3) = 2
+      "WITH " + videoMatchCtes("") +
+        " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
+        "CAST(n_matched AS BIGINT) AS n_matched FROM vm WHERE n_matched >= 2 ORDER BY id_a, id_b"),
+    "q_audio_ulaw_near_dups" -> (
+      // the analytic envelope runs THROUGH the engine's µ-law table
+      // (audioUlawHammingCtes inlines 64·ulawToLinear(planted field)),
+      // so the G.711 expansion itself is oracle-pinned
+      "WITH " + audioUlawHammingCtes("", 4) +
+        " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
+        "CAST(hamming AS BIGINT) AS hamming FROM hm WHERE hamming <= 4 ORDER BY id_a, id_b"),
     "q_gopher_quality" -> {
       // every rule generated by gopherRuleSqls — the SAME generator the
       // corpus-pipeline oracle composes, fed by the engine's own
@@ -4339,6 +4521,7 @@ object SparkEntry {
     "q_corpus_pipeline_bpe" -> corpusPipelineBpeOracle,
     "q_corpus_pipeline_image" -> corpusPipelineImageOracle,
     "q_corpus_pipeline_audio" -> corpusPipelineAudioOracle,
+    "q_corpus_pipeline_video" -> corpusPipelineVideoOracle,
     "q_media_dedup_incremental" -> {
       // existing = the 60 fixture envelopes; incoming = 30 fresh ids:
       // even ordinals carry EXACT 4/5-scaled copies of corpus bases

@@ -99,4 +99,78 @@ object AudioFixture {
       .mapPartitions(_.map(id => (id, "audio/wav", wavBytes(id))))
       .toDF("media_id", "media_type", "content")
   }
+
+  // ── G.711 µ-law sibling fixture ─────────────────────────────────────
+
+  val NumUlawClips: Int = 30
+
+  /** Planted 7-bit µ-law magnitude field (exponent + mantissa, pre-sign,
+    * pre-complement) of window `w` of µ-law clip `id` — the same
+    * base / near-dup (one window re-mixed) / unrelated triple design as
+    * [[windowAmplitude]], but in the COMPANDED domain: the clip's
+    * decoded amplitude is the engine's own expansion
+    * [[graft.operators.G711.ulawToLinear]] of this field, so the
+    * analytic envelope (64 · expanded magnitude) exercises the real
+    * G.711 table, not a PCM shortcut. */
+  def ulawMagField(id: Long, w: Int): Int = {
+    val k = (id / 3).toInt
+    def mix(seed: Int): Int = {
+      var x = k * 73856093 ^ w * 19349663 ^ seed
+      x *= 0x9e3779b1
+      x ^= x >>> 16
+      x & 0x7f
+    }
+    (id % 3) match {
+      case 2 => mix(0x5bd1e995)
+      case 1 if w == k % Windows => mix(0x27d4eb2f)
+      case _ => mix(0)
+    }
+  }
+
+  /** The decoded amplitude of window `w` of µ-law clip `id` — the
+    * analytic-envelope anchor (envelope window = 64 · this). */
+  def ulawWindowAmplitude(id: Long, w: Int): Int = {
+    // positive-sample byte for magnitude field m: transmitted µ-law is
+    // complemented, so b = ~m (sign bit 0 pre-complement = positive)
+    val b = (~ulawMagField(id, w)).toByte
+    G711.ulawToLinear(b)
+  }
+
+  /** One mono 8 kHz G.711 µ-law WAV (format tag 7, 8-bit companded
+    * samples, canonical 18-byte fmt chunk) — the ±A square wave in the
+    * companded domain: window w alternates the positive and negative
+    * byte of the same magnitude field, so each window's decoded L1
+    * envelope is exactly 64 · [[ulawWindowAmplitude]]. */
+  def ulawBytes(id: Long): Array[Byte] = {
+    val n = Windows * SamplesPerWindow
+    val out = java.nio.ByteBuffer.allocate(46 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(38 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(7) // WAVE_FORMAT_MULAW
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(8000) // byte rate (1 byte/sample)
+      .putShort(1) // block align
+      .putShort(8) // bits per sample (companded)
+      .putShort(0) // cbSize
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    var s = 0
+    while (s < n) {
+      val m = ulawMagField(id, s / SamplesPerWindow)
+      // +m byte = ~m (sign 0); −m byte = ~(0x80 | m)
+      out.put((if (s % 2 == 0) ~m else ~(0x80 | m)).toByte)
+      s += 1
+    }
+    out.array()
+  }
+
+  /** The µ-law fixture as a distributed media frame. */
+  def frameUlaw(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(NumUlawClips).as[Long]
+      .mapPartitions(_.map(id => (id, "audio/wav", ulawBytes(id))))
+      .toDF("media_id", "media_type", "content")
+  }
 }

@@ -903,19 +903,109 @@ object Dedup {
     incoming.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** The (id, sh, chunk, chunk_key) projection [[hammingPairs64]] bands
-    * on — factored so the incremental probe shares the exact layout. */
+  /** The (…, sh, chunk, chunk_key) projection [[hammingPairs64]] bands
+    * on — factored so the incremental probe and the per-frame video
+    * banding share the exact layout. Carries EVERY input column (the
+    * media frames pass bare (id, sh); the video path adds its frame
+    * alignment key). */
   private def hammingChunks(hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming")
     val (widths, offsets) = hammingChunkLayout(maxHamming)
     val nChunks = maxHamming + 1
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
-    hashed.select(col("id"), col("sh"),
+    hashed.select(col("*"),
       posexplode(array((0 until nChunks).map(j =>
         shiftright(col("sh"), offsets(j)).bitwiseAND(lit(mask(widths(j))))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_key")
+  }
+
+  /** Sampled-frame perceptual hash frame (id, fpos, sh) for VIDEO
+    * payloads: every `everyN`-th frame REALLY decodes
+    * ([[Multimodal.videoFrameHashes]] — AVI container walk, raw-DIB /
+    * MJPEG frames, zero external codec) into a 64-bit dHash; `fpos` is
+    * the frame's ordinal among the SAMPLED frames (0, 1, 2, …) — the
+    * alignment key two same-rate clips match on. Decode behind an
+    * explicit repartition pinning parallelism (the media-dedup shape);
+    * after it each clip is a handful of longs — payloads never shuffle
+    * past the decode. */
+  def videoFrameHashFrame(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, everyN: Int = 2): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idT = df.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(idT),
+      s"videoNearDupPairs: idCol '$idCol' must be an integral type, got " +
+        s"$idT - remap or hash string ids first")
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(typeCol).cast("string").as("media_type"),
+      col(binaryCol).as("content"))
+      .repartition(cpuParallelism(df), col("media_id"))
+      .as[Multimodal.MediaRecord]
+      .mapPartitions(_.flatMap { m =>
+        Multimodal.videoFrameHashes(m, everyN).toSeq.flatMap(_.zipWithIndex.map {
+          case ((_, h), fpos) => (m.media_id, fpos, h)
+        })
+      })
+      .toDF("id", "fpos", "sh")
+  }
+
+  /** PERCEPTUAL near-duplicate VIDEO pairs — the video rung of the dedup
+    * family: REAL sampled-frame decode → per-frame 64-bit dHash → the
+    * SAME Hamming-LSH chunk banding as the simhash/image/audio families,
+    * banded PER ALIGNED FRAME (join key (fpos, chunk, chunk_key)), then
+    * pairs where at least `ceil(minMatchFrac · min(nFrames))` aligned
+    * frames agree within `maxHamming` bits. Frame-ordinal alignment is
+    * robust to re-encoding and per-frame edits, not to trimming —
+    * dropping `fpos` from the band key gives the trim-robust frame-SET
+    * variant at more candidate volume. Returns
+    * (id_a, id_b, n_matched, nf_a, nf_b); non-video / undecodable
+    * payloads drop out of the comparison (and always SURVIVE
+    * [[removeNearDuplicateVideos]] — absence of evidence).
+    *
+    * Scale shape: the decode (dominant cost) runs once behind a pinned
+    * repartition; the band join ships (fpos, chunk_key, id, sh) longs
+    * only; candidates are bounded per aligned frame by the same
+    * complete-recall-within-bound argument as the other Hamming rungs. */
+  def videoNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, everyN: Int = 2, maxHamming: Int = 4,
+      minMatchFrac: Double = 0.6): DataFrame = {
+    require(minMatchFrac > 0 && minMatchFrac <= 1,
+      s"minMatchFrac must be in (0, 1], got $minMatchFrac")
+    val hashes = materialize(
+      videoFrameHashFrame(df, idCol, typeCol, binaryCol, everyN))
+    val counts = hashes.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    val chunked = hammingChunks(hashes, maxHamming)
+    val framePairs = chunked.as("a").join(chunked.as("b"),
+        col("a.fpos") === col("b.fpos") && col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_key") === col("b.chunk_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fpos").as("fpos"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b", "fpos")
+    framePairs.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(counts.select(col("id").as("id_a"), col("nf").as("nf_a")), Seq("id_a"))
+      .join(counts.select(col("id").as("id_b"), col("nf").as("nf_b")), Seq("id_b"))
+      .where(col("n_matched") >=
+        ceil(lit(minMatchFrac) * least(col("nf_a"), col("nf_b"))))
+      .select(col("id_a"), col("id_b"), col("n_matched"), col("nf_a"), col("nf_b"))
+  }
+
+  /** End-to-end perceptual video dedup: [[videoNearDupPairs]] → CC →
+    * keep each cluster's min id; undecodable payloads always survive. */
+  def removeNearDuplicateVideos(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, everyN: Int = 2, maxHamming: Int = 4,
+      minMatchFrac: Double = 0.6, maxIter: Int = 20): DataFrame = {
+    val losers = resolveClusters(
+      videoNearDupPairs(df, idCol, typeCol, binaryCol, everyN, maxHamming,
+        minMatchFrac).select(col("id_a"), col("id_b")), maxIter)
+      .where(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   def removeNearDuplicateImages(df: DataFrame, idCol: String, typeCol: String,

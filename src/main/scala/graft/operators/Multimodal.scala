@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions._
   * into duration/rate/channel + amplitude-statistic features. VIDEO
   * container METADATA is REAL for MP4/ISO-BMFF: [[decodeVideoMeta]]
   * box-walks `moov` for duration, dimensions, and track count with zero
-  * dependencies; FRAME decode (and compressed audio — no H.264/MP3/
-  * Vorbis codec ships in this container) remains an honest STUB, with
-  * [[stubDecode]] deriving deterministic fake features from the bytes; a
-  * real codec drops into the same dispatch without touching the plan.
+  * dependencies. VIDEO FRAME decode is REAL for AVI payloads carrying
+  * uncompressed BI_RGB or MJPEG frames ([[decodeAviFrames]] — a RIFF
+  * walk plus raw byte reads / the JDK JPEG reader, zero external codec);
+  * inter-coded codecs (H.264/H.265/VP9) and perceptually-compressed
+  * audio (MP3/Vorbis/AAC) have no JDK decoder and remain honest STUBS,
+  * with [[stubDecode]] deriving deterministic fake features from the
+  * bytes; a real codec drops into the same dispatch without touching the
+  * plan. G.711 µ-law/A-law compressed audio DOES decode for real — the
+  * expansion tables are engine-owned integer kernels (see
+  * [[G711.ulawToLinear]]).
   * The batched-iterator shape mirrors arrow-batch UDF execution (decode
   * cost amortized per batch, not per row).
   */
@@ -84,70 +90,99 @@ object Multimodal {
     }
   }
 
-  /** REAL audio decode for PCM payloads in the containers the JDK's
-    * `javax.sound.sampled` parses natively (WAV, AIFF, AU — no external
-    * codec). Features (padded/truncated to `featureDim`):
+  /** The decoded LINEAR-sample view of an audio payload: sample count,
+    * the normalization width in bits, and indexed access returning
+    * centered signed integers. One view serves every audio kernel
+    * ([[decodeAudio]] features, [[audioEnvelope]] fingerprints) so what
+    * counts as decodable — and how a sample reconstructs — cannot drift
+    * between them. */
+  private final case class SampleView(fmt: javax.sound.sampled.AudioFormat,
+      n: Int, bits: Int, sampleAt: Int => Long)
+
+  /** Parse an audio payload into a [[SampleView]]. REAL decode paths:
+    *
+    *  - **linear PCM** (signed/unsigned, 8–32 bit, WAV/AIFF/AU) — exact
+    *    Long reconstruction, big- or little-endian;
+    *  - **G.711 µ-law / A-law** (WAV format tags 7/6, µ-law AU) — the
+    *    JDK parser reports `Encoding.ULAW`/`ALAW` 8-bit bytes, each of
+    *    which expands through the engine-owned integer tables
+    *    ([[G711]]) to a 16-bit linear sample; `bits = 16` so amplitude
+    *    normalization uses the expanded scale.
+    *
+    * Perceptually-compressed codecs (MP3/Vorbis/AAC) have no JDK
+    * decoder: None, and the caller's stub/survive semantics apply. */
+  private def sampleView(m: MediaRecord): Option[SampleView] = {
+    if (m.media_type == null || !m.media_type.startsWith("audio")) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val pcm = signed ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val ulaw = enc == javax.sound.sampled.AudioFormat.Encoding.ULAW
+        val alaw = enc == javax.sound.sampled.AudioFormat.Encoding.ALAW
+        if (pcm && bits > 0 && bits % 8 == 0 && bits <= 32) {
+          val data = in.readAllBytes()
+          val bps = bits / 8
+          val big = fmt.isBigEndian
+          // Samples reconstruct in LONG: at bits == 32 an Int accumulator
+          // wraps (and `1 << 31` is Int.MinValue), turning the unsigned
+          // re-centering into garbage amplitudes. 64-bit arithmetic is
+          // exact for every allowed width (8/16/24/32).
+          val shift = 64 - bits
+          Some(SampleView(fmt, data.length / bps, bits, { s =>
+            val i = s * bps
+            var v = 0L
+            if (big) { var j = 0; while (j < bps) { v = (v << 8) | (data(i + j) & 0xffL); j += 1 } }
+            else { var j = bps - 1; while (j >= 0) { v = (v << 8) | (data(i + j) & 0xffL); j -= 1 } }
+            if (signed) (v << shift) >> shift else v - (1L << (bits - 1))
+          }))
+        } else if ((ulaw || alaw) && bits == 8) {
+          val data = in.readAllBytes()
+          Some(SampleView(fmt, data.length, 16,
+            s => (if (ulaw) G711.ulawToLinear(data(s)) else G711.alawToLinear(data(s))).toLong))
+        } else None
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL audio decode for the payloads [[sampleView]] parses (linear
+    * PCM in WAV/AIFF/AU plus G.711 µ-law/A-law — JDK parser + engine
+    * expansion, no external codec). Features (padded/truncated to
+    * `featureDim`):
     * [durationSec, sampleRate, channels, sampleBits, nFrames, rms, peak,
     * meanAbs] — the amplitude statistics over ALL samples normalized to
-    * [−1, 1] across channels. One linear pass over the payload (same
-    * asymptotic cost as the stub digest). Returns None for non-audio
-    * types, compressed encodings (MP3/Vorbis — no codec in this
-    * container), or bytes the parser rejects: the caller falls back to
-    * [[stubDecode]], so a resize-style pass never throws on undecodable
-    * media. */
-  def decodeAudio(m: MediaRecord, featureDim: Int = 8): Option[MediaFeatures] = {
-    if (m.media_type == null || !m.media_type.startsWith("audio")) return None
-    val parsed =
-      try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.content))
-        try {
-          val fmt = in.getFormat
-          val enc = fmt.getEncoding
-          val pcm = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-          val bits = fmt.getSampleSizeInBits
-          if (pcm && bits > 0 && bits % 8 == 0 && bits <= 32)
-            Some((fmt, in.readAllBytes()))
-          else None
-        } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
-    parsed.map { case (fmt, data) =>
-      val bits = fmt.getSampleSizeInBits
-      val bps = bits / 8
-      val signed =
-        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-      val big = fmt.isBigEndian
-      // Samples reconstruct in LONG: at bits == 32 an Int accumulator
-      // wraps (and `1 << 31` is Int.MinValue), turning the unsigned
-      // re-centering into garbage amplitudes. 64-bit arithmetic is exact
-      // for every allowed width (8/16/24/32).
-      val shift = 64 - bits
-      val full = (1L << (bits - 1)).toDouble
+    * [−1, 1] across channels (`sampleBits` reports the CONTAINER's
+    * width — 8 for G.711 — while normalization uses the expanded linear
+    * scale). One linear pass over the payload. Returns None for
+    * non-audio types, codec-bound encodings (MP3/Vorbis), or bytes the
+    * parser rejects: the caller falls back to [[stubDecode]], so a
+    * resize-style pass never throws on undecodable media. */
+  def decodeAudio(m: MediaRecord, featureDim: Int = 8): Option[MediaFeatures] =
+    sampleView(m).map { sv =>
+      val full = (1L << (sv.bits - 1)).toDouble
       var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
-      var nSamples = 0L
-      var i = 0
-      while (i + bps <= data.length) {
-        var v = 0L
-        if (big) { var j = 0; while (j < bps) { v = (v << 8) | (data(i + j) & 0xffL); j += 1 } }
-        else { var j = bps - 1; while (j >= 0) { v = (v << 8) | (data(i + j) & 0xffL); j -= 1 } }
-        val s = if (signed) (v << shift) >> shift else v - (1L << (bits - 1))
-        val x = s / full
+      var s = 0
+      while (s < sv.n) {
+        val x = sv.sampleAt(s) / full
         sumSq += x * x; sumAbs += math.abs(x)
         if (math.abs(x) > peak) peak = math.abs(x)
-        nSamples += 1
-        i += bps
+        s += 1
       }
-      val n = math.max(nSamples, 1L).toDouble
-      val nFrames = data.length / math.max(fmt.getFrameSize, 1)
+      val n = math.max(sv.n, 1).toDouble
+      val nFrames = sv.n / math.max(sv.fmt.getChannels, 1)
       val raw = Array[Float](
-        (nFrames / fmt.getFrameRate).toFloat, fmt.getSampleRate,
-        fmt.getChannels.toFloat, bits.toFloat, nFrames.toFloat,
+        (nFrames / sv.fmt.getFrameRate).toFloat, sv.fmt.getSampleRate,
+        sv.fmt.getChannels.toFloat, sv.fmt.getSampleSizeInBits.toFloat,
+        nFrames.toFloat,
         math.sqrt(sumSq / n).toFloat, peak.toFloat, (sumAbs / n).toFloat)
       MediaFeatures(m.media_id, m.media_type, m.content.length.toLong,
         java.util.Arrays.copyOf(raw, featureDim))
     }
-  }
 
   /** REAL video container METADATA for MP4/ISO-BMFF payloads — a
     * JDK-only box walk (the same zero-dep trick as the xlsx source's
@@ -331,9 +366,19 @@ object Multimodal {
     tryDecodeImage(m).map(im => (gridOf(im, 9, 8), gridOf(im, 8, 9)))
 
   private def gridOf(im: java.awt.image.BufferedImage, cols: Int,
-      rows: Int): Array[Int] = {
-      val w = im.getWidth
-      val h = im.getHeight
+      rows: Int): Array[Int] =
+    gridOfLuma(im.getWidth, im.getHeight, cols, rows) { (x, y) =>
+      val p = im.getRGB(x, y)
+      (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+    }
+
+  /** The engine-owned integer AREA resample over ANY pixel source —
+    * shared by the decoded-image path ([[gridOf]]) and the raw-DIB
+    * video-frame path ([[videoFrameGrids]]), so the two cannot drift.
+    * `lumaAt(x, y)` returns the integer luma in [0, 255] of source
+    * pixel (x, y). */
+  private def gridOfLuma(w: Int, h: Int, cols: Int, rows: Int)(
+      lumaAt: (Int, Int) => Int): Array[Int] = {
       // cell (cx, cy) covers source x in [cx·w/cols, (cx+1)·w/cols) —
       // scale x by cols (y by rows) so boundaries are integers: pixel px
       // spans [cols·px, cols·px+cols), cell cx spans [cx·w, (cx+1)·w).
@@ -348,9 +393,7 @@ object Multimodal {
         val cy1 = math.min(((ys + rows - 1) / h).toInt, rows - 1)
         var px = 0
         while (px < w) {
-          val p = im.getRGB(px, py)
-          val l =
-            (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+          val l = lumaAt(px, py)
           val xs = px.toLong * cols
           val cx0 = (xs / w).toInt
           val cx1 = math.min(((xs + cols - 1) / w).toInt, cols - 1)
@@ -427,60 +470,202 @@ object Multimodal {
     h
   }
 
+  // ── REAL video FRAME decode (AVI / RIFF) ─────────────────────────────
+
+  /** Parsed AVI payload: stream dimensions, total video-frame count, and
+    * the SAMPLED decoded frames as (ordinal-among-all-frames, luma grid). */
+  final case class AviFrames(width: Int, height: Int, nFrames: Int,
+      frames: Seq[(Int, Array[Int])])
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk the RIFF chunks in `bytes[start, start+len)`: returns
+    * (fourcc, payloadOffset, payloadLength) per chunk — the little-endian
+    * sibling of [[isoBoxes]]. RIFF pads chunks to even ("word") sizes;
+    * a `LIST` chunk's payload starts with its 4-byte list type. Stops at
+    * the first malformed length rather than throwing. */
+  private def riffChunks(bytes: Array[Byte], start: Int, len: Int): Seq[(String, Int, Int)] = {
+    val end = math.min(start + len, bytes.length)
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    var p = start
+    while (p + 8 <= end) {
+      val size = le32(bytes, p + 4)
+      val payloadOff = p + 8
+      val boxEnd = payloadOff + size
+      if (size < 0 || boxEnd > end) return out.toSeq // malformed: stop
+      out += ((fourcc(bytes, p), payloadOff, size.toInt))
+      p = (boxEnd + (boxEnd & 1)).toInt // pad to even
+    }
+    out.toSeq
+  }
+
+  /** REAL video FRAME decode for AVI (RIFF) payloads — the same
+    * zero-dependency container walk as [[decodeVideoMeta]]'s ISO-BMFF
+    * path, little-endian. Two frame codings decode for real:
+    *
+    *  - **uncompressed BI_RGB DIB** (`biCompression = 0`, 24 bpp) —
+    *    raw bottom-up BGR rows, 4-byte-aligned stride; pure integer byte
+    *    reads, so the luma grid is BIT-IDENTICAL on every JVM (the
+    *    audio-envelope discipline — it can anchor an analytic oracle);
+    *  - **MJPEG** (`biCompression = 'MJPG'`) — each `##dc` chunk is a
+    *    standalone JPEG, decoded with the JDK's own `javax.imageio`
+    *    reader (real, but decoder-dependent like still-image JPEG — kept
+    *    out of frozen oracles for the same reason).
+    *
+    * Every `everyN`-th frame of the FIRST video stream is decoded into a
+    * cols×rows luma grid via the shared engine-owned integer area
+    * resample ([[gridOfLuma]]); the rest are skipped without touching
+    * their bytes — frame sampling costs O(sampled frames), not O(all).
+    * H.264/H.265/VP9 frames have no JDK decoder and still take the
+    * labeled stub path. Returns None for non-video types, non-AVI bytes,
+    * streams with no parseable video frames, or payloads whose sampled
+    * frames all fail to decode. */
+  private[graft] def decodeAviFrames(m: MediaRecord, everyN: Int,
+      cols: Int, rows: Int): Option[AviFrames] = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    if (m.media_type == null || !m.media_type.startsWith("video")) return None
+    val b = m.content
+    try {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+        return None
+      val top = riffChunks(b, 12, b.length - 12)
+      // header LIST: dimensions + compression of the FIRST 'vids' stream,
+      // plus its ordinal among ALL streams (movi chunk ids are '%02d'-
+      // numbered by stream order, so an audio-first file numbers video 01)
+      var w = 0; var h = 0; var topDown = false
+      var bitCount = 0; var comp = -1L; var streamNo = -1
+      top.collectFirst {
+        case ("LIST", o, l) if l >= 4 && fourcc(b, o) == "hdrl" => (o + 4, l - 4)
+      }.foreach { case (ho, hl) =>
+        var ord = 0
+        riffChunks(b, ho, hl).foreach {
+          case ("LIST", so, sl) if sl >= 4 && fourcc(b, so) == "strl" =>
+            val skids = riffChunks(b, so + 4, sl - 4)
+            val vids = skids.exists {
+              case ("strh", o2, l2) => l2 >= 4 && fourcc(b, o2) == "vids"
+              case _ => false
+            }
+            if (vids && streamNo < 0) {
+              streamNo = ord
+              skids.collectFirst { case ("strf", fo, fl) if fl >= 20 =>
+                w = le32(b, fo + 4).toInt
+                val rawH = le32(b, fo + 8).toInt
+                topDown = rawH < 0 // negative biHeight = top-down rows
+                h = math.abs(rawH)
+                bitCount = le16(b, fo + 14)
+                comp = le32(b, fo + 16)
+              }
+            }
+            ord += 1
+          case _ => ()
+        }
+      }
+      if (streamNo < 0 || w <= 0 || h <= 0) return None
+      val isDib = comp == 0L && bitCount == 24
+      val isMjpg = comp == 0x47504a4dL // 'MJPG' little-endian
+      if (!isDib && !isMjpg) return None
+      val vdb = f"$streamNo%02ddb"; val vdc = f"$streamNo%02ddc"
+      val movi = top.collectFirst {
+        case ("LIST", o, l) if l >= 4 && fourcc(b, o) == "movi" => (o + 4, l - 4)
+      }.getOrElse(return None)
+      val stride = ((w * 3 + 3) / 4) * 4
+      val frames = scala.collection.mutable.ArrayBuffer[(Int, Array[Int])]()
+      var idx = 0
+      riffChunks(b, movi._1, movi._2).foreach { case (cc, off, len) =>
+        if (cc == vdb || cc == vdc) {
+          if (idx % everyN == 0) {
+            if (isDib && len >= stride * h) {
+              frames += ((idx, gridOfLuma(w, h, cols, rows) { (x, y) =>
+                val row = if (topDown) y else h - 1 - y
+                val p = off + row * stride + x * 3
+                (299 * (b(p + 2) & 0xff) + 587 * (b(p + 1) & 0xff) +
+                  114 * (b(p) & 0xff)) / 1000
+              }))
+            } else if (isMjpg) {
+              imageIOCacheDisabled
+              val im =
+                try Option(javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(b, off, len)))
+                catch { case scala.util.control.NonFatal(_) => None }
+              im.foreach(i => frames += ((idx, gridOf(i, cols, rows))))
+            }
+          }
+          idx += 1
+        }
+      }
+      if (frames.isEmpty) None else Some(AviFrames(w, h, idx, frames.toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Sampled video frames as 9×8 luma grids — the dHash preprocessing
+    * stage of the video near-dup rung. */
+  def videoFrameGrids(m: MediaRecord, everyN: Int = 2): Option[Seq[(Int, Array[Int])]] =
+    decodeAviFrames(m, everyN, 9, 8).map(_.frames)
+
+  /** 64-bit horizontal dHash per sampled frame: (frame ordinal, hash). */
+  def videoFrameHashes(m: MediaRecord, everyN: Int = 2): Option[Seq[(Int, Long)]] =
+    videoFrameGrids(m, everyN).map(_.map { case (i, g) => (i, dHash64(g)) })
+
+  /** One REAL sampled frame of a video payload: ordinal among all frames
+    * plus stream dimensions and the cols×rows luma grid — the
+    * frame-level feature row vision filtering / frame-dedup consumes. */
+  final case class VideoFrame(media_id: Long, frame_idx: Int, width: Int,
+      height: Int, luma_grid: Array[Int])
+
+  /** REAL frame sampling over AVI payloads — the production form of the
+    * labeled [[sampleFrames]] stub: every `everyN`-th frame of each
+    * decodable payload decodes ([[decodeAviFrames]]) into a cols×rows
+    * luma grid and explodes to one row per sampled frame. Batched
+    * per-partition like [[extractFeatures]]; narrow, no shuffle;
+    * non-video and undecodable payloads yield no rows. */
+  def sampleVideoFrames(ds: Dataset[MediaRecord], everyN: Int = 10,
+      cols: Int = 8, rows: Int = 8, batchSize: Int = 64): Dataset[VideoFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { m =>
+          decodeAviFrames(m, everyN, cols, rows).toSeq.flatMap { av =>
+            av.frames.map { case (i, g) =>
+              VideoFrame(m.media_id, i, av.width, av.height, g) }
+          }
+        }
+      }
+    }
+  }
+
   // ── perceptual AUDIO fingerprint ──────────────────────────────────────
 
-  /** L1-energy envelope of a PCM audio payload: decode (the REAL
-    * javax.sound.sampled WAV/AIFF path — the [[decodeAudio]] byte loop,
-    * integer-exact Long sample reconstruction up to 32-bit) and sum
-    * |sample| per window over `windows` equal sample-index windows.
+  /** L1-energy envelope of a decodable audio payload: decode (the REAL
+    * [[sampleView]] path — integer-exact Long reconstruction for linear
+    * PCM up to 32-bit, engine-owned G.711 expansion for µ-law/A-law) and
+    * sum |sample| per window over `windows` equal sample-index windows.
     * ALL-INTEGER arithmetic (the luma-grid discipline): the envelope is
     * bit-identical on every JVM, so it can anchor a frozen oracle.
     * Returns None for non-audio types, undecodable bytes, or streams
     * shorter than `windows` samples (an envelope with empty windows
     * would fingerprint silence ordering, not content). */
-  def audioEnvelope(m: MediaRecord, windows: Int = 65): Option[Array[Long]] = {
-    if (m.media_type == null || !m.media_type.startsWith("audio")) return None
-    val parsed =
-      try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.content))
-        try {
-          val fmt = in.getFormat
-          val enc = fmt.getEncoding
-          val pcm = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-          val bits = fmt.getSampleSizeInBits
-          if (pcm && bits > 0 && bits % 8 == 0 && bits <= 32)
-            Some((fmt, in.readAllBytes()))
-          else None
-        } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
-    parsed.flatMap { case (fmt, data) =>
-      val bits = fmt.getSampleSizeInBits
-      val bps = bits / 8
-      val signed =
-        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-      val big = fmt.isBigEndian
-      val shift = 64 - bits
-      val n = data.length / bps
-      if (n < windows) None
+  def audioEnvelope(m: MediaRecord, windows: Int = 65): Option[Array[Long]] =
+    sampleView(m).flatMap { sv =>
+      if (sv.n < windows) None
       else {
         val env = new Array[Long](windows)
         var s = 0
-        while (s < n) {
-          val i = s * bps
-          var v = 0L
-          if (big) { var j = 0; while (j < bps) { v = (v << 8) | (data(i + j) & 0xffL); j += 1 } }
-          else { var j = bps - 1; while (j >= 0) { v = (v << 8) | (data(i + j) & 0xffL); j -= 1 } }
-          val x = if (signed) (v << shift) >> shift else v - (1L << (bits - 1))
+        while (s < sv.n) {
           // window by sample index: w = s·windows / n (exact integer)
-          env((s.toLong * windows / n).toInt) += math.abs(x)
+          env((s.toLong * windows / sv.n).toInt) += math.abs(sv.sampleAt(s))
           s += 1
         }
         Some(env)
       }
     }
-  }
 
   /** 64-bit envelope difference hash of a 65-window [[audioEnvelope]]:
     * bit i is set iff window i+1 carries more L1 energy than window i —
@@ -524,5 +709,35 @@ object Multimodal {
       col(typeCol).cast("string").as("media_type"),
       col(binaryCol).as("content")).as[MediaRecord]
     extractFeatures(ds, batchSize).toDF()
+  }
+}
+
+/** ITU-T G.711 companded-audio expansion — ENGINE-OWNED integer kernels
+  * (the standard public expansion arithmetic: 3-bit exponent segment +
+  * 4-bit mantissa, µ-law bias 0x84 / A-law toggle 0x55), so the decoded
+  * samples are bit-identical on every JVM and can anchor analytic
+  * oracles — the same determinism discipline as the integer area
+  * resample and the L1 envelope. */
+object G711 {
+
+  /** µ-law byte → 16-bit linear sample (range ±32124). */
+  def ulawToLinear(u0: Byte): Int = {
+    val u = ~u0 & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law byte → 16-bit linear sample (range ±32256). */
+  def alawToLinear(a0: Byte): Int = {
+    val a = (a0 ^ 0x55) & 0xff
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    t = seg match {
+      case 0 => t + 8
+      case 1 => t + 0x108
+      case s => (t + 0x108) << (s - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
   }
 }

@@ -196,4 +196,101 @@ object NgramLm {
     GraftFunctions.register(df.sparkSession)
     df.where(gateCol(col(textCol), model, minMeanLog))
   }
+
+  /** CCNet-style perplexity BUCKETING (Wenzek et al. LREC 2020 §4.3):
+    * stratify documents into `nBuckets` quality tiers (3 = the paper's
+    * head/middle/tail) by per-token LM score — the stratification a
+    * curriculum or mix policy consumes downstream.
+    *
+    * Scale shape — the paper's own recipe, and the only exact AND
+    * distributed one: cut thresholds come from a DETERMINISTIC key-pure
+    * sample ([[Sampling.deterministicSample]]'s md5-prefix membership —
+    * bounded by `sampleFraction`, the tuner's sampled-background
+    * precedent), extracted as exact order statistics of the sample
+    * (row_number over (mean DESC, id), one window task per stratum —
+    * which `sampleFraction` exists to keep bounded); assignment is then
+    * a NARROW codegen'd scan against the collected cut literals — no
+    * extra shuffle, no global sort, no per-document window over the full
+    * corpus (an exact corpus-wide ntile would funnel 100 TB through one
+    * task).
+    *
+    * Bucket j (1-based; 1 = head = highest mean log-score) = 1 + the
+    * number of cuts strictly ABOVE the document's mean, where cut_j is
+    * the sample's mean at descending rank ⌈j·n/nBuckets⌉. Documents with
+    * mean exactly equal to a cut land in the UPPER bucket — threshold
+    * semantics are by VALUE (CCNet applies sampled percentile cutoffs
+    * the same way), so equal-scoring documents always share a bucket
+    * even when a rank split would separate them. Strata whose sample is
+    * empty assign bucket 1 (no evidence to split on).
+    *
+    * `byCol`: optional stratum — CCNet buckets per LANGUAGE, so mixed
+    * corpora pass their lang column here and each language gets its own
+    * cuts. Output: idCol [, byCol], n_tokens, score_scaled, mean_log,
+    * bucket, bucket_label (head/middle/tail when nBuckets = 3, b<j>
+    * otherwise). */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+      model: Model, nBuckets: Int = 3, sampleFraction: Double = 0.1,
+      byCol: Option[String] = None): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    val toks = tokensOf(col(textCol))
+    val scored = df.select(
+        (Seq(col(idCol), byCol.map(col).getOrElse(lit("")).as("_stratum"),
+          size(toks).as("n_tokens"),
+          scoreScaledCol(toks, model).as("score_scaled"))): _*)
+      .withColumn("mean_log",
+        col("score_scaled").cast("double") /
+          (lit(WeightScale.toDouble) * greatest(col("n_tokens"), lit(1)).cast("double")))
+    // exact order statistics of the deterministic sample: the row at
+    // descending rank ⌈j·cnt/nBuckets⌉ per stratum, j = 1..nBuckets−1
+    // (integer-exact: floor((j·cnt + nB−1)/nB) over doubles is exact for
+    // any testable count). ONE driver action, ≤ (nBuckets−1) rows per
+    // stratum.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_stratum"))
+      .orderBy(col("mean_log").desc, col(idCol))
+    val ranked = Sampling.deterministicSample(scored, idCol, sampleFraction)
+      .select(col("_stratum"), col("mean_log"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("_stratum"))).as("cnt"))
+    val isCut = (1 until nBuckets)
+      .map(j => col("rn") ===
+        floor((lit(j.toLong) * col("cnt") + lit((nBuckets - 1).toLong)) /
+          lit(nBuckets.toLong)))
+      .reduce(_ || _)
+    val cutRows = ranked.where(isCut)
+      .select(col("_stratum"), col("rn"), col("cnt"), col("mean_log"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+    // per stratum: cut_j = the value at rank ⌈j·cnt/nB⌉ (several j may
+    // share one rank on tiny samples — each still contributes a cut)
+    val cutsByStratum: Seq[(String, Seq[Double])] = cutRows
+      .groupBy(_._1).toSeq.map { case (stratum, rows) =>
+        val cnt = rows.head._3
+        val byRank = rows.map(r => r._2 -> r._4).toMap
+        stratum -> (1 until nBuckets).flatMap { j =>
+          byRank.get((j.toLong * cnt + (nBuckets - 1)) / nBuckets)
+        }
+      }
+    import spark.implicits._
+    val cutsDf = cutsByStratum.toDF("_stratum", "_cuts")
+    val joined =
+      if (cutsByStratum.isEmpty) scored.withColumn("_cuts", lit(null).cast("array<double>"))
+      else scored.join(broadcast(cutsDf), Seq("_stratum"), "left")
+    val bucket = lit(1) + coalesce(
+      size(filter(col("_cuts"), c => col("mean_log") < c)), lit(0))
+    val label =
+      if (nBuckets == 3)
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail")
+      else concat(lit("b"), col("bucket").cast("string"))
+    joined.withColumn("bucket", bucket)
+      .withColumn("bucket_label", label)
+      .select((Seq(col(idCol)) ++ byCol.map(c => col("_stratum").as(c)) ++
+        Seq(col("n_tokens"), col("score_scaled"), col("mean_log"),
+          col("bucket"), col("bucket_label"))): _*)
+  }
 }

@@ -93,6 +93,21 @@ object CorpusPipeline {
       binaryCol: String,
       maxHamming: Int = 4)
 
+  /** The optional PERCEPTUAL VIDEO dedup rung — the image/audio rungs'
+    * video sibling: near-identical clips (REAL sampled-frame AVI decode
+    * → per-frame dHash → aligned-frame Hamming banding, pairs kept when
+    * ≥ ceil(minMatchFrac · min(nFrames)) frames agree —
+    * [[Dedup.removeNearDuplicateVideos]]) collapse to the min-id
+    * survivor; NULL / undecodable / codec-bound payloads always pass.
+    * Same slot discipline: after the text rungs, next to the
+    * image/audio rungs, before decontamination. */
+  final case class VideoDedupConfig(
+      typeCol: String,
+      binaryCol: String,
+      everyN: Int = 2,
+      maxHamming: Int = 4,
+      minMatchFrac: Double = 0.6)
+
   /** The optional DSIR SELECTION rung: importance-resample `k` documents
     * toward the fitted target distribution ([[Dsir.resampleRows]] with
     * the frozen `model`). Runs LAST among the content stages — after
@@ -180,6 +195,7 @@ object CorpusPipeline {
       semanticDedup: Option[SemanticDedupConfig] = None,
       imageDedup: Option[ImageDedupConfig] = None,
       audioDedup: Option[AudioDedupConfig] = None,
+      videoDedup: Option[VideoDedupConfig] = None,
       decontaminateN: Int = 8,
       bloomDecontaminate: Boolean = false,
       bloomFpp: Double = 0.001,
@@ -532,12 +548,21 @@ object CorpusPipeline {
           ac.typeCol, ac.binaryCol, ac.maxHamming))
     }
 
-    val clean = benchClean.fold(audDeduped)(b =>
+    // 3e. optional PERCEPTUAL VIDEO dedup — the third media sibling,
+    //    same slot discipline (see [[VideoDedupConfig]]).
+    val vidDeduped = cfg.videoDedup.fold(audDeduped) { vc =>
+      observed("video_dedup",
+        Dedup.removeNearDuplicateVideos(audDeduped, cfg.idCol,
+          vc.typeCol, vc.binaryCol, vc.everyN, vc.maxHamming,
+          vc.minMatchFrac))
+    }
+
+    val clean = benchClean.fold(vidDeduped)(b =>
       if (cfg.bloomDecontaminate)
-        Dedup.removeContaminatedBloom(audDeduped, b, cfg.textCol, cfg.idCol,
+        Dedup.removeContaminatedBloom(vidDeduped, b, cfg.textCol, cfg.idCol,
           cfg.decontaminateN, cfg.bloomFpp)
       else
-        Dedup.removeContaminated(audDeduped, b, cfg.textCol, cfg.idCol,
+        Dedup.removeContaminated(vidDeduped, b, cfg.textCol, cfg.idCol,
           cfg.decontaminateN))
 
     // 4b. optional FUZZY decontamination — the reworded-leak net: a
@@ -706,7 +731,8 @@ object CorpusPipeline {
       "near_dedup" -> nearDeduped) ++
       cfg.semanticDedup.map(_ => "semantic_dedup" -> semDeduped) ++
       cfg.imageDedup.map(_ => "image_dedup" -> imgDeduped) ++
-      cfg.audioDedup.map(_ => "audio_dedup" -> audDeduped) ++ Seq(
+      cfg.audioDedup.map(_ => "audio_dedup" -> audDeduped) ++
+      cfg.videoDedup.map(_ => "video_dedup" -> vidDeduped) ++ Seq(
       "decontaminated" -> cleanM) ++
       // keyed on BOTH switches: with no benchmark the stage does not run,
       // and a stage report must never show a rung that never executed

@@ -486,4 +486,149 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(boom.getMessage.contains("disjoint"))
   }
+
+  test("videoFrameGrids: live AVI container decode equals the analytic pixel matrix") {
+    (0L until VideoFixture.NumClips.toLong).foreach { id =>
+      val m = MediaRecord(id, "video/avi", VideoFixture.aviBytes(id))
+      val frames = Multimodal.videoFrameGrids(m, everyN = 2)
+        .getOrElse(fail(s"clip $id must decode"))
+      // 6 frames sampled every 2nd -> ordinals 0, 2, 4
+      assert(frames.map(_._1) == Seq(0, 2, 4))
+      frames.foreach { case (f, g) =>
+        assert(g.sameElements(VideoFixture.frameGrid(id, f)),
+          s"clip $id frame $f: decoded grid must equal the planted matrix")
+      }
+    }
+    // non-video type, non-AVI bytes, and truncated payloads refuse politely
+    assert(Multimodal.videoFrameGrids(
+      MediaRecord(0, "image/png", VideoFixture.aviBytes(0))).isEmpty)
+    assert(Multimodal.videoFrameGrids(
+      MediaRecord(0, "video/avi", Array.tabulate(64)(_.toByte))).isEmpty)
+    assert(Multimodal.videoFrameGrids(
+      MediaRecord(0, "video/avi", VideoFixture.aviBytes(0).take(200))).isEmpty)
+  }
+
+  test("MJPEG frames decode through the JDK JPEG reader; twin payloads hash identically") {
+    val a = MediaRecord(0, "video/avi", VideoFixture.mjpgBytes(7))
+    val b = MediaRecord(1, "video/avi", VideoFixture.mjpgBytes(7))
+    val ha = Multimodal.videoFrameHashes(a, everyN = 2)
+      .getOrElse(fail("MJPEG clip must decode"))
+    assert(ha.map(_._1) == Seq(0, 2, 4))
+    // same frames -> same JPEG bytes -> identical in-process decode
+    assert(Multimodal.videoFrameHashes(b, everyN = 2).get == ha)
+  }
+
+  test("videoNearDupPairs: banded aligned-frame matching equals brute force; min-id survives") {
+    val media = VideoFixture.frame(spark)
+    val got = Dedup.videoNearDupPairs(media, "media_id", "media_type",
+        "content", everyN = 2, maxHamming = 4, minMatchFrac = 0.6)
+      .select($"id_a", $"id_b", $"n_matched")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force truth over the analytic frame hashes
+    val hashes = (0L until VideoFixture.NumClips.toLong).map { id =>
+      id -> Seq(0, 2, 4).map(f => Multimodal.dHash64(VideoFixture.frameGrid(id, f)))
+    }
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      matched = ha.zip(hb).count { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) <= 4 }
+      if matched >= math.ceil(0.6 * 3).toInt
+    } yield (ia, ib, matched.toLong)).toSet
+    assert(got == want,
+      s"banded pairs must equal brute force:\n${got.diff(want)}\n${want.diff(got)}")
+    // the fixture's structure: exactly the 15 planted (3k, 3k+1) twins,
+    // every aligned frame within the per-frame 2-bit edit bound
+    assert(want == (0 until 15).map(k => (3L * k, 3L * k + 1, 3L)).toSet)
+
+    // end-to-end removal: min-id survivor per twin; undecodable payloads
+    // always survive
+    val withJunk = media.unionByName(Seq(
+      (1000L, "video/avi", Array.tabulate(16)(_.toByte)))
+      .toDF("media_id", "media_type", "content"))
+    val kept = Dedup.removeNearDuplicateVideos(withJunk, "media_id",
+        "media_type", "content", everyN = 2, maxHamming = 4)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept ==
+      ((0 until 45).map(_.toLong).toSet -- (0 until 15).map(3L * _ + 1)) + 1000L)
+  }
+
+  test("sampleVideoFrames: one feature row per sampled frame, real dimensions") {
+    val media = VideoFixture.frame(spark)
+    val rows = Multimodal.sampleVideoFrames(
+        media.select($"media_id", $"media_type", $"content")
+          .as[MediaRecord], everyN = 2)
+      .collect()
+    assert(rows.length == VideoFixture.NumClips * 3)
+    rows.foreach { r =>
+      assert(r.width == 9 && r.height == 8 && r.luma_grid.length == 64)
+      assert(Seq(0, 2, 4).contains(r.frame_idx))
+    }
+  }
+
+  test("G.711 expansion tables: spec-pinned boundary values") {
+    import graft.operators.G711
+    assert(G711.ulawToLinear(0xff.toByte) == 0) // +0
+    assert(G711.ulawToLinear(0x7f.toByte) == 0) // −0
+    assert(G711.ulawToLinear(0x80.toByte) == 32124) // max positive
+    assert(G711.ulawToLinear(0x00.toByte) == -32124) // max negative
+    assert(G711.alawToLinear(0xd5.toByte) == 8) // min positive
+    assert(G711.alawToLinear(0x55.toByte) == -8) // min negative
+    assert(G711.alawToLinear(0xaa.toByte) == 32256) // max positive
+    assert(G711.alawToLinear(0x2a.toByte) == -32256) // max negative
+  }
+
+  test("µ-law WAV decode: envelope equals the analytic G.711 expansion; near-dups band") {
+    (0L until AudioFixture.NumUlawClips.toLong).foreach { id =>
+      val m = MediaRecord(id, "audio/wav", AudioFixture.ulawBytes(id))
+      val env = Multimodal.audioEnvelope(m)
+        .getOrElse(fail(s"µ-law clip $id must decode"))
+      val want = Array.tabulate(65)(w =>
+        64L * AudioFixture.ulawWindowAmplitude(id, w))
+      assert(env.sameElements(want), s"clip $id envelope must be analytic")
+    }
+    // feature decode reports the container's 8 companded bits but
+    // normalizes on the expanded 16-bit linear scale (peak <= 1)
+    val feats = Multimodal.decodeAudio(
+      MediaRecord(0, "audio/wav", AudioFixture.ulawBytes(0))).get.feature
+    assert(feats(3) == 8.0f && feats(1) == 8000.0f)
+    assert(feats(6) > 0f && feats(6) <= 1f)
+
+    // banded near-dup pairs over the companded fixture = brute force
+    val got = Dedup.audioNearDupPairs(AudioFixture.frameUlaw(spark),
+        "media_id", "media_type", "content", maxHamming = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val hashes = (0L until AudioFixture.NumUlawClips.toLong).map { id =>
+      id -> Multimodal.audioHash64(Array.tabulate(65)(w =>
+        64L * AudioFixture.ulawWindowAmplitude(id, w)))
+    }
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 4
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    assert(want == (0 until 10).map(k => (3L * k, 3L * k + 1)).toSet)
+  }
+
+  test("A-law WAV decode expands through the engine table") {
+    import graft.operators.G711
+    // hand-rolled A-law WAV (format tag 6): 130 arbitrary companded bytes
+    val n = 130
+    val data = Array.tabulate(n)(i => (i * 37 + 11).toByte)
+    val out = java.nio.ByteBuffer.allocate(46 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(38 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(6).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8).putShort(0)
+      .put("data".getBytes("US-ASCII")).putInt(n)
+      .put(data)
+    val m = MediaRecord(0, "audio/wav", out.array())
+    val env = Multimodal.audioEnvelope(m, windows = 65).get
+    val want = new Array[Long](65)
+    data.zipWithIndex.foreach { case (b, s) =>
+      want((s.toLong * 65 / n).toInt) += math.abs(G711.alawToLinear(b)).toLong
+    }
+    assert(env.sameElements(want))
+  }
 }

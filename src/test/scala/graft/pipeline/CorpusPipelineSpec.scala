@@ -586,6 +586,41 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "null-payload docs must never drop at the audio rung")
   }
 
+  test("video dedup rung: stage order, min-id survivors among planted twins, null payloads pass") {
+    import graft.operators.VideoFixture
+    val base = docs.select($"doc_id", $"text")
+    val corpus = base.as[(Long, String)].map { case (id, tx) =>
+      val vid = id < VideoFixture.NumClips
+      (id, tx, if (vid) "video/avi" else null,
+        if (vid) VideoFixture.aviBytes(id) else null)
+    }.toDF("doc_id", "text", "media_type", "content")
+    val out = CorpusPipeline.prepare(corpus, None, CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, dedupThreshold = 0.5,
+      videoDedup = Some(CorpusPipeline.VideoDedupConfig(
+        "media_type", "content", everyN = 2, maxHamming = 4,
+        minMatchFrac = 0.6)),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 1.0), materializeDocuments = true))
+    // stage ORDER: the video rung sits between near-dup and decon
+    assert(out.stages.map(_._1) == Seq("input", "quality", "exact_dedup",
+      "near_dedup", "video_dedup", "decontaminated"))
+    val st = out.stages.toMap
+    val near = st("near_dedup").select("doc_id").as[Long].collect().toSet
+    val vid = st("video_dedup").select("doc_id").as[Long].collect().toSet
+    // the fixture's only matched pairs are the planted (3k, 3k+1) twins
+    // (MultimodalSpec pins banded == brute force); where BOTH reach the
+    // stage, min id wins. Docs without a payload (id >= 45) must pass.
+    val expectedLosers = (0 until 15)
+      .map(k => (3L * k, 3L * k + 1))
+      .filter { case (a, b) => near(a) && near(b) }
+      .map(_._2).toSet
+    assert(vid == near -- expectedLosers,
+      s"unexpected video-stage delta: ${(near -- vid) -- expectedLosers}")
+    assert(expectedLosers.nonEmpty, "fixture must exercise the rung")
+    assert((near -- vid).forall(_ < VideoFixture.NumClips),
+      "null-payload docs must never drop at the video rung")
+  }
+
   test("langs config with a non-en set: the gate keeps exactly the configured languages") {
     val lp = graft.functions.LangProfiles
     // plant Spanish (stopword-voted) and Russian (script-detected) docs
