@@ -49,6 +49,39 @@ object NgramLmOracle {
       "nlm_sw AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM nlm_sc GROUP BY doc_id)"
   }
 
+  /** The oracle restatement of [[NgramLm.perplexityBuckets]] over the
+    * same augmented documents table (global stratum, nBuckets = 3,
+    * deterministic sample at `sampleFraction`): score exactly as
+    * [[ngramLmScore]], take the md5-prefix sample (the SAME key-pure
+    * predicate the engine's `Sampling.deterministicSample` compiles
+    * to), extract cut_j = the sample's mean at descending rank
+    * ⌈j·n/3⌉ (integer arithmetic `(j·c + 2) // 3`, the engine's exact
+    * ceil formula), and assign bucket = 1 + #cuts strictly above the
+    * doc's mean — value-threshold semantics, ties land in the upper
+    * bucket on both engines because the comparison runs on identical
+    * IEEE doubles built from identical integers. */
+  def pplBuckets(sampleThresholdHex: String): String = {
+    val filler = QmOracle.fillerSuffix
+    require(!filler.contains("'"), "filler must be quote-free")
+    s"WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text || '$filler' ELSE text END AS text FROM documents), " +
+      "nlm_ft AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS ft FROM d), " +
+      scoreCteChain("nlm_ft") + ", " +
+      "sc AS (SELECT f.doc_id, CAST(len(f.ft) AS BIGINT) AS n_tokens, " +
+      "CAST(COALESCE(sw.score, 0) AS BIGINT) AS score_scaled, " +
+      s"CAST(COALESCE(sw.score, 0) AS DOUBLE) / (${NgramLm.WeightScale.toDouble} * CAST(greatest(len(f.ft), 1) AS DOUBLE)) AS mean_log " +
+      "FROM nlm_ft f LEFT JOIN nlm_sw sw ON f.doc_id = sw.doc_id), " +
+      s"samp AS (SELECT * FROM sc WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '$sampleThresholdHex'), " +
+      "rk AS (SELECT mean_log, row_number() OVER (ORDER BY mean_log DESC, doc_id) AS rn FROM samp), " +
+      "cntc AS (SELECT count(*) AS c FROM samp), " +
+      "c1 AS (SELECT mean_log AS v FROM rk JOIN cntc ON rn = (1 * c + 2) // 3), " +
+      "c2 AS (SELECT mean_log AS v FROM rk JOIN cntc ON rn = (2 * c + 2) // 3), " +
+      "bk AS (SELECT sc.*, 1 + COALESCE(CAST(mean_log < (SELECT v FROM c1) AS INT), 0) " +
+      "+ COALESCE(CAST(mean_log < (SELECT v FROM c2) AS INT), 0) AS bucket FROM sc) " +
+      "SELECT doc_id, n_tokens, score_scaled, mean_log, CAST(bucket AS BIGINT) AS bucket, " +
+      "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_label " +
+      "FROM bk ORDER BY doc_id"
+  }
+
   /** The oracle restatement of the scoring scan over the augmented
     * documents table: (doc_id, n_tokens, score_scaled, mean_log). */
   def ngramLmScore: String = {

@@ -397,6 +397,39 @@ object ScaleProfile {
       }
     }
 
+    // ── round 12: perceptual video dedup at scale — synthesize
+    // SPARK_GRAFT_CLIPS AVIs (default 30k; 6 frames each → 3 sampled
+    // per clip, fixture triples = 1/3 planted near-dup pairs) with the
+    // VideoFixture generator (RIFF-encode INSIDE the tasks) and time
+    // the container decode→frame-hash span, the banded aligned-frame
+    // pair detection, and the full removal. The AVI walk + raw-DIB
+    // frame reads are the dominant narrow span; the band join ships
+    // (fpos, chunk, id, hash) longs only — per-fpos banding multiplies
+    // the bucket space by the sampled-frame count, so saturation sits
+    // ABOVE the single-hash families at equal h. ──────────────────────
+    if (sections("videodedup")) {
+      import graft.operators.{Dedup, VideoFixture, Multimodal}
+      val n = sys.env.getOrElse("SPARK_GRAFT_CLIPS", "30000").toInt
+      val h = sys.env.getOrElse("SPARK_GRAFT_CLIPS_H", "4").toInt
+      import spark.implicits._
+      val media = spark.range(n).as[Long]
+        .mapPartitions(_.map(id => (id, "video/avi", VideoFixture.aviBytes(id))))
+        .toDF("media_id", "media_type", "content")
+      timed(s"videodedup.decode+hash(n=$n videoFrameHashes everyN=2)") {
+        media.as[Multimodal.MediaRecord].mapPartitions { it =>
+          it.flatMap(m => Multimodal.videoFrameHashes(m, 2).toSeq.flatten)
+        }.count()
+      }
+      timed(s"videodedup.pairs(n=$n banded aligned-frame Hamming <= $h)") {
+        Dedup.videoNearDupPairs(media, "media_id", "media_type", "content",
+          everyN = 2, maxHamming = h).count()
+      }
+      timed(s"videodedup.removal(n=$n h=$h pairs -> CC -> min-id survivor)") {
+        Dedup.removeNearDuplicateVideos(media, "media_id", "media_type",
+          "content", everyN = 2, maxHamming = h).count()
+      }
+    }
+
     if (sections("imagededup")) {
       import graft.operators.{Dedup, ImageFixture, Multimodal}
       val n = sys.env.getOrElse("SPARK_GRAFT_IMAGES", "60000").toInt

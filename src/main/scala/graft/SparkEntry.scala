@@ -1733,6 +1733,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── CCNet perplexity BUCKETS (Wenzek et al. LREC 2020 §4.3): the
+    //    head/middle/tail stratification over the same scored corpus —
+    //    cut thresholds from a DETERMINISTIC md5 sample's exact order
+    //    statistics (the scale-honest CCNet recipe: no corpus-wide
+    //    ntile), assignment a narrow literal-threshold scan. The oracle
+    //    rediscovers the cuts from the same sample predicate + rank
+    //    arithmetic and agrees on every per-doc bucket ────────────────
+    "q_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(QmOracle.fillerSuffix)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.NgramLm.perplexityBuckets(docs, "text", "doc_id",
+          graft.operators.FrozenNgramLm.model, nBuckets = 3,
+          sampleFraction = 0.2)
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .withColumn("bucket", col("bucket").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── North star selection: DSIR importance weights (Xie et al.
     //    NeurIPS 2023) — the GENERATIVE selection score next to the
     //    discriminative model gate above. FrozenDsir pins the fitted
@@ -4285,6 +4305,8 @@ object SparkEntry {
     "q_semantic_dedup" -> AnnOracles.semanticDedup(threshold = 0.9),
     "q_quality_model_score" -> QmOracle.qualityModelScore,
     "q_ngram_lm_score" -> NgramLmOracle.ngramLmScore,
+    "q_ppl_buckets" -> NgramLmOracle.pplBuckets(
+      graft.operators.Sampling.thresholdHex(0.2)),
     // DSIR selection family: SQL generated from the SAME FrozenDsir
     // literals the Spark queries fold (DsirOracle — no-drift pattern)
     "q_dsir_logweight" -> DsirOracle.dsirLogWeight,

@@ -292,6 +292,26 @@ object StreamingOps {
       pq: graft.operators.Similarity.PqIndex,
       corpusSpill: Int = 2)
 
+  /** Optional perceptual MEDIA dedup for [[dedupStreamIntoCorpus]] —
+    * the streaming form of the batch media rung: each micro-batch's
+    * TEXT-dedup survivors additionally probe the persisted
+    * perceptual-hash index (`indexDir/mediahashes` — the (id, sh) frame,
+    * one long per media item) with
+    * [[graft.operators.Dedup.removeNearDuplicateMediaIncremental]];
+    * survivors' hash frames append under the same `batch_id=` replay
+    * discipline, so later batches dedupe against them without ever
+    * re-decoding corpus payloads. The FIRST batch (no index yet)
+    * self-dedupes with the batch detector. `kind` ∈ {image, audio} (the
+    * single-hash families the incremental probe indexes; video's
+    * per-frame multi-hash signature dedups in batch via
+    * `removeNearDuplicateVideos`). NULL / undecodable payloads always
+    * survive the media stage. */
+  final case class MediaDedupConfig(
+      typeCol: String,
+      binaryCol: String,
+      kind: String,
+      maxHamming: Int)
+
   /** Continuous corpus ingestion with near-duplicate suppression — the
     * streaming form of the daily-increment dedup shape: each micro-batch
     * is deduped against the PERSISTED index of everything already
@@ -351,8 +371,11 @@ object StreamingOps {
       decontaminateThreshold: Double = 0.8,
       decontaminateN: Int = 3, decontaminateK: Int = 128,
       qualityGate: Option[Column] = None,
-      annIndex: Option[AnnIndexConfig] = None)
+      annIndex: Option[AnnIndexConfig] = None,
+      mediaDedup: Option[MediaDedupConfig] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    mediaDedup.foreach(mc => require(Set("image", "audio").contains(mc.kind),
+      s"mediaDedup.kind must be 'image' or 'audio', got '${mc.kind}'"))
     import graft.operators.Dedup
     val writer = streamed.writeStream
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
@@ -413,11 +436,40 @@ object StreamingOps {
               textCol, idCol, decontaminateThreshold,
               decontaminateN, decontaminateK)
           }
-          // one materialization: survivors feed the corpus write AND three
+          // optional perceptual MEDIA stage — AFTER text dedup/decon
+          // (cheapest evidence first, the CorpusPipeline slot
+          // discipline): probe the persisted hash index one-sidedly;
+          // first batch (no index) self-dedupes with the batch detector
+          val mediaHashPath = s"$indexDir/mediahashes"
+          val mediaCleaned = mediaDedup.fold(cleaned) { mc =>
+            if (exists(mediaHashPath))
+              Dedup.removeNearDuplicateMediaIncremental(
+                readIndex(mediaHashPath), cleaned, idCol,
+                mc.typeCol, mc.binaryCol, mc.kind, mc.maxHamming)
+            else if (mc.kind == "image")
+              Dedup.removeNearDuplicateImages(cleaned, idCol,
+                mc.typeCol, mc.binaryCol, mc.maxHamming)
+            else
+              Dedup.removeNearDuplicateAudio(cleaned, idCol,
+                mc.typeCol, mc.binaryCol, mc.maxHamming)
+          }
+          // one materialization: survivors feed the corpus write AND the
           // index projections
-          val kept = Dedup.materialize(cleaned)
+          val kept = Dedup.materialize(mediaCleaned)
           kept.write.mode("overwrite")
             .parquet(s"$corpusDir/batch_id=$batchId")
+          // media survivors' hash frame appends so later batches probe
+          // it — same batch_id replay discipline as the text projections
+          mediaDedup.foreach { mc =>
+            val hf = mc.kind match {
+              case "image" =>
+                Dedup.imageHashFrame(kept, idCol, mc.typeCol, mc.binaryCol)
+              case _ =>
+                Dedup.audioHashFrame(kept, idCol, mc.typeCol, mc.binaryCol)
+            }
+            hf.write.mode("overwrite")
+              .parquet(s"$mediaHashPath/batch_id=$batchId")
+          }
           val sh = Dedup.materialize(Dedup.shingleIndex(kept, textCol, idCol, n))
           sh.write.mode("overwrite").parquet(s"$shPath/batch_id=$batchId")
           Dedup.minHashBandIndex(sh, threshold, k)

@@ -157,4 +157,84 @@ class NgramLmSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
+
+  /** Driver reimplementation of the bucket contract: md5 sample →
+    * descending exact order statistics → value-threshold assignment. */
+  private def bucketTruth(scores: Map[Long, Double], nBuckets: Int,
+      fraction: Double): Map[Long, Int] = {
+    def hex(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val th = f"${math.min(math.round(fraction * 4294967296.0), 4294967295L)}%08x"
+    val sample = scores.toSeq.filter { case (id, _) => hex(id) < th }
+      .sortBy { case (id, m) => (-m, id) }
+    val cuts = (1 until nBuckets).flatMap { j =>
+      val rank = (j.toLong * sample.size + (nBuckets - 1)) / nBuckets
+      if (rank >= 1 && rank <= sample.size) Some(sample((rank - 1).toInt)._2)
+      else None
+    }
+    scores.map { case (id, m) => id -> (1 + cuts.count(m < _)) }
+  }
+
+  test("perplexityBuckets: operator ≡ driver truth; head scores highest") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(graft.QmOracle.fillerSuffix)))
+          .otherwise(col("text")).as("text"))
+    val m = FrozenNgramLm.model
+    val got = NgramLm.perplexityBuckets(docs, "text", "doc_id", m,
+        nBuckets = 3, sampleFraction = 0.5)
+      .select($"doc_id", $"mean_log", $"bucket", $"bucket_label")
+      .as[(Long, Double, Int, String)].collect()
+    val scores = NgramLm.score(docs, "text", "doc_id", m)
+      .select($"doc_id", $"mean_log").as[(Long, Double)].collect().toMap
+    val want = bucketTruth(scores, 3, 0.5)
+    got.foreach { case (id, _, b, lbl) =>
+      assert(b == want(id), s"doc $id: got bucket $b want ${want(id)}")
+      assert(lbl == Seq("head", "middle", "tail")(b - 1))
+    }
+    // the stratification is real: all three buckets populated, and
+    // every head doc outscores every tail doc
+    val byBucket = got.groupBy(_._3)
+    assert(byBucket.keySet == Set(1, 2, 3), s"got ${byBucket.keySet}")
+    assert(byBucket(1).map(_._2).min >= byBucket(3).map(_._2).max)
+  }
+
+  test("perplexityBuckets: per-stratum cuts via byCol; empty-sample stratum defaults to head") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(graft.QmOracle.fillerSuffix)))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 2 === 0, "even").otherwise("odd").as("cls"))
+    val m = FrozenNgramLm.model
+    val got = NgramLm.perplexityBuckets(docs, "text", "doc_id", m,
+        nBuckets = 3, sampleFraction = 0.5, byCol = Some("cls"))
+      .select($"doc_id", $"cls", $"mean_log", $"bucket")
+      .as[(Long, String, Double, Int)].collect()
+    assert(got.map(_._2).toSet == Set("even", "odd"), "byCol column survives")
+    val scores = NgramLm.score(docs, "text", "doc_id", m)
+      .select($"doc_id", $"mean_log").as[(Long, Double)].collect().toMap
+    Seq("even" -> 0L, "odd" -> 1L).foreach { case (cls, par) =>
+      val stratum = scores.filter { case (id, _) => id % 2 == par }
+      val want = bucketTruth(stratum, 3, 0.5)
+      got.filter(_._2 == cls).foreach { case (id, _, _, b) =>
+        assert(b == want(id), s"$cls doc $id: got $b want ${want(id)}")
+      }
+    }
+    // a stratum with NO sampled docs cannot split: everything bucket 1
+    val lone = Seq((999999999L, "some text here", "rare"))
+      .toDF("doc_id", "text", "cls")
+      .where(substring(md5($"doc_id".cast("string")), 1, 8) >=
+        lit(Sampling.thresholdHex(0.0000001)))
+    if (lone.count() == 1) {
+      val b = NgramLm.perplexityBuckets(lone, "text", "doc_id", m,
+          nBuckets = 3, sampleFraction = 0.0000001, byCol = Some("cls"))
+        .select($"bucket").as[Int].head()
+      assert(b == 1, "empty-sample stratum must default to bucket 1")
+    }
+  }
 }

@@ -653,4 +653,52 @@ class StreamingOpsSpec extends AnyFunSuite {
         s"only the reference-shaped doc may clear the LM gate, got $kept")
     } finally q.stop()
   }
+
+  test("dedupStreamIntoCorpus: perceptual media dedup probes + grows the persisted hash index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.AudioFixture
+    implicit val sqlCtx = spark.sqlContext
+    // continuous multimodal ingestion: docs carry an audio payload; the
+    // media stage self-dedups batch 1 (no index yet), appends survivors'
+    // hash frames, and later batches probe the index — a re-encoded copy
+    // of an INGESTED clip must drop even when its text is fresh
+    val source = MemoryStream[(Long, String, String, Array[Byte])]
+    val docs = source.toDF().toDF("doc_id", "text", "media_type", "content")
+    val corpus = Files.createTempDirectory("media_corpus").toString
+    val index = Files.createTempDirectory("media_index").toString
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t2 = "completely different prose about distributed query engines and shuffle plans"
+    val t3 = "a third unrelated passage describing mountain weather patterns in spring"
+    val t4 = "yet another standalone text on deep sea creatures and their glowing lures"
+    val t5 = "final distinct words concerning ancient pottery excavated from dry valleys"
+    val q = StreamingOps.dedupStreamIntoCorpus(
+      docs, corpus, index, "text", "doc_id", threshold = 0.5,
+      mediaDedup = Some(StreamingOps.MediaDedupConfig(
+        "media_type", "content", kind = "audio", maxHamming = 4)))
+    try {
+      // batch 1: clip 0 + its exact-scaled twin (self-dedup -> min id)
+      // + a payload-less doc (must pass the media stage)
+      source.addData(
+        (1L, t1, "audio/wav", AudioFixture.wavBytes(0L)),
+        (2L, t2, "audio/wav", AudioFixture.wavBytesScaled(0L, 4, 5)),
+        (3L, t3, null, null))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L, 3L), s"in-batch media twin must collapse, got $after1")
+      // batch 2: fresh text + a re-encoded copy of the INGESTED clip
+      // (tainted via the index probe) and a genuinely fresh clip (kept)
+      source.addData(
+        (10L, t4, "audio/wav", AudioFixture.wavBytesScaled(0L, 3, 5)),
+        (11L, t5, "audio/wav", AudioFixture.wavBytes(30L)))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(1L, 3L, 11L),
+        s"indexed media twin must drop, fresh clip must land, got $after2")
+    } finally q.stop()
+    // the hash index holds exactly the decodable survivors' fingerprints
+    val indexed = spark.read.parquet(s"$index/mediahashes")
+      .select("id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 11L), s"got $indexed")
+  }
 }
