@@ -959,8 +959,8 @@ object Dedup {
     * pairs where at least `ceil(minMatchFrac · min(nFrames))` aligned
     * frames agree within `maxHamming` bits. Frame-ordinal alignment is
     * robust to re-encoding and per-frame edits, not to trimming —
-    * dropping `fpos` from the band key gives the trim-robust frame-SET
-    * variant at more candidate volume. Returns
+    * `alignFrames = false` selects the trim-robust frame-SET variant
+    * (band key without the ordinal) at more candidate volume. Returns
     * (id_a, id_b, n_matched, nf_a, nf_b); non-video / undecodable
     * payloads drop out of the comparison (and always SURVIVE
     * [[removeNearDuplicateVideos]] — absence of evidence).
@@ -971,16 +971,25 @@ object Dedup {
     * complete-recall-within-bound argument as the other Hamming rungs. */
   def videoNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
       binaryCol: String, everyN: Int = 2, maxHamming: Int = 4,
-      minMatchFrac: Double = 0.6): DataFrame = {
+      minMatchFrac: Double = 0.6, alignFrames: Boolean = true): DataFrame = {
     require(minMatchFrac > 0 && minMatchFrac <= 1,
       s"minMatchFrac must be in (0, 1], got $minMatchFrac")
     val hashes = materialize(
       videoFrameHashFrame(df, idCol, typeCol, binaryCol, everyN))
     val counts = hashes.groupBy(col("id")).agg(count(lit(1)).as("nf"))
     val chunked = hammingChunks(hashes, maxHamming)
-    val framePairs = chunked.as("a").join(chunked.as("b"),
-        col("a.fpos") === col("b.fpos") && col("a.chunk") === col("b.chunk") &&
-          col("a.chunk_key") === col("b.chunk_key") && col("a.id") < col("b.id"))
+    // aligned mode joins frame ordinal i to frame ordinal i — robust to
+    // re-encoding/per-frame edits, candidate volume bounded per ordinal.
+    // SET mode (alignFrames = false) drops the ordinal from the band key
+    // — robust to TRIMMING and temporal shifts (a's frame may match ANY
+    // of b's frames; matched = how many of a's ordinals found a partner)
+    // at (sampled frames per clip)× the candidate volume; pair it with a
+    // coarser everyN at corpus scale.
+    val joinKey =
+      (if (alignFrames) col("a.fpos") === col("b.fpos") else lit(true)) &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_key") === col("b.chunk_key") && col("a.id") < col("b.id")
+    val framePairs = chunked.as("a").join(chunked.as("b"), joinKey)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.fpos").as("fpos"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))

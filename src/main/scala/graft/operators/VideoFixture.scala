@@ -37,8 +37,17 @@ object VideoFixture {
     val k = (id / 3).toInt
     def mix(seed: Int): Int = {
       var t = k * 73856093 ^ f * 83492791 ^ x * 19349663 ^ y * 479001599 ^ seed
+      // TWO finalizer rounds (the murmur3 fmix shape): one round leaves
+      // the low 8 output bits independent of the top input bits, so at
+      // fleet scale (tens of thousands of synthesized clips) k-pairs
+      // whose products differ only in high bits collide into IDENTICAL
+      // frames — ~3.5% phantom "near-dups" at 30k clips. Two rounds
+      // avalanche fully: the 30k-clip scale run finds exactly the
+      // planted twins.
       t *= 0x9e3779b1
       t ^= t >>> 16
+      t *= 0x85ebca6b
+      t ^= t >>> 13
       (t & 0x7fffffff) % 256
     }
     (id % 3) match {
@@ -69,12 +78,21 @@ object VideoFixture {
     * 4-byte-aligned stride) — hand-rolled and canonical, the WAV
     * fixture's discipline. Raw pixels are lossless, so the decode is
     * bit-identical on every JVM. */
-  def aviBytes(id: Long): Array[Byte] = {
+  def aviBytes(id: Long): Array[Byte] = aviBytes(id, 0)
+
+  /** [[aviBytes]] with the first `fromFrame` frames TRIMMED (frames
+    * fromFrame until FramesPerClip) — the temporal-shift fixture for the
+    * frame-SET matching variant: every surviving frame is bit-identical
+    * to the original's, but its ordinal shifts down by `fromFrame`. */
+  def aviBytes(id: Long, fromFrame: Int): Array[Byte] = {
+    require(fromFrame >= 0 && fromFrame < FramesPerClip,
+      s"fromFrame out of [0, $FramesPerClip): $fromFrame")
+    val nFrames = FramesPerClip - fromFrame
     val stride = ((Width * 3 + 3) / 4) * 4
     val frameLen = stride * Height
     val strlLen = 4 + (8 + 56) + (8 + 40)
     val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
-    val moviLen = 4 + FramesPerClip * (8 + frameLen)
+    val moviLen = 4 + nFrames * (8 + frameLen)
     val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
     val out = java.nio.ByteBuffer.allocate(8 + riffLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -85,7 +103,7 @@ object VideoFixture {
     out.putInt(100000) // dwMicroSecPerFrame (10 fps)
       .putInt(frameLen * 10) // dwMaxBytesPerSec
       .putInt(0).putInt(0) // padding granularity, flags
-      .putInt(FramesPerClip) // dwTotalFrames
+      .putInt(nFrames) // dwTotalFrames
       .putInt(0) // dwInitialFrames
       .putInt(1) // dwStreams
       .putInt(frameLen) // dwSuggestedBufferSize
@@ -99,7 +117,7 @@ object VideoFixture {
       .putInt(0) // dwInitialFrames
       .putInt(1).putInt(10) // dwScale / dwRate = 10 fps
       .putInt(0) // dwStart
-      .putInt(FramesPerClip) // dwLength
+      .putInt(nFrames) // dwLength
       .putInt(frameLen) // dwSuggestedBufferSize
       .putInt(-1) // dwQuality
       .putInt(frameLen) // dwSampleSize
@@ -112,7 +130,7 @@ object VideoFixture {
       .putInt(frameLen) // biSizeImage
       .putInt(0).putInt(0).putInt(0).putInt(0) // ppm, colors
     fcc("LIST"); out.putInt(moviLen); fcc("movi")
-    var f = 0
+    var f = fromFrame
     while (f < FramesPerClip) {
       fcc("00db"); out.putInt(frameLen)
       var row = Height - 1 // bottom-up

@@ -552,6 +552,29 @@ class MultimodalSpec extends AnyFunSuite {
       ((0 until 45).map(_.toLong).toSet -- (0 until 15).map(3L * _ + 1)) + 1000L)
   }
 
+  test("videoNearDupPairs alignFrames=false: a TRIMMED clip matches by frame set, not by ordinal") {
+    // id 100 = clip 0 with its first frame trimmed: every surviving
+    // frame is bit-identical to the original's, but every ordinal
+    // shifts by one. Sampled at everyN=1, the aligned detector compares
+    // unrelated frames (pseudo-random grids ~32 bits apart) and finds
+    // nothing; the SET detector finds a partner for 5 of the
+    // original's 6 ordinals.
+    val media = Seq(
+      (0L, "video/avi", VideoFixture.aviBytes(0L)),
+      (100L, "video/avi", VideoFixture.aviBytes(0L, fromFrame = 1)))
+      .toDF("media_id", "media_type", "content")
+    val aligned = Dedup.videoNearDupPairs(media, "media_id", "media_type",
+        "content", everyN = 1, maxHamming = 4, minMatchFrac = 0.6)
+      .collect()
+    assert(aligned.isEmpty, s"ordinal alignment must miss the shift: ${aligned.toSeq}")
+    val set = Dedup.videoNearDupPairs(media, "media_id", "media_type",
+        "content", everyN = 1, maxHamming = 4, minMatchFrac = 0.6,
+        alignFrames = false)
+      .select($"id_a", $"id_b", $"n_matched", $"nf_a", $"nf_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(set == Seq((0L, 100L, 5L, 6L, 5L)), s"got $set")
+  }
+
   test("sampleVideoFrames: one feature row per sampled frame, real dimensions") {
     val media = VideoFixture.frame(spark)
     val rows = Multimodal.sampleVideoFrames(
