@@ -1331,6 +1331,26 @@ object SparkEntry {
         "doc_id", graft.operators.FrozenBpe.model)
         .orderBy(col("doc_id"))),
 
+    // ── BPE DETOKENIZATION round-trip: text → pieces → vocab ids →
+    //    bpe_decode must reproduce the space-joined normalized tokens
+    //    EXACTLY (the '▁' word-boundary marker makes the piece/id
+    //    stream lossless — the trainer-side data-loading inverse). The
+    //    oracle states the theorem directly: decoded ≡ DuckDB's own
+    //    independent normalization of the text ─────────────────────────
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{bpeDecode, bpePieceIds, bpePieces}
+      val m = graft.operators.FrozenBpe.model.merges
+      t(s, dir, "documents").select(col("doc_id"),
+          bpeDecode(bpePieceIds(
+            concat_ws(" ", bpePieces(col("text"), m)), m), m).as("decoded"))
+        .select(col("doc_id"), md5(col("decoded")).as("decoded_fp"),
+          when(length(col("decoded")) === 0, lit(0L))
+            .otherwise(size(split(col("decoded"), " ")).cast("long"))
+            .as("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── North star multimodal: PERCEPTUAL image near-dup pairs — dHash
     //    over the REAL decode + bilinear-resize path (javax.imageio, no
     //    external codec), then the same Hamming-LSH chunk banding as the
@@ -4429,6 +4449,14 @@ object SparkEntry {
         "COALESCE(p.n_pieces, 0) AS n_pieces, md5(COALESCE(p.stream, '')) AS pieces_fp " +
         "FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id ORDER BY doc_id"
     },
+    // Round-trip theorem stated directly: encode → ids → decode must
+    // reproduce DuckDB's own independent normalization of the text —
+    // the engine's whole piece/id pipeline cancels out exactly.
+    "q_bpe_roundtrip" ->
+      ("SELECT doc_id, md5(array_to_string(tok, ' ')) AS decoded_fp, " +
+        "CAST(len(tok) AS BIGINT) AS n_words FROM " +
+        "(SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS tok " +
+        "FROM documents) ORDER BY doc_id"),
     "q_image_near_dups" -> {
       // dHash → chunk-band → Hamming restated from the FROZEN 9×8 luma
       // grids (the oracle cannot decode PNG; live decode ≡ frozen is

@@ -174,6 +174,31 @@ final class BpeEncoder(val merges: Array[String],
     new GenericArrayData(out)
   }
 
+  /** DETOKENIZE a vocab-id stream back to normalized text — the exact
+    * inverse of `encodePieces → idsOf`: each id maps back to its piece
+    * ([[pieceOfId]]), '▁'-marked pieces start a new space-separated
+    * word, unmarked pieces append to the current word. By the marker
+    * convention, `decodeIds(ids(pieces(text)))` equals the SPACE-JOINED
+    * normTokens of `text` exactly (normalization itself is lossy by
+    * design; the piece/id stream is lossless from there) — the
+    * round-trip a trainer's data-loading path relies on, and what the
+    * q_bpe_roundtrip oracle pins against DuckDB's independent
+    * normalization. */
+  def decodeIds(ids: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      val p = pieceOfId(ids.getInt(i))
+      if (p.startsWith("▁")) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(p, 1, p.length)
+      } else sb.append(p)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Pieces of a whole text: normTokens words, each BPE-encoded, flat in
     * token order. The FIRST piece of every word carries the
     * SentencePiece-style word-boundary marker '▁' (public convention),
@@ -254,5 +279,30 @@ case class BpePieceIdsExpr(child: Expression, merges: Array[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpePieceIdsExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_decode(array<int>) -> string` under a literal merge table —
+  * detokenize a vocab-id stream back to normalized text (see
+  * [[BpeEncoder.decodeIds]]; the inverse of `bpe_piece_ids ∘
+  * bpe_pieces`). Codegen'd like [[BpeEncodeExpr]]. */
+case class BpeDecodeExpr(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode"
+
+  @transient private lazy val encoder = new BpeEncoder(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    encoder.decodeIds(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", encoder,
+      classOf[BpeEncoder].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.decodeIds($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeExpr =
     copy(child = newChild)
 }

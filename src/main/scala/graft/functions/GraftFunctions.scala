@@ -50,6 +50,11 @@ object GraftFunctions {
           .toArray[org.apache.spark.unsafe.types.UTF8String](
             org.apache.spark.sql.types.StringType).map(_.toString)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_decode", exprs => BpeDecodeExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_lm_score", exprs => {
         import org.apache.spark.sql.catalyst.util.ArrayData
         import org.apache.spark.sql.types.StringType
@@ -126,6 +131,13 @@ object GraftFunctions {
     * id space — [[BpeEncoder.idOfPiece]]). */
   def bpePieceIds(c: Column, merges: Array[String]): Column =
     call_function("bpe_piece_ids", c, lit(merges))
+
+  /** `bpe_decode(array<int>, merges) -> string`: detokenize a vocab-id
+    * stream back to the space-joined normalized text — the inverse of
+    * `bpe_piece_ids ∘ bpe_pieces` ([[BpeEncoder.decodeIds]]; the
+    * trainer-side round-trip). */
+  def bpeDecode(c: Column, merges: Array[String]): Column =
+    call_function("bpe_decode", c, lit(merges))
 
   /** `sig_agreement(array<int>, array<int>) -> double` as a Column —
     * positionwise MinHash-component agreement (unbiased Jaccard

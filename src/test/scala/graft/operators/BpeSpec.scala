@@ -195,4 +195,34 @@ class BpeSpec extends AnyFunSuite {
     Bpe.Model(Bpe.train(corpus, "text", numMerges = 10).merges)
     Bpe.Model(FrozenBpe.model.merges)
   }
+
+  test("bpe_decode: ids round-trip to the normalized text, kernel and Column form") {
+    import graft.functions.{BpeEncoder, GraftFunctions}
+    val enc = new BpeEncoder(FrozenBpe.model.merges)
+    // kernel level: decode(ids(pieces(text))) == space-joined normTokens
+    Seq("The Quick, Brown FOX!! jumps 42 times...",
+        "unicode words stay words", "", "1234 ab12cd") .foreach { text =>
+      val pieces = enc.encodePieces(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val ids = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        (0 until pieces.numElements()).map(i =>
+          enc.idOfPiece(pieces.getUTF8String(i).toString): Any).toArray)
+      val decoded = enc.decodeIds(ids).toString
+      val want = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      assert(decoded == want, s"'$text' -> '$decoded' want '$want'")
+    }
+    // pieceOfId is the exact inverse over the whole emittable id space
+    // the frozen corpus exercises
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    GraftFunctions.register(spark)
+    import GraftFunctions.{bpeDecode, bpePieceIds, bpePieces}
+    val m = FrozenBpe.model.merges
+    val bad = docs.select(col("doc_id"),
+        bpeDecode(bpePieceIds(
+          concat_ws(" ", bpePieces(col("text"), m)), m), m).as("decoded"),
+        concat_ws(" ",
+          graft.functions.GraftFunctions.normTokens(col("text"))).as("want"))
+      .where(col("decoded") =!= col("want"))
+    assert(bad.isEmpty, s"round-trip must hold corpus-wide: ${bad.limit(3).collect().toSeq}")
+  }
 }
