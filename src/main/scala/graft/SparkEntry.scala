@@ -39,6 +39,10 @@ object SparkEntry {
   private val mediaIdxDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** And for the per-frame VIDEO hash index (q_video_dedup_incremental). */
+  private val videoIdxDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Build-and-memoize the IVF×PQ index artifact for a scale dir — ONE
     * builder shared by every registration that probes it
     * (q_ann_ivfpq_indexed, q_hard_negatives_ivfpq_indexed), so the
@@ -1470,6 +1474,39 @@ object SparkEntry {
           sum(col("media_id")).cast("long").as("id_checksum")))
     }),
 
+    // ── The VIDEO form of the incremental probe: the persisted index is
+    //    the per-frame (id, fpos, sh) frame, the probe joins per ALIGNED
+    //    frame and gates on matched-frame count — the batch detector's
+    //    contract against a parquet artifact. Incoming: even ordinals =
+    //    byte-identical re-containers of corpus bases (tainted), odd =
+    //    fresh clips (survive). Oracle restates from the analytic grids ─
+    "q_video_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val idx = videoIdxDirs.computeIfAbsent(dir, { _ =>
+        val path = java.nio.file.Files.createTempDirectory("graft_videoidx").toString
+        graft.etl.Warehouse.stageParquet(
+          graft.operators.Dedup.videoFrameHashFrame(
+            graft.operators.VideoFixture.frame(s),
+            "media_id", "media_type", "content"),
+          s"$path/hashes")
+        path
+      })
+      val exHashes = s.read.parquet(s"$idx/hashes")
+      val incoming = s.range(20).as[Long].mapPartitions(_.map { j =>
+        val id = 1000L + j
+        val bytes =
+          if (j % 2 == 0) graft.operators.VideoFixture.aviBytes(3L * (j / 2))
+          else graft.operators.VideoFixture.aviBytes(5000L + j)
+        (id, "video/avi", bytes)
+      }).toDF("media_id", "media_type", "content")
+      val kept = graft.operators.Dedup.removeNearDuplicateMediaIncremental(
+        exHashes, incoming, "media_id", "media_type", "content",
+        kind = "video", maxHamming = 4)
+      incoming.agg(count(lit(1)).as("n_incoming")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("media_id")).cast("long").as("id_checksum")))
+    }),
+
     // ── North star multimodal: binary payload → batched stub feature
     //    extraction; n_bytes is the oracle-checkable invariant ─────────
     "q_multimodal_features" -> ((s, dir) => {
@@ -2660,13 +2697,19 @@ object SparkEntry {
     * banding because chunk recall is complete within the bound, so
     * band→verify and brute-force→filter select the same pair set —
     * and the matched-frame count per pair. */
-  private def videoMatchCtes(p: String): String = {
-    val rows = (for {
-      id <- 0 until graft.operators.VideoFixture.NumClips
-      f <- Seq(0, 2, 4) // 6 frames sampled every 2nd
-    } yield s"($id, $f, " +
-      s"${graft.operators.VideoFixture.frameGrid(id.toLong, f).mkString("[", ",", "]")})")
-      .mkString(", ")
+  /** The fixture's (media_id, sampled frame, analytic grid) VALUES rows
+    * — corpus clips under their own ids; reused with remapped ids by the
+    * incremental oracle. */
+  private def videoFixtureRows: Seq[String] = for {
+    id <- 0 until graft.operators.VideoFixture.NumClips
+    f <- Seq(0, 2, 4) // 6 frames sampled every 2nd
+  } yield s"($id, $f, " +
+    s"${graft.operators.VideoFixture.frameGrid(id.toLong, f).mkString("[", ",", "]")})"
+
+  private def videoMatchCtes(p: String): String =
+    videoMatchCtesFromRows(p, videoFixtureRows.mkString(", "))
+
+  private def videoMatchCtesFromRows(p: String, rows: String): String = {
     s"${p}vgr(media_id, f, g) AS (VALUES $rows), " +
       s"${p}vbb AS (SELECT rr.r AS r, cc.c AS c FROM " +
       "(SELECT unnest(range(0, 8)) AS r) rr, (SELECT unnest(range(0, 8)) AS c) cc), " +
@@ -4599,6 +4642,32 @@ object SparkEntry {
         "losers AS (SELECT id FROM lab WHERE id >= 1000 AND " +
         "(label IN (SELECT label FROM tainted) OR id <> label)), " +
         "inc AS (SELECT unnest(range(1000, 1030)) AS id), " +
+        "kept AS (SELECT id FROM inc WHERE id NOT IN (SELECT id FROM losers)) " +
+        "SELECT (SELECT count(*) FROM inc) AS n_incoming, count(*) AS n_kept, " +
+        "CAST(sum(id) AS BIGINT) AS id_checksum FROM kept"
+    },
+    "q_video_dedup_incremental" -> {
+      // existing = the 45 fixture clips' analytic frame grids; incoming
+      // = 20 fresh ids: even ordinals are byte-identical re-containers
+      // of corpus bases (every aligned frame hamming 0 -> matched gate
+      // trivially met -> tainted), odd ordinals are unrelated analytic
+      // clips. One-sided matched pairs, recursive-CTE CC, the
+      // text-incremental taint semantics.
+      val inRows = (0 until 20).flatMap { j =>
+        val src = if (j % 2 == 0) 3L * (j / 2) else 5000L + j
+        Seq(0, 2, 4).map(f => s"(${1000 + j}, $f, " +
+          s"${graft.operators.VideoFixture.frameGrid(src, f).mkString("[", ",", "]")})")
+      }
+      "WITH RECURSIVE " +
+        videoMatchCtesFromRows("", (videoFixtureRows ++ inRows).mkString(", ")) + ", " +
+        "p2 AS (SELECT id_a, id_b FROM vm WHERE n_matched >= 2 AND id_b >= 1000), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p2 UNION ALL SELECT id_b, id_a FROM p2), " +
+        "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+        "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+        "tainted AS (SELECT DISTINCT label FROM lab WHERE id < 1000), " +
+        "losers AS (SELECT id FROM lab WHERE id >= 1000 AND " +
+        "(label IN (SELECT label FROM tainted) OR id <> label)), " +
+        "inc AS (SELECT unnest(range(1000, 1020)) AS id), " +
         "kept AS (SELECT id FROM inc WHERE id NOT IN (SELECT id FROM losers)) " +
         "SELECT (SELECT count(*) FROM inc) AS n_incoming, count(*) AS n_kept, " +
         "CAST(sum(id) AS BIGINT) AS id_checksum FROM kept"

@@ -790,8 +790,10 @@ object Dedup {
   /** The persistable AUDIO perceptual-hash frame (id, sh): one 64-bit
     * envelope-delta fingerprint per decodable clip — what a
     * build-once/probe-per-batch media index stores
-    * ([[removeNearDuplicateMediaIncremental]]). Decode behind an
-    * explicit repartition, exactly the pair-detector's shape. */
+    * ([[removeNearDuplicateMediaIncremental]]; kind "video" indexes the
+    * per-frame (id, fpos, sh) frame from [[videoFrameHashFrame]]
+    * instead). Decode behind an explicit repartition, exactly the
+    * pair-detector's shape. */
   def audioHashFrame(df: DataFrame, idCol: String, typeCol: String,
       binaryCol: String): DataFrame =
     mediaHashFrame(df, idCol, typeCol, binaryCol, "audioNearDupPairs") { m =>
@@ -859,15 +861,21 @@ object Dedup {
   def removeNearDuplicateMediaIncremental(existingHashes: DataFrame,
       incoming: DataFrame, idCol: String, typeCol: String, binaryCol: String,
       kind: String, maxHamming: Int, checkDisjointIds: Boolean = true,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, everyN: Int = 2,
+      minMatchFrac: Double = 0.6): DataFrame = {
     val inH = materialize(kind match {
       case "image" => imageHashFrame(incoming, idCol, typeCol, binaryCol)
       case "audio" => audioHashFrame(incoming, idCol, typeCol, binaryCol)
+      case "video" => videoFrameHashFrame(incoming, idCol, typeCol, binaryCol, everyN)
       case other => throw new IllegalArgumentException(
-        s"removeNearDuplicateMediaIncremental: kind must be 'image' or " +
-          s"'audio', got '$other'")
+        s"removeNearDuplicateMediaIncremental: kind must be 'image', " +
+          s"'audio' or 'video', got '$other'")
     })
-    val exH = existingHashes.select(col("id"), col("sh"))
+    // video indexes the per-frame frame (id, fpos, sh); image/audio one
+    // (id, sh) long per item
+    val exH =
+      if (kind == "video") existingHashes.select(col("id"), col("fpos"), col("sh"))
+      else existingHashes.select(col("id"), col("sh"))
     if (checkDisjointIds) {
       val overlap = inH.select(col("id")).join(exH.select(col("id")), Seq("id"), "left_semi")
       require(overlap.isEmpty,
@@ -879,17 +887,43 @@ object Dedup {
     // existing↔existing pairs are unrepresentable in this join's output
     val inChunks = hammingChunks(inH, maxHamming)
     val allChunks = inChunks.unionByName(hammingChunks(exH, maxHamming))
-    val pairs = inChunks.as("a")
-      .join(allChunks.as("b"),
-        col("a.chunk") === col("b.chunk") &&
-          col("a.chunk_key") === col("b.chunk_key") &&
-          col("a.id") =!= col("b.id"))
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"))
+    val pairs =
+      if (kind == "video") {
+        // per-ALIGNED-FRAME probe + the matched-frame gate, exactly the
+        // batch detector's contract ([[videoNearDupPairs]])
+        val framePairs = inChunks.as("a")
+          .join(allChunks.as("b"),
+            col("a.fpos") === col("b.fpos") &&
+              col("a.chunk") === col("b.chunk") &&
+              col("a.chunk_key") === col("b.chunk_key") &&
+              col("a.id") =!= col("b.id"))
+          .select(least(col("a.id"), col("b.id")).as("id_a"),
+            greatest(col("a.id"), col("b.id")).as("id_b"),
+            col("a.fpos").as("fpos"),
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+          .where(col("hamming") <= maxHamming)
+          .dropDuplicates("id_a", "id_b", "fpos")
+        val counts = inH.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+          .unionByName(exH.groupBy(col("id")).agg(count(lit(1)).as("nf")))
+        framePairs.groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_matched"))
+          .join(counts.select(col("id").as("id_a"), col("nf").as("nf_a")), Seq("id_a"))
+          .join(counts.select(col("id").as("id_b"), col("nf").as("nf_b")), Seq("id_b"))
+          .where(col("n_matched") >=
+            ceil(lit(minMatchFrac) * least(col("nf_a"), col("nf_b"))))
+          .select(col("id_a"), col("id_b"))
+      } else
+        inChunks.as("a")
+          .join(allChunks.as("b"),
+            col("a.chunk") === col("b.chunk") &&
+              col("a.chunk_key") === col("b.chunk_key") &&
+              col("a.id") =!= col("b.id"))
+          .select(least(col("a.id"), col("b.id")).as("id_a"),
+            greatest(col("a.id"), col("b.id")).as("id_b"),
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+          .where(col("hamming") <= maxHamming)
+          .dropDuplicates("id_a", "id_b")
+          .select(col("id_a"), col("id_b"))
     val labels = resolveClusters(pairs, maxIter)
     val incomingLabeled = labels.join(inH.select(col("id")), Seq("id"), "left_semi")
     val taintedLabels = labels.join(exH.select(col("id")), Seq("id"), "left_semi")

@@ -301,16 +301,19 @@ object StreamingOps {
     * survivors' hash frames append under the same `batch_id=` replay
     * discipline, so later batches dedupe against them without ever
     * re-decoding corpus payloads. The FIRST batch (no index yet)
-    * self-dedupes with the batch detector. `kind` ∈ {image, audio} (the
-    * single-hash families the incremental probe indexes; video's
-    * per-frame multi-hash signature dedups in batch via
-    * `removeNearDuplicateVideos`). NULL / undecodable payloads always
-    * survive the media stage. */
+    * self-dedupes with the batch detector. `kind` ∈ {image, audio,
+    * video} — image/audio index one (id, sh) long per item; video
+    * indexes the per-frame (id, fpos, sh) frame and probes with the
+    * aligned-frame matched gate (`everyN` / `minMatchFrac` apply to the
+    * video kind only). NULL / undecodable payloads always survive the
+    * media stage. */
   final case class MediaDedupConfig(
       typeCol: String,
       binaryCol: String,
       kind: String,
-      maxHamming: Int)
+      maxHamming: Int,
+      everyN: Int = 2,
+      minMatchFrac: Double = 0.6)
 
   /** Continuous corpus ingestion with near-duplicate suppression — the
     * streaming form of the daily-increment dedup shape: each micro-batch
@@ -374,8 +377,8 @@ object StreamingOps {
       annIndex: Option[AnnIndexConfig] = None,
       mediaDedup: Option[MediaDedupConfig] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    mediaDedup.foreach(mc => require(Set("image", "audio").contains(mc.kind),
-      s"mediaDedup.kind must be 'image' or 'audio', got '${mc.kind}'"))
+    mediaDedup.foreach(mc => require(Set("image", "audio", "video").contains(mc.kind),
+      s"mediaDedup.kind must be 'image', 'audio' or 'video', got '${mc.kind}'"))
     import graft.operators.Dedup
     val writer = streamed.writeStream
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
@@ -445,10 +448,15 @@ object StreamingOps {
             if (exists(mediaHashPath))
               Dedup.removeNearDuplicateMediaIncremental(
                 readIndex(mediaHashPath), cleaned, idCol,
-                mc.typeCol, mc.binaryCol, mc.kind, mc.maxHamming)
+                mc.typeCol, mc.binaryCol, mc.kind, mc.maxHamming,
+                everyN = mc.everyN, minMatchFrac = mc.minMatchFrac)
             else if (mc.kind == "image")
               Dedup.removeNearDuplicateImages(cleaned, idCol,
                 mc.typeCol, mc.binaryCol, mc.maxHamming)
+            else if (mc.kind == "video")
+              Dedup.removeNearDuplicateVideos(cleaned, idCol,
+                mc.typeCol, mc.binaryCol, mc.everyN, mc.maxHamming,
+                mc.minMatchFrac)
             else
               Dedup.removeNearDuplicateAudio(cleaned, idCol,
                 mc.typeCol, mc.binaryCol, mc.maxHamming)
@@ -464,6 +472,9 @@ object StreamingOps {
             val hf = mc.kind match {
               case "image" =>
                 Dedup.imageHashFrame(kept, idCol, mc.typeCol, mc.binaryCol)
+              case "video" =>
+                Dedup.videoFrameHashFrame(kept, idCol, mc.typeCol,
+                  mc.binaryCol, mc.everyN)
               case _ =>
                 Dedup.audioHashFrame(kept, idCol, mc.typeCol, mc.binaryCol)
             }

@@ -487,6 +487,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("disjoint"))
   }
 
+  test("removeNearDuplicateMediaIncremental kind=video: per-frame index probe, taint + min-id") {
+    // existing corpus = the 45 fixture clips, indexed as the per-frame
+    // (id, fpos, sh) frame and round-tripped through parquet
+    val existing = VideoFixture.frame(spark)
+    val idxDir = java.nio.file.Files.createTempDirectory("video_idx").toString
+    Dedup.videoFrameHashFrame(existing, "media_id", "media_type", "content")
+      .write.mode("overwrite").parquet(idxDir)
+    val exHashes = spark.read.parquet(idxDir)
+    // incoming: even ordinals = byte-identical re-containers of corpus
+    // bases (all frames hamming 0 -> tainted); odd = fresh clips
+    // (survive); plus a pure-incoming twin pair (min id survives) and
+    // one undecodable payload
+    val incoming = (0 until 10).map { j =>
+      val id = 1000L + j
+      val bytes =
+        if (j % 2 == 0) VideoFixture.aviBytes(3L * (j / 2))
+        else VideoFixture.aviBytes(5000L + j)
+      (id, "video/avi", bytes)
+    } ++ Seq(
+      (2000L, "video/avi", VideoFixture.aviBytes(7777L)),
+      (2001L, "video/avi", VideoFixture.aviBytes(7777L)),
+      (3000L, "video/avi", Array.tabulate(16)(_.toByte)))
+    val inDf = incoming.toDF("media_id", "media_type", "content")
+    val kept = Dedup.removeNearDuplicateMediaIncremental(
+        exHashes, inDf, "media_id", "media_type", "content",
+        kind = "video", maxHamming = 4)
+      .select("media_id").as[Long].collect().toSet
+    val expected = (0 until 10).filter(_ % 2 == 1).map(1000L + _).toSet +
+      2000L + 3000L
+    assert(kept == expected, s"got $kept")
+    // disjoint-id contract holds for the video kind too
+    val boom = intercept[IllegalArgumentException] {
+      Dedup.removeNearDuplicateMediaIncremental(
+        exHashes, existing, "media_id", "media_type", "content",
+        kind = "video", maxHamming = 4).count()
+    }
+    assert(boom.getMessage.contains("disjoint"))
+  }
+
   test("videoFrameGrids: live AVI container decode equals the analytic pixel matrix") {
     (0L until VideoFixture.NumClips.toLong).foreach { id =>
       val m = MediaRecord(id, "video/avi", VideoFixture.aviBytes(id))
