@@ -992,6 +992,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── North star dedup: INTRA-document line collapse — repeated lines
+    //    within ONE page keep only their first occurrence (the within-
+    //    page sibling of q_line_dedup; a nav menu pasted twice into one
+    //    page never trips the cross-doc distinct-document count). One
+    //    narrow codegen'd projection, no shuffle. Augmentation plants a
+    //    thrice-repeated line + blank-line runs (blanks always survive)
+    //    + a per-doc unique line ───────────────────────────────────────
+    "q_doc_line_collapse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit("\nrepeated nav menu line\nrepeated nav menu line\n\n\ndoc "),
+          col("doc_id").cast("string"),
+          lit(" unique line\nrepeated nav menu line")).as("text"))
+      graft.operators.LineDedup.collapseRepeatedLines(aug, "text")
+        .select(col("doc_id"), md5(col("text")).as("text_fp"),
+          size(split(col("text"), "\n")).cast("long").as("n_lines_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── North star dedup: span-level (substring) removal — every 8-token
     //    window occurring ≥ 2 times corpus-wide is scrubbed from ALL its
     //    occurrences (Lee et al. ACL 2022 semantics, windowed-hash form).
@@ -4058,6 +4078,22 @@ object SparkEntry {
         "SELECT a.doc_id AS doc_id, md5(COALESCE(reb.t2, '')) AS text_fp, " +
         "CAST(COALESCE(reb.nk, 0) AS BIGINT) AS n_lines_kept " +
         "FROM aug a LEFT JOIN reb ON a.doc_id = reb.doc_id ORDER BY doc_id"),
+    // Intra-doc line collapse: first occurrence per (doc, line) wins,
+    // blank lines always survive, order preserved — the window-min
+    // restatement of the engine's array_position-equals-index filter.
+    "q_doc_line_collapse" ->
+      ("WITH aug AS (SELECT doc_id, text || chr(10) || 'repeated nav menu line' || " +
+        "chr(10) || 'repeated nav menu line' || chr(10) || chr(10) || chr(10) || " +
+        "'doc ' || CAST(doc_id AS VARCHAR) || ' unique line' || chr(10) || 'repeated nav menu line' AS t FROM documents), " +
+        "ls AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, " +
+        "generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM aug), " +
+        "kept AS (SELECT doc_id, line, pos FROM (SELECT doc_id, line, pos, " +
+        "min(pos) OVER (PARTITION BY doc_id, line) AS fp FROM ls) " +
+        "WHERE trim(line) = '' OR pos = fp), " +
+        "reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2, " +
+        "count(*) AS nk FROM kept GROUP BY doc_id) " +
+        "SELECT doc_id, md5(t2) AS text_fp, CAST(nk AS BIGINT) AS n_lines_kept " +
+        "FROM reb ORDER BY doc_id"),
     // Span-dedup ground truth over the same augmented corpus: every
     // 8-token window of the normalized stream is a span (exact strings
     // here vs 64-bit hashes in Spark — the collision argument), total

@@ -72,4 +72,28 @@ object LineDedup {
       .join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
+
+  /** Collapse REPEATED lines WITHIN each document, keeping the first
+    * occurrence — the INTRA-page sibling of [[removeDuplicatedLines]]
+    * (the C4-family "dedupe lines within a page" cleanup): a nav menu
+    * pasted twice into ONE page never reaches the cross-doc pass's
+    * distinct-document count, so it needs its own rung. Blank
+    * (whitespace-only) lines are document structure and always survive;
+    * line order is preserved.
+    *
+    * Scale shape: ONE narrow codegen'd projection (split →
+    * first-occurrence filter → rejoin) — no shuffle, no join, a free
+    * rider on any scan at 100 TB. Per-document cost is O(lines²) string
+    * compares worst-case (`array_position` scans from the head), all
+    * in-memory per row — real pages have hundreds of lines, and a
+    * pathological document costs only its own task time, never
+    * distributed state. */
+  def collapseRepeatedLines(df: DataFrame, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = filter(lines, (l, i) =>
+      trim(l) === "" ||
+        array_position(lines, l) === (i + lit(1)).cast("long"))
+    df.withColumn(textCol, concat_ws(sep, kept))
+  }
 }

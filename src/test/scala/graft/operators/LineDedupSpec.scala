@@ -88,4 +88,25 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out.columns.toSet == docs.columns.toSet, "non-text columns preserved")
     assert(out.count() == docs.count())
   }
+
+  test("collapseRepeatedLines: first occurrence wins WITHIN a doc, blanks survive, no shuffle") {
+    val df = Seq(
+      (1L, "a\nb\na\n\n\nb\nc\na"),
+      (2L, "x\nx\nx"),
+      (3L, ""),
+      (4L, "  \n  \nunique")).toDF("doc_id", "text")
+    val got = LineDedup.collapseRepeatedLines(df, "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got(1L) == "a\nb\n\n\nc") // repeats drop, both blanks stay, order kept
+    assert(got(2L) == "x")
+    assert(got(3L) == "")
+    assert(got(4L) == "  \n  \nunique") // whitespace-only lines are structure
+    // a within-doc repeat is INVISIBLE to the cross-doc pass (distinct-doc
+    // counting) — this operator is the one that catches it
+    assert(run((10L, "m\nm"))(10L) == "m\nm")
+    // narrow: no Exchange in the plan
+    val plan = LineDedup.collapseRepeatedLines(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+  }
 }
