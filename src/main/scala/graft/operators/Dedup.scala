@@ -738,7 +738,8 @@ object Dedup {
   }
 
   /** PERCEPTUAL near-duplicate image pairs — the multimodal rung of the
-    * dedup family: dHash over the REAL decode + bilinear-resize path
+    * dedup family: dHash over the REAL decode + engine-owned integer
+    * AREA resample
     * ([[Multimodal.lumaGrid9x8]] — javax.imageio, no external codec),
     * then the SAME Hamming-LSH banding as the text simhash family.
     * Returns (id_a, id_b, hamming) for decodable-image pairs within
@@ -765,9 +766,6 @@ object Dedup {
     // skip the cost upstream)
     hammingPairs64(imageHashFrame(df, idCol, typeCol, binaryCol), maxHamming)
 
-  /** End-to-end perceptual image dedup: [[imageNearDupPairs]] → CC →
-    * keep the minimum id per cluster; undecodable payloads always
-    * survive (no hash ⇒ no duplicate evidence). */
   /** PERCEPTUAL near-duplicate AUDIO pairs — the audio rung of the dedup
     * family: 64-bit envelope difference hash over the REAL PCM decode
     * ([[Multimodal.audioEnvelope]] → [[Multimodal.audioHash64]] —
@@ -861,16 +859,20 @@ object Dedup {
   def removeNearDuplicateMediaIncremental(existingHashes: DataFrame,
       incoming: DataFrame, idCol: String, typeCol: String, binaryCol: String,
       kind: String, maxHamming: Int, checkDisjointIds: Boolean = true,
-      maxIter: Int = 20, everyN: Int = 2,
-      minMatchFrac: Double = 0.6): DataFrame = {
-    val inH = materialize(kind match {
+      maxIter: Int = 20, everyN: Int = 2, minMatchFrac: Double = 0.6,
+      incomingHashes: Option[DataFrame] = None): DataFrame = {
+    require(Set("image", "audio", "video").contains(kind),
+      s"removeNearDuplicateMediaIncremental: kind must be 'image', " +
+        s"'audio' or 'video', got '$kind'")
+    // `incomingHashes`: the PRECOMPUTED (and caller-materialized) hash
+    // frame of `incoming` — decode-once composition for callers that
+    // also persist the batch's hash frame (the streaming media rung:
+    // probe + index-append must not decode every payload twice)
+    val inH = incomingHashes.getOrElse(materialize(kind match {
       case "image" => imageHashFrame(incoming, idCol, typeCol, binaryCol)
       case "audio" => audioHashFrame(incoming, idCol, typeCol, binaryCol)
-      case "video" => videoFrameHashFrame(incoming, idCol, typeCol, binaryCol, everyN)
-      case other => throw new IllegalArgumentException(
-        s"removeNearDuplicateMediaIncremental: kind must be 'image', " +
-          s"'audio' or 'video', got '$other'")
-    })
+      case _ => videoFrameHashFrame(incoming, idCol, typeCol, binaryCol, everyN)
+    }))
     // video indexes the per-frame frame (id, fpos, sh); image/audio one
     // (id, sh) long per item
     val exH =
@@ -1051,6 +1053,9 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** End-to-end perceptual image dedup: [[imageNearDupPairs]] → CC →
+    * keep the minimum id per cluster; undecodable payloads always
+    * survive (no hash ⇒ no duplicate evidence). */
   def removeNearDuplicateImages(df: DataFrame, idCol: String, typeCol: String,
       binaryCol: String, maxHamming: Int = 6, maxIter: Int = 20): DataFrame = {
     val losers = resolveClusters(

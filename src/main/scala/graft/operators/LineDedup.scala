@@ -90,10 +90,16 @@ object LineDedup {
     * distributed state. */
   def collapseRepeatedLines(df: DataFrame, textCol: String,
       sep: String = "\n"): DataFrame = {
-    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
-    val kept = filter(lines, (l, i) =>
-      trim(l) === "" ||
-        array_position(lines, l) === (i + lit(1)).cast("long"))
-    df.withColumn(textCol, concat_ws(sep, kept))
+    // the split is HOISTED into its own projection so the lambda's
+    // array_position probes the materialized array — inlined, every
+    // line's check would re-split the whole document (CollapseProject
+    // keeps the hoist: the alias is non-cheap and referenced twice)
+    val arr = col("_cl_lines")
+    df.withColumn("_cl_lines",
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .withColumn(textCol, concat_ws(sep, filter(arr, (l, i) =>
+        trim(l) === "" ||
+          array_position(arr, l) === (i + lit(1)).cast("long"))))
+      .drop("_cl_lines")
   }
 }

@@ -45,6 +45,11 @@ object NgramLm {
   /** Brants et al.'s backoff constant λ = 0.4. */
   val Lambda: Double = 0.4
 
+  /** Surrogate join/window key a NULL stratum maps to in
+    * [[perplexityBuckets]] — control-character-prefixed, so no natural
+    * stratum value can collide with it. */
+  private val NullStratumKey: String = "\u0000<null-stratum>"
+
   /** Left-context sentinel — [[graft.functions.ShingleUtil.normTokens]]
     * emits only [a-z0-9]+ tokens, so `<s>` cannot collide. */
   val Sentinel: String = "<s>"
@@ -225,8 +230,11 @@ object NgramLm {
     *
     * `byCol`: optional stratum — CCNet buckets per LANGUAGE, so mixed
     * corpora pass their lang column here and each language gets its own
-    * cuts. Output: idCol [, byCol], n_tokens, score_scaled, mean_log,
-    * bucket, bucket_label (head/middle/tail when nBuckets = 3, b<j>
+    * cuts. Any column type works (the internal key is a string cast),
+    * and NULL strata form their OWN stratum with their own cuts (a NULL
+    * equi-join key would otherwise silently head-bucket them). Output:
+    * idCol [, byCol], n_tokens, score_scaled, mean_log, bucket,
+    * bucket_label (head/middle/tail when nBuckets = 3, b<j>
     * otherwise). */
   def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
       model: Model, nBuckets: Int = 3, sampleFraction: Double = 0.1,
@@ -237,8 +245,15 @@ object NgramLm {
     val spark = df.sparkSession
     GraftFunctions.register(spark)
     val toks = tokensOf(col(textCol))
+    // the JOIN/WINDOW key is a total string surrogate of the stratum:
+    // cast (byCol may be any type — the collected cut rows read strings)
+    // and NULL-coalesced to a sentinel (equi-joins never match NULL keys,
+    // which would silently head-bucket every NULL-stratum document); the
+    // caller's original column rides along untouched for the output
+    val strCast = byCol.map(c => col(c).cast("string")).getOrElse(lit(""))
     val scored = df.select(
         (Seq(col(idCol), byCol.map(col).getOrElse(lit("")).as("_stratum"),
+          coalesce(strCast, lit(NullStratumKey)).as("_skey"),
           size(toks).as("n_tokens"),
           scoreScaledCol(toks, model).as("score_scaled"))): _*)
       .withColumn("mean_log",
@@ -250,19 +265,19 @@ object NgramLm {
     // any testable count). ONE driver action, ≤ (nBuckets−1) rows per
     // stratum.
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("_stratum"))
+    val w = Window.partitionBy(col("_skey"))
       .orderBy(col("mean_log").desc, col(idCol))
     val ranked = Sampling.deterministicSample(scored, idCol, sampleFraction)
-      .select(col("_stratum"), col("mean_log"),
+      .select(col("_skey"), col("mean_log"),
         row_number().over(w).as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("_stratum"))).as("cnt"))
+        count(lit(1)).over(Window.partitionBy(col("_skey"))).as("cnt"))
     val isCut = (1 until nBuckets)
       .map(j => col("rn") ===
         floor((lit(j.toLong) * col("cnt") + lit((nBuckets - 1).toLong)) /
           lit(nBuckets.toLong)))
       .reduce(_ || _)
     val cutRows = ranked.where(isCut)
-      .select(col("_stratum"), col("rn"), col("cnt"), col("mean_log"))
+      .select(col("_skey"), col("rn"), col("cnt"), col("mean_log"))
       .collect()
       .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
     // per stratum: cut_j = the value at rank ⌈j·cnt/nB⌉ (several j may
@@ -276,10 +291,10 @@ object NgramLm {
         }
       }
     import spark.implicits._
-    val cutsDf = cutsByStratum.toDF("_stratum", "_cuts")
+    val cutsDf = cutsByStratum.toDF("_skey", "_cuts")
     val joined =
       if (cutsByStratum.isEmpty) scored.withColumn("_cuts", lit(null).cast("array<double>"))
-      else scored.join(broadcast(cutsDf), Seq("_stratum"), "left")
+      else scored.join(broadcast(cutsDf), Seq("_skey"), "left")
     val bucket = lit(1) + coalesce(
       size(filter(col("_cuts"), c => col("mean_log") < c)), lit(0))
     val label =

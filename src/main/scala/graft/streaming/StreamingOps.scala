@@ -300,8 +300,10 @@ object StreamingOps {
     * [[graft.operators.Dedup.removeNearDuplicateMediaIncremental]];
     * survivors' hash frames append under the same `batch_id=` replay
     * discipline, so later batches dedupe against them without ever
-    * re-decoding corpus payloads. The FIRST batch (no index yet)
-    * self-dedupes with the batch detector. `kind` ∈ {image, audio,
+    * re-decoding corpus payloads; within a batch every payload decodes
+    * exactly ONCE (the hash frame is shared between the probe and the
+    * index append). The FIRST batch (no index yet) probes an empty
+    * index — which is exactly batch self-dedup. `kind` ∈ {image, audio,
     * video} — image/audio index one (id, sh) long per item; video
     * indexes the per-frame (id, fpos, sh) frame and probes with the
     * aligned-frame matched gate (`everyN` / `minMatchFrac` apply to the
@@ -421,7 +423,13 @@ object StreamingOps {
                   if (exists(headsPath)) Some(readIndex(headsPath)) else None,
                 prefilterMinCandidates = prefilterMinCandidates)
             else
-              Dedup.removeNearDuplicates(batch, textCol, idCol, threshold, n)
+              // FIXED detector, deliberately: a micro-batch is bounded by
+              // the trigger, so the fixed plan is safe, and the auto
+              // selector's circuit breaker would throw INSIDE foreachBatch
+              // and kill the StreamingQuery on a boilerplate-heavy first
+              // batch (plus pay a sample + count per batch for a decision
+              // the trigger bound already made)
+              Dedup.removeNearDuplicatesFixed(batch, textCol, idCol, threshold, n)
           // optional per-batch FUZZY decontamination against a PERSISTED
           // benchmark index ($dir/bands + $dir/shingles, built once per
           // benchmark version with minHashBandIndex(shingles,
@@ -441,44 +449,52 @@ object StreamingOps {
           }
           // optional perceptual MEDIA stage — AFTER text dedup/decon
           // (cheapest evidence first, the CorpusPipeline slot
-          // discipline): probe the persisted hash index one-sidedly;
-          // first batch (no index) self-dedupes with the batch detector
+          // discipline). Payloads decode EXACTLY ONCE per batch: the
+          // hash frame is computed up front, handed to the incremental
+          // probe (decode is its dominant span), and the survivors'
+          // index append is a semi-join of that same frame — never a
+          // re-decode. The first batch probes an EMPTY index, which IS
+          // the self-dedup (pure-incoming clusters keep min id — the
+          // batch detector's exact semantics), so there is one code
+          // path, not two.
           val mediaHashPath = s"$indexDir/mediahashes"
+          val batchMediaHashes = mediaDedup.map { mc =>
+            Dedup.materialize(mc.kind match {
+              case "image" =>
+                Dedup.imageHashFrame(cleaned, idCol, mc.typeCol, mc.binaryCol)
+              case "video" =>
+                Dedup.videoFrameHashFrame(cleaned, idCol, mc.typeCol,
+                  mc.binaryCol, mc.everyN)
+              case _ =>
+                Dedup.audioHashFrame(cleaned, idCol, mc.typeCol, mc.binaryCol)
+            })
+          }
           val mediaCleaned = mediaDedup.fold(cleaned) { mc =>
-            if (exists(mediaHashPath))
-              Dedup.removeNearDuplicateMediaIncremental(
-                readIndex(mediaHashPath), cleaned, idCol,
-                mc.typeCol, mc.binaryCol, mc.kind, mc.maxHamming,
-                everyN = mc.everyN, minMatchFrac = mc.minMatchFrac)
-            else if (mc.kind == "image")
-              Dedup.removeNearDuplicateImages(cleaned, idCol,
-                mc.typeCol, mc.binaryCol, mc.maxHamming)
-            else if (mc.kind == "video")
-              Dedup.removeNearDuplicateVideos(cleaned, idCol,
-                mc.typeCol, mc.binaryCol, mc.everyN, mc.maxHamming,
-                mc.minMatchFrac)
-            else
-              Dedup.removeNearDuplicateAudio(cleaned, idCol,
-                mc.typeCol, mc.binaryCol, mc.maxHamming)
+            val existing =
+              if (exists(mediaHashPath)) readIndex(mediaHashPath)
+              else if (mc.kind == "video")
+                spark.range(0).select(col("id"), lit(0).as("fpos"),
+                  col("id").as("sh"))
+              else spark.range(0).select(col("id"), col("id").as("sh"))
+            Dedup.removeNearDuplicateMediaIncremental(
+              existing, cleaned, idCol,
+              mc.typeCol, mc.binaryCol, mc.kind, mc.maxHamming,
+              everyN = mc.everyN, minMatchFrac = mc.minMatchFrac,
+              incomingHashes = batchMediaHashes)
           }
           // one materialization: survivors feed the corpus write AND the
           // index projections
           val kept = Dedup.materialize(mediaCleaned)
           kept.write.mode("overwrite")
             .parquet(s"$corpusDir/batch_id=$batchId")
-          // media survivors' hash frame appends so later batches probe
-          // it — same batch_id replay discipline as the text projections
-          mediaDedup.foreach { mc =>
-            val hf = mc.kind match {
-              case "image" =>
-                Dedup.imageHashFrame(kept, idCol, mc.typeCol, mc.binaryCol)
-              case "video" =>
-                Dedup.videoFrameHashFrame(kept, idCol, mc.typeCol,
-                  mc.binaryCol, mc.everyN)
-              case _ =>
-                Dedup.audioHashFrame(kept, idCol, mc.typeCol, mc.binaryCol)
-            }
-            hf.write.mode("overwrite")
+          // media survivors' hash rows append so later batches probe
+          // them — same batch_id replay discipline as the text
+          // projections; a semi-join of the batch's ALREADY-COMPUTED
+          // hash frame, not a second decode
+          batchMediaHashes.foreach { hf =>
+            hf.join(kept.select(col(idCol).cast("long").as("id")),
+                Seq("id"), "left_semi")
+              .write.mode("overwrite")
               .parquet(s"$mediaHashPath/batch_id=$batchId")
           }
           val sh = Dedup.materialize(Dedup.shingleIndex(kept, textCol, idCol, n))

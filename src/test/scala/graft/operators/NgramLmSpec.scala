@@ -237,4 +237,35 @@ class NgramLmSpec extends AnyFunSuite {
       assert(b == 1, "empty-sample stratum must default to bucket 1")
     }
   }
+
+  test("perplexityBuckets: NULL strata form their own stratum; non-string byCol works") {
+    val m = FrozenNgramLm.model
+    // NULL-stratum docs must get REAL cuts (their own), not silently
+    // head-bucket through an unmatched NULL equi-join key
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(graft.QmOracle.fillerSuffix)))
+          .otherwise(col("text")).as("text"),
+        lit(null).cast("string").as("cls"))
+    val got = NgramLm.perplexityBuckets(docs, "text", "doc_id", m,
+        nBuckets = 3, sampleFraction = 0.5, byCol = Some("cls"))
+      .select($"doc_id", $"cls", $"bucket").as[(Long, Option[String], Int)]
+      .collect()
+    assert(got.forall(_._2.isEmpty), "byCol passes through as NULL")
+    assert(got.map(_._3).toSet == Set(1, 2, 3),
+      s"NULL stratum must split into all buckets, got ${got.map(_._3).toSet}")
+    // the NULL stratum's buckets equal the global (single-stratum) run's
+    val global = NgramLm.perplexityBuckets(docs, "text", "doc_id", m,
+        nBuckets = 3, sampleFraction = 0.5)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
+    got.foreach { case (id, _, b) => assert(b == global(id)) }
+    // an integer byCol must not ClassCastException on cut collection
+    val intStrata = docs.withColumn("src", (col("doc_id") % 2).cast("int"))
+    val gotInt = NgramLm.perplexityBuckets(intStrata, "text", "doc_id", m,
+        nBuckets = 3, sampleFraction = 0.5, byCol = Some("src"))
+      .select($"src", $"bucket").as[(Int, Int)].collect()
+    assert(gotInt.map(_._1).toSet == Set(0, 1), "integer byCol survives")
+    assert(gotInt.map(_._2).toSet == Set(1, 2, 3))
+  }
 }
