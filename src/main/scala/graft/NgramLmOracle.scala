@@ -60,10 +60,20 @@ object NgramLmOracle {
     * doc's mean — value-threshold semantics, ties land in the upper
     * bucket on both engines because the comparison runs on identical
     * IEEE doubles built from identical integers. */
-  def pplBuckets(sampleThresholdHex: String): String = {
+  def pplBuckets(sampleThresholdHex: String): String =
+    "WITH " + pplBucketsCtes(sampleThresholdHex) + " " +
+      "SELECT doc_id, n_tokens, score_scaled, mean_log, CAST(bucket AS BIGINT) AS bucket, " +
+      "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_label " +
+      "FROM bk ORDER BY doc_id"
+
+  /** The CTE chain alone, ending in
+    * `bk(doc_id, n_tokens, score_scaled, mean_log, bucket)` — shared by
+    * the standalone q_ppl_buckets oracle and composed restatements
+    * (q_bucket_mix). */
+  def pplBucketsCtes(sampleThresholdHex: String): String = {
     val filler = QmOracle.fillerSuffix
     require(!filler.contains("'"), "filler must be quote-free")
-    s"WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text || '$filler' ELSE text END AS text FROM documents), " +
+    s"d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text || '$filler' ELSE text END AS text FROM documents), " +
       "nlm_ft AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+'), x -> x <> '') AS ft FROM d), " +
       scoreCteChain("nlm_ft") + ", " +
       "sc AS (SELECT f.doc_id, CAST(len(f.ft) AS BIGINT) AS n_tokens, " +
@@ -76,11 +86,30 @@ object NgramLmOracle {
       "c1 AS (SELECT mean_log AS v FROM rk JOIN cntc ON rn = (1 * c + 2) // 3), " +
       "c2 AS (SELECT mean_log AS v FROM rk JOIN cntc ON rn = (2 * c + 2) // 3), " +
       "bk AS (SELECT sc.*, 1 + COALESCE(CAST(mean_log < (SELECT v FROM c1) AS INT), 0) " +
-      "+ COALESCE(CAST(mean_log < (SELECT v FROM c2) AS INT), 0) AS bucket FROM sc) " +
-      "SELECT doc_id, n_tokens, score_scaled, mean_log, CAST(bucket AS BIGINT) AS bucket, " +
-      "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_label " +
-      "FROM bk ORDER BY doc_id"
+      "+ COALESCE(CAST(mean_log < (SELECT v FROM c2) AS INT), 0) AS bucket FROM sc)"
   }
+
+  /** Oracle for q_bucket_mix: the bucket chain above feeding the
+    * token-share mix restatement (the q_token_mix rate arithmetic over
+    * bucket_label strata with n_tokens as the mass column). */
+  def bucketMix(sampleThresholdHex: String): String =
+    "WITH " + pplBucketsCtes(sampleThresholdHex) + ", " +
+      "lbl AS (SELECT doc_id, n_tokens, CASE bucket WHEN 1 THEN 'head' " +
+      "WHEN 2 THEN 'middle' ELSE 'tail' END AS bl FROM bk), " +
+      "shares(s, w) AS (VALUES ('head', 0.6), ('middle', 0.3), ('tail', 0.1)), " +
+      "hist AS (SELECT bl AS s, CAST(sum(n_tokens) AS BIGINT) AS toks " +
+      "FROM lbl WHERE bl IN (SELECT s FROM shares) GROUP BY bl HAVING sum(n_tokens) > 0), " +
+      "c AS (SELECT min(toks / w) AS c FROM hist JOIN shares USING (s)), " +
+      "rates AS (SELECT s, round(least(1.0, c * w / toks), 4) AS r " +
+      "FROM hist JOIN shares USING (s) CROSS JOIN c), " +
+      "th AS (SELECT s, CASE WHEN r >= 1.0 THEN 'g' ELSE " +
+      "lpad(lower(hex(CAST(least(round(r * 4294967296.0), 4294967295) AS BIGINT))),8,'0') END AS th FROM rates) " +
+      "SELECT l.bl AS bucket_label, count(*) AS n_sampled, " +
+      "CAST(sum(l.n_tokens) AS BIGINT) AS tok_sum, " +
+      "CAST(sum(l.doc_id) AS BIGINT) AS id_checksum " +
+      "FROM lbl l JOIN th ON l.bl = th.s " +
+      "WHERE substr(md5(CAST(l.doc_id AS VARCHAR)),1,8) < th.th " +
+      "GROUP BY l.bl ORDER BY bucket_label"
 
   /** The oracle restatement of the scoring scan over the augmented
     * documents table: (doc_id, n_tokens, score_scaled, mean_log). */

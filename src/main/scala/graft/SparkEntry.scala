@@ -1830,6 +1830,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── The CCNet bucket → mix COMPOSITION: quality-stratified
+    //    token-share mixing — bucket by LM score, then downsample the
+    //    buckets to 60/30/10 TOKEN shares (upweighting head-quality
+    //    text is exactly what the bucketing exists for). Buckets feed
+    //    mixToTokenShares as the strata column with n_tokens as mass;
+    //    the oracle composes the two restatements verbatim ─────────────
+    "q_bucket_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(QmOracle.fillerSuffix)))
+          .otherwise(col("text")).as("text"))
+      val buckets = graft.operators.NgramLm.perplexityBuckets(docs, "text",
+        "doc_id", graft.operators.FrozenNgramLm.model, nBuckets = 3,
+        sampleFraction = 0.2)
+      val mixed = graft.operators.Sampling.mixToTokenShares(
+        buckets, "doc_id", "bucket_label", "n_tokens",
+        Map("head" -> 0.6, "middle" -> 0.3, "tail" -> 0.1))
+      mixed.groupBy(col("bucket_label")).agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("n_tokens")).cast("long").as("tok_sum"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy(col("bucket_label"))
+    }),
+
     // ── North star selection: DSIR importance weights (Xie et al.
     //    NeurIPS 2023) — the GENERATIVE selection score next to the
     //    discriminative model gate above. FrozenDsir pins the fitted
@@ -4405,6 +4429,8 @@ object SparkEntry {
     "q_quality_model_score" -> QmOracle.qualityModelScore,
     "q_ngram_lm_score" -> NgramLmOracle.ngramLmScore,
     "q_ppl_buckets" -> NgramLmOracle.pplBuckets(
+      graft.operators.Sampling.thresholdHex(0.2)),
+    "q_bucket_mix" -> NgramLmOracle.bucketMix(
       graft.operators.Sampling.thresholdHex(0.2)),
     // DSIR selection family: SQL generated from the SAME FrozenDsir
     // literals the Spark queries fold (DsirOracle — no-drift pattern)
