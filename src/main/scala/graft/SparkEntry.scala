@@ -401,6 +401,24 @@ object SparkEntry {
         .orderBy(col("q_id"))
     }),
 
+    // ── Embedding DIMENSION REDUCTION: integer-exact Achlioptas sparse
+    //    random projection (Johnson-Lindenstrauss) 64 → 16 — the pass a
+    //    corpus runs before the quadratic-ish embedding stages. Two
+    //    positional checksums pin every projected component; the oracle
+    //    rebuilds the same ±1/0 matrix cells as literals and folds the
+    //    same floor(x·1024 + 0.5) quantization ───────────────────────────
+    "q_jl_projection" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.randomProject(emb, "embedding", "proj",
+          inDim = 64, outDim = 16)
+        .select(col("vec_id"),
+          aggregate(col("proj"), lit(0L), (a, x) => a + x).as("proj_sum"),
+          aggregate(zip_with(col("proj"),
+              sequence(lit(1L), lit(16L)), (x, j) => x * j),
+            lit(0L), (a, y) => a + y).as("proj_weighted"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ── North star curation: hard-negative mining — per query, the k
     //    nearest corpus vectors EXCLUDING the query and its known
     //    positives (the DPR-style contrastive-training step). Probes and
@@ -4396,6 +4414,25 @@ object SparkEntry {
         "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id " +
         "ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id LIMIT 1) AS nn_id " +
         "FROM embeddings a WHERE a.vec_id < 20 ORDER BY q_id"),
+    "q_jl_projection" -> {
+      // the SAME matrix generator's nonzero cells as literals (w's j is
+      // 0-based, so the weighted checksum uses j + 1 — exactly the
+      // engine's sequence(1, 16) weights); quantization restated as
+      // floor(x·1024 + 0.5) on the exactly-scaled double
+      val m = graft.operators.Similarity.randomProjectionMatrix(64, 16)
+      val cells = (for {
+        j <- 0 until 16; d <- 0 until 64
+        w = m(j * 64 + d) if w != 0
+      } yield s"($d, $j, $w)").mkString(", ")
+      s"WITH w(d0, j, wt) AS (VALUES $cells), " +
+        "ev AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d FROM embeddings), " +
+        "q AS (SELECT vec_id, d - 1 AS d0, CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS qv FROM ev), " +
+        "pr AS (SELECT q.vec_id AS vec_id, w.j AS j, CAST(sum(qv * wt) AS BIGINT) AS o " +
+        "FROM q JOIN w ON q.d0 = w.d0 GROUP BY q.vec_id, w.j) " +
+        "SELECT vec_id, CAST(sum(o) AS BIGINT) AS proj_sum, " +
+        "CAST(sum((j + 1) * o) AS BIGINT) AS proj_weighted " +
+        "FROM pr GROUP BY vec_id ORDER BY vec_id"
+    },
     // hard negatives: exact cosine ranking with the query and its two
     // planted positives (q+1, q+2) excluded BEFORE the rank
     "q_hard_negatives" -> hardNegativesOracle,

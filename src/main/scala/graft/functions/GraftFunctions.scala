@@ -50,6 +50,11 @@ object GraftFunctions {
           .toArray[org.apache.spark.unsafe.types.UTF8String](
             org.apache.spark.sql.types.StringType).map(_.toString)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jl_project", exprs => JlProjectExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray(),
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_decode", exprs => BpeDecodeExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toArray[org.apache.spark.unsafe.types.UTF8String](
@@ -131,6 +136,12 @@ object GraftFunctions {
     * id space — [[BpeEncoder.idOfPiece]]). */
   def bpePieceIds(c: Column, merges: Array[String]): Column =
     call_function("bpe_piece_ids", c, lit(merges))
+
+  /** `jl_project(array<float|double>, weights, outDim) -> array<long>`:
+    * integer-exact Achlioptas sparse random projection under a literal
+    * weight matrix ([[graft.operators.Similarity.randomProjectionMatrix]]). */
+  def jlProject(c: Column, weights: Array[Int], outDim: Int): Column =
+    call_function("jl_project", c, lit(weights), lit(outDim))
 
   /** `bpe_decode(array<int>, merges) -> string`: detokenize a vocab-id
     * stream back to the space-joined normalized text — the inverse of

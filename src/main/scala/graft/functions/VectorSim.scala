@@ -61,6 +61,59 @@ object VectorSimUtil {
     })
   }
 
+  /** Achlioptas sparse-JL weight of projection-matrix cell (d, j) under
+    * `seed`: +1 / −1 with probability 1/6 each, 0 with probability 2/3
+    * (Achlioptas JCSS 2003, the database-friendly Johnson-Lindenstrauss
+    * matrix) — derived from the engine-portable md5 bucket (the Sampling
+    * discipline), so a SQL oracle can restate any cell; the matrix is
+    * built ONCE on the driver ([[graft.operators.Similarity
+    * .randomProjectionMatrix]]) and ships as a kernel literal. */
+  def jlWeight(seed: Int, d: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$d:$j".getBytes("UTF-8"))
+    var u = 0L
+    var i = 0
+    while (i < 4) { u = (u << 8) | (md(i) & 0xffL); i += 1 }
+    // u uniform in [0, 2^32): thirds of the 1/6 tails
+    if (u * 6 < (1L << 32)) 1
+    else if (u * 6 >= 5L * (1L << 32)) -1
+    else 0
+  }
+
+  /** INTEGER-EXACT sparse random projection: quantize each component by
+    * the EXACT power-of-two scale ×1024 (binary-float multiplication by
+    * 2^10 never rounds) with explicit floor(x·1024 + 0.5) — restatable
+    * verbatim in SQL — then fold through the ±1/0 weight literal in pure
+    * Long arithmetic. Output components are bit-identical on every
+    * engine; cosine over them is scale-invariant, so the omitted
+    * √(3/outDim) Achlioptas constant changes nothing downstream. */
+  def jlProject(v: ArrayData, weights: Array[Int], outDim: Int,
+      isFloat: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val dim = v.numElements()
+    require(weights.length == dim * outDim,
+      s"jl_project: weight matrix is ${weights.length} cells, vector dim " +
+        s"$dim × outDim $outDim needs ${dim * outDim} — build the matrix " +
+        "with randomProjectionMatrix(inDim = vector dimension)")
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0L
+      val base = j * dim
+      var d = 0
+      while (d < dim) {
+        val w = weights(base + d)
+        if (w != 0) {
+          val q = math.floor(elem(v, d, isFloat) * 1024.0 + 0.5).toLong
+          acc += (if (w > 0) q else -q)
+        }
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sign-LSH signature (random hyperplane, Charikar 2002): bit p is the
     * sign of the dot product with a deterministic ±1 plane whose entries
     * come from murmur3(p·dim + d, seed) — reproducible across executors,
@@ -124,5 +177,31 @@ case class SignSignature(child: Expression, nPlanes: Int, seed: Int) extends Una
       s"graft.functions.VectorSimUtil.signSignature($c, $nPlanes, $seed, $isFloat)")
 
   override protected def withNewChildInternal(newChild: Expression): SignSignature =
+    copy(child = newChild)
+}
+
+/** `jl_project(array<float|double>) -> array<long>` under a literal
+  * Achlioptas weight matrix — integer-exact sparse random projection
+  * ([[VectorSimUtil.jlProject]]); the matrix travels as a codegen
+  * reference object (one int per cell), never re-derived per row. */
+case class JlProjectExpr(child: Expression, weights: Array[Int], outDim: Int)
+    extends UnaryExpression {
+  require(outDim > 0, "jl_project: outDim must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "jl_project"
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorSimUtil.jlProject(input.asInstanceOf[ArrayData], weights, outDim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jlWeights", weights, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorSimUtil.jlProject($c, $ref, $outDim, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JlProjectExpr =
     copy(child = newChild)
 }

@@ -885,4 +885,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  // ── dimension reduction: sparse random projection (JL) ──────────────
+
+  /** The Achlioptas ±1/0 projection matrix (outDim × inDim, row-major by
+    * output component): entry (d → j) = [[graft.functions.VectorSimUtil
+    * .jlWeight]](seed, d, j) — +1/−1 with probability 1/6 each, 0 with
+    * 2/3 (Achlioptas JCSS 2003). Built ONCE on the driver (outDim·inDim
+    * ints — a 1536→64 matrix is 384 KB) and shipped as a kernel
+    * literal; deterministic in (inDim, outDim, seed), so the projection
+    * of a vector never depends on partitioning, retries, or corpus
+    * growth. */
+  def randomProjectionMatrix(inDim: Int, outDim: Int, seed: Int = 42): Array[Int] = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"randomProjectionMatrix: need 0 < outDim <= inDim, got $inDim -> $outDim")
+    Array.tabulate(outDim * inDim) { i =>
+      graft.functions.VectorSimUtil.jlWeight(seed, i % inDim, i / inDim)
+    }
+  }
+
+  /** Sparse random projection of an embedding column to `outDim`
+    * integer components — the Johnson-Lindenstrauss dimension-reduction
+    * pass a corpus runs BEFORE the quadratic-ish embedding stages
+    * (SemDeDup's within-cluster cosine, IVF training, brute-force
+    * mining): pairwise angles survive within the JL distortion bound at
+    * outDim ≪ inDim, so clustering 1536-dim production embeddings at 64
+    * dims cuts every downstream distance evaluation ~24×.
+    *
+    * INTEGER-EXACT by construction ([[graft.functions.VectorSimUtil
+    * .jlProject]]): components quantize by the exact ×1024 power-of-two
+    * scale and fold through the ±1/0 matrix in Long arithmetic — the
+    * projected vectors are bit-identical on every engine (cosine over
+    * them is scale-invariant, so the omitted √(3/outDim) constant is
+    * immaterial). ONE narrow codegen'd projection: no shuffle, the
+    * matrix rides the plan as a reference object. */
+  def randomProject(df: DataFrame, vecCol: String, outCol: String,
+      inDim: Int, outDim: Int, seed: Int = 42): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn(outCol, graft.functions.GraftFunctions.jlProject(
+      col(vecCol), randomProjectionMatrix(inDim, outDim, seed), outDim))
+  }
 }

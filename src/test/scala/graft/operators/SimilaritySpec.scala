@@ -536,4 +536,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.getDouble(0) == got.getDouble(1),
       "float-left/double-right must equal the all-double form")
   }
+
+  test("randomProject: kernel ≡ driver truth; determinism; matrix distribution") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = Similarity.randomProjectionMatrix(64, 16)
+    // Achlioptas distribution: ~1/3 nonzero, signs balanced
+    val nz = m.count(_ != 0)
+    assert(math.abs(nz.toDouble / m.length - 1.0 / 3) < 0.06, s"nonzero frac ${nz.toDouble / m.length}")
+    assert(math.abs(m.count(_ == 1) - m.count(_ == -1)) < m.length / 10)
+    // exactness: engine kernel == driver reimplementation (quantize ×1024
+    // half-up, fold ints)
+    val got = Similarity.randomProject(emb, "embedding", "proj", 64, 16)
+      .select($"vec_id", $"proj").as[(Long, Seq[Long])].collect().toMap
+    val want = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap.map { case (id, v) =>
+        val q = v.map(x => math.floor(x.toDouble * 1024.0 + 0.5).toLong)
+        id -> (0 until 16).map(j =>
+          (0 until 64).map(d => m(j * 64 + d) * q(d)).sum).toSeq
+      }
+    assert(got == want)
+    // partition-invariant
+    val re = Similarity.randomProject(emb.repartition(7, $"label"),
+        "embedding", "proj", 64, 16)
+      .select($"vec_id", $"proj").as[(Long, Seq[Long])].collect().toMap
+    assert(re == got)
+    // JL property: pairwise cosines survive the 64 → 32 projection
+    // within a loose distortion bound on this corpus
+    val p32 = Similarity.randomProject(emb.where($"vec_id" < 40),
+        "embedding", "proj", 64, 32)
+      .select($"vec_id", $"embedding", $"proj")
+      .as[(Long, Seq[Float], Seq[Long])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.max(math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum), 1e-12)
+    }
+    val devs = for {
+      (ia, va, pa) <- p32; (ib, vb, pb) <- p32 if ia < ib
+    } yield math.abs(
+      cos(va.map(_.toDouble), vb.map(_.toDouble)) -
+        cos(pa.map(_.toDouble), pb.map(_.toDouble)))
+    assert(devs.sum / devs.size < 0.15,
+      s"mean cosine distortion too high: ${devs.sum / devs.size}")
+    // narrow: no Exchange
+    val plan = Similarity.randomProject(emb, "embedding", "proj", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
 }

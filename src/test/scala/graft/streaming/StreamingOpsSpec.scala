@@ -701,4 +701,46 @@ class StreamingOpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(indexed == Set(1L, 11L), s"got $indexed")
   }
+
+  test("dedupStreamIntoCorpus: VIDEO kind probes + grows the per-frame hash index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.VideoFixture
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, String, Array[Byte])]
+    val docs = source.toDF().toDF("doc_id", "text", "media_type", "content")
+    val corpus = Files.createTempDirectory("video_corpus").toString
+    val index = Files.createTempDirectory("video_index").toString
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t2 = "completely different prose about distributed query engines and shuffle plans"
+    val t3 = "a third unrelated passage describing mountain weather patterns in spring"
+    val t4 = "yet another standalone text on deep sea creatures and their glowing lures"
+    val q = StreamingOps.dedupStreamIntoCorpus(
+      docs, corpus, index, "text", "doc_id", threshold = 0.5,
+      mediaDedup = Some(StreamingOps.MediaDedupConfig(
+        "media_type", "content", kind = "video", maxHamming = 4)))
+    try {
+      // batch 1: clip 0 + its planted near-dup twin (clip 1 — every
+      // aligned frame within 2 bits) -> empty-index self-dedup keeps min
+      source.addData(
+        (1L, t1, "video/avi", VideoFixture.aviBytes(0L)),
+        (2L, t2, "video/avi", VideoFixture.aviBytes(1L)))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L), s"in-batch video twin must collapse, got $after1")
+      // batch 2: a byte-identical re-container of the INGESTED clip
+      // (tainted via the per-frame index) + a fresh clip (kept)
+      source.addData(
+        (10L, t3, "video/avi", VideoFixture.aviBytes(0L)),
+        (11L, t4, "video/avi", VideoFixture.aviBytes(9000L)))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(1L, 11L),
+        s"indexed video twin must drop, fresh clip must land, got $after2")
+    } finally q.stop()
+    // per-frame index: 3 sampled-frame rows per surviving clip
+    val idx = spark.read.parquet(s"$index/mediahashes")
+      .groupBy($"id").count().as[(Long, Long)].collect().toMap
+    assert(idx == Map(1L -> 3L, 11L -> 3L), s"got $idx")
+  }
 }
