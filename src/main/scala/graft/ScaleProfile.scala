@@ -397,6 +397,29 @@ object ScaleProfile {
       }
     }
 
+    // ── round 12: JL sparse-projection kernel at scale — synthesize
+    // SPARK_GRAFT_VECS deterministic 64-dim float vectors inside the
+    // tasks and time the 64→16 integer-exact projection (one narrow
+    // codegen'd scan; the matrix is a plan-resident reference object).
+    if (sections("jlproject")) {
+      import graft.operators.Similarity
+      val n = sys.env.getOrElse("SPARK_GRAFT_VECS", "1000000").toLong
+      import spark.implicits._
+      val vecs = spark.range(n).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Array.tabulate(64) { d =>
+            var x = (id * 73856093L ^ d * 19349663L).toInt
+            x *= 0x9e3779b1; x ^= x >>> 16
+            (x % 1000) / 1000.0f
+          })
+        }).toDF("vec_id", "embedding")
+      timed(s"jlproject.project(n=$n 64->16 integer-exact)") {
+        Similarity.randomProject(vecs, "embedding", "proj", 64, 16)
+          .select(sum(element_at(col("proj"), 1))).collect()
+        n
+      }
+    }
+
     // ── round 12: perceptual video dedup at scale — synthesize
     // SPARK_GRAFT_CLIPS AVIs (default 30k; 6 frames each → 3 sampled
     // per clip, fixture triples = 1/3 planted near-dup pairs) with the
