@@ -584,4 +584,39 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
+
+  test("randomProject is load-bearing: embedding dedup in the projected space finds the planted twins") {
+    // deterministic corpus: 60 base 64-dim vectors; ids 3k+1 are
+    // near-identical twins of 3k (one component nudged), 3k+2 unrelated
+    def base(k: Int, seed: Int): Array[Float] = Array.tabulate(64) { d =>
+      var x = k * 73856093 ^ d * 19349663 ^ seed
+      x *= 0x9e3779b1; x ^= x >>> 16
+      ((x & 0x7fffffff) % 2000 - 1000) / 1000.0f
+    }
+    val rows = (0 until 60).map { id =>
+      val k = id / 3
+      val v = (id % 3) match {
+        case 0 => base(k, 0)
+        case 1 =>
+          val t = base(k, 0).clone(); t(k % 64) = t(k % 64) + 0.05f; t
+        case _ => base(k, 0x5bd1e995)
+      }
+      (id.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def survivors(frame: org.apache.spark.sql.DataFrame, vc: String): Set[Long] =
+      Dedup.removeNearDuplicatesByEmbedding(frame, vc, "vec_id",
+          threshold = 0.98, exact = true)
+        .select("vec_id").as[Long].collect().toSet
+    val expected = (0 until 60).map(_.toLong).toSet --
+      (0 until 20).map(3L * _ + 1)
+    assert(survivors(df, "embedding") == expected, "original-space sanity")
+    // 64 → 32 projection, cast to double for the cosine kernels: the
+    // SAME dedup over 2× fewer dimensions finds the same twins — the
+    // composition a corpus runs to cut SemDeDup/mining cost
+    val projected = Similarity.randomProject(df, "embedding", "proj", 64, 32)
+      .withColumn("projd", transform($"proj", x => x.cast("double")))
+    assert(survivors(projected, "projd") == expected,
+      "projected-space dedup must find the planted twins")
+  }
 }
