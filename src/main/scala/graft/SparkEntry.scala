@@ -1459,6 +1459,31 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── The trim-robust frame-SET variant (alignFrames = false): a's
+    //    frame may match ANY of b's frames; matched counts a's ordinals
+    //    with a partner. Fixture: clips sampled at everyN=1 with every
+    //    third clip REPLACED by a 1-frame-trimmed copy of its triple's
+    //    base — invisible to ordinal alignment (every aligned pair
+    //    compares unrelated pseudo-random frames), caught by the set
+    //    detector (5 of 6 ordinals find byte-identical partners) ────────
+    "q_video_near_dups_set" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(graft.operators.VideoFixture.NumClips).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes =
+            if (id % 3 == 2)
+              graft.operators.VideoFixture.aviBytes(id - 2, fromFrame = 1)
+            else graft.operators.VideoFixture.aviBytes(id)
+          (id, "video/avi", bytes)
+        }).toDF("media_id", "media_type", "content")
+      graft.operators.Dedup.videoNearDupPairs(
+          media, "media_id", "media_type", "content",
+          everyN = 1, maxHamming = 4, minMatchFrac = 0.6,
+          alignFrames = false)
+        .select(col("id_a"), col("id_b"), col("n_matched"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── North star multimodal: G.711 µ-law COMPRESSED audio through the
     //    same perceptual rung — the JDK parser reports the companded
     //    encoding, each byte expands through the ENGINE-OWNED integer
@@ -2770,6 +2795,39 @@ object SparkEntry {
 
   private def videoMatchCtes(p: String): String =
     videoMatchCtesFromRows(p, videoFixtureRows.mkString(", "))
+
+  /** Ground truth for q_video_near_dups_set: the everyN=1 corpus where
+    * every third clip is a 1-frame-TRIMMED copy of its triple's base
+    * (ordinal f carries base frame f+1), brute-force CROSS-frame Hamming
+    * (no ordinal alignment), matched = a's distinct ordinals with ≥ one
+    * partner, gated at ceil(0.6·min(nf)) with per-clip frame counts. */
+  private lazy val videoSetMatchOracle: String = {
+    val vf = graft.operators.VideoFixture
+    val rows = (for {
+      id <- 0 until vf.NumClips
+      trimmed = id % 3 == 2
+      f <- 0 until (if (trimmed) 5 else 6)
+    } yield {
+      val src = if (trimmed) (id - 2).toLong else id.toLong
+      val srcF = if (trimmed) f + 1 else f
+      s"($id, $f, ${vf.frameGrid(src, srcF).mkString("[", ",", "]")})"
+    }).mkString(", ")
+    s"WITH svgr(media_id, f, g) AS (VALUES $rows), " +
+      "svbb AS (SELECT rr.r AS r, cc.c AS c FROM " +
+      "(SELECT unnest(range(0, 8)) AS r) rr, (SELECT unnest(range(0, 8)) AS c) cc), " +
+      "svbt AS (SELECT media_id, f, r * 8 + c AS b, " +
+      "CASE WHEN g[r * 9 + c + 1] > g[r * 9 + c + 2] THEN 1 ELSE 0 END AS bit FROM svgr, svbb), " +
+      "svhm AS (SELECT a.media_id AS id_a, b2.media_id AS id_b, a.f AS fa, b2.f AS fb, " +
+      "sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS hamming " +
+      "FROM svbt a JOIN svbt b2 ON a.b = b2.b AND a.media_id < b2.media_id " +
+      "GROUP BY 1, 2, 3, 4), " +
+      "svm AS (SELECT id_a, id_b, count(DISTINCT fa) AS n_matched FROM svhm " +
+      "WHERE hamming <= 4 GROUP BY 1, 2), " +
+      "snf AS (SELECT media_id, count(*) AS nf FROM svgr GROUP BY 1) " +
+      "SELECT id_a, id_b, CAST(n_matched AS BIGINT) AS n_matched FROM svm " +
+      "JOIN snf na ON na.media_id = svm.id_a JOIN snf nb ON nb.media_id = svm.id_b " +
+      "WHERE n_matched >= ceil(0.6 * least(na.nf, nb.nf)) ORDER BY id_a, id_b"
+  }
 
   private def videoMatchCtesFromRows(p: String, rows: String): String = {
     s"${p}vgr(media_id, f, g) AS (VALUES $rows), " +
@@ -4648,6 +4706,7 @@ object SparkEntry {
       "WITH " + videoMatchCtes("") +
         " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
         "CAST(n_matched AS BIGINT) AS n_matched FROM vm WHERE n_matched >= 2 ORDER BY id_a, id_b"),
+    "q_video_near_dups_set" -> videoSetMatchOracle,
     "q_audio_ulaw_near_dups" -> (
       // the analytic envelope runs THROUGH the engine's µ-law table
       // (audioUlawHammingCtes inlines 64·ulawToLinear(planted field)),
