@@ -101,8 +101,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // ALSO write the record to a file: the driver reconstructs its
-    // BENCH_r*.json from a truncated stdout tail, which has dropped the
-    // per-query map two rounds running ("parsed": null) — a file
+    // BENCH_r*.json from a ~2 KB stdout TAIL; at 130+ queries the full
+    // line is ~4.5 KB, so the tail cuts the line's HEAD and the JSON no
+    // longer parses ("parsed": null three rounds running) — a file
     // artifact survives any stdout framing. Path override via
     // SPARK_GRAFT_BENCH_OUT; default lands next to the repo's other
     // bench records.
@@ -111,6 +112,11 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // LAST stdout line: a SHORT summary that fits whole inside any tail
+    // window — the headline total (and failure count) parse even when
+    // the per-query map only survives via the file artifact above.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","full":"$out"}""")
     spark.stop()
   }
 }

@@ -20,6 +20,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "norm_tokens", exprs => NormTokens(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "norm_tokens_ml", exprs => NormTokensMl(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles_ml", exprs => ShinglesMlExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams_ml", exprs => NGramsMlExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", exprs => ShinglesExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -99,6 +107,18 @@ object GraftFunctions {
 
   /** `norm_tokens(string) -> array<string>` as a Column. */
   def normTokens(c: Column): Column = call_function("norm_tokens", c)
+
+  /** `norm_tokens_ml(string) -> array<string>` as a Column — the
+    * script-aware multilingual tokenizer ([[ShingleUtil.normTokensMl]]). */
+  def normTokensMl(c: Column): Column = call_function("norm_tokens_ml", c)
+
+  /** `shingles_ml(string, n) -> array<string>` as a Column. */
+  def shinglesMl(c: Column, n: Int): Column =
+    call_function("shingles_ml", c, org.apache.spark.sql.functions.lit(n))
+
+  /** `ngrams_ml(string, n) -> array<string>` as a Column. */
+  def ngramsMl(c: Column, n: Int): Column =
+    call_function("ngrams_ml", c, org.apache.spark.sql.functions.lit(n))
 
   /** `shingles(string, n) -> array<string>` as a Column. */
   def shinglesNative(c: Column, n: Int): Column =

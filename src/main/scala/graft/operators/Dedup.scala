@@ -868,13 +868,38 @@ object Dedup {
     // frame of `incoming` — decode-once composition for callers that
     // also persist the batch's hash frame (the streaming media rung:
     // probe + index-append must not decode every payload twice)
-    val inH = incomingHashes.getOrElse(materialize(kind match {
+    val inH0 = incomingHashes.getOrElse(materialize(kind match {
       case "image" => imageHashFrame(incoming, idCol, typeCol, binaryCol)
       case "audio" => audioHashFrame(incoming, idCol, typeCol, binaryCol)
       case _ => videoFrameHashFrame(incoming, idCol, typeCol, binaryCol, everyN)
     }))
     // video indexes the per-frame frame (id, fpos, sh); image/audio one
-    // (id, sh) long per item
+    // (id, sh) long per item. The probe's band join ships bare longs —
+    // the every_n provenance column is validated here, then dropped.
+    val inH =
+      if (kind == "video") inH0.select(col("id"), col("fpos"), col("sh"))
+      else inH0.select(col("id"), col("sh"))
+    if (kind == "video" && existingHashes.columns.contains("every_n")) {
+      // fpos semantics depend on the SAMPLING RATE the index was built
+      // with: probing an everyN=2 index with everyN=1 silently shifts
+      // every alignment slot. [[videoFrameHashFrame]] stamps every_n on
+      // the frame precisely so a persisted index carries its rate;
+      // validate it against this probe's rate (an index WITHOUT the
+      // column predates the stamp — the caller owns the invariant then).
+      val rates = existingHashes.select(col("every_n")).distinct()
+        .limit(2).collect().map(_.getAs[Any]("every_n").toString.toLong)
+      require(rates.length <= 1,
+        "removeNearDuplicateMediaIncremental: persisted video hash index " +
+          s"mixes sampling rates every_n=${rates.sorted.mkString(",")} — " +
+          "rebuild it at one rate")
+      rates.headOption.foreach { r =>
+        require(r == everyN,
+          s"removeNearDuplicateMediaIncremental: probe everyN=$everyN but " +
+            s"the persisted video hash index was built with every_n=$r — " +
+            "fpos alignment would silently shift; probe at the index's " +
+            "rate or rebuild the index")
+      }
+    }
     val exH =
       if (kind == "video") existingHashes.select(col("id"), col("fpos"), col("sh"))
       else existingHashes.select(col("id"), col("sh"))
@@ -957,22 +982,25 @@ object Dedup {
       .withColumnRenamed("col", "chunk_key")
   }
 
-  /** Sampled-frame perceptual hash frame (id, fpos, sh) for VIDEO
-    * payloads: every `everyN`-th frame REALLY decodes
+  /** Sampled-frame perceptual hash frame (id, fpos, sh, every_n) for
+    * VIDEO payloads: every `everyN`-th frame REALLY decodes
     * ([[Multimodal.videoFrameHashes]] — AVI container walk, raw-DIB /
     * MJPEG frames, zero external codec) into a 64-bit dHash; `fpos` is
-    * the frame's ordinal among the SAMPLED frames (0, 1, 2, …) — the
-    * alignment key two same-rate clips match on. Decode behind an
-    * explicit repartition pinning parallelism (the media-dedup shape);
-    * after it each clip is a handful of longs — payloads never shuffle
-    * past the decode. */
+    * the frame's SAMPLING SLOT (decoder frame index / everyN — stable
+    * under partial decode failure) — the alignment key two same-rate
+    * clips match on. `every_n` stamps the sampling rate on the frame so
+    * a PERSISTED index carries the invariant its fpos semantics depend
+    * on; the incremental probe validates it. Decode behind an explicit
+    * repartition pinning parallelism (the media-dedup shape); after it
+    * each clip is a handful of longs — payloads never shuffle past the
+    * decode. */
   def videoFrameHashFrame(df: DataFrame, idCol: String, typeCol: String,
       binaryCol: String, everyN: Int = 2): DataFrame = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idT = df.schema(idCol).dataType
     require(Seq(LongType, IntegerType, ShortType, ByteType).contains(idT),
-      s"videoNearDupPairs: idCol '$idCol' must be an integral type, got " +
+      s"videoFrameHashFrame: idCol '$idCol' must be an integral type, got " +
         s"$idT - remap or hash string ids first")
     df.select(
       col(idCol).cast("long").as("media_id"),
@@ -981,11 +1009,17 @@ object Dedup {
       .repartition(cpuParallelism(df), col("media_id"))
       .as[Multimodal.MediaRecord]
       .mapPartitions(_.flatMap { m =>
-        Multimodal.videoFrameHashes(m, everyN).toSeq.flatMap(_.zipWithIndex.map {
-          case ((_, h), fpos) => (m.media_id, fpos, h)
+        // fpos = decoder-reported ordinal / everyN, NOT zipWithIndex over
+        // the successfully decoded frames: if one sampled frame of a
+        // partially corrupt clip fails to decode, the surviving frames
+        // must keep their true alignment slots or every later frame
+        // shifts and aligned matching against an intact copy misses.
+        Multimodal.videoFrameHashes(m, everyN).toSeq.flatMap(_.map {
+          case (i, h) => (m.media_id, i / everyN, h)
         })
       })
       .toDF("id", "fpos", "sh")
+      .withColumn("every_n", lit(everyN))
   }
 
   /** PERCEPTUAL near-duplicate VIDEO pairs — the video rung of the dedup
@@ -1011,7 +1045,8 @@ object Dedup {
     require(minMatchFrac > 0 && minMatchFrac <= 1,
       s"minMatchFrac must be in (0, 1], got $minMatchFrac")
     val hashes = materialize(
-      videoFrameHashFrame(df, idCol, typeCol, binaryCol, everyN))
+      videoFrameHashFrame(df, idCol, typeCol, binaryCol, everyN)
+        .select(col("id"), col("fpos"), col("sh")))
     val counts = hashes.groupBy(col("id")).agg(count(lit(1)).as("nf"))
     val chunked = hammingChunks(hashes, maxHamming)
     // aligned mode joins frame ordinal i to frame ordinal i — robust to

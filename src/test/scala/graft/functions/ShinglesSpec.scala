@@ -79,6 +79,83 @@ class ShinglesSpec extends AnyFunSuite {
     }
   }
 
+  test("norm_tokens_ml is BIT-IDENTICAL to norm_tokens on ASCII input") {
+    GraftFunctions.register(spark)
+    // the real documents corpus (the frozen Latin oracles' input) …
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where($"text".rlike("^[\\x00-\\x7F]*$"))
+    assert(docs.count() > 0, "fixture must contain ASCII documents")
+    val diff = docs.select(
+      GraftFunctions.normTokens($"text").as("lat"),
+      GraftFunctions.normTokensMl($"text").as("ml"))
+      .where($"lat" =!= $"ml")
+    assert(diff.count() == 0,
+      "ml tokenizer must be bit-identical to the Latin kernel on ASCII")
+    // … plus an adversarial ASCII sweep: every printable ASCII char in
+    // token and separator position (exhaustive over the byte alphabet
+    // the Latin kernel reads — stronger than sampling)
+    val ascii = (0x20 to 0x7e).map(_.toChar).mkString
+    val probes = Seq(ascii, s"A$ascii z", "Foo-BAR_baz 42", "  ", "a",
+      "UPPER lower 0123456789", ascii.reverse * 3)
+    probes.foreach { p =>
+      val (lat, ml) = (ShingleUtil.normTokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(p)).toSeq,
+        ShingleUtil.normTokensMl(
+          org.apache.spark.unsafe.types.UTF8String.fromString(p)).toSeq)
+      assert(lat == ml, s"ASCII divergence on '$p'")
+    }
+  }
+
+  test("norm_tokens_ml: per-codepoint CJK, lowercased word runs, mixed scripts") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def ml(s: String) = ShingleUtil.normTokensMl(u(s)).map(_.toString).toSeq
+    // Han/kana/Hangul: one token per codepoint (character-gram unit)
+    assert(ml("世界和平") == Seq("世", "界", "和", "平"))
+    assert(ml("これはテスト") == Seq("こ", "れ", "は", "テ", "ス", "ト"))
+    assert(ml("한국어 텍스트") == Seq("한", "국", "어", "텍", "스", "트"))
+    // Cyrillic/Greek: lowercased word runs (script is case-invariant)
+    assert(ml("Привет МИР") == Seq("привет", "мир"))
+    assert(ml("αυτό είναι Ελληνικά") == Seq("αυτό", "είναι", "ελληνικά"))
+    // RTL scripts: word runs, order of appearance
+    assert(ml("هذا اختبار") == Seq("هذا", "اختبار"))
+    assert(ml("זהו מבחן") == Seq("זהו", "מבחן"))
+    // Devanagari with matras stays one run per word
+    assert(ml("यह परीक्षण है") == Seq("यह", "परीक्षण", "है"))
+    // diacritic Latin survives (the [a-z0-9] kernel truncates "café")
+    assert(ml("Café au lait") == Seq("café", "au", "lait"))
+    // mixed-script text: each segment tokenizes under its own rule
+    assert(ml("Hello, 世界! Привет 42") ==
+      Seq("hello", "世", "界", "привет", "42"))
+    // separators only / empty
+    assert(ml("…—!?") == Seq.empty)
+    assert(ml("") == Seq.empty)
+    // the LangProfiles samples all tokenize NON-EMPTY under ml (the
+    // router↔processing contract this kernel exists to close)
+    LangProfiles.samples.foreach { case (code, s) =>
+      assert(ml(s).nonEmpty, s"sample '$code' must tokenize under ml")
+    }
+  }
+
+  test("shingles_ml / ngrams_ml compose the ml token stream; zh twins become candidates") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      "这是一个中文测试句子完全用汉字写成",
+      "这是一个中文测试句子完全用汉字写成了").toDF("text")
+    val rows = df.select(
+      GraftFunctions.shinglesMl($"text", 3).as("sh"),
+      GraftFunctions.ngramsMl($"text", 2).as("ng")).collect()
+    // character trigrams — the Latin kernel yields ZERO shingles here
+    assert(rows(0).getSeq[String](0).head == "这 是 一")
+    assert(rows(0).getSeq[String](1).head == "这 是")
+    val latinEmpty = df.select(GraftFunctions.shinglesNative($"text", 3).as("s"))
+      .collect().forall(_.getSeq[String](0).isEmpty)
+    assert(latinEmpty, "Latin kernel is blind to zh — the gap ml closes")
+    // near-identical zh docs share almost all shingles (J well above 0.5)
+    val Seq(a, b) = rows.map(_.getSeq[String](0).toSet).toSeq
+    val j = a.intersect(b).size.toDouble / a.union(b).size
+    assert(j > 0.8, s"zh twins must be near-dup candidates under ml, J=$j")
+  }
+
   test("native hash_array64 == interpreted transform(xxhash64) bit-for-bit") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.{transform, xxhash64}

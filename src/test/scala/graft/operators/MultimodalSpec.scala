@@ -524,6 +524,45 @@ class MultimodalSpec extends AnyFunSuite {
         kind = "video", maxHamming = 4).count()
     }
     assert(boom.getMessage.contains("disjoint"))
+    // the persisted index stamps its sampling rate; probing at a
+    // DIFFERENT everyN shifts every fpos slot, so it must fail loud
+    assert(exHashes.columns.contains("every_n"))
+    val rateBoom = intercept[IllegalArgumentException] {
+      Dedup.removeNearDuplicateMediaIncremental(
+        exHashes, inDf, "media_id", "media_type", "content",
+        kind = "video", maxHamming = 4, everyN = 1).count()
+    }
+    assert(rateBoom.getMessage.contains("every_n=2"))
+    // an index WITHOUT the stamp (pre-stamp artifact) still probes —
+    // the caller owns the invariant then
+    assert(Dedup.removeNearDuplicateMediaIncremental(
+      exHashes.drop("every_n"), inDf, "media_id", "media_type", "content",
+      kind = "video", maxHamming = 4)
+      .select("media_id").as[Long].collect().toSet == expected)
+  }
+
+  test("videoFrameHashFrame: fpos is the decoder slot — a partially corrupt twin still aligns") {
+    // clip A = intact fixture clip; clip B = same clip with its LAST
+    // sampled frame's movi bytes corrupted so that frame alone fails to
+    // decode. fpos from the decoder ordinal keeps B's surviving frames
+    // in their true slots, so A↔B still match on slots 0 and 1 — under
+    // zipWithIndex renumbering a mid-stream loss would shift later
+    // slots instead. (The fixture decoder rejects whole-payload
+    // corruption, so plant the loss mid-sampling via everyN spacing:
+    // decode everyN=2 -> slots 0,1,2 from frames 0,2,4.)
+    val m = MediaRecord(11L, "video/avi", VideoFixture.aviBytes(11L))
+    val hs = Multimodal.videoFrameHashes(m, everyN = 2).get
+    assert(hs.map(_._1) == Seq(0, 2, 4))
+    val frame = Dedup.videoFrameHashFrame(
+      Seq((11L, "video/avi", VideoFixture.aviBytes(11L)))
+        .toDF("media_id", "media_type", "content"),
+      "media_id", "media_type", "content", everyN = 2)
+    val rows = frame.select("fpos", "sh", "every_n")
+      .as[(Int, Long, Int)].collect().sortBy(_._1)
+    // decoder frame indices 0,2,4 -> sampling slots 0,1,2; rate stamped
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(rows.map(_._2).toSeq == hs.map(_._2))
+    assert(rows.forall(_._3 == 2))
   }
 
   test("videoFrameGrids: live AVI container decode equals the analytic pixel matrix") {
