@@ -42,8 +42,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * ledger). Encoding an uncached word is always correct, only slower. */
 final class BpeEncoder(val merges: Array[String],
     maxCacheEntries: Int = BpeEncoder.DefaultMaxCacheEntries,
-    maxCachedWordLen: Int = BpeEncoder.DefaultMaxCachedWordLen)
-    extends Serializable {
+    maxCachedWordLen: Int = BpeEncoder.DefaultMaxCachedWordLen,
+    val ml: Boolean = false) extends Serializable {
 
   /** Parsed merge table in rank order: (left, right, joined). */
   @transient private lazy val table: Array[(String, String, String)] =
@@ -206,7 +206,12 @@ final class BpeEncoder(val merges: Array[String],
     * that splits mid-word can never conflate piece boundaries with word
     * boundaries when the pieces are re-joined as text. */
   def encodePieces(text: UTF8String): GenericArrayData = {
-    val toks = ShingleUtil.normTokens(text)
+    // `ml` selects the script-aware tokenizer upstream of the merges —
+    // the char-level symbol/merge machinery is script-agnostic already
+    // (code-point symbols, ids cover all of Unicode), only the
+    // pre-tokenization gated non-Latin text out.
+    val toks = if (ml) ShingleUtil.normTokensMl(text)
+      else ShingleUtil.normTokens(text)
     val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length * 2)
     var i = 0
     while (i < toks.length) {
@@ -238,12 +243,12 @@ object BpeEncoder {
   * the BPE piece stream of a document's normalized tokens. Codegen'd:
   * the encoder travels as a codegen reference object, one JVM call per
   * row inside whole-stage codegen (the LangIdExpr shape). */
-case class BpeEncodeExpr(child: Expression, merges: Array[String])
-    extends UnaryExpression {
+case class BpeEncodeExpr(child: Expression, merges: Array[String],
+    ml: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_pieces"
 
-  @transient private lazy val encoder = new BpeEncoder(merges)
+  @transient private lazy val encoder = new BpeEncoder(merges, ml = ml)
 
   override def nullSafeEval(input: Any): Any =
     encoder.encodePieces(input.asInstanceOf[UTF8String])

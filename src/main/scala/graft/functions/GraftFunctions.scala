@@ -51,7 +51,9 @@ object GraftFunctions {
       "bpe_pieces", exprs => BpeEncodeExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toArray[org.apache.spark.unsafe.types.UTF8String](
-            org.apache.spark.sql.types.StringType).map(_.toString)), "built-in")
+            org.apache.spark.sql.types.StringType).map(_.toString),
+        ml = exprs.length > 2 &&
+          exprs(2).eval(null).asInstanceOf[Boolean]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_piece_ids", exprs => BpePieceIdsExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -148,8 +150,8 @@ object GraftFunctions {
   /** `bpe_pieces(string, merges) -> array<string>`: BPE piece stream of
     * the normalized tokens under a trained merge table (rank-ordered
     * "left right" strings — [[graft.operators.Bpe.Model]] literals). */
-  def bpePieces(c: Column, merges: Array[String]): Column =
-    call_function("bpe_pieces", c, lit(merges))
+  def bpePieces(c: Column, merges: Array[String], tok: Tok = Tok.Latin): Column =
+    call_function("bpe_pieces", c, lit(merges), lit(tok == Tok.Ml))
 
   /** `bpe_piece_ids(string, merges) -> array<int>`: vocab ids of a
     * space-joined BPE piece stream (merge rank / code-point / marker-bit

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Tok}
 
 /** Trained byte-pair encoding — the token accounting a REAL pre-training
   * run uses (Sennrich et al. ACL 2016, the GPT-2 reference encoder —
@@ -84,13 +84,13 @@ object Bpe {
 
   /** Train `numMerges` BPE merges on a text column. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      maxVocabWords: Int = 100000): Model = {
+      maxVocabWords: Int = 100000, tok: Tok = Tok.Latin): Model = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(maxVocabWords > 0, s"maxVocabWords must be positive, got $maxVocabWords")
     GraftFunctions.register(df.sparkSession)
     // ONE distributed pass: word histogram, deterministically capped
     val hist: Array[(String, Long)] = df
-      .select(explode(GraftFunctions.normTokens(col(textCol))).as("w"))
+      .select(explode(tok.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w").asc)
       .limit(maxVocabWords)
@@ -165,12 +165,13 @@ object Bpe {
   /** The BPE piece stream of a text column (array<string>), one narrow
     * codegen'd kernel call per row. Session must be
     * [[GraftFunctions.register]]ed. */
-  def pieces(c: Column, model: Model): Column =
-    GraftFunctions.bpePieces(c, model.merges)
+  def pieces(c: Column, model: Model, tok: Tok = Tok.Latin): Column =
+    GraftFunctions.bpePieces(c, model.merges, tok)
 
   /** Trained-BPE token count — drop-in mass column for
     * chunking/packing/mixing accounting. */
-  def tokenCount(c: Column, model: Model): Column = size(pieces(c, model))
+  def tokenCount(c: Column, model: Model, tok: Tok = Tok.Latin): Column =
+    size(pieces(c, model, tok))
 
   /** Vocab ids (array<int>) of a SPACE-JOINED piece stream column — the
     * `chunk_text` a BPE-driven [[Chunking.chunkByTokens]] emits. The id
@@ -186,11 +187,11 @@ object Bpe {
     * — word count, piece count, and an md5 fingerprint of the full
     * piece stream (order-sensitive). One narrow scan. */
   def tokenCounts(df: DataFrame, textCol: String, idCol: String,
-      model: Model): DataFrame = {
+      model: Model, tok: Tok = Tok.Latin): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val p = pieces(col(textCol), model)
+    val p = pieces(col(textCol), model, tok)
     df.select(col(idCol),
-      size(GraftFunctions.normTokens(col(textCol))).cast("long").as("n_tokens"),
+      size(tok.tokens(col(textCol))).cast("long").as("n_tokens"),
       size(p).cast("long").as("n_pieces"),
       md5(concat_ws(" ", p)).as("pieces_fp"))
   }

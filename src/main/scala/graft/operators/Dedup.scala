@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.functions.{GraftFunctions, TextAnalysis, Tok}
 
 /** Deduplication operators for large-scale training-data pipelines
   * (north-star mandate; extends the reference's exact `drop_duplicates`,
@@ -54,11 +54,12 @@ object Dedup {
     * — its parallelism must come from the operator, not from however many
     * files the input happened to be (a single-file table would otherwise
     * run the whole corpus in one task). The shuffle moves only (id, text). */
-  def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int = 3,
+      tok: Tok = Tok.Latin): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), col(textCol).as("_text"))
       .repartition(cpuParallelism(df), col("id"))
-      .select(col("id"), GraftFunctions.shinglesNative(col("_text"), n).as("shingles"))
+      .select(col("id"), tok.shingles(col("_text"), n).as("shingles"))
       .where(size(col("shingles")) > 0)
   }
 
@@ -93,8 +94,8 @@ object Dedup {
     * a 100×-scale corpus. Results are identical to the quadratic
     * definition (it is a candidate-pruning rewrite, not an approximation). */
   def exactJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
-    val sh = shingleSets(df, textCol, idCol, n)
+      threshold: Double, n: Int = 3, tok: Tok = Tok.Latin): DataFrame = {
+    val sh = shingleSets(df, textCol, idCol, n, tok)
     // Shingle STRINGS are hashed to 64-bit longs at the source and never
     // seen again: the df count, the ordered-set arrays, the prefix
     // self-join, and the Jaccard verify all run on 8-byte keys instead of
@@ -263,13 +264,14 @@ object Dedup {
     * (round-2 fixed r=4/b=32 regardless). Pass `r > 0` to override.
     * Returns (id_a, id_b, jaccard), exact-verified. */
   def nearDupPairsMinHash(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, n: Int = 3, k: Int = 128, r: Int = 0): DataFrame = {
+      threshold: Double = 0.8, n: Int = 3, k: Int = 128, r: Int = 0,
+      tok: Tok = Tok.Latin): DataFrame = {
     val rr = if (r > 0) r else minHashBands(threshold, k)._1
     require(k % rr == 0, s"nearDupPairsMinHash: band width $rr must divide k=$k")
     val b = k / rr
     // Materialized once — reused by the signature/banding self-join (2×)
     // and both verify join sides (2×); see exactJaccardPairs.
-    val sh = materialize(shingleSets(df, textCol, idCol, n)
+    val sh = materialize(shingleSets(df, textCol, idCol, n, tok)
       .select(col("id"), array_sort(col("shingles")).as("sh")))
     // Bands carry ONLY (band, band_key, id): the shingle arrays never ride
     // the candidate shuffle — they are re-joined per side for the verify.
@@ -445,8 +447,8 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 3, recallTarget: Double = 0.85,
       maxK: Int = 1024, sampleDocs: Int = 128,
       prefilterHashes: Int = 64,
-      prefilterMinCandidates: Double = 4e6): DataFrame = {
-    val sh = materialize(shingleSets(df, textCol, idCol, n)
+      prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin): DataFrame = {
+    val sh = materialize(shingleSets(df, textCol, idCol, n, tok)
       .select(col("id"), array_sort(col("shingles")).as("sh")))
     val shH = materialize(hashShingles(sh))
     val est = sampleBackgroundJaccard(shH, sampleDocs)
@@ -602,8 +604,8 @@ object Dedup {
       prefilterHashes: Int = 64,
       escalateMinCandidates: Double = 4e6,
       prefilterMinCandidates: Double = 4e6,
-      maxVerifyCandidates: Double = 4e9): DataFrame = {
-    val sh = materialize(shingleSets(df, textCol, idCol, n)
+      maxVerifyCandidates: Double = 4e9, tok: Tok = Tok.Latin): DataFrame = {
+    val sh = materialize(shingleSets(df, textCol, idCol, n, tok)
       .select(col("id"), array_sort(col("shingles")).as("sh")))
     val shH = materialize(hashShingles(sh))
     val est = sampleBackgroundJaccard(shH, sampleDocs)
@@ -692,12 +694,12 @@ object Dedup {
     * (and buckets coarsen) with the bound — at corpus scale prefer small
     * bounds, which is also where SimHash is discriminative. */
   def nearDupPairsSimHash(spark: SparkSession, df: DataFrame, textCol: String,
-      idCol: String, maxHamming: Int = 3): DataFrame = {
+      idCol: String, maxHamming: Int = 3, tok: Tok = Tok.Latin): DataFrame = {
     GraftFunctions.register(spark)
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("_text"))
       .repartition(cpuParallelism(df), col("id"))
       .select(col("id"),
-        GraftFunctions.simhash64(GraftFunctions.normTokens(col("_text"))).as("sh"))
+        GraftFunctions.simhash64(tok.tokens(col("_text"))).as("sh"))
     hammingPairs64(hashed, maxHamming)
   }
 
@@ -1281,9 +1283,11 @@ object Dedup {
     * fixed detector (A/B isolation); [[removeNearDuplicatesTuned]] pins
     * the tuned one. */
   def removeNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20): DataFrame =
+      threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20,
+      tok: Tok = Tok.Latin): DataFrame =
     removeByPairs(df, idCol,
-      nearDupPairsMinHashAuto(df, textCol, idCol, threshold, n), maxIter)
+      nearDupPairsMinHashAuto(df, textCol, idCol, threshold, n, tok = tok),
+      maxIter)
 
   /** [[removeNearDuplicates]] pinned to the FIXED-banding detector
     * ([[nearDupPairsMinHash]] — no background sample, no escalation).
@@ -1291,9 +1295,11 @@ object Dedup {
     * and for callers who have measured that the sampling jobs are not
     * worth it on their corpus shape; the auto form is the default. */
   def removeNearDuplicatesFixed(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20): DataFrame =
+      threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20,
+      tok: Tok = Tok.Latin): DataFrame =
     removeByPairs(df, idCol,
-      nearDupPairsMinHash(df, textCol, idCol, threshold, n), maxIter)
+      nearDupPairsMinHash(df, textCol, idCol, threshold, n, tok = tok),
+      maxIter)
 
   /** [[removeNearDuplicates]] detecting with the PER-CORPUS TUNED path
     * ([[nearDupPairsMinHashTuned]]: sampled-background band tuning +
@@ -1314,9 +1320,11 @@ object Dedup {
     * the millions of documents or a background-similarity sample runs
     * hot; below that, [[removeNearDuplicates]] is faster. */
   def removeNearDuplicatesTuned(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20): DataFrame =
+      threshold: Double = 0.8, n: Int = 3, maxIter: Int = 20,
+      tok: Tok = Tok.Latin): DataFrame =
     removeByPairs(df, idCol,
-      nearDupPairsMinHashTuned(df, textCol, idCol, threshold, n), maxIter)
+      nearDupPairsMinHashTuned(df, textCol, idCol, threshold, n, tok = tok),
+      maxIter)
 
   /** Shared near-dup removal tail: cluster the verified pairs, keep each
     * cluster's min-id survivor (the one resolution semantics every
@@ -1343,9 +1351,9 @@ object Dedup {
     * default, i.e. "no priority" = crawl-grade). */
   def removeNearDuplicatesPrioritized(df: DataFrame, textCol: String,
       idCol: String, priorityCol: String, threshold: Double = 0.8,
-      n: Int = 3, maxIter: Int = 20): DataFrame = {
+      n: Int = 3, maxIter: Int = 20, tok: Tok = Tok.Latin): DataFrame = {
     val labels = resolveClusters(
-      nearDupPairsMinHash(df, textCol, idCol, threshold, n), maxIter)
+      nearDupPairsMinHash(df, textCol, idCol, threshold, n, tok = tok), maxIter)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("label"))
       .orderBy(col("_prio").desc, col("id").asc)
@@ -1400,11 +1408,11 @@ object Dedup {
   def removeNearDuplicatesIncremental(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.8,
       n: Int = 3, k: Int = 128, checkDisjointIds: Boolean = true,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, tok: Tok = Tok.Latin): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
-    val shEx = materialize(shingleIndex(existing, textCol, idCol, n))
+    val shEx = materialize(shingleIndex(existing, textCol, idCol, n, tok))
     removeIncrementalFrom(minHashBandRows(shEx, k, rr, b), shEx, incoming,
-      textCol, idCol, threshold, n, k, checkDisjointIds, maxIter)
+      textCol, idCol, threshold, n, k, checkDisjointIds, maxIter, tok = tok)
   }
 
   /** (id, sh) shingle-index projection — the per-corpus-version artifact a
@@ -1413,8 +1421,8 @@ object Dedup {
     * `sh` is the sorted distinct word-n-gram array [[shingleSets]]
     * produces; [[minHashBandIndex]] derives the band index from it. */
   def shingleIndex(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3): DataFrame =
-    shingleSets(df, textCol, idCol, n)
+      n: Int = 3, tok: Tok = Tok.Latin): DataFrame =
+    shingleSets(df, textCol, idCol, n, tok)
       .select(col("id"), array_sort(col("shingles")).as("sh"))
 
   /** (id, hd) signature-head projection over a STORED shingle index — the
@@ -1476,10 +1484,10 @@ object Dedup {
       n: Int = 3, k: Int = 128, checkDisjointIds: Boolean = true,
       maxIter: Int = 20, existingSigHead: Option[DataFrame] = None,
       prefilterHashes: Int = 64,
-      prefilterMinCandidates: Double = 4e6): DataFrame =
+      prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin): DataFrame =
     removeIncrementalFrom(existingBands, existingShingles, incoming,
       textCol, idCol, threshold, n, k, checkDisjointIds, maxIter,
-      existingSigHead, prefilterHashes, prefilterMinCandidates)
+      existingSigHead, prefilterHashes, prefilterMinCandidates, tok)
 
   /** Shared incremental-removal core: one-sided band probe of `incoming`
     * against an existing corpus given as (band index, shingle index) —
@@ -1489,7 +1497,7 @@ object Dedup {
       incoming: DataFrame, textCol: String, idCol: String, threshold: Double,
       n: Int, k: Int, checkDisjointIds: Boolean, maxIter: Int,
       exSigHead: Option[DataFrame] = None, prefilterHashes: Int = 64,
-      prefilterMinCandidates: Double = 4e6): DataFrame = {
+      prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
     // Fail-FAST width check (driver-side, one column-pruned row): an
     // obviously mis-sized stored head is a configuration bug that should
@@ -1510,7 +1518,7 @@ object Dedup {
               "or pass its actual width")
         }
     }
-    val shIn = materialize(shingleIndex(incoming, textCol, idCol, n))
+    val shIn = materialize(shingleIndex(incoming, textCol, idCol, n, tok))
     // Default-on eager validation (one id-only semi-join job); callers
     // that guarantee disjoint id spaces by construction (a sequence-
     // assigned ingest id, a date-prefixed batch id) pass false to skip it
@@ -1598,9 +1606,9 @@ object Dedup {
     * side to matter, and decontamination errs on the cautious side by
     * construction. */
   def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
-      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+      textCol: String, idCol: String, n: Int = 3, tok: Tok = Tok.Latin): DataFrame = {
     def sideHashes(df: DataFrame, as: String) =
-      shingleSets(df, textCol, idCol, n)
+      shingleSets(df, textCol, idCol, n, tok)
         .select(col("id").as(as), explode(col("shingles")).as("_sh"))
         .select(col(as), xxhash64(col("_sh")).as("_h"))
     sideHashes(corpus, "corpus_id")
@@ -1630,12 +1638,12 @@ object Dedup {
     * is exact (verify). */
   def removeContaminatedFuzzy(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.8,
-      n: Int = 3, k: Int = 128): DataFrame = {
-    val shB = materialize(shingleIndex(benchmark, textCol, idCol, n))
+      n: Int = 3, k: Int = 128, tok: Tok = Tok.Latin): DataFrame = {
+    val shB = materialize(shingleIndex(benchmark, textCol, idCol, n, tok))
     // the fresh path derives its bands through the SAME entry point the
     // persisted-index build uses — parity by construction
     removeFuzzyFrom(corpus, minHashBandIndex(shB, threshold, k), shB,
-      textCol, idCol, threshold, n, k)
+      textCol, idCol, threshold, n, k, tok)
   }
 
   /** [[removeContaminatedFuzzy]] probing a PERSISTED benchmark index: the
@@ -1650,9 +1658,9 @@ object Dedup {
   def removeContaminatedFuzzyIndexed(corpus: DataFrame,
       benchBands: DataFrame, benchShingles: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.8,
-      n: Int = 3, k: Int = 128): DataFrame =
+      n: Int = 3, k: Int = 128, tok: Tok = Tok.Latin): DataFrame =
     removeFuzzyFrom(corpus, benchBands, benchShingles,
-      textCol, idCol, threshold, n, k)
+      textCol, idCol, threshold, n, k, tok)
 
   /** Shared fuzzy-decontamination core: a one-sided band probe of the
     * corpus against a benchmark given as (band index, shingle index) —
@@ -1660,12 +1668,12 @@ object Dedup {
     * [[removeContaminatedFuzzyIndexed]]. */
   private def removeFuzzyFrom(corpus: DataFrame, benchBands: DataFrame,
       shB: DataFrame, textCol: String, idCol: String, threshold: Double,
-      n: Int, k: Int): DataFrame = {
+      n: Int, k: Int, tok: Tok = Tok.Latin): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
     // the corpus shingle index is read twice (band rows + exact verify);
     // materializing also cuts the CORPUS lineage — a pipeline hands in a
     // multi-stage computed frame here, not a bare scan
-    val shC = materialize(shingleIndex(corpus, textCol, idCol, n))
+    val shC = materialize(shingleIndex(corpus, textCol, idCol, n, tok))
     // band indexes persisted before `sz` rode the band rows lack the
     // column; backfill from the shingle index (the same legacy-artifact
     // contract as the incremental probe)
@@ -1694,9 +1702,9 @@ object Dedup {
   /** Drop every corpus document that shares an n-gram with the benchmark
     * (left-anti on [[contaminationHits]]). */
   def removeContaminated(corpus: DataFrame, benchmark: DataFrame,
-      textCol: String, idCol: String, n: Int = 3): DataFrame =
+      textCol: String, idCol: String, n: Int = 3, tok: Tok = Tok.Latin): DataFrame =
     corpus.join(
-      contaminationHits(corpus, benchmark, textCol, idCol, n)
+      contaminationHits(corpus, benchmark, textCol, idCol, n, tok)
         .select(col("corpus_id").as(idCol)),
       Seq(idCol), "left_anti")
 
@@ -1722,11 +1730,11 @@ object Dedup {
     * selectivity, never correctness (DedupSpec pins parity at fpp=0.5). */
   def contaminationHitsBloom(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3,
-      fpp: Double = 0.001): DataFrame = {
+      fpp: Double = 0.001, tok: Tok = Tok.Latin): DataFrame = {
     // Benchmark hashes feed the bloom build AND the confirm join:
     // materialize once (benchmarks are small; this is the cheap side).
     val bench = materialize(
-      shingleSets(benchmark, textCol, idCol, n)
+      shingleSets(benchmark, textCol, idCol, n, tok)
         .select(col("id").as("bench_id"), explode(col("shingles")).as("_sh"))
         .select(col("bench_id"), xxhash64(col("_sh")).as("_h")))
     val distinctH = bench.select(col("_h")).distinct()
@@ -1745,7 +1753,7 @@ object Dedup {
     val bloom = distinctH
       .agg(GraftFunctions.bloomAgg(col("_h"), nItems, fpp).as("_bf"))
       .head().getAs[Array[Byte]]("_bf")
-    shingleSets(corpus, textCol, idCol, n)
+    shingleSets(corpus, textCol, idCol, n, tok)
       .select(col("id").as("corpus_id"), explode(col("shingles")).as("_sh"))
       .select(col("corpus_id"), xxhash64(col("_sh")).as("_h"))
       .where(GraftFunctions.bloomMightContain(bloom, col("_h")))
@@ -1758,9 +1766,9 @@ object Dedup {
     * identical survivors, corpus-side-narrow plan. */
   def removeContaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3,
-      fpp: Double = 0.001): DataFrame =
+      fpp: Double = 0.001, tok: Tok = Tok.Latin): DataFrame =
     corpus.join(
-      contaminationHitsBloom(corpus, benchmark, textCol, idCol, n, fpp)
+      contaminationHitsBloom(corpus, benchmark, textCol, idCol, n, fpp, tok)
         .select(col("corpus_id").as(idCol)),
       Seq(idCol), "left_anti")
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Tok}
 
 /** DSIR-style data selection: importance resampling toward a TARGET text
   * distribution over hashed n-gram features (Xie et al., "Data Selection
@@ -68,17 +68,17 @@ object Dsir {
     * feature array, so a null-text document scores log_w = 0.0 with 0
     * features — matching the oracle restatement's COALESCE(sum, 0)
     * (a null-feature fold would yield NULL and silently diverge). */
-  private def features(text: Column): Column =
+  private def features(text: Column, tok: Tok = Tok.Latin): Column =
     coalesce(
-      concat(GraftFunctions.normTokens(text), GraftFunctions.ngramsNative(text, 2)),
+      concat(tok.tokens(text), tok.ngrams(text, 2)),
       array().cast("array<string>"))
 
   /** Per-bucket feature counts of a corpus sample: ONE aggregation,
     * `dim` rows to the driver. */
   private[operators] def bucketCounts(df: DataFrame, textCol: String,
-      dim: Int): Array[Long] = {
+      dim: Int, tok: Tok = Tok.Latin): Array[Long] = {
     GraftFunctions.register(df.sparkSession)
-    val rows = df.select(explode(features(col(textCol))).as("f"))
+    val rows = df.select(explode(features(col(textCol), tok)).as("f"))
       .groupBy(QualityModel.featureIndex(col("f"), dim).as("j"))
       .agg(count(lit(1)).as("c"))
       .collect()
@@ -91,11 +91,11 @@ object Dsir {
     * multinomials on the target and raw samples, per-bucket log-ratio
     * quantized to scaled longs. Driver state = 2·dim longs. */
   def fit(target: DataFrame, raw: DataFrame, textCol: String, dim: Int,
-      alpha: Double = 1.0): Model = {
+      alpha: Double = 1.0, tok: Tok = Tok.Latin): Model = {
     require(dim > 0, s"dim must be positive: $dim")
     require(alpha > 0.0, s"alpha must be positive: $alpha")
-    val ct = bucketCounts(target, textCol, dim)
-    val cr = bucketCounts(raw, textCol, dim)
+    val ct = bucketCounts(target, textCol, dim, tok)
+    val cr = bucketCounts(raw, textCol, dim, tok)
     val tt = ct.sum.toDouble + alpha * dim
     val tr = cr.sum.toDouble + alpha * dim
     val lam = Array.tabulate(dim) { j =>
@@ -112,18 +112,18 @@ object Dsir {
     * one division on identical operands: bit-equal across engines.
     * Narrow single projection, no shuffle. */
   def logWeight(df: DataFrame, textCol: String, idCol: String,
-      model: Model): DataFrame = {
+      model: Model, tok: Tok = Tok.Latin): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol), size(features(col(textCol))).as("n_features"),
-      logWeightCol(col(textCol), model).as("log_w"))
+    df.select(col(idCol), size(features(col(textCol), tok)).as("n_features"),
+      logWeightCol(col(textCol), model, tok).as("log_w"))
   }
 
   /** The importance log-weight as a bare Column over a text column (the
     * session must have [[GraftFunctions.register]] applied — every
     * entry-point method does it) — for composition into wider plans
     * (pipeline stages, ad-hoc projections). */
-  def logWeightCol(text: Column, model: Model): Column = {
-    val feats = features(text)
+  def logWeightCol(text: Column, model: Model, tok: Tok = Tok.Latin): Column = {
+    val feats = features(text, tok)
     val w = lit(model.weightsScaled)
     val folded = aggregate(feats, lit(0L), (acc, f) =>
       acc + element_at(w, (QualityModel.featureIndex(f, model.dim) + 1).cast("int")))
@@ -153,9 +153,9 @@ object Dsir {
     * partitions·k rows (`TakeOrderedAndProject` — no global sort); see
     * the object scaladoc for the corpus-sized-k alternatives. */
   def resample(df: DataFrame, textCol: String, idCol: String, model: Model,
-      k: Int, salt: String = DefaultSalt): DataFrame = {
+      k: Int, salt: String = DefaultSalt, tok: Tok = Tok.Latin): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    logWeight(df, textCol, idCol, model)
+    logWeight(df, textCol, idCol, model, tok)
       .withColumn("z", gumbelKey(col(idCol), col("log_w"), salt))
       .orderBy(col("z").desc, col(idCol))
       .limit(k)
@@ -166,14 +166,15 @@ object Dsir {
     * selected documents — the pipeline-composition form: same selected
     * set, same top-k plan shape, no join back. */
   def resampleRows(df: DataFrame, textCol: String, idCol: String,
-      model: Model, k: Int, salt: String = DefaultSalt): DataFrame = {
+      model: Model, k: Int, salt: String = DefaultSalt,
+      tok: Tok = Tok.Latin): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(!df.columns.contains("_dsir_z"),
       "input already has a '_dsir_z' column - resampleRows stages its " +
         "Gumbel key there and would silently overwrite it; rename yours first")
     GraftFunctions.register(df.sparkSession)
     df.withColumn("_dsir_z",
-        gumbelKey(col(idCol), logWeightCol(col(textCol), model), salt))
+        gumbelKey(col(idCol), logWeightCol(col(textCol), model, tok), salt))
       .orderBy(col("_dsir_z").desc, col(idCol))
       .limit(k)
       .drop("_dsir_z")

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic MULTILINGUAL near-dup fixture — the corpus the `q_*_ml`
+  * oracle queries run on (the LangProfiles.samples discipline: ONE Scala
+  * source generates both the Spark frame and the DuckDB VALUES literal,
+  * so the two engines read byte-identical text).
+  *
+  * Shape: per language a BASE document, a TWIN differing in one word (zh:
+  * two characters) — shingle Jaccard ≈ 0.7–0.9, comfortably above the
+  * 0.5 detection threshold with banding recall ≈ 1 − 1e-4 — and for
+  * zh/ru/en an UNRELATED document (J ≈ 0 against everything). Under the
+  * Latin tokenizer every non-Latin document here tokenizes EMPTY, so the
+  * zh/ja/ru/ar twins are invisible — exactly the blindness the ml
+  * tokenizer closes; the en twin doubles as the proof that ml and Latin
+  * agree on ASCII. Texts avoid apostrophes/quotes so the SQL literal
+  * needs no escaping (asserted). */
+object MlFixture {
+
+  /** (doc_id, lang, text). Twins are (base, base+1); ids are spaced so
+    * id arithmetic never collides across languages. */
+  val docs: Seq[(Long, String, String)] = Seq(
+    (0L, "zh", "机器学习模型需要大量高质量训练数据来提升性能和泛化能力因此数据清洗与去重是整个流程中非常重要的一步"),
+    (1L, "zh", "机器学习模型需要大量高质量训练数据来提升性能和泛化能力因此数据清洗与去重是整个流程中极其重要的一步"),
+    (2L, "zh", "今天天气晴朗适合出门散步公园里的花都开了孩子们在草地上快乐地玩耍大家都很开心"),
+    (10L, "ja", "これは機械学習のための文書でありたくさんのデータが必要です品質の高いデータはモデルの性能を大きく向上させます"),
+    (11L, "ja", "これは機械学習のための文書でありたくさんのデータが必要です品質の高いデータはモデルの性能をさらに向上させます"),
+    (20L, "ru", "машинное обучение требует огромного количества качественных данных для тренировки моделей и проверки их способности к обобщению на новых примерах"),
+    (21L, "ru", "машинное обучение требует большого количества качественных данных для тренировки моделей и проверки их способности к обобщению на новых примерах"),
+    (22L, "ru", "сегодня хорошая погода и дети играют в парке на зеленой траве под ярким солнцем все очень рады"),
+    (30L, "ar", "التعلم الالي يحتاج الى كمية كبيرة من البيانات عالية الجودة لتدريب النماذج بشكل جيد والتحقق من قدرتها على التعميم"),
+    (31L, "ar", "التعلم الالي يحتاج الى كمية ضخمة من البيانات عالية الجودة لتدريب النماذج بشكل جيد والتحقق من قدرتها على التعميم"),
+    (40L, "en", "machine learning models need large amounts of high quality training data to improve performance and generalization across many different tasks"),
+    (41L, "en", "machine learning models need huge amounts of high quality training data to improve performance and generalization across many different tasks"),
+    (42L, "en", "the quick brown fox jumps over the lazy dog while the sun shines brightly on the quiet green meadow"))
+
+  /** The twin pairs planted above — ground truth for specs. */
+  val twinPairs: Seq[(Long, Long)] =
+    Seq((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L), (40L, 41L))
+
+  docs.foreach { case (_, _, t) =>
+    require(!t.contains("'") && !t.contains("\\"),
+      "MlFixture texts must need no SQL escaping")
+  }
+
+  def frame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.toDF("doc_id", "lang", "text")
+  }
+
+  /** DuckDB VALUES literal of the SAME rows, for FROM-clause use:
+    * `FROM ${MlFixture.sqlValues}`. */
+  def sqlValues: String =
+    docs.map { case (i, l, t) => s"($i, '$l', '$t')" }
+      .mkString("(VALUES ", ", ", ") mlf(doc_id, lang, text)")
+}

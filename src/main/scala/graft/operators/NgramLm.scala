@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, NgramLmScorer}
+import graft.functions.{GraftFunctions, NgramLmScorer, Tok}
 
 /** Trained trigram language model for perplexity-style quality
   * filtering — the CCNet recipe (Wenzek et al., LREC 2020): train an LM
@@ -78,19 +78,19 @@ object NgramLm {
     * the [[Dsir]] discipline: a null-text document scores 0 with 0
     * tokens instead of propagating NULL through the fold (which would
     * silently diverge from the oracle's COALESCE(sum, 0)). */
-  private def tokensOf(text: Column): Column =
-    coalesce(GraftFunctions.normTokens(text), array().cast("array<string>"))
+  private def tokensOf(text: Column, tok: Tok = Tok.Latin): Column =
+    coalesce(tok.tokens(text), array().cast("array<string>"))
 
   /** Padded token array of a text column: two sentinels + normTokens. */
-  private def padded(text: Column): Column =
-    concat(array(lit(Sentinel), lit(Sentinel)), tokensOf(text))
+  private def padded(text: Column, tok: Tok): Column =
+    concat(array(lit(Sentinel), lit(Sentinel)), tokensOf(text, tok))
 
   /** All space-joined k-grams of the PADDED stream (every position —
     * context grams like `<s> <s>` included: they are the denominators).
     * Guarded so a short stream yields the empty array (Spark's
     * `sequence(1, 0)` would DESCEND, not empty out). */
-  private def kgramsAll(text: Column, k: Int): Column = {
-    val p = padded(text)
+  private def kgramsAll(text: Column, k: Int, tok: Tok): Column = {
+    val p = padded(text, tok)
     when(size(p) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(p) - (k - 1)),
         i => concat_ws(" ", slice(p, i, lit(k)))))
@@ -100,8 +100,8 @@ object NgramLm {
     * top `maxEntries` by (count DESC, gram) — a TakeOrdered, never a
     * global sort; ≤ maxEntries rows to the driver. */
   private def countTable(reference: DataFrame, textCol: String, k: Int,
-      minCount: Long, maxEntries: Int): Array[(String, Long)] =
-    reference.select(explode(kgramsAll(col(textCol), k)).as("g"))
+      minCount: Long, maxEntries: Int, tok: Tok): Array[(String, Long)] =
+    reference.select(explode(kgramsAll(col(textCol), k, tok)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
       .where(col("c") >= minCount)
       .orderBy(col("c").desc, col("g"))
@@ -113,20 +113,21 @@ object NgramLm {
     * bounded count aggregations; all remaining work is a driver pass
     * over ≤ 3·maxEntriesPerOrder entries. */
   def fit(reference: DataFrame, textCol: String,
-      maxEntriesPerOrder: Int = 1 << 16, minCount: Long = 2L): Model = {
+      maxEntriesPerOrder: Int = 1 << 16, minCount: Long = 2L,
+      tok: Tok = Tok.Latin): Model = {
     require(maxEntriesPerOrder > 0, s"maxEntriesPerOrder: $maxEntriesPerOrder")
     require(minCount >= 1, s"minCount: $minCount")
     GraftFunctions.register(reference.sparkSession)
     val n = reference
-      .select(sum(size(GraftFunctions.normTokens(col(textCol)))).cast("long"))
+      .select(sum(size(tok.tokens(col(textCol)))).cast("long"))
       .collect()(0) match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
     require(n > 0, "reference corpus has no tokens")
-    val c1 = countTable(reference, textCol, 1, minCount, maxEntriesPerOrder)
-    val c2 = countTable(reference, textCol, 2, minCount, maxEntriesPerOrder)
-    val c3 = countTable(reference, textCol, 3, minCount, maxEntriesPerOrder)
+    val c1 = countTable(reference, textCol, 1, minCount, maxEntriesPerOrder, tok)
+    val c2 = countTable(reference, textCol, 2, minCount, maxEntriesPerOrder, tok)
+    val c3 = countTable(reference, textCol, 3, minCount, maxEntriesPerOrder, tok)
     val uniCount = c1.toMap
     val biCount = c2.toMap
 
@@ -174,9 +175,9 @@ object NgramLm {
     * threshold reads (cast from identical integer operands on every
     * engine). ONE narrow projection. */
   def score(df: DataFrame, textCol: String, idCol: String,
-      model: Model): DataFrame = {
+      model: Model, tok: Tok = Tok.Latin): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val toks = tokensOf(col(textCol))
+    val toks = tokensOf(col(textCol), tok)
     df.select(col(idCol), size(toks).as("n_tokens"),
         scoreScaledCol(toks, model).as("score_scaled"))
       .withColumn("mean_log",
@@ -189,17 +190,18 @@ object NgramLm {
     * n_tokens (no float in the decision — both engines agree bit-for-
     * bit). Empty documents (n=0, score=0) pass iff minMeanLog ≤ 0 —
     * the length floor upstream is the operator that rejects those. */
-  def gateCol(text: Column, model: Model, minMeanLog: Double): Column = {
-    val toks = tokensOf(text)
+  def gateCol(text: Column, model: Model, minMeanLog: Double,
+      tok: Tok = Tok.Latin): Column = {
+    val toks = tokensOf(text, tok)
     scoreScaledCol(toks, model) >=
       lit(math.round(minMeanLog * WeightScale)) * size(toks).cast("long")
   }
 
   /** Rows whose per-token mean log-score clears `minMeanLog`. */
   def filterByScore(df: DataFrame, textCol: String, model: Model,
-      minMeanLog: Double): DataFrame = {
+      minMeanLog: Double, tok: Tok = Tok.Latin): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.where(gateCol(col(textCol), model, minMeanLog))
+    df.where(gateCol(col(textCol), model, minMeanLog, tok))
   }
 
   /** CCNet-style perplexity BUCKETING (Wenzek et al. LREC 2020 §4.3):
@@ -238,13 +240,13 @@ object NgramLm {
     * otherwise). */
   def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
       model: Model, nBuckets: Int = 3, sampleFraction: Double = 0.1,
-      byCol: Option[String] = None): DataFrame = {
+      byCol: Option[String] = None, tok: Tok = Tok.Latin): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val spark = df.sparkSession
     GraftFunctions.register(spark)
-    val toks = tokensOf(col(textCol))
+    val toks = tokensOf(col(textCol), tok)
     // the JOIN/WINDOW key is a total string surrogate of the stratum:
     // cast (byCol may be any type — the collected cut rows read strings)
     // and NULL-coalesced to a sentinel (equi-joins never match NULL keys,

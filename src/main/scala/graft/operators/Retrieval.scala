@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Tok}
 
 /** BM25 ranked retrieval over a document corpus (Robertson et al., the
   * Okapi BM25 weighting; the `1 + ·` idf form that stays non-negative
@@ -63,10 +63,10 @@ object Retrieval {
     * aggregates would re-tokenize the full text once per term
     * (RetrievalSpec pins exactly ONE kernel call in the executed plan). */
   private[operators] def bm25StatsFrame(df: DataFrame, textCol: String,
-      q: Seq[String]): DataFrame = {
+      q: Seq[String], tok: Tok = Tok.Latin): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val withToks = df.select(
-      GraftFunctions.normTokens(col(textCol)).as("_toks"))
+      tok.tokens(col(textCol)).as("_toks"))
     val dfAggs = q.zipWithIndex.map { case (t, i) =>
       sum(array_contains(col("_toks"), t).cast("long")).as(s"df_$i")
     }
@@ -76,9 +76,10 @@ object Retrieval {
   }
 
   /** ONE aggregation pass → |terms|+2 driver scalars. */
-  def bm25Stats(df: DataFrame, textCol: String, terms: Seq[String]): Bm25Stats = {
+  def bm25Stats(df: DataFrame, textCol: String, terms: Seq[String],
+      tok: Tok = Tok.Latin): Bm25Stats = {
     val q = normTerms(terms)
-    val row = bm25StatsFrame(df, textCol, q).first()
+    val row = bm25StatsFrame(df, textCol, q, tok).first()
     // sum() over zero rows (or all-null texts) returns null — fail loudly
     // instead of an opaque NPE on unboxing, per the family convention
     require(row.getLong(0) > 0 && !row.isNullAt(1) && row.getLong(1) > 0,
@@ -102,7 +103,7 @@ object Retrieval {
     * (e.g. to threshold instead of top-k). */
   def bm25ScoreAll(df: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], stats: Bm25Stats,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, tok: Tok = Tok.Latin): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val q = normTerms(terms)
     require(stats.docFreq.size == q.size,
@@ -112,7 +113,7 @@ object Retrieval {
     // full text per term (CollapseProject keeps the split: the alias is
     // multiply-referenced and non-cheap)
     val withToks = df.select(col(idCol),
-      GraftFunctions.normTokens(col(textCol)).as("_bm25_toks"))
+      tok.tokens(col(textCol)).as("_bm25_toks"))
     val toks = col("_bm25_toks")
     val dl = size(toks).cast("double")
     val avgdl = stats.totalTokens.toDouble / stats.nDocs.toDouble
@@ -132,10 +133,10 @@ object Retrieval {
     * broken by id. Two corpus passes, zero shuffles (see object doc). */
   def bm25TopK(df: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, tok: Tok = Tok.Latin): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val stats = bm25Stats(df, textCol, terms)
-    bm25ScoreAll(df, textCol, idCol, terms, stats, k1, b)
+    val stats = bm25Stats(df, textCol, terms, tok)
+    bm25ScoreAll(df, textCol, idCol, terms, stats, k1, b, tok)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

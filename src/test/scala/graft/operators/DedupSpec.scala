@@ -728,6 +728,34 @@ class DedupSpec extends AnyFunSuite {
       s"escalated plan must still match ground truth: missed=${exact -- forced} spurious=${forced -- exact}")
   }
 
+  test("multilingual tokenizer: tok=Ml finds the zh/ja/ru/ar twins; tok=Latin is provably blind to them") {
+    import graft.functions.Tok
+    val fx = MlFixture.frame(spark)
+    // ml path: every planted twin pair detected, nothing else
+    val mlPairs = Dedup.nearDupPairsMinHash(fx, "text", "doc_id", 0.5,
+        tok = Tok.Ml)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mlPairs == MlFixture.twinPairs.toSet,
+      s"ml detector must find exactly the planted twins, got $mlPairs")
+    // and the LSH result equals exact ground truth under the same tokenizer
+    val mlExact = Dedup.exactJaccardPairs(fx, "text", "doc_id", 0.5,
+        tok = Tok.Ml)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mlPairs == mlExact)
+    // removal: min-id twin survives per cluster, unrelated docs untouched
+    val kept = Dedup.removeNearDuplicates(fx, "text", "doc_id", 0.5,
+        tok = Tok.Ml)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 10L, 20L, 22L, 30L, 40L, 42L), s"got $kept")
+    // the DEFAULT (Latin) tokenizer sees only the en twin — the exact
+    // blindness the ml kernel exists to close, pinned so a default-flip
+    // would surface here
+    val latinPairs = Dedup.nearDupPairsMinHash(fx, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(latinPairs == Set((40L, 41L)),
+      s"Latin tokenizer must be blind to non-Latin twins, got $latinPairs")
+  }
+
   implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
