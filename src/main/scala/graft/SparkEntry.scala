@@ -393,6 +393,31 @@ object SparkEntry {
         threshold = 0.5, tok = graft.functions.Tok.Ml)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ── PER-SCRIPT quality gating: gopherFlagsMl branches the Gopher
+    //    rules on the routed language (word-shape rules vacuous for
+    //    per-codepoint CJK + unsegmented Thai; stopword floor only where
+    //    a list exists, in the language's OWN list). Fixture: tripled
+    //    natural zh/ja/ru/ar/en docs (all pass except the stopword-free
+    //    pangram) + per-script garbage (symbol spam, bullet spam, digit
+    //    spam, stopword-free salad — each fails its flag). Oracle:
+    //    every rule + the lang routing regenerated in DuckDB from the
+    //    same LangProfiles tables ─────────────────────────────────────
+    "q_gopher_quality_ml" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val ta = graft.functions.TextAnalysis
+      val lang = graft.functions.GraftFunctions.langIdNative(col("text"))
+      val f = ta.gopherFlagsMl(col("text"), lang)
+      val names = Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_word_ratio_ok",
+        "stopword_ok")
+      graft.operators.MlFixture.gateDocs.toDF("doc_id", "text")
+        .select(col("doc_id") +: lang.as("lang") +:
+          names.map(n => f.getField(n).as(n)) :+
+          ta.gopherPassMl(col("text"), lang).as("pass"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── ml tokenizer PARITY probe: token count + md5 fingerprint of the
     //    space-joined ml token stream, over the near-dup fixture PLUS all
     //    26 LangProfiles samples — any kernel↔SQL divergence on any
@@ -1240,6 +1265,9 @@ object SparkEntry {
       graft.operators.Packing.packExamples(
         chunks.join(splits, Seq("doc_id")), tokenBudget = 256,
         splitCol = Some("split"))
+        .withColumn("doc_starts_str",
+          array_join(transform(col("doc_starts"), x => x.cast("string")), ","))
+        .drop("doc_starts")
         .orderBy(col("example_id"))
     }),
 
@@ -4079,6 +4107,7 @@ object SparkEntry {
     "q_minhash_near_dups_tuned" -> exactJaccardPairsSql,
     "q_minhash_near_dups_ml" -> mlExactJaccardPairsSql,
     "q_tokens_ml" -> mlTokensSql,
+    "q_gopher_quality_ml" -> mlGopherQualitySql,
     // SimHash ground truth, independently restated: FNV-1a-64 per token
     // (fold over UTF-8 bytes — tokens are [a-z0-9]+ so unicode(ch) IS the
     // byte — with mod-2⁶⁴ HUGEINT multiply), multiplicity-weighted bit
@@ -4399,11 +4428,17 @@ object SparkEntry {
         "CASE WHEN p.tok > 0 AND p.tok + o.n > 256 THEN p.ex + 1 ELSE p.ex END, " +
         "CASE WHEN p.tok > 0 AND p.tok + o.n > 256 THEN o.n ELSE p.tok + o.n END " +
         "FROM packed p JOIN ordered o ON o.split = p.split AND o.shard = p.shard AND o.rn = p.rn + 1) " +
+        // doc_starts ground truth: the exclusive running sum of member
+        // token counts in pack order — deterministic from the same
+        // recursion (one window over the packed rows)
+        ", wst AS (SELECT *, CAST(coalesce(sum(n) OVER (PARTITION BY split, shard, ex " +
+        "ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM packed) " +
         "SELECT split || '/' || shard || '/' || CAST(ex AS VARCHAR) AS example_id, split, " +
         "count(*) AS n_chunks, CAST(sum(n) AS BIGINT) AS n_tokens, " +
         "CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / 256.0 AS fill_ratio, " +
-        "string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR), ',' ORDER BY doc_id, chunk_idx) AS members " +
-        "FROM packed GROUP BY split, shard, ex ORDER BY example_id"),
+        "string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR), ',' ORDER BY doc_id, chunk_idx) AS members, " +
+        "string_agg(CAST(st AS VARCHAR), ',' ORDER BY doc_id, chunk_idx) AS doc_starts_str " +
+        "FROM wst GROUP BY split, shard, ex ORDER BY example_id"),
     // input_ids ground truth: the replace-chain piece stream (bpePieceCtes)
     // chunked at 64/16, packed at 256 (the q_packed_examples recursion),
     // every piece mapped through the merge-rank/codepoint/marker id
@@ -4988,6 +5023,54 @@ object SparkEntry {
       s"len(list_filter($words, w -> regexp_matches(w,'[A-Za-z]')))*1.0" +
         s"/greatest(len($words),1) >= 0.8",
       s"len(list_intersect(list_distinct($tok), $stops)) >= 2")
+  }
+
+  /** The seven [[graft.functions.TextAnalysis.gopherFlagsMl]] rules over
+    * SQL expressions for the raw text, the ML token array, and the
+    * routed language — generated from the same LangProfiles class sets
+    * the gate branches on (no drift). Order matches gopherFlagsMl. */
+  private def gopherRuleSqlsMl(text: String, tok: String,
+      lang: String): Seq[String] = {
+    val lp = graft.functions.LangProfiles
+    def inSet(set: Set[String]): String =
+      set.toSeq.sorted.map(c => s"'$c'").mkString(s"$lang IN (", ",", ")")
+    val noShape = inSet(lp.noWordShapeLangs)
+    val noStops = inSet(lp.noWordShapeLangs ++ lp.scriptWordLangs)
+    val lines = s"regexp_split_to_array($text,'\\n')"
+    val stopsCase = lp.stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
+      s"WHEN '$code' THEN ${words.map(w => s"'$w'").mkString("[", ",", "]")}"
+    }.mkString(s"CASE $lang ", " ",
+      s" ELSE ${lp.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")} END")
+    Seq(
+      s"len($tok) BETWEEN 50 AND 100000",
+      s"($noShape OR length(array_to_string($tok,''))*1.0/greatest(len($tok),1) BETWEEN 3.0 AND 10.0)",
+      s"(len(regexp_extract_all($text,'#')) + len(regexp_extract_all($text,'\\.\\.\\.')))*1.0" +
+        s"/greatest(len($tok),1) <= 0.1",
+      s"len(list_filter($lines, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'•')))*1.0" +
+        s"/greatest(len($lines),1) <= 0.9",
+      s"len(list_filter($lines, l -> ends_with(l,'...')))*1.0" +
+        s"/greatest(len($lines),1) <= 0.3",
+      s"($noShape OR len(list_filter($tok, t -> NOT regexp_matches(t,'^[0-9]+$$')))*1.0" +
+        s"/greatest(len($tok),1) >= 0.8)",
+      s"($noStops OR len(list_intersect(list_distinct($tok), $stopsCase)) >= 2)")
+  }
+
+  private lazy val mlGopherQualitySql: String = {
+    val rules = gopherRuleSqlsMl("text", "tok", "lang")
+    val names = Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+      "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_word_ratio_ok",
+      "stopword_ok")
+    val flagCols = rules.zip(names).map { case (r, n) => s"$r AS $n" }
+    val pass = rules.map(r => s"($r)").mkString(" AND ")
+    val mlToks = graft.functions.Tok.Ml.sqlTokens("text")
+    val latinToks = graft.functions.Tok.Latin.sqlTokens("text")
+    s"WITH g AS (SELECT doc_id, text FROM ${graft.operators.MlFixture.gateSqlValues}), " +
+      s"k AS (SELECT doc_id, text, $mlToks AS tok, $latinToks AS ltok FROM g), " +
+      s"l AS (SELECT doc_id, text, tok, CASE ${langScriptWhensSql("text")} " +
+      s"WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang " +
+      s"FROM (SELECT doc_id, text, tok, ${langVoteGreatestSql("ltok")} AS b FROM k) x) " +
+      s"SELECT doc_id, lang, ${flagCols.mkString(", ")}, $pass AS pass " +
+      "FROM l ORDER BY doc_id"
   }
 
   private lazy val contaminationOracle: String =

@@ -75,6 +75,30 @@ object LangProfiles {
     "hu" -> Seq("az", "hogy", "nem", "egy", "van", "meg", "mar", "ha", "mint", "ki"),
     "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "pada"))
 
+  // ── language classes for PER-SCRIPT quality gating ────────────────────
+  // The Gopher word-shape rules (mean word length, alpha-word ratio,
+  // stopword floor) assume whitespace-delimited words and an English
+  // stopword list; under the script-aware tokenizer they would wrongly
+  // gate every CJK document (per-codepoint tokens shift every word-shape
+  // distribution). The gate branches on the ALREADY-COMPUTED langId using
+  // these classes — single-sourced here so the Spark gate, the DuckDB
+  // oracle generator, and the router cannot drift.
+
+  /** Languages whose ml tokens are NOT word-shaped: per-codepoint CJK
+    * (ja/ko/zh — Hangul is in the per-codepoint class) and unsegmented
+    * Thai (run tokens are phrase-length). Word-shape rules are
+    * meaningless here; rely on counts/line-shape/LM/model gates. */
+  val noWordShapeLangs: Set[String] = Set("ja", "ko", "zh", "th")
+
+  /** Script-routed languages whose ml tokens ARE word-shaped
+    * (whitespace-delimited words) but that carry no stopword list (the
+    * router identifies them by script, not votes): word-shape rules
+    * apply, the stopword floor does not. */
+  val scriptWordLangs: Set[String] = Set("ru", "ar", "he", "el", "hi")
+
+  require(scriptRules.map(_.code).toSet == noWordShapeLangs ++ scriptWordLangs,
+    "every script-routed language must be classified for the quality gate")
+
   /** Deterministic per-language sample sentences — the multilingual
     * FIXTURE the q_lang_id oracle and LangIdSpec run on. Stopword-voted
     * languages sample their own list (self-votes dominate any shared

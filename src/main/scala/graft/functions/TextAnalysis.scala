@@ -143,18 +143,32 @@ object TextAnalysis {
     * documents the list exists to stop. Uses the registry-resolved
     * `norm_tokens` kernel: call [[GraftFunctions.register]] on the
     * session first (idempotent), as every native-kernel consumer does. */
-  def containsBlockedWord(c: Column, words: Seq[String]): Column = {
+  def containsBlockedWord(c: Column, words: Seq[String],
+      tok: Tok = Tok.Latin): Column = {
     require(words.nonEmpty, "containsBlockedWord: empty blocklist")
+    // entries normalize through the SAME kernel the stream uses (driver-
+    // side call — guaranteed agreement; under Tok.Ml a zh entry is its
+    // per-codepoint token, so single-ideograph entries gate exactly)
     val normed = words.map { w =>
-      val n = w.toLowerCase(java.util.Locale.ROOT)
-        .replaceAll("[^a-z0-9]+", " ").trim
-      require(n.nonEmpty && !n.contains(' '),
-        s"containsBlockedWord: entry '$w' normalizes to '$n' — not a " +
-          "single token; the gate matches single normalized tokens only " +
-          "(split phrases into their rarest token or use a span check)")
-      n
+      val ts = kernelTokens(w, tok)
+      require(ts.length == 1,
+        s"containsBlockedWord: entry '$w' normalizes to " +
+          s"[${ts.mkString(" ")}] — not a single token; the gate matches " +
+          "single normalized tokens only (split phrases into their " +
+          "rarest token or use a span check)")
+      ts.head
     }
-    arrays_overlap(GraftFunctions.normTokens(c), lit(normed.toArray))
+    arrays_overlap(tok.tokens(c), lit(normed.toArray))
+  }
+
+  /** Driver-side normalization of a blocklist entry via the SAME kernel
+    * the gate's stream column evaluates — agreement by construction. */
+  private def kernelTokens(w: String, tok: Tok): Seq[String] = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+    (tok match {
+      case Tok.Ml => ShingleUtil.normTokensMl(u)
+      case _ => ShingleUtil.normTokens(u)
+    }).toSeq.map(_.toString)
   }
 
   /** PHRASE-blocklist gate — the span check [[containsBlockedWord]]'s
@@ -171,21 +185,21 @@ object TextAnalysis {
     * gate) and entries that normalize to nothing are rejected loudly.
     * Narrow codegen'd predicate — same scan-stage shape as the word
     * gate. Filter with `df.where(!containsBlockedPhrase(col, phrases))`. */
-  def containsBlockedPhrase(c: Column, phrases: Seq[String]): Column = {
+  def containsBlockedPhrase(c: Column, phrases: Seq[String],
+      tok: Tok = Tok.Latin): Column = {
     require(phrases.nonEmpty, "containsBlockedPhrase: empty blocklist")
     val normed = phrases.map { p =>
-      val n = p.toLowerCase(java.util.Locale.ROOT)
-        .replaceAll("[^a-z0-9]+", " ").trim
-      require(n.nonEmpty,
+      val ts = kernelTokens(p, tok)
+      require(ts.nonEmpty,
         s"containsBlockedPhrase: entry '$p' normalizes to nothing — it " +
           "could never match any tokenizer output")
-      n
+      ts.mkString(" ")
     }
     normed.groupBy(_.count(_ == ' ') + 1).toSeq.sortBy(_._1)
       .map { case (n, group) =>
         val stream =
-          if (n == 1) GraftFunctions.normTokens(c)
-          else GraftFunctions.ngramsNative(c, n)
+          if (n == 1) tok.tokens(c)
+          else tok.ngrams(c, n)
         arrays_overlap(stream, lit(group.distinct.toArray))
       }
       .reduce(_ || _)
@@ -469,6 +483,97 @@ object TextAnalysis {
     * Gopher rule gate. */
   def gopherPass(c: Column): Column = {
     val f = gopherFlags(c)
+    Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+      "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_word_ratio_ok",
+      "stopword_ok").map(f.getField).reduce(_ && _)
+  }
+
+  // ── per-script quality gating (multilingual Gopher) ───────────────────
+
+  /** Fraction of the text's characters the ml tokenizer KEEPS (tracked-
+    * script letters + digits) — the multilingual analog of [[alphaRatio]]
+    * (which counts only [A-Za-z] and would gate every CJK/Cyrillic/RTL
+    * document to zero). Codepoint-exact: simple lowercasing never changes
+    * length, separators simply drop out of the concatenated tokens.
+    * Session must be [[GraftFunctions.register]]ed (callers do). */
+  def tokenCharRatio(c: Column): Column =
+    length(concat_ws("", GraftFunctions.normTokensMl(c))).cast("double") /
+      greatest(length(c), lit(1))
+
+  /** The per-language stopword array for the ml stopword floor: the
+    * langId's OWN list when one exists, else the English list ("und" and
+    * unlisted codes fall back — unidentified text is gated like English,
+    * the conservative default). A literal CASE chain over the generated
+    * [[LangProfiles.stopwords]] table. */
+  private def stopsForLang(lang: Column): Column = {
+    val en = array(stopwords("en").map(lit): _*)
+    stopwords.toSeq.sortBy(_._1).foldLeft(when(lit(false), en)) {
+      case (acc, (code, words)) =>
+        acc.when(lang === code, array(words.map(lit): _*))
+    }.otherwise(en)
+  }
+
+  /** SCRIPT-AWARE Gopher gates — [[gopherFlags]] recalibrated for the
+    * multilingual tokenizer, branched on the ALREADY-COMPUTED language id
+    * (`lang` — the pipeline computes it once for routing; "und" gates
+    * like English). Same seven flags, same names, TRUE = pass:
+    *
+    *  - word_count_ok:      50 ≤ ml tokens ≤ 100,000 (for CJK that is a
+    *    character floor — Gopher's 50-word English floor ≈ 50 ideographs)
+    *  - mean_word_len_ok:   mean ml-token length ∈ [3, 10]; VACUOUS for
+    *    [[LangProfiles.noWordShapeLangs]] (per-codepoint tokens are
+    *    length 1, Thai runs are phrase-length — not word shapes)
+    *  - symbol_ratio_ok:    (# '#' + # '...') / ml tokens ≤ 0.1 (the
+    *    denominator is ml tokens, not whitespace words — a zh document
+    *    is ONE whitespace word, which would make any symbol fatal)
+    *  - bullet_ratio_ok / ellipsis_ratio_ok: unchanged (line shape is
+    *    script-agnostic)
+    *  - alpha_word_ratio_ok: ≥ 80% of ml tokens are not pure digit runs
+    *    (ml tokens are letter/digit runs by construction, so "contains a
+    *    letter" ≡ "not all digits" — restatable without \p classes);
+    *    vacuous for noWordShapeLangs
+    *  - stopword_ok:        ≥ 2 distinct stopwords from the LANGUAGE'S
+    *    OWN list ([[stopsForLang]]); vacuous for noWordShapeLangs AND
+    *    [[LangProfiles.scriptWordLangs]] (script-routed languages carry
+    *    no list — the router already identified them positively; the LM
+    *    and model gates own prose-vs-salad there)
+    *
+    * On pure-ASCII English text the ml tokens equal the Latin tokens, so
+    * word_count / mean_word_len / stopword agree with [[gopherFlags]]
+    * exactly; symbol_ratio and alpha_word_ratio differ only in the
+    * denominator (ml tokens vs whitespace words). */
+  def gopherFlagsMl(c: Column, lang: Column): Column = {
+    val toks = GraftFunctions.normTokensMl(c)
+    val nTok = size(toks)
+    val nTokF = greatest(nTok, lit(1))
+    val noShape = lang.isin(LangProfiles.noWordShapeLangs.toSeq: _*)
+    val noStops = noShape ||
+      lang.isin(LangProfiles.scriptWordLangs.toSeq: _*)
+    val nSymbols = coalesce(regexp_count(c, lit("#")), lit(0)) +
+      coalesce(regexp_count(c, lit("\\.\\.\\.")), lit(0))
+    val lines = split(c, "\n")
+    val nLines = greatest(size(lines), lit(1))
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val meanLen =
+      length(concat_ws("", toks)).cast("double") / nTokF.cast("double")
+    val nonDigit = size(filter(toks, t => !t.rlike("^[0-9]+$")))
+    val distinctStops =
+      size(array_intersect(array_distinct(toks), stopsForLang(lang)))
+    struct(
+      nTok.between(50, 100000).as("word_count_ok"),
+      (noShape || meanLen.between(3.0, 10.0)).as("mean_word_len_ok"),
+      (nSymbols.cast("double") / nTokF <= 0.1).as("symbol_ratio_ok"),
+      (bulletLines.cast("double") / nLines <= 0.9).as("bullet_ratio_ok"),
+      (ellipsisLines.cast("double") / nLines <= 0.3).as("ellipsis_ratio_ok"),
+      (noShape || nonDigit.cast("double") / nTokF >= 0.8).as("alpha_word_ratio_ok"),
+      (noStops || distinctStops >= 2).as("stopword_ok"))
+  }
+
+  /** Conjunction of all [[gopherFlagsMl]]. */
+  def gopherPassMl(c: Column, lang: Column): Column = {
+    val f = gopherFlagsMl(c, lang)
     Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
       "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_word_ratio_ok",
       "stopword_ok").map(f.getField).reduce(_ && _)

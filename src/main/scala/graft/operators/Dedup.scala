@@ -24,8 +24,19 @@ object Dedup {
   /** Exact content dedup by normalized-text fingerprint: keeps the row
     * with the lowest id per content group. Shuffles only (fingerprint,
     * id) pairs — not the documents — then semi-joins the winners back. */
-  def exactByContent(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = df.select(col(idCol), TextAnalysis.fingerprint64(col(textCol)).as("_fp"))
+  def exactByContent(df: DataFrame, textCol: String, idCol: String,
+      tok: Tok = Tok.Latin): DataFrame = {
+    // Latin keeps the historical normalizeText fingerprint (frozen
+    // oracles); Ml fingerprints the space-joined ml token stream — under
+    // the Latin rule EVERY non-Latin document normalizes to "" and the
+    // whole zh/ru corpus would collapse into one "duplicate" group.
+    val fpCol =
+      if (tok == Tok.Latin) TextAnalysis.fingerprint64(col(textCol))
+      else {
+        GraftFunctions.register(df.sparkSession)
+        xxhash64(concat_ws(" ", tok.tokens(col(textCol))))
+      }
+    val fp = df.select(col(idCol), fpCol.as("_fp"))
     val keep = fp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol)).drop("_fp")
     df.join(keep, Seq(idCol), "left_semi")
   }
@@ -862,7 +873,8 @@ object Dedup {
       incoming: DataFrame, idCol: String, typeCol: String, binaryCol: String,
       kind: String, maxHamming: Int, checkDisjointIds: Boolean = true,
       maxIter: Int = 20, everyN: Int = 2, minMatchFrac: Double = 0.6,
-      incomingHashes: Option[DataFrame] = None): DataFrame = {
+      incomingHashes: Option[DataFrame] = None,
+      alignFrames: Boolean = true): DataFrame = {
     require(Set("image", "audio", "video").contains(kind),
       s"removeNearDuplicateMediaIncremental: kind must be 'image', " +
         s"'audio' or 'video', got '$kind'")
@@ -919,10 +931,17 @@ object Dedup {
     val pairs =
       if (kind == "video") {
         // per-ALIGNED-FRAME probe + the matched-frame gate, exactly the
-        // batch detector's contract ([[videoNearDupPairs]])
+        // batch detector's contract ([[videoNearDupPairs]]); alignFrames
+        // = false selects the trim-robust frame-SET probe (band key
+        // without the ordinal; `fpos` below stays the INCOMING side's
+        // ordinal, so matched = how many incoming slots found a partner
+        // — the batch SET variant's exact accounting) at the documented
+        // frame-count candidate multiplier; pair with a coarser everyN
+        val fposKey =
+          if (alignFrames) col("a.fpos") === col("b.fpos") else lit(true)
         val framePairs = inChunks.as("a")
           .join(allChunks.as("b"),
-            col("a.fpos") === col("b.fpos") &&
+            fposKey &&
               col("a.chunk") === col("b.chunk") &&
               col("a.chunk_key") === col("b.chunk_key") &&
               col("a.id") =!= col("b.id"))
@@ -1081,10 +1100,11 @@ object Dedup {
     * keep each cluster's min id; undecodable payloads always survive. */
   def removeNearDuplicateVideos(df: DataFrame, idCol: String, typeCol: String,
       binaryCol: String, everyN: Int = 2, maxHamming: Int = 4,
-      minMatchFrac: Double = 0.6, maxIter: Int = 20): DataFrame = {
+      minMatchFrac: Double = 0.6, maxIter: Int = 20,
+      alignFrames: Boolean = true): DataFrame = {
     val losers = resolveClusters(
       videoNearDupPairs(df, idCol, typeCol, binaryCol, everyN, maxHamming,
-        minMatchFrac).select(col("id_a"), col("id_b")), maxIter)
+        minMatchFrac, alignFrames).select(col("id_a"), col("id_b")), maxIter)
       .where(col("label") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -1374,14 +1394,39 @@ object Dedup {
     * swaps in the all-pairs ground truth ([[Similarity.cosinePairsExact]])
     * for test-side comparison — never for a corpus-scale run. */
   def removeNearDuplicatesByEmbedding(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.95, exact: Boolean = false, maxIter: Int = 20): DataFrame = {
-    val pairs =
-      if (exact) Similarity.cosinePairsExact(df, vecCol, idCol, threshold)
-      else Similarity.cosinePairs(df, vecCol, idCol, threshold)
-    val losers = resolveClusters(pairs, maxIter)
-      .where(col("label") =!= col("id"))
-      .select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+      threshold: Double = 0.95, exact: Boolean = false, maxIter: Int = 20,
+      projectTo: Option[Int] = None): DataFrame = projectTo match {
+    case Some(outDim) =>
+      // ONE-FLAG projected-space detection: JL-project the embeddings
+      // (integer-exact kernel) and run the SAME detect → cluster →
+      // min-id composition at outDim ≪ inDim — pairwise cosines survive
+      // within the JL distortion bound, so every distance evaluation in
+      // the quadratic-ish stages costs inDim/outDim less (SimilaritySpec
+      // pins survivors ≡ unprojected on the planted-twin fixture). The
+      // input dimension is read from one row (a limit-1 job).
+      require(!df.columns.contains("_jl_vec"),
+        "removeNearDuplicatesByEmbedding: input already has a '_jl_vec' " +
+          "column - the projection stages its vectors there; rename yours")
+      val inDim = df.select(size(col(vecCol)).cast("int")).limit(1)
+        .collect().headOption.map(_.getInt(0))
+      inDim match {
+        case None => df // empty corpus: nothing to dedup
+        case Some(d) =>
+          require(outDim <= d,
+            s"projectTo=$outDim exceeds the embedding dimension $d")
+          Similarity.randomProjectDouble(df, vecCol, "_jl_vec", d, outDim)
+            .transform(p => removeNearDuplicatesByEmbedding(
+              p, "_jl_vec", idCol, threshold, exact, maxIter, None))
+            .drop("_jl_vec")
+      }
+    case None =>
+      val pairs =
+        if (exact) Similarity.cosinePairsExact(df, vecCol, idCol, threshold)
+        else Similarity.cosinePairs(df, vecCol, idCol, threshold)
+      val losers = resolveClusters(pairs, maxIter)
+        .where(col("label") =!= col("id"))
+        .select(col("id").as(idCol))
+      df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** INCREMENTAL near-duplicate removal — the daily-increment shape: dedup
@@ -1882,7 +1927,28 @@ object Dedup {
   def removeSemanticDuplicates(df: DataFrame, vecCol: String, idCol: String,
       centroids: Array[(Int, Array[Float])], threshold: Double,
       assignKeep: Int = 1, maxIter: Int = 20,
-      maxClusterSize: Int = 20000): DataFrame = {
+      maxClusterSize: Int = 20000,
+      projectTo: Option[Int] = None): DataFrame = projectTo match {
+    case Some(outDim) =>
+      // SemDeDup in JL-projected space, one flag: vectors project through
+      // the codegen'd kernel, the centroid codebook projects driver-side
+      // through the SAME integer fold ([[Similarity.projectCentroids]]) so
+      // assignment, within-cluster cosine, and the keep-the-outlier rank
+      // all live in one consistent space. The 1536→64 configuration cuts
+      // every downstream distance ~24×.
+      require(!df.columns.contains("_jl_vec"),
+        "removeSemanticDuplicates: input already has a '_jl_vec' column - " +
+          "the projection stages its vectors there; rename yours")
+      val inDim = centroids.headOption.map(_._2.length).getOrElse(0)
+      require(inDim > 0, "removeSemanticDuplicates: empty centroid codebook")
+      require(outDim <= inDim,
+        s"projectTo=$outDim exceeds the centroid dimension $inDim")
+      Similarity.randomProjectDouble(df, vecCol, "_jl_vec", inDim, outDim)
+        .transform(p => removeSemanticDuplicates(p, "_jl_vec", idCol,
+          Similarity.projectCentroids(centroids, outDim), threshold,
+          assignKeep, maxIter, maxClusterSize, None))
+        .drop("_jl_vec")
+    case None =>
     val spark = df.sparkSession
     import spark.implicits._
     val labels = resolveClusters(

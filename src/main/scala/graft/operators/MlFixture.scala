@@ -54,4 +54,24 @@ object MlFixture {
   def sqlValues: String =
     docs.map { case (i, l, t) => s"($i, '$l', '$t')" }
       .mkString("(VALUES ", ", ", ") mlf(doc_id, lang, text)")
+
+  /** QUALITY-GATE fixture (q_gopher_quality_ml): every natural document
+    * tripled so it clears the 50-token Gopher floor, plus per-script
+    * GARBAGE the gate must still drop — zh symbol spam, zh bullet spam,
+    * pure digit spam, and an English word salad with no stopwords. The
+    * per-script gate's contract in one table: natural zh/ja/ru/ar text
+    * passes, garbage fails, each for the right flag. */
+  val gateDocs: Seq[(Long, String)] =
+    docs.map { case (i, _, t) => (i, s"$t $t $t") } ++ Seq(
+      (900L, docs.head._3 + " " + Seq.fill(10)("###").mkString(" ")),
+      (901L, Seq.fill(40)("- 项目条目").mkString("\n")),
+      (902L, Seq.fill(60)("12345 67890").mkString(" ")),
+      (903L, (1 to 60).map(i => s"word$i").mkString(" ")))
+
+  /** VALUES literal of [[gateDocs]] (newlines rendered via chr(10) so
+    * the SQL stays one line). */
+  def gateSqlValues: String =
+    gateDocs.map { case (i, t) =>
+      s"($i, '${t.replace("\n", "' || chr(10) || '")}')"
+    }.mkString("(VALUES ", ", ", ") gf(doc_id, text)")
 }

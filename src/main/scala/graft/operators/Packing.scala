@@ -94,8 +94,13 @@ object Packing {
 
   /** Example-level rollup of [[assignExamples]]: one row per packed
     * training example — (example_id, split, n_chunks, n_tokens,
-    * fill_ratio, members) where `members` lists "docId:chunkIdx" in pack
-    * order and `example_id` is the deterministic "split/shard/idx"
+    * fill_ratio, members, doc_starts) where `members` lists
+    * "docId:chunkIdx" in pack order, `doc_starts` is the starting token
+    * OFFSET of each packed member within the example's concatenated
+    * stream ([0, n₀, n₀+n₁, …] — the attention-reset boundaries a
+    * trainer derives position_ids and the block-diagonal mask from; a
+    * cross-member attention leak is exactly what these offsets exist to
+    * prevent), and `example_id` is the deterministic "split/shard/idx"
     * composite.
     *
     * `inputIds` (a Column over the input chunk rows yielding one
@@ -113,6 +118,12 @@ object Packing {
     val assigned = assignExamples(withIds, tokenBudget, idCol, chunkIdxCol,
       nTokensCol, splitCol, shardHexDigits,
       carryCols = if (inputIds.isDefined) Seq("_piece_ids") else Nil)
+    // pack-order member token counts — one sorted struct list feeds the
+    // boundary offsets below (same (idCol, chunkIdx) order as `members`)
+    val sortedN = transform(
+      array_sort(collect_list(struct(col(idCol), col(chunkIdxCol),
+        col(nTokensCol).cast("long").as("_n")))),
+      x => x.getField("_n"))
     val memberAggs = Seq(
       count(lit(1)).as("n_chunks"),
       sum(col(nTokensCol)).as("n_tokens"),
@@ -121,7 +132,12 @@ object Packing {
           array_sort(collect_list(struct(col(idCol), col(chunkIdxCol)))),
           x => concat(x.getField(idCol).cast("string"), lit(":"),
             x.getField(chunkIdxCol).cast("string"))),
-        ",").as("members")) ++
+        ",").as("members"),
+      // exclusive prefix sums of the member counts: [0, n0, n0+n1, …]
+      slice(
+        aggregate(sortedN, array(lit(0L)),
+          (acc, n) => concat(acc, array(element_at(acc, -1) + n))),
+        lit(1), size(sortedN)).as("doc_starts")) ++
       // pack order == (idCol, chunkIdx) order within the example (the
       // greedy pass assigns in exactly that sort); the struct prefix
       // makes array_sort reproduce it, then the id arrays flatten
@@ -141,7 +157,8 @@ object Packing {
         // engines — bit-identical cross-engine, unlike accumulated
         // float sums
         (col("n_tokens").cast("double") / lit(tokenBudget.toDouble)).as("fill_ratio"),
-        col("members")) ++
+        col("members"),
+        col("doc_starts")) ++
         inputIds.map(_ => col("input_ids")): _*)
   }
 }

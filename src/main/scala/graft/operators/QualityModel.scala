@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.functions.{GraftFunctions, TextAnalysis, Tok}
 
 /** Model-based document quality scoring: a hashed-feature LINEAR
   * classifier (the fastText-style scorer modern LLM data pipelines use
@@ -64,8 +64,8 @@ object QualityModel {
     * sigmoid(logit) is monotone in logit, so thresholding logit IS
     * thresholding the probability. Caller must have run
     * [[GraftFunctions.register]] on the session (score/prepare do). */
-  def logitCol(text: Column, model: Model): Column = {
-    val toks = GraftFunctions.normTokens(text)
+  def logitCol(text: Column, model: Model, tok: Tok = Tok.Latin): Column = {
+    val toks = tok.tokens(text)
     lit(model.bias) +
       (foldScaled(toks, model).cast("double") / lit(WeightScale.toDouble)) /
         greatest(size(toks), lit(1)).cast("double")
@@ -78,10 +78,10 @@ object QualityModel {
     * possible model gate: strictly less work than the rule conjunction
     * it distills. */
   def score(df: DataFrame, textCol: String, idCol: String,
-      model: Model): DataFrame = {
+      model: Model, tok: Tok = Tok.Latin): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val toks = GraftFunctions.normTokens(col(textCol))
-    val logit = logitCol(col(textCol), model)
+    val toks = tok.tokens(col(textCol))
+    val logit = logitCol(col(textCol), model, tok)
     df.select(col(idCol), size(toks).as("n_tokens"), logit.as("logit"),
       (logit >= 0).as("predicted"))
   }
@@ -98,11 +98,12 @@ object QualityModel {
     * per-feature gradient aggregation — both outputs bounded (|docs|
     * rows and `dim` rows), driver state `dim` doubles. */
   def train(df: DataFrame, textCol: String, idCol: String, labelCol: String,
-      dim: Int = 256, iters: Int = 40, lr: Double = 2.0): Model = {
+      dim: Int = 256, iters: Int = 40, lr: Double = 2.0,
+      tok: Tok = Tok.Latin): Model = {
     GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"),
       col(labelCol).cast("double").as("y"),
-      GraftFunctions.normTokens(col(textCol)).as("toks"))
+      tok.tokens(col(textCol)).as("toks"))
     // hashed count features, one explode+agg, reused every iteration
     val feats = Dedup.materialize(base
       .select(col("id"), col("y"),

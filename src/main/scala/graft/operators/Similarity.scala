@@ -925,4 +925,50 @@ object Similarity {
     df.withColumn(outCol, graft.functions.GraftFunctions.jlProject(
       col(vecCol), randomProjectionMatrix(inDim, outDim, seed), outDim))
   }
+
+  /** [[randomProject]] with the projected components cast to DOUBLE —
+    * the column shape the cosine kernels consume; the one-flag
+    * projected-space composition ([[graft.operators.Dedup
+    * .removeSemanticDuplicates]]'s `projectTo`) goes through here. */
+  def randomProjectDouble(df: DataFrame, vecCol: String, outCol: String,
+      inDim: Int, outDim: Int, seed: Int = 42): DataFrame =
+    randomProject(df, vecCol, outCol + "_raw", inDim, outDim, seed)
+      .withColumn(outCol, transform(col(outCol + "_raw"), x => x.cast("double")))
+      .drop(outCol + "_raw")
+
+  /** DRIVER-side projection of a centroid codebook through the SAME
+    * integer-exact fold as the [[randomProject]] kernel (quantize ×1024
+    * with floor(x·1024 + 0.5), ±1/0 Long accumulation) — so projected
+    * vectors and projected centroids live in the same space and nearest-
+    * centroid assignment is consistent. The Long accumulator round-trips
+    * through Float exactly here: |acc| ≤ inDim·1024·max|x| ≪ 2²⁴ for
+    * unit-scale embeddings. */
+  def projectCentroids(centroids: Array[(Int, Array[Float])],
+      outDim: Int, seed: Int = 42): Array[(Int, Array[Float])] = {
+    require(centroids.nonEmpty, "projectCentroids: empty codebook")
+    val inDim = centroids.head._2.length
+    require(centroids.forall(_._2.length == inDim),
+      "projectCentroids: centroids must share one dimension")
+    val w = randomProjectionMatrix(inDim, outDim, seed)
+    centroids.map { case (id, v) =>
+      val out = new Array[Float](outDim)
+      var j = 0
+      while (j < outDim) {
+        var acc = 0L
+        val base = j * inDim
+        var d = 0
+        while (d < inDim) {
+          val wt = w(base + d)
+          if (wt != 0) {
+            val q = math.floor(v(d) * 1024.0 + 0.5).toLong
+            acc += (if (wt > 0) q else -q)
+          }
+          d += 1
+        }
+        out(j) = acc.toFloat
+        j += 1
+      }
+      (id, out)
+    }
+  }
 }

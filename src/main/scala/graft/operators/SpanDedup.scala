@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Tok}
 
 /** Substring-level (span-level) corpus deduplication — remove TOKEN SPANS
   * that repeat across the corpus, à la Lee/Ippolito/Nystrom et al.,
@@ -45,9 +45,9 @@ object SpanDedup {
     * repeats its own boilerplate is deduplicated too).
     * Output: (id, pos, n_occurrences). */
   def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 8, minCount: Int = 2): DataFrame = {
+      n: Int = 8, minCount: Int = 2, tok: Tok = Tok.Latin): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val occ = spanOccurrences(df, textCol, idCol, n)
+    val occ = spanOccurrences(df, textCol, idCol, n, tok)
     val dup = occ.groupBy(col("_h"))
       .agg(count(lit(1)).as("n_occurrences"))
       .where(col("n_occurrences") >= minCount)
@@ -75,8 +75,8 @@ object SpanDedup {
     * below executor memory. Cap document size upstream if the source can
     * produce such rows. */
   def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 8, minCount: Int = 2): DataFrame = {
-    val dup = duplicatedSpans(df, textCol, idCol, n, minCount)
+      n: Int = 8, minCount: Int = 2, tok: Tok = Tok.Latin): DataFrame = {
+    val dup = duplicatedSpans(df, textCol, idCol, n, minCount, tok)
     // positional union of [pos, pos+n) over duplicated occurrences —
     // overlapping windows of a longer repeat merge here by construction
     val covered = dup
@@ -85,7 +85,7 @@ object SpanDedup {
       .distinct()
     GraftFunctions.register(df.sparkSession)
     val toks = df.select(col(idCol).as("id"),
-      posexplode(GraftFunctions.normTokens(col(textCol))))
+      posexplode(tok.tokens(col(textCol))))
       .withColumnRenamed("pos", "_tpos")
       .withColumnRenamed("col", "_tok")
     val kept = toks.join(covered, Seq("id", "_tpos"), "left_anti")
@@ -106,10 +106,10 @@ object SpanDedup {
     * position of each document's normalized token stream. Narrow scan +
     * explode; documents shorter than n tokens contribute no rows. */
   private def spanOccurrences(df: DataFrame, textCol: String,
-      idCol: String, n: Int): DataFrame = {
+      idCol: String, n: Int, tok: Tok = Tok.Latin): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"),
-      posexplode(GraftFunctions.ngramsNative(col(textCol), n)))
+      posexplode(tok.ngrams(col(textCol), n)))
       .select(col("id"), col("pos"), xxhash64(col("col")).as("_h"))
   }
 }

@@ -2,10 +2,10 @@ package graft.pipeline
 
 import scala.collection.mutable.ListBuffer
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.functions.{GraftFunctions, TextAnalysis, Tok}
 import graft.operators.{Chunking, Dedup, Dsir, LineDedup, Packing, Sampling, SpanDedup}
 
 /** End-to-end pre-training corpus preparation — the canonical chain every
@@ -62,7 +62,8 @@ object CorpusPipeline {
       centroids: Array[(Int, Array[Float])],
       threshold: Double,
       assignKeep: Int = 1,
-      maxClusterSize: Int = 20000)
+      maxClusterSize: Int = 20000,
+      projectTo: Option[Int] = None)
 
   /** The optional PERCEPTUAL IMAGE dedup rung for multimodal corpora:
     * documents carry an opaque image payload (`binaryCol` binary,
@@ -106,7 +107,8 @@ object CorpusPipeline {
       binaryCol: String,
       everyN: Int = 2,
       maxHamming: Int = 4,
-      minMatchFrac: Double = 0.6)
+      minMatchFrac: Double = 0.6,
+      alignFrames: Boolean = true)
 
   /** The optional DSIR SELECTION rung: importance-resample `k` documents
     * toward the fitted target distribution ([[Dsir.resampleRows]] with
@@ -179,6 +181,7 @@ object CorpusPipeline {
       c4Rules: Boolean = false,
       gopherRules: Boolean = false,
       langs: Set[String] = Set("en"),
+      tokenizer: Tok = Tok.Latin,
       minTokens: Int = 10,
       maxTokens: Int = 100000,
       minAlphaRatio: Double = 0.4,
@@ -412,17 +415,36 @@ object CorpusPipeline {
     //    (+ optional Gopher rule conjunction and/or the trained
     //    model-gate logit — same scan, no extra stage: the model scorer
     //    is one more scaled-long fold term in the conjunction)
+    // Tokenizer-dependent gate signals. Under Tok.Ml every signal is the
+    // script-aware form: ml token counts (a zh document is no longer
+    // zero words), tokenCharRatio instead of the [A-Za-z] alphaRatio
+    // (which gates every non-Latin document to 0.0), and the PER-SCRIPT
+    // Gopher gate branched on the routed language. Latin keeps the
+    // byte-identical historical expressions.
+    val ml = cfg.tokenizer == Tok.Ml
+    def nTokens(c: Column): Column =
+      if (ml) size(Tok.Ml.tokens(c)) else TextAnalysis.tokenCount(c)
+    val alphaGate =
+      if (ml) TextAnalysis.tokenCharRatio(text) >= cfg.minAlphaRatio
+      else TextAnalysis.alphaRatio(text) >= cfg.minAlphaRatio
+    val gopherGate =
+      if (!cfg.gopherRules) lit(true)
+      else if (ml)
+        TextAnalysis.gopherPassMl(text, GraftFunctions.langIdNative(text))
+      else TextAnalysis.gopherPass(text)
     val gate = c4Source.where(
-      TextAnalysis.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
-        TextAnalysis.alphaRatio(text) >= cfg.minAlphaRatio &&
+      nTokens(text).between(cfg.minTokens, cfg.maxTokens) &&
+        alphaGate &&
         GraftFunctions.langIdNative(text).isin(cfg.langs.toSeq: _*) &&
-        (if (cfg.gopherRules) TextAnalysis.gopherPass(text) else lit(true)) &&
+        gopherGate &&
         cfg.modelGate.fold(lit(true)) { mg =>
-          graft.operators.QualityModel.logitCol(text, mg.model) >= mg.minLogit } &&
+          graft.operators.QualityModel.logitCol(text, mg.model,
+            cfg.tokenizer) >= mg.minLogit } &&
         cfg.perplexityGate.fold(lit(true)) { pg =>
-          graft.operators.NgramLm.gateCol(text, pg.model, pg.minMeanLog) } &&
+          graft.operators.NgramLm.gateCol(text, pg.model, pg.minMeanLog,
+            cfg.tokenizer) } &&
         (if (cfg.blocklist.nonEmpty)
-          !TextAnalysis.containsBlockedWord(text, cfg.blocklist)
+          !TextAnalysis.containsBlockedWord(text, cfg.blocklist, cfg.tokenizer)
         else lit(true)))
     // With the optional stages on, the gate's upstream is no longer a
     // cheap narrow scan (URL-dedup shuffles; strip is a 14-regexp chain;
@@ -451,12 +473,12 @@ object CorpusPipeline {
     val capped = cfg.domainCap.fold(filtered) { dc =>
       observed("domain_cap",
         Sampling.capPerGroup(filtered, dc.groupCol, cfg.idCol, dc.k,
-          TextAnalysis.tokenCount(text)))
+          nTokens(text)))
     }
 
     // 2. exact content dedup (min-id survivor per normalized text)
     val exactDeduped = observed("exact_dedup",
-      Dedup.exactByContent(capped, cfg.textCol, cfg.idCol))
+      Dedup.exactByContent(capped, cfg.textCol, cfg.idCol, cfg.tokenizer))
 
     // 2b/2c. optional line- then span-level dedup. Both REWRITE text, so
     //    each re-applies the minTokens gate (a doc scrubbed below the
@@ -467,13 +489,13 @@ object CorpusPipeline {
     val lineDeduped = cfg.lineDedupMinDocs.fold(exactDeduped) { m =>
       observed("line_dedup",
         LineDedup.removeDuplicatedLines(exactDeduped, cfg.textCol, cfg.idCol, m)
-          .where(TextAnalysis.tokenCount(text) >= cfg.minTokens))
+          .where(nTokens(text) >= cfg.minTokens))
     }
     val spanDeduped = cfg.spanDedupN.fold(lineDeduped) { n =>
       observed("span_dedup",
         SpanDedup.removeDuplicatedSpans(lineDeduped, cfg.textCol, cfg.idCol, n,
-          cfg.spanDedupMinCount)
-          .where(TextAnalysis.tokenCount(text) >= cfg.minTokens))
+          cfg.spanDedupMinCount, cfg.tokenizer)
+          .where(nTokens(text) >= cfg.minTokens))
     }
 
     // 3. near-dup removal (MinHash+LSH detect → CC → min-id survivor).
@@ -492,10 +514,12 @@ object CorpusPipeline {
     val nearDeduped = observed("near_dedup",
       if (cfg.tunedNearDedup)
         Dedup.removeNearDuplicatesTuned(
-          spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN)
+          spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN,
+          tok = cfg.tokenizer)
       else
         Dedup.removeNearDuplicates(
-          spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN))
+          spanDeduped, cfg.textCol, cfg.idCol, cfg.dedupThreshold, cfg.shingleN,
+          tok = cfg.tokenizer))
 
     // 3b. optional SEMANTIC dedup (SemDeDup) — the last dedup rung:
     //    paraphrase-level duplicates the shingle families cannot see,
@@ -510,7 +534,7 @@ object CorpusPipeline {
       observed("semantic_dedup",
         Dedup.removeSemanticDuplicates(nearDeduped, sc.embedCol, cfg.idCol,
           sc.centroids, sc.threshold, assignKeep = sc.assignKeep,
-          maxClusterSize = sc.maxClusterSize))
+          maxClusterSize = sc.maxClusterSize, projectTo = sc.projectTo))
     }
 
     // 3c. optional PERCEPTUAL IMAGE dedup — the multimodal rung: docs
@@ -554,16 +578,16 @@ object CorpusPipeline {
       observed("video_dedup",
         Dedup.removeNearDuplicateVideos(audDeduped, cfg.idCol,
           vc.typeCol, vc.binaryCol, vc.everyN, vc.maxHamming,
-          vc.minMatchFrac))
+          vc.minMatchFrac, alignFrames = vc.alignFrames))
     }
 
     val clean = benchClean.fold(vidDeduped)(b =>
       if (cfg.bloomDecontaminate)
         Dedup.removeContaminatedBloom(vidDeduped, b, cfg.textCol, cfg.idCol,
-          cfg.decontaminateN, cfg.bloomFpp)
+          cfg.decontaminateN, cfg.bloomFpp, cfg.tokenizer)
       else
         Dedup.removeContaminated(vidDeduped, b, cfg.textCol, cfg.idCol,
-          cfg.decontaminateN))
+          cfg.decontaminateN, cfg.tokenizer))
 
     // 4b. optional FUZZY decontamination — the reworded-leak net: a
     //    paraphrased benchmark dump shares most of its SHINGLE set while
@@ -591,7 +615,7 @@ object CorpusPipeline {
       case (Some(b), Some(tau)) =>
         observed("decontaminated_fuzzy",
           Dedup.removeContaminatedFuzzy(cleanM, b, cfg.textCol, cfg.idCol,
-            tau, cfg.shingleN))
+            tau, cfg.shingleN, tok = cfg.tokenizer))
       case _ => cleanM
     }
 
@@ -612,7 +636,7 @@ object CorpusPipeline {
     // the FIRST action's metrics), silently corrupting the stage report.
     val dsirBare = cfg.dsirSelect.map { dc =>
       Dedup.materialize(Dsir.resampleRows(fuzzyClean, cfg.textCol,
-        cfg.idCol, dc.model, dc.k, dc.salt))
+        cfg.idCol, dc.model, dc.k, dc.salt, cfg.tokenizer))
     }
     val selected = dsirBare.map(b => observed("dsir_selected", b))
       .getOrElse(fuzzyClean)
@@ -657,12 +681,12 @@ object CorpusPipeline {
       val noTargetMass = mixProbe
         .where(col(mc.strataCol).cast("string")
           .isin(mc.targetShares.keys.toSeq: _*) &&
-          TextAnalysis.tokenCount(text) > 0)
+          nTokens(text) > 0)
         .isEmpty
       observed("mixed",
         if (noTargetMass) mixInput.where(lit(false))
         else Sampling.mixToTokenShares(
-          mixInput.withColumn("_mix_tokens", TextAnalysis.tokenCount(text)),
+          mixInput.withColumn("_mix_tokens", nTokens(text)),
           cfg.idCol, mc.strataCol, "_mix_tokens", mc.targetShares)
           .drop("_mix_tokens"))
     }
@@ -700,7 +724,8 @@ object CorpusPipeline {
       Chunking.chunkByTokens(
         documents, cfg.textCol, cfg.idCol, cfg.chunkTokens, cfg.overlapTokens,
         tokenizer = cfg.bpeChunking.map(m =>
-          graft.operators.Bpe.pieces(text, m))),
+            graft.operators.Bpe.pieces(text, m, cfg.tokenizer))
+          .orElse(if (ml) Some(Tok.Ml.tokens(text)) else None)),
       cfg.idCol, cfg.splits)
 
     // 8. optional sequence packing — the stage after chunking in every

@@ -307,15 +307,19 @@ object StreamingOps {
     * video} — image/audio index one (id, sh) long per item; video
     * indexes the per-frame (id, fpos, sh) frame and probes with the
     * aligned-frame matched gate (`everyN` / `minMatchFrac` apply to the
-    * video kind only). NULL / undecodable payloads always survive the
-    * media stage. */
+    * video kind only; `alignFrames = false` selects the TRIM-ROBUST
+    * frame-SET probe — a trimmed or temporally-shifted re-upload still
+    * matches, at the documented frame-count candidate multiplier; pair
+    * it with a coarser everyN). NULL / undecodable payloads always
+    * survive the media stage. */
   final case class MediaDedupConfig(
       typeCol: String,
       binaryCol: String,
       kind: String,
       maxHamming: Int,
       everyN: Int = 2,
-      minMatchFrac: Double = 0.6)
+      minMatchFrac: Double = 0.6,
+      alignFrames: Boolean = true)
 
   /** Continuous corpus ingestion with near-duplicate suppression — the
     * streaming form of the daily-increment dedup shape: each micro-batch
@@ -480,7 +484,8 @@ object StreamingOps {
               existing, cleaned, idCol,
               mc.typeCol, mc.binaryCol, mc.kind, mc.maxHamming,
               everyN = mc.everyN, minMatchFrac = mc.minMatchFrac,
-              incomingHashes = batchMediaHashes)
+              incomingHashes = batchMediaHashes,
+              alignFrames = mc.alignFrames)
           }
           // one materialization: survivors feed the corpus write AND the
           // index projections

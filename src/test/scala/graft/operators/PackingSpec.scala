@@ -106,4 +106,32 @@ class PackingSpec extends AnyFunSuite {
     assert(eNeg.getMessage.contains("must be non-null"),
       s"unexpected error: ${eNeg.getMessage}")
   }
+
+  test("doc_starts: exclusive prefix sums of member counts in pack order — the attention-reset offsets") {
+    // shard/split mix: offsets restart per example; pack order is
+    // (doc_id, chunk_idx) — the members string's own order
+    val df = chunks((1L, 0L, 60L), (1L, 1L, 40L), (1L, 2L, 30L),
+      (1L, 3L, 70L), (1L, 4L, 100L))
+    val rolled = Packing.packExamples(df, tokenBudget = 100)
+      .select("members", "doc_starts").as[(String, Seq[Long])].collect()
+      .toMap
+    // greedy at 100: [60, 40] -> starts [0, 60]; [30, 70] -> [0, 30];
+    // [100] -> [0]
+    assert(rolled == Map(
+      "1:0,1:1" -> Seq(0L, 60L),
+      "1:2,1:3" -> Seq(0L, 30L),
+      "1:4" -> Seq(0L)), s"got $rolled")
+    // general invariants on real-ish data: first offset 0, one offset
+    // per member, strictly monotone when counts are positive, and
+    // last + last count == n_tokens
+    val many = chunks((1 to 40).map(i => (i.toLong % 5, i.toLong, 7L + i % 13)): _*)
+    Packing.packExamples(many, tokenBudget = 64)
+      .select("n_chunks", "n_tokens", "doc_starts")
+      .as[(Long, Long, Seq[Long])].collect().foreach {
+        case (nc, nt, st) =>
+          assert(st.length == nc && st.head == 0L)
+          assert(st == st.sorted && st.distinct == st)
+          assert(st.last < nt)
+      }
+  }
 }

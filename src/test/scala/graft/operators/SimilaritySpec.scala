@@ -618,5 +618,62 @@ class SimilaritySpec extends AnyFunSuite {
       .withColumn("projd", transform($"proj", x => x.cast("double")))
     assert(survivors(projected, "projd") == expected,
       "projected-space dedup must find the planted twins")
+    // …and the ONE-FLAG form composes the same thing internally:
+    // survivors identical to the unprojected run, projection in-plan
+    val oneFlag = Dedup.removeNearDuplicatesByEmbedding(df, "embedding",
+      "vec_id", threshold = 0.98, exact = true, projectTo = Some(32))
+    assert(oneFlag.queryExecution.analyzed.toString.contains("jl_project"),
+      "projectTo must stage the JL kernel inside the dedup plan")
+    assert(oneFlag.select("vec_id").as[Long].collect().toSet == expected,
+      "projectTo survivors must equal the unprojected run")
+    assert(oneFlag.columns.toSeq == df.columns.toSeq,
+      "the staged projection column must not leak into the output")
+  }
+
+  test("removeSemanticDuplicates projectTo: survivors equal the unprojected run; centroids project consistently") {
+    // the planted-twin corpus again, clustered under 4 base-vector
+    // centroids — twins are near-identical so they always share a
+    // primary cluster, whatever the projection does to the boundaries
+    def base(k: Int, seed: Int): Array[Float] = Array.tabulate(64) { d =>
+      var x = k * 73856093 ^ d * 19349663 ^ seed
+      x *= 0x9e3779b1; x ^= x >>> 16
+      ((x & 0x7fffffff) % 2000 - 1000) / 1000.0f
+    }
+    val rows = (0 until 60).map { id =>
+      val k = id / 3
+      val v = (id % 3) match {
+        case 0 => base(k, 0)
+        case 1 =>
+          val t = base(k, 0).clone(); t(k % 64) = t(k % 64) + 0.05f; t
+        case _ => base(k, 0x5bd1e995)
+      }
+      (id.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val centroids: Array[(Int, Array[Float])] =
+      Array.tabulate(4)(c => c -> base(c * 5, 7))
+    def kept(projectTo: Option[Int]): Set[Long] =
+      Dedup.removeSemanticDuplicates(df, "embedding", "vec_id", centroids,
+        threshold = 0.98, maxClusterSize = 100, projectTo = projectTo)
+        .select("vec_id").as[Long].collect().toSet
+    val unprojected = kept(None)
+    val projected = kept(Some(32))
+    // BOTH spaces resolve exactly the planted twin pairs: one member of
+    // each pair survives, every non-twin row survives. WHICH twin wins
+    // is the keep-the-outlier rank (farthest from its centroid), and two
+    // near-identical twins' centroid cosines differ by less than the JL
+    // distortion — the rank inside a duplicate group may legitimately
+    // flip under projection, so the invariant is the RESOLUTION
+    // structure, not the survivor id (the min-id embedding-dedup path
+    // above is rank-free and pins exact survivor equality).
+    Seq("unprojected" -> unprojected, "projected" -> projected).foreach {
+      case (name, s) =>
+        (0 until 20).foreach { k =>
+          assert(s.contains(3L * k) ^ s.contains(3L * k + 1),
+            s"$name: exactly one of twin pair $k must survive")
+          assert(s.contains(3L * k + 2), s"$name: non-twin ${3 * k + 2} must survive")
+        }
+        assert(s.size == 40, s"$name: 20 twin survivors + 20 non-twins")
+    }
   }
 }

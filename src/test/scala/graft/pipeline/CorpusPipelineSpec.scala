@@ -878,4 +878,74 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(ids == expected, "pipeline selection must equal the bare operator")
     assert(!upstream.stages.map(_._1).contains("dsir_selected"))
   }
+
+  test("multilingual pipeline: tokenizer=Ml + langs incl. zh/ja/ru/ar — gates, dedups, and chunks non-Latin text end to end") {
+    import graft.functions.Tok
+    import graft.operators.MlFixture
+    // gateDocs = tripled natural zh/ja/ru/ar/en docs (incl. the planted
+    // twins) + per-script garbage (symbol spam, bullet spam, digit spam,
+    // stopword-free salad)
+    val corpus = MlFixture.gateDocs.toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(
+      langs = Set("en", "zh", "ja", "ru", "ar"),
+      tokenizer = Tok.Ml,
+      gopherRules = true,
+      minTokens = 10, dedupThreshold = 0.5,
+      chunkTokens = 512, overlapTokens = 64)
+    val out = CorpusPipeline.prepare(corpus, None, cfg)
+    val ids = out.documents.select("doc_id").as[Long].collect().toSet
+    // per-script Gopher gate: every natural doc passes (the stopword-free
+    // en pangram 42 fails its floor); garbage drops — 900/901 on gopher
+    // flags, 902/903 on lang routing (und ∉ langs)
+    // near-dup rung: the tripled twins still sit far above J=0.5, so the
+    // min-id survivor keeps 0/10/20/30/40 and drops 1/11/21/31/41
+    assert(ids == Set(0L, 2L, 10L, 20L, 22L, 30L, 40L),
+      s"survivors: $ids")
+    // chunking runs on ML tokens: the zh survivor chunks with its
+    // CHARACTER token count (the Latin tokenizer would emit zero tokens
+    // and zero chunks for it)
+    val zhChunks = out.chunks.where($"doc_id" === 0L)
+      .select($"chunk_text", $"n_chunk_tokens".cast("long")).collect()
+    assert(zhChunks.nonEmpty, "zh document must produce chunks")
+    val zhTok = graft.functions.ShingleUtil.normTokensMl(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        MlFixture.gateDocs.toMap.apply(0L))).length
+    assert(zhChunks.map(_.getLong(1)).sum == zhTok,
+      "chunk token accounting must equal the ml token count")
+    // and under the DEFAULT Latin tokenizer the same corpus loses every
+    // non-Latin document at the gate (zero tokens < minTokens) — the
+    // contrast that makes tokenizer=Ml load-bearing
+    val latinOut = CorpusPipeline.prepare(corpus, None,
+      cfg.copy(tokenizer = Tok.Latin, gopherRules = false))
+    val latinIds = latinOut.documents.select("doc_id").as[Long].collect().toSet
+    assert(latinIds.forall(id => id >= 40),
+      s"Latin pipeline must drop all non-Latin docs, kept: $latinIds")
+  }
+
+  test("videoDedup alignFrames=false: the pipeline rung catches a TRIMMED re-upload the aligned rung misses") {
+    import graft.operators.VideoFixture
+    // two documents with DISTINCT prose (so no text rung collapses them)
+    // whose video payloads are clip 0 and clip 0 with its first frame
+    // trimmed — every surviving frame identical, every ordinal shifted
+    def prose(tag: String) =
+      s"this is a perfectly ordinary english paragraph about $tag with " +
+        "enough words to clear the minimum token floor for the gate"
+    val corpus = Seq(
+      (1L, prose("the original video upload"), "video/avi",
+        VideoFixture.aviBytes(0L)),
+      (2L, prose("a sneaky trimmed re upload of it"), "video/avi",
+        VideoFixture.aviBytes(0L, fromFrame = 1)))
+      .toDF("doc_id", "text", "media_type", "content")
+    def run(align: Boolean) = CorpusPipeline.prepare(corpus, None,
+      CorpusPipeline.Config(langs = Set("en"), minTokens = 5,
+        videoDedup = Some(CorpusPipeline.VideoDedupConfig(
+          "media_type", "content", everyN = 1, alignFrames = align))))
+      .documents.select("doc_id").as[Long].collect().toSet
+    // aligned (default) is provably blind to the 1-frame trim
+    assert(run(align = true) == Set(1L, 2L),
+      "aligned rung must miss the ordinal shift")
+    // the SET config catches it; min id survives
+    assert(run(align = false) == Set(1L),
+      "frame-SET rung must drop the trimmed re-upload")
+  }
 }
