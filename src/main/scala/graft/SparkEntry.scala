@@ -1466,6 +1466,26 @@ object SparkEntry {
     //    (FrozenImageGrids — the oracle cannot decode PNG; the decode
     //    itself is pinned by MultimodalSpec's live ≡ frozen assert, the
     //    FrozenAnn discipline) ──────────────────────────────────────────
+    // ── MEDIA decontamination: the corpus's image payloads probe a
+    //    FROZEN benchmark hash index (every 5th fixture image) with the
+    //    dHash + Hamming-band machinery — the q_contamination_fuzzy_
+    //    indexed shape for media. A corpus item is flagged iff some
+    //    benchmark image sits within Hamming 6 (itself, or its planted
+    //    near-twin). Oracle: ground-truth ALL-PAIRS Hamming restated
+    //    from the frozen 9×8 luma grids (both sides), independent of
+    //    the banding — complete recall within the bound is the
+    //    pigeonhole guarantee, precision is exact ───────────────────────
+    "q_media_contamination" -> ((s, dir) => {
+      val media = graft.operators.ImageFixture.frame(s)
+      val bench = media.where(col("media_id") % 5 === 0)
+      graft.operators.Dedup.mediaContaminationHits(
+        media,
+        graft.operators.Dedup.imageHashFrame(bench, "media_id",
+          "media_type", "content"),
+        "media_id", "media_type", "content", kind = "image", maxHamming = 6)
+        .orderBy(col("corpus_id"))
+    }),
+
     "q_image_near_dups" -> ((s, dir) => {
       val media = graft.operators.ImageFixture.frame(s)
       graft.operators.Dedup.imageNearDupPairs(
@@ -4108,6 +4128,7 @@ object SparkEntry {
     "q_minhash_near_dups_ml" -> mlExactJaccardPairsSql,
     "q_tokens_ml" -> mlTokensSql,
     "q_gopher_quality_ml" -> mlGopherQualitySql,
+    "q_media_contamination" -> mediaContaminationOracle,
     // SimHash ground truth, independently restated: FNV-1a-64 per token
     // (fold over UTF-8 bytes — tokens are [a-z0-9]+ so unicode(ch) IS the
     // byte — with mod-2⁶⁴ HUGEINT multiply), multiplicity-weighted bit
@@ -5071,6 +5092,26 @@ object SparkEntry {
       s"FROM (SELECT doc_id, text, tok, ${langVoteGreatestSql("ltok")} AS b FROM k) x) " +
       s"SELECT doc_id, lang, ${flagCols.mkString(", ")}, $pass AS pass " +
       "FROM l ORDER BY doc_id"
+  }
+
+  /** Ground-truth media decontamination: all-pairs 64-bit dHash Hamming
+    * between every frozen grid and the benchmark subset (media_id % 5 =
+    * 0), restated from [[graft.operators.FrozenImageGrids]] — the same
+    * frozen-side discipline as q_image_near_dups, with no banding at all
+    * (the oracle must not share the engine's candidate structure). */
+  private lazy val mediaContaminationOracle: String = {
+    val rows = graft.operators.FrozenImageGrids.grids
+      .map { case (id, g) => s"($id, ${g.mkString("[", ",", "]")})" }
+      .mkString(", ")
+    s"WITH gr(media_id, g) AS (VALUES $rows), " +
+      "bb AS (SELECT unnest(range(0, 64)) AS b), " +
+      "bt AS (SELECT media_id, b, CASE WHEN g[(b//8)*9 + (b%8) + 1] > g[(b//8)*9 + (b%8) + 2] THEN 1 ELSE 0 END AS bit FROM gr, bb), " +
+      "bench AS (SELECT media_id, b, bit FROM bt WHERE media_id % 5 = 0), " +
+      "ham AS (SELECT c.media_id AS corpus_id, bench.media_id AS bench_id, " +
+      "sum(CASE WHEN c.bit <> bench.bit THEN 1 ELSE 0 END) AS h " +
+      "FROM bt c JOIN bench ON c.b = bench.b GROUP BY 1, 2) " +
+      "SELECT corpus_id, count(*) AS n_benchmark_hits FROM ham " +
+      "WHERE h <= 6 GROUP BY corpus_id ORDER BY corpus_id"
   }
 
   private lazy val contaminationOracle: String =

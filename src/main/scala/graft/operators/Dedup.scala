@@ -1817,6 +1817,128 @@ object Dedup {
         .select(col("corpus_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  // ─── MEDIA decontamination (perceptual benchmark probe) ───────────────
+
+  /** MEDIA decontamination hits — the perceptual sibling of
+    * [[contaminationHits]]: eval-set images/audio/clips leak into
+    * training corpora exactly like eval text does, so the corpus's media
+    * payloads probe a FROZEN benchmark hash index with the same
+    * dHash/envelope/frame-hash + Hamming-band machinery the media dedup
+    * rungs band with. Returns (corpus_id, n_benchmark_hits): one row per
+    * corpus item whose payload near-duplicates (Hamming ≤ `maxHamming`;
+    * video: the matched-frame gate at `minMatchFrac`, `alignFrames =
+    * false` for the trim-robust SET probe) at least one benchmark item.
+    *
+    * `benchmarkHashes` is the PERSISTED index — the (id, sh) frame
+    * [[imageHashFrame]]/[[audioHashFrame]] builds, or the (id, fpos, sh
+    * [, every_n]) frame [[videoFrameHashFrame]] builds — round-tripped
+    * through parquet/a warehouse table; benchmark suites change rarely,
+    * so the decode is paid once per benchmark version, not per pass (the
+    * removeContaminatedFuzzyIndexed shape). Id spaces may overlap (the
+    * sides never union; a benchmark drawn from the corpus is the common
+    * fixture). No CC anywhere: "touching the benchmark is fatal" needs
+    * no transitivity. Undecodable corpus payloads carry no hash and are
+    * never flagged.
+    *
+    * Scale shape: the corpus decodes once behind the hash frame's pinned
+    * repartition, then the probe joins |corpus|·(maxHamming+1) chunk
+    * rows against the index's chunk projection — bare longs both sides,
+    * the benchmark side a scan of one long per item (per frame for
+    * video). */
+  def mediaContaminationHits(corpus: DataFrame, benchmarkHashes: DataFrame,
+      idCol: String, typeCol: String, binaryCol: String, kind: String,
+      maxHamming: Int, everyN: Int = 2, minMatchFrac: Double = 0.6,
+      alignFrames: Boolean = true): DataFrame = {
+    require(Set("image", "audio", "video").contains(kind),
+      s"mediaContaminationHits: kind must be 'image', 'audio' or " +
+        s"'video', got '$kind'")
+    val cH0 = materialize(kind match {
+      case "image" => imageHashFrame(corpus, idCol, typeCol, binaryCol)
+      case "audio" => audioHashFrame(corpus, idCol, typeCol, binaryCol)
+      case _ => videoFrameHashFrame(corpus, idCol, typeCol, binaryCol, everyN)
+    })
+    if (kind == "video" && benchmarkHashes.columns.contains("every_n")) {
+      val rates = benchmarkHashes.select(col("every_n")).distinct()
+        .limit(2).collect().map(_.getAs[Any]("every_n").toString.toLong)
+      require(rates.length <= 1 && rates.forall(_ == everyN),
+        s"mediaContaminationHits: probe everyN=$everyN but the benchmark " +
+          s"video index carries every_n=${rates.sorted.mkString(",")} — " +
+          "fpos alignment would silently shift; probe at the index's rate")
+    }
+    val (cH, bH) =
+      if (kind == "video")
+        (cH0.select(col("id"), col("fpos"), col("sh")),
+          benchmarkHashes.select(col("id"), col("fpos"), col("sh")))
+      else (cH0.select(col("id"), col("sh")),
+        benchmarkHashes.select(col("id"), col("sh")))
+    val cChunks = hammingChunks(cH, maxHamming)
+    val bChunks = hammingChunks(bH, maxHamming)
+    val pairs =
+      if (kind == "video") {
+        val fposKey =
+          if (alignFrames) col("a.fpos") === col("b.fpos") else lit(true)
+        val framePairs = cChunks.as("a")
+          .join(bChunks.as("b"),
+            fposKey && col("a.chunk") === col("b.chunk") &&
+              col("a.chunk_key") === col("b.chunk_key"))
+          .select(col("a.id").as("corpus_id"), col("b.id").as("bench_id"),
+            col("a.fpos").as("fpos"),
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+          .where(col("hamming") <= maxHamming)
+          .dropDuplicates("corpus_id", "bench_id", "fpos")
+        val nfC = cH.groupBy(col("id")).agg(count(lit(1)).as("nf_c"))
+        val nfB = bH.groupBy(col("id")).agg(count(lit(1)).as("nf_b"))
+        framePairs.groupBy(col("corpus_id"), col("bench_id"))
+          .agg(count(lit(1)).as("n_matched"))
+          .join(nfC.select(col("id").as("corpus_id"), col("nf_c")), Seq("corpus_id"))
+          .join(nfB.select(col("id").as("bench_id"), col("nf_b")), Seq("bench_id"))
+          .where(col("n_matched") >=
+            ceil(lit(minMatchFrac) * least(col("nf_c"), col("nf_b"))))
+          .select(col("corpus_id"), col("bench_id"))
+      } else
+        cChunks.as("a")
+          .join(bChunks.as("b"),
+            col("a.chunk") === col("b.chunk") &&
+              col("a.chunk_key") === col("b.chunk_key"))
+          .select(col("a.id").as("corpus_id"), col("b.id").as("bench_id"),
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+          .where(col("hamming") <= maxHamming)
+          .dropDuplicates("corpus_id", "bench_id")
+          .select(col("corpus_id"), col("bench_id"))
+    pairs.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_benchmark_hits"))
+  }
+
+  /** Drop every corpus item flagged by [[mediaContaminationHits]] against
+    * a PERSISTED benchmark hash index (left-anti; the rest of the corpus
+    * passes untouched, undecodable payloads always survive). */
+  def removeContaminatedMediaIndexed(corpus: DataFrame,
+      benchmarkHashes: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, kind: String, maxHamming: Int, everyN: Int = 2,
+      minMatchFrac: Double = 0.6, alignFrames: Boolean = true): DataFrame =
+    corpus.join(
+      mediaContaminationHits(corpus, benchmarkHashes, idCol, typeCol,
+        binaryCol, kind, maxHamming, everyN, minMatchFrac, alignFrames)
+        .select(col("corpus_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** [[removeContaminatedMediaIndexed]] computing the benchmark index
+    * fresh from the benchmark's own media payloads — the recompute
+    * convenience; persist [[imageHashFrame]]/[[audioHashFrame]]/
+    * [[videoFrameHashFrame]] and probe the stored artifact to pay the
+    * benchmark decode once per version. */
+  def removeContaminatedMedia(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, typeCol: String, binaryCol: String, kind: String,
+      maxHamming: Int, everyN: Int = 2, minMatchFrac: Double = 0.6,
+      alignFrames: Boolean = true): DataFrame = {
+    val bH = materialize(kind match {
+      case "image" => imageHashFrame(benchmark, idCol, typeCol, binaryCol)
+      case "audio" => audioHashFrame(benchmark, idCol, typeCol, binaryCol)
+      case _ => videoFrameHashFrame(benchmark, idCol, typeCol, binaryCol, everyN)
+    })
+    removeContaminatedMediaIndexed(corpus, bH, idCol, typeCol, binaryCol,
+      kind, maxHamming, everyN, minMatchFrac, alignFrames)
+  }
+
   // ─── Semantic (embedding-space) deduplication — SemDeDup ──────────────
 
   /** Within-cluster duplicate pairs for SEMANTIC dedup (SemDeDup, Abbas

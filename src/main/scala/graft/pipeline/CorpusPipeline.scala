@@ -110,6 +110,26 @@ object CorpusPipeline {
       minMatchFrac: Double = 0.6,
       alignFrames: Boolean = true)
 
+  /** The optional MEDIA DECONTAMINATION rung: the corpus's media
+    * payloads probe a FROZEN benchmark hash index (the (id, sh) /
+    * (id, fpos, sh) frame [[Dedup.imageHashFrame]] /
+    * [[Dedup.audioHashFrame]] / [[Dedup.videoFrameHashFrame]] builds,
+    * persisted once per benchmark version) with the perceptual-hash +
+    * Hamming-band machinery; any corpus item within `maxHamming` of a
+    * benchmark item (video: the matched-frame gate) drops. Slots right
+    * after the TEXT decontamination stages — eval leakage is eval
+    * leakage whatever the modality — and before selection, for the same
+    * reason those do. */
+  final case class MediaDecontaminateConfig(
+      typeCol: String,
+      binaryCol: String,
+      kind: String,
+      benchmarkHashes: DataFrame,
+      maxHamming: Int = 6,
+      everyN: Int = 2,
+      minMatchFrac: Double = 0.6,
+      alignFrames: Boolean = true)
+
   /** The optional DSIR SELECTION rung: importance-resample `k` documents
     * toward the fitted target distribution ([[Dsir.resampleRows]] with
     * the frozen `model`). Runs LAST among the content stages — after
@@ -203,6 +223,7 @@ object CorpusPipeline {
       bloomDecontaminate: Boolean = false,
       bloomFpp: Double = 0.001,
       fuzzyDecontaminate: Option[Double] = None,
+      mediaDecontaminate: Option[MediaDecontaminateConfig] = None,
       dsirSelect: Option[DsirSelectConfig] = None,
       mixToShares: Option[MixConfig] = None,
       temperatureMix: Option[TemperatureMixConfig] = None,
@@ -225,7 +246,8 @@ object CorpusPipeline {
     * [url_dedup], [c4_page_gate], quality, [domain_cap], exact_dedup,
     * [line_dedup], [span_dedup], near_dedup, [semantic_dedup],
     * [image_dedup], [audio_dedup],
-    * decontaminated, [decontaminated_fuzzy], [dsir_selected], [mixed],
+    * decontaminated, [decontaminated_fuzzy], [media_decontaminated],
+    * [dsir_selected], [mixed],
     * [temperature_mixed]; the bracketed stages appear
     * iff enabled) for ad-hoc inspection — but do NOT count them to build
     * a stage report: each count re-executes that stage's upstream chain.
@@ -619,6 +641,17 @@ object CorpusPipeline {
       case _ => cleanM
     }
 
+    // 4b'. optional MEDIA decontamination — the perceptual benchmark
+    //    probe, right after the text decontamination stages (same
+    //    rationale: a leaked eval image/clip must never train, and must
+    //    drop before any selection rung can weight it).
+    val mediaClean = cfg.mediaDecontaminate.fold(fuzzyClean) { mdc =>
+      observed("media_decontaminated",
+        Dedup.removeContaminatedMediaIndexed(fuzzyClean, mdc.benchmarkHashes,
+          cfg.idCol, mdc.typeCol, mdc.binaryCol, mdc.kind, mdc.maxHamming,
+          mdc.everyN, mdc.minMatchFrac, mdc.alignFrames))
+    }
+
     // 4c. optional DSIR selection — the importance-resampling rung:
     //    keep k documents drawn toward the fitted target distribution.
     //    LAST content stage: selection must only ever see documents that
@@ -635,11 +668,11 @@ object CorpusPipeline {
     // complete the observation with a partial count (the promise keeps
     // the FIRST action's metrics), silently corrupting the stage report.
     val dsirBare = cfg.dsirSelect.map { dc =>
-      Dedup.materialize(Dsir.resampleRows(fuzzyClean, cfg.textCol,
+      Dedup.materialize(Dsir.resampleRows(mediaClean, cfg.textCol,
         cfg.idCol, dc.model, dc.k, dc.salt, cfg.tokenizer))
     }
     val selected = dsirBare.map(b => observed("dsir_selected", b))
-      .getOrElse(fuzzyClean)
+      .getOrElse(mediaClean)
 
     // 4d. optional MIXING rungs — the training-mix composition step,
     //    after every selection rung (mix rates must be derived from the
@@ -763,6 +796,7 @@ object CorpusPipeline {
       // and a stage report must never show a rung that never executed
       benchClean.flatMap(_ => cfg.fuzzyDecontaminate)
         .map(_ => "decontaminated_fuzzy" -> fuzzyClean) ++
+      cfg.mediaDecontaminate.map(_ => "media_decontaminated" -> mediaClean) ++
       cfg.dsirSelect.map(_ => "dsir_selected" -> selected) ++
       cfg.mixToShares.map(_ => "mixed" -> shareMixed) ++
       cfg.temperatureMix.map(_ => "temperature_mixed" -> mixed),

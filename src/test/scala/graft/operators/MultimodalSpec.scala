@@ -541,6 +541,59 @@ class MultimodalSpec extends AnyFunSuite {
       .select("media_id").as[Long].collect().toSet == expected)
   }
 
+  test("mediaContaminationHits: corpus media probe a frozen benchmark index; brute-force parity; video SET probe") {
+    // IMAGE: benchmark = every 5th fixture image; ground truth = all-pairs
+    // dHash Hamming from the frozen grids (no banding)
+    val media = ImageFixture.frame(spark)
+    val benchIdx = Dedup.imageHashFrame(
+      media.where($"media_id" % 5 === 0), "media_id", "media_type", "content")
+    val got = Dedup.mediaContaminationHits(media, benchIdx,
+        "media_id", "media_type", "content", "image", maxHamming = 6)
+      .select("corpus_id", "n_benchmark_hits").as[(Long, Long)]
+      .collect().toMap
+    def dhash(g: Array[Int]): Long = {
+      var h = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (g(r * 9 + c) > g(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+      h
+    }
+    val grids = FrozenImageGrids.grids.toMap
+    val expected = (for {
+      (cid, cg) <- grids.toSeq
+      hits = grids.keys.count(b => b % 5 == 0 &&
+        java.lang.Long.bitCount(dhash(cg) ^ dhash(grids(b))) <= 6)
+      if hits > 0
+    } yield cid -> hits.toLong).toMap
+    assert(got == expected, s"image probe must equal brute force")
+    // removal drops exactly the flagged items; an UNDECODABLE payload
+    // survives (no hash, no evidence)
+    val withJunk = media.unionByName(Seq(
+      (9000L, "image/png", Array.tabulate(16)(_.toByte)))
+      .toDF("media_id", "media_type", "content"))
+    val kept = Dedup.removeContaminatedMediaIndexed(withJunk, benchIdx,
+        "media_id", "media_type", "content", "image", maxHamming = 6)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == (0L until 60L).toSet -- expected.keySet + 9000L)
+    // VIDEO: benchmark = clip 0's per-frame index; a TRIMMED re-upload
+    // of it is invisible to the aligned probe, flagged by the SET probe
+    val benchVid = Dedup.videoFrameHashFrame(
+      Seq((0L, "video/avi", VideoFixture.aviBytes(0L)))
+        .toDF("media_id", "media_type", "content"),
+      "media_id", "media_type", "content", everyN = 1)
+    val corpusVid = Seq(
+      (100L, "video/avi", VideoFixture.aviBytes(0L, fromFrame = 1)),
+      (101L, "video/avi", VideoFixture.aviBytes(4242L)))
+      .toDF("media_id", "media_type", "content")
+    def vidHits(align: Boolean) = Dedup.mediaContaminationHits(
+        corpusVid, benchVid, "media_id", "media_type", "content", "video",
+        maxHamming = 4, everyN = 1, alignFrames = align)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(vidHits(align = true).isEmpty,
+      "aligned probe must miss the 1-frame trim")
+    assert(vidHits(align = false) == Set(100L),
+      "SET probe must flag the trimmed re-upload and nothing else")
+  }
+
   test("videoFrameHashFrame: fpos is the decoder slot — a partially corrupt twin still aligns") {
     // clip A = intact fixture clip; clip B = same clip with its LAST
     // sampled frame's movi bytes corrupted so that frame alone fails to

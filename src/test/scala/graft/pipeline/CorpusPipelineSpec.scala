@@ -948,4 +948,35 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(run(align = false) == Set(1L),
       "frame-SET rung must drop the trimmed re-upload")
   }
+
+  test("media decontamination rung: a leaked benchmark image drops after the text stages; clean docs survive") {
+    import graft.operators.{Dedup, ImageFixture}
+    def prose(tag: String) =
+      s"this is a perfectly ordinary english paragraph about $tag with " +
+        "enough words to clear the minimum token floor for the gate"
+    // doc 1 carries benchmark image 0's exact payload (leak), doc 2 its
+    // planted near-twin (image 1 — perceptual leak), doc 3 an unrelated
+    // image, doc 4 no payload at all
+    val corpus = Seq(
+      (1L, prose("an exact benchmark image leak"), "image/png",
+        ImageFixture.pngBytes(0L)),
+      (2L, prose("a near twin of a benchmark image"), "image/png",
+        ImageFixture.pngBytes(1L)),
+      (3L, prose("a completely unrelated illustration"), "image/png",
+        ImageFixture.pngBytes(29L)),
+      (4L, prose("plain text with no media payload"), null, null))
+      .toDF("doc_id", "text", "media_type", "content")
+    val benchIdx = Dedup.imageHashFrame(
+      Seq((0L, "image/png", ImageFixture.pngBytes(0L)))
+        .toDF("media_id", "media_type", "content"),
+      "media_id", "media_type", "content")
+    val out = CorpusPipeline.prepare(corpus, None,
+      CorpusPipeline.Config(langs = Set("en"), minTokens = 5,
+        mediaDecontaminate = Some(CorpusPipeline.MediaDecontaminateConfig(
+          "media_type", "content", "image", benchIdx))))
+    assert(out.stages.map(_._1).contains("media_decontaminated"))
+    val ids = out.documents.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(3L, 4L),
+      s"exact leak AND perceptual twin must drop; got $ids")
+  }
 }
