@@ -111,6 +111,21 @@ object NgramLmOracle {
       "WHERE substr(md5(CAST(l.doc_id AS VARCHAR)),1,8) < th.th " +
       "GROUP BY l.bl ORDER BY bucket_label"
 
+  /** [[ngramLmScore]] over the MULTILINGUAL fixture with the
+    * script-aware tokenizer: the frozen (English-trained) model scores
+    * zh/ja/ru/ar token streams through the SAME exact Stupid-Backoff
+    * COALESCE chain — non-Latin grams miss every table and fold the
+    * unk/backoff integers, en text folds its real scores; both engines
+    * agree bit-exactly either way (the threading proof for the LM rung). */
+  def ngramLmScoreMl(fixtureValues: String, mlToksSql: String): String =
+    s"WITH mld AS (SELECT doc_id, text FROM $fixtureValues), " +
+      s"nlm_ft AS (SELECT doc_id, $mlToksSql AS ft FROM mld), " +
+      scoreCteChain("nlm_ft") + " " +
+      "SELECT f.doc_id, CAST(len(f.ft) AS BIGINT) AS n_tokens, " +
+      "CAST(COALESCE(sw.score, 0) AS BIGINT) AS score_scaled, " +
+      s"CAST(COALESCE(sw.score, 0) AS DOUBLE) / (${NgramLm.WeightScale.toDouble} * CAST(greatest(len(f.ft), 1) AS DOUBLE)) AS mean_log " +
+      "FROM nlm_ft f LEFT JOIN nlm_sw sw ON f.doc_id = sw.doc_id ORDER BY f.doc_id"
+
   /** The oracle restatement of the scoring scan over the augmented
     * documents table: (doc_id, n_tokens, score_scaled, mean_log). */
   def ngramLmScore: String = {

@@ -1437,6 +1437,18 @@ object SparkEntry {
         "doc_id", graft.operators.FrozenBpe.model)
         .orderBy(col("doc_id"))),
 
+    // ── BPE over the MULTILINGUAL tokenizer: the frozen (English-
+    //    trained) merge table serves zh/ja/ru/ar text through its
+    //    code-point base symbols — no merge applies to a non-Latin
+    //    word, so each surfaces as codepoint pieces with the '▁'
+    //    marker, losslessly. The md5 of the full piece stream pins the
+    //    entire ml-tokenize → piece → marker path across engines ──────
+    "q_bpe_token_counts_ml" -> ((s, dir) =>
+      graft.operators.Bpe.tokenCounts(graft.operators.MlFixture.frame(s),
+        "text", "doc_id", graft.operators.FrozenBpe.model,
+        graft.functions.Tok.Ml)
+        .orderBy(col("doc_id"))),
+
     // ── BPE DETOKENIZATION round-trip: text → pieces → vocab ids →
     //    bpe_decode must reproduce the space-joined normalized tokens
     //    EXACTLY (the '▁' word-boundary marker makes the piece/id
@@ -1936,6 +1948,18 @@ object SparkEntry {
         .withColumn("n_tokens", col("n_tokens").cast("long"))
         .orderBy(col("doc_id"))
     }),
+
+    // ── The trigram LM over the MULTILINGUAL tokenizer: same frozen
+    //    model, ml token stream — CJK/Cyrillic grams miss every table
+    //    and fold the exact unk/backoff integers (the unknown-script
+    //    floor a mixed corpus really hits), en text scores normally;
+    //    oracle = the same generated COALESCE chain over ml tokens ─────
+    "q_ngram_lm_score_ml" -> ((s, dir) =>
+      graft.operators.NgramLm.score(graft.operators.MlFixture.frame(s),
+        "text", "doc_id", graft.operators.FrozenNgramLm.model,
+        graft.functions.Tok.Ml)
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy(col("doc_id"))),
 
     // ── CCNet perplexity BUCKETS (Wenzek et al. LREC 2020 §4.3): the
     //    head/middle/tail stratification over the same scored corpus —
@@ -4129,6 +4153,20 @@ object SparkEntry {
     "q_tokens_ml" -> mlTokensSql,
     "q_gopher_quality_ml" -> mlGopherQualitySql,
     "q_media_contamination" -> mediaContaminationOracle,
+    "q_bpe_token_counts_ml" -> {
+      val mlToks = graft.functions.Tok.Ml.sqlTokens("text")
+      s"WITH mld AS (SELECT doc_id, text FROM ${graft.operators.MlFixture.sqlValues}), " +
+        s"tk AS (SELECT doc_id, $mlToks AS t FROM mld), " +
+        "toks AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM tk), " +
+        bpePieceCtes("toks") +
+        "perdoc AS (SELECT toks.doc_id AS doc_id, count(*) AS n_toks, " +
+        "CAST(sum(len(ps)) AS BIGINT) AS n_pieces, " +
+        "string_agg(array_to_string(ps, ' '), ' ' ORDER BY pos) AS stream " +
+        "FROM toks JOIN pieces ON toks.w = pieces.w GROUP BY toks.doc_id) " +
+        "SELECT d.doc_id AS doc_id, CAST(COALESCE(p.n_toks, 0) AS BIGINT) AS n_tokens, " +
+        "COALESCE(p.n_pieces, 0) AS n_pieces, md5(COALESCE(p.stream, '')) AS pieces_fp " +
+        "FROM mld d LEFT JOIN perdoc p ON d.doc_id = p.doc_id ORDER BY doc_id"
+    },
     // SimHash ground truth, independently restated: FNV-1a-64 per token
     // (fold over UTF-8 bytes — tokens are [a-z0-9]+ so unicode(ch) IS the
     // byte — with mod-2⁶⁴ HUGEINT multiply), multiplicity-weighted bit
@@ -4653,6 +4691,9 @@ object SparkEntry {
     "q_semantic_dedup" -> AnnOracles.semanticDedup(threshold = 0.9),
     "q_quality_model_score" -> QmOracle.qualityModelScore,
     "q_ngram_lm_score" -> NgramLmOracle.ngramLmScore,
+    "q_ngram_lm_score_ml" -> NgramLmOracle.ngramLmScoreMl(
+      graft.operators.MlFixture.sqlValues,
+      graft.functions.Tok.Ml.sqlTokens("text")),
     "q_ppl_buckets" -> NgramLmOracle.pplBuckets(
       graft.operators.Sampling.thresholdHex(0.2)),
     "q_bucket_mix" -> NgramLmOracle.bucketMix(
