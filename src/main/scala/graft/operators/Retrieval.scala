@@ -41,14 +41,22 @@ object Retrieval {
     * lowercase, non-[a-z0-9] → space) and require each to stay a single
     * token — a multi-token "term" would silently never match
     * ([[graft.functions.TextAnalysis.containsBlockedWord]]'s contract). */
-  private def normTerms(terms: Seq[String]): Seq[String] = {
+  private def normTerms(terms: Seq[String], tok: Tok = Tok.Latin): Seq[String] = {
     require(terms.nonEmpty, "bm25: empty query")
+    // terms normalize through the SAME kernel the document stream uses
+    // (driver-side call — agreement by construction; under Tok.Ml a
+    // Cyrillic/Arabic term stays matchable instead of normalizing away)
     val normed = terms.map { t =>
-      val n = t.toLowerCase(java.util.Locale.ROOT)
-        .replaceAll("[^a-z0-9]+", " ").trim
-      require(n.nonEmpty && !n.contains(' '),
-        s"bm25: query term '$t' normalizes to '$n' — not a single token")
-      n
+      val ts = (tok match {
+        case Tok.Ml => graft.functions.ShingleUtil.normTokensMl(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        case _ => graft.functions.ShingleUtil.normTokens(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      }).toSeq.map(_.toString)
+      require(ts.length == 1,
+        s"bm25: query term '$t' normalizes to [${ts.mkString(" ")}] — " +
+          "not a single token")
+      ts.head
     }
     require(normed.distinct.size == normed.size,
       s"bm25: duplicate query terms after normalization: $normed")
@@ -78,7 +86,7 @@ object Retrieval {
   /** ONE aggregation pass → |terms|+2 driver scalars. */
   def bm25Stats(df: DataFrame, textCol: String, terms: Seq[String],
       tok: Tok = Tok.Latin): Bm25Stats = {
-    val q = normTerms(terms)
+    val q = normTerms(terms, tok)
     val row = bm25StatsFrame(df, textCol, q, tok).first()
     // sum() over zero rows (or all-null texts) returns null — fail loudly
     // instead of an opaque NPE on unboxing, per the family convention
@@ -105,7 +113,7 @@ object Retrieval {
       terms: Seq[String], stats: Bm25Stats,
       k1: Double = 1.2, b: Double = 0.75, tok: Tok = Tok.Latin): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val q = normTerms(terms)
+    val q = normTerms(terms, tok)
     require(stats.docFreq.size == q.size,
       s"bm25: stats carry ${stats.docFreq.size} docFreqs for ${q.size} terms")
     // materialize the token array ONCE per row in its own projection —

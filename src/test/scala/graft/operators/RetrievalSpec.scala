@@ -124,4 +124,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"one-row global agg must not hash-shuffle rows:\n$plan")
   }
+
+  test("bm25 tok=Ml: a Cyrillic query retrieves the Russian documents; Latin rejects it loudly") {
+    import graft.functions.Tok
+    val fx = MlFixture.frame(spark)
+    // the Latin tokenizer normalizes a Cyrillic term to nothing — the
+    // contract fails fast instead of silently matching no document
+    val boom = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(fx, "text", "doc_id", Seq("данных"), 3)
+    }
+    assert(boom.getMessage.contains("not a single token"))
+    // under Tok.Ml the same query ranks the ru docs that contain the
+    // word (20, 21) above everything; the unrelated ru doc and all
+    // non-ru docs score 0 and never surface
+    val top = Retrieval.bm25TopK(fx, "text", "doc_id", Seq("данных"), 2,
+        tok = Tok.Ml)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top == Set(20L, 21L), s"got $top")
+    // and a zh single-ideograph query works the same way (per-codepoint
+    // tokens make single characters the match unit)
+    val zh = Retrieval.bm25TopK(fx, "text", "doc_id", Seq("习"), 2,
+        tok = Tok.Ml)
+      .select("doc_id").as[Long].collect().toSet
+    assert(zh == Set(0L, 1L), s"got $zh")
+  }
 }
