@@ -475,9 +475,12 @@ object Dedup {
     // prefilter would only add its fixed cost.
     val h = math.min(prefilterHashes, rr * b)
     val ct = expectedCandidates(rr, b, nDocs, est)
-    detectOnShingles(sh, shH, DetectorDecision(rr, b, tuned = true,
+    val d = DetectorDecision(rr, b, tuned = true,
       prefilterH = if (ct >= prefilterMinCandidates && h > 0) h else 0,
-      estCandidates = ct, estVerifyInput = ct), threshold)
+      estCandidates = ct, estVerifyInput = ct)
+    spillWarning(d, est.meanShingles,
+      shuffleDirUsableBytes(df.sparkSession)).foreach(System.err.println)
+    detectOnShingles(sh, shH, d, threshold)
   }
 
   /** The detector plan [[selectDetector]] chose for a corpus: banding
@@ -575,6 +578,49 @@ object Dedup {
     }
   }
 
+  /** Estimated on-disk shuffle footprint of a detect plan, in bytes:
+    * candidate id-pairs spill through the pair-dedup exchange (~32 B per
+    * serialized row) and the verify join ships TWO hashed shingle arrays
+    * per surviving candidate (8 B per element; compression typically
+    * halves it — left out as safety margin). Pure, so the spec pins it. */
+  private[graft] def spillEstimateBytes(d: DetectorDecision,
+      meanShingles: Double): Double =
+    d.estCandidates * 32.0 + d.estVerifyInput * 2.0 * meanShingles * 8.0
+
+  /** The disk guard the round-13 5M measurement bought: the detector's
+    * cost model priced time and memory but not SPILL DISK, and the 5M
+    * adversarial model-fixture corpus died at minute 77 with ENOSPC in
+    * the verify-stage shuffle. A WARNING, not a hard fail — shuffle
+    * storage is usually elastic on a real cluster and spark.local.dir
+    * is not authoritative on every deployment — but it fires UP FRONT,
+    * before hours of work, and names the same remedies as the
+    * verify-volume breaker. Returns the message so the spec pins the
+    * trigger arithmetic; [[nearDupPairsMinHashAuto]] prints it. */
+  private[graft] def spillWarning(d: DetectorDecision, meanShingles: Double,
+      usableBytes: Long): Option[String] = {
+    val est = spillEstimateBytes(d, meanShingles)
+    if (usableBytes > 0 && est > usableBytes.toDouble) Some(
+      f"[graft] WARN near-dup detect: the chosen plan (r=${d.r}, b=${d.b}, " +
+        f"prefilter=${d.prefilterH}) projects ~${est / 1e9}%.1f GB of " +
+        f"candidate/verify shuffle spill but the local shuffle dirs report " +
+        f"only ${usableBytes / 1e9}%.1f GB usable - the job is likely to " +
+        "die with ENOSPC deep into the verify stage. Remedies: strip the " +
+        "shared boilerplate first (line-level dedup rung), raise the " +
+        "threshold, dedup per group (source/domain), or point " +
+        "spark.local.dir at larger storage.")
+    else None
+  }
+
+  /** Usable bytes across the session's shuffle dirs (spark.local.dir —
+    * comma-separated — falling back to java.io.tmpdir, exactly where
+    * local/standalone shuffle files land). Distinct dirs usually mean
+    * distinct disks, so usable space sums. */
+  private def shuffleDirUsableBytes(spark: SparkSession): Long =
+    spark.sparkContext.getConf
+      .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
+      .split(",").map(_.trim).filter(_.nonEmpty).distinct
+      .map(p => new java.io.File(p).getUsableSpace).sum
+
   /** Run the ONE shared detect plan (band → candidates → [prefilter] →
     * exact verify) for a [[DetectorDecision]] over prepared shingle
     * frames (`sh` sorted string shingles, `shH` 64-bit-hashed — both
@@ -624,6 +670,8 @@ object Dedup {
     val d = selectDetector(threshold, nDocs, est, recallTarget, maxK,
       prefilterHashes, escalateMinCandidates, prefilterMinCandidates,
       maxVerifyCandidates)
+    spillWarning(d, est.meanShingles,
+      shuffleDirUsableBytes(df.sparkSession)).foreach(System.err.println)
     detectOnShingles(sh, shH, d, threshold)
   }
 

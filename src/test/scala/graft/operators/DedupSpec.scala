@@ -756,6 +756,25 @@ class DedupSpec extends AnyFunSuite {
       s"Latin tokenizer must be blind to non-Latin twins, got $latinPairs")
   }
 
+  test("spill guard: estimate arithmetic and the warn trigger (the 5M ENOSPC lesson)") {
+    val d = Dedup.DetectorDecision(8, 38, tuned = true, prefilterH = 64,
+      estCandidates = 1e9, estVerifyInput = 1e8)
+    // 1e9 pairs x 32 B + 1e8 verify rows x 2 x 100 shingles x 8 B = 192 GB
+    val est = Dedup.spillEstimateBytes(d, meanShingles = 100.0)
+    assert(math.abs(est - 192e9) / 192e9 < 1e-9, s"got $est")
+    // fires when the estimate exceeds usable space, names the remedy
+    val warn = Dedup.spillWarning(d, 100.0, usableBytes = 80L * (1L << 30))
+    assert(warn.isDefined && warn.get.contains("ENOSPC") &&
+      warn.get.contains("line-level dedup"))
+    // silent when disk fits, or when usable space is unknown (<= 0)
+    assert(Dedup.spillWarning(d, 100.0, usableBytes = 300L * (1L << 30)).isEmpty)
+    assert(Dedup.spillWarning(d, 100.0, usableBytes = 0L).isEmpty)
+    // a toy corpus never warns on a real disk
+    val toy = Dedup.DetectorDecision(4, 32, tuned = false, prefilterH = 0,
+      estCandidates = 1e4, estVerifyInput = 1e4)
+    assert(Dedup.spillWarning(toy, 50.0, usableBytes = 1L << 30).isEmpty)
+  }
+
   implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

@@ -743,4 +743,39 @@ class StreamingOpsSpec extends AnyFunSuite {
       .groupBy($"id").count().as[(Long, Long)].collect().toMap
     assert(idx == Map(1L -> 3L, 11L -> 3L), s"got $idx")
   }
+
+  test("MediaDedupConfig alignFrames=false: the streaming video rung catches a TRIMMED re-upload") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.VideoFixture
+    implicit val sqlCtx = spark.sqlContext
+    def run(align: Boolean): Set[Long] = {
+      val source = MemoryStream[(Long, String, String, Array[Byte])]
+      val docs = source.toDF().toDF("doc_id", "text", "media_type", "content")
+      val corpus = Files.createTempDirectory("video_set_corpus").toString
+      val index = Files.createTempDirectory("video_set_index").toString
+      val q = StreamingOps.dedupStreamIntoCorpus(
+        docs, corpus, index, "text", "doc_id", threshold = 0.5,
+        mediaDedup = Some(StreamingOps.MediaDedupConfig(
+          "media_type", "content", kind = "video", maxHamming = 4,
+          everyN = 1, alignFrames = align)))
+      try {
+        source.addData((1L,
+          "the quick brown fox jumps over the lazy dog near the river bank",
+          "video/avi", VideoFixture.aviBytes(0L)))
+        q.processAllAvailable()
+        // batch 2: clip 0 with its first frame trimmed — every surviving
+        // frame identical, every ordinal shifted by one
+        source.addData((2L,
+          "completely different prose about distributed query engines here",
+          "video/avi", VideoFixture.aviBytes(0L, fromFrame = 1)))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    }
+    // the aligned probe is provably blind to the trim; the SET config
+    // (wired through MediaDedupConfig) drops the re-upload at ingest
+    assert(run(align = true) == Set(1L, 2L), "aligned rung must miss the trim")
+    assert(run(align = false) == Set(1L), "SET rung must drop the trimmed re-upload")
+  }
 }
