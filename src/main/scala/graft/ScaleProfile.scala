@@ -307,7 +307,8 @@ object ScaleProfile {
     // prescribed configuration for high-background corpora is
     // tunedNearDedup (sampled background → wider bands + signature
     // prefilter) — run the SAME chain tuned and time it. ───────────────
-    if (sections("modelbg") || sections("modelbgdefault") || sections("modelbgtuned")) {
+    if (sections("modelbg") || sections("modelbgdefault") ||
+        sections("modelbgtuned") || sections("modelbgspan")) {
       import graft.pipeline.CorpusPipeline
       import graft.operators.FrozenQualityModel
       val aug = docs.select(col("doc_id"),
@@ -316,13 +317,15 @@ object ScaleProfile {
           .otherwise(col("text")).as("text"))
       val bench = docs.where(col("doc_id") % 50 === 0)
         .select(col("doc_id"), col("text"))
-      def modelCfg(tuned: Boolean) = CorpusPipeline.Config(
+      def modelCfg(tuned: Boolean, spanN: Option[Int] = None) =
+        CorpusPipeline.Config(
         langs = Set("en"), minTokens = 10, maxTokens = 100000,
         minAlphaRatio = 0.4,
         modelGate = Some(CorpusPipeline.ModelGateConfig(
           FrozenQualityModel.model, minLogit = 0.0)),
         dedupThreshold = 0.5, shingleN = 3, decontaminateN = 8,
-        tunedNearDedup = tuned, chunkTokens = 64, overlapTokens = 16,
+        tunedNearDedup = tuned, spanDedupN = spanN,
+        chunkTokens = 64, overlapTokens = 16,
         splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
         materializeDocuments = true)
       // round 12: the DEFAULT config (auto detector) must complete where
@@ -339,6 +342,16 @@ object ScaleProfile {
       if (sections("modelbg") || sections("modelbgtuned"))
         timed("modelbg.tuned(model-gate chain + tunedNearDedup)") {
           CorpusPipeline.prepare(aug, Some(bench), modelCfg(tuned = true))
+            .documents.count()
+        }
+      // the SPILL-GUARD remedy arm (round 13): the fixture's shared
+      // filler is a mid-line SUFFIX, so the LINE rung cannot scrub it —
+      // the span rung can, and after the scrub the near-dup background
+      // returns to natural and the fifth decade fits the box again
+      if (sections("modelbgspan"))
+        timed("modelbgspan.default(model chain + spanDedupN=8)") {
+          CorpusPipeline.prepare(aug, Some(bench),
+            modelCfg(tuned = false, spanN = Some(8)))
             .documents.count()
         }
     }

@@ -605,9 +605,10 @@ object Dedup {
         f"candidate/verify shuffle spill but the local shuffle dirs report " +
         f"only ${usableBytes / 1e9}%.1f GB usable - the job is likely to " +
         "die with ENOSPC deep into the verify stage. Remedies: strip the " +
-        "shared boilerplate first (line-level dedup rung), raise the " +
-        "threshold, dedup per group (source/domain), or point " +
-        "spark.local.dir at larger storage.")
+        "shared boilerplate first (line-level dedup rung for whole lines, " +
+        "span-level dedup for mid-line runs), raise the threshold, dedup " +
+        "per group (source/domain), or point spark.local.dir at larger " +
+        "storage.")
     else None
   }
 

@@ -765,7 +765,7 @@ class DedupSpec extends AnyFunSuite {
     // fires when the estimate exceeds usable space, names the remedy
     val warn = Dedup.spillWarning(d, 100.0, usableBytes = 80L * (1L << 30))
     assert(warn.isDefined && warn.get.contains("ENOSPC") &&
-      warn.get.contains("line-level dedup"))
+      warn.get.contains("line-level dedup") && warn.get.contains("span-level"))
     // silent when disk fits, or when usable space is unknown (<= 0)
     assert(Dedup.spillWarning(d, 100.0, usableBytes = 300L * (1L << 30)).isEmpty)
     assert(Dedup.spillWarning(d, 100.0, usableBytes = 0L).isEmpty)
