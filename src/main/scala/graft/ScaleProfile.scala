@@ -245,6 +245,24 @@ object ScaleProfile {
       }
     }
 
+    // ── round 13: the multilingual tokenizer kernel in ISOLATION — the
+    // Tok.Ml swap must not tax the scan (same one-pass shape; the ml
+    // kernel adds an ASCII fast path + two EnumSet probes per non-ASCII
+    // codepoint). Both arms fold the full corpus's token count. ────────
+    if (sections("mltok")) {
+      graft.functions.GraftFunctions.register(spark)
+      timed("mltok.latin(norm_tokens full-corpus token-count fold)") {
+        docs.select(sum(size(graft.functions.GraftFunctions
+          .normTokens(col("text")))).as("s"), count(lit(1)).as("n"))
+          .first().getLong(1)
+      }
+      timed("mltok.ml(norm_tokens_ml full-corpus token-count fold)") {
+        docs.select(sum(size(graft.functions.GraftFunctions
+          .normTokensMl(col("text")))).as("s"), count(lit(1)).as("n"))
+          .first().getLong(1)
+      }
+    }
+
     // ── round 11: the model quality gate in ISOLATION — the composed
     // q_corpus_pipeline_model fixture is scale-ADVERSARIAL by design
     // (its 250k-doc shared filler suffix is exactly the elevated-
