@@ -105,7 +105,16 @@ object ShingleUtil {
     * is the per-codepoint SIMPLE mapping (Character.toLowerCase(int)):
     * locale- and context-free, matching DuckDB's utf8proc `lower()` —
     * the String.toLowerCase the Latin kernel rides would diverge on
-    * context-sensitive mappings (Greek final sigma). */
+    * context-sensitive mappings (Greek final sigma).
+    *
+    * Classify-order note: this kernel classifies the ORIGINAL
+    * codepoint's script and then lowercases, while the generated oracle
+    * SQL ([[mlSqlTokens]]) lowercases the whole string first and
+    * classifies the lowered codepoint. The orders agree because no
+    * simple case mapping crosses a kept-class boundary — pinned over
+    * the entire codepoint space by ShinglesSpec's classify-order sweep
+    * (a second potential drift surface beside the acknowledged
+    * utf8proc-vs-JDK Unicode-version one, both now named). */
   def normTokensMl(text: UTF8String): Array[UTF8String] = {
     val s = text.toString
     val out = new java.util.ArrayList[UTF8String]()

@@ -30,11 +30,20 @@ object Dedup {
     // oracles); Ml fingerprints the space-joined ml token stream — under
     // the Latin rule EVERY non-Latin document normalizes to "" and the
     // whole zh/ru corpus would collapse into one "duplicate" group.
+    // Documents whose ML token stream is EMPTY (scripts outside the
+    // routing table — Bengali, Armenian, emoji-only, punctuation-only)
+    // would re-create the same collapse one rung down: they all hash
+    // xxhash64("") and every one but the min-id row would silently drop
+    // as a "duplicate". Empty-token documents fall back to the RAW-text
+    // fingerprint (mirroring shingleSets' size > 0 guard): distinct
+    // unroutable texts stay distinct; byte-identical ones still dedup.
     val fpCol =
       if (tok == Tok.Latin) TextAnalysis.fingerprint64(col(textCol))
       else {
         GraftFunctions.register(df.sparkSession)
-        xxhash64(concat_ws(" ", tok.tokens(col(textCol))))
+        val toks = tok.tokens(col(textCol))
+        when(size(toks) > 0, xxhash64(concat_ws(" ", toks)))
+          .otherwise(xxhash64(col(textCol)))
       }
     val fp = df.select(col(idCol), fpCol.as("_fp"))
     val keep = fp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol)).drop("_fp")
@@ -230,11 +239,24 @@ object Dedup {
     * dedup + verify joins is where background LSH collisions (which pair
     * arbitrary-sized docs) get cut without touching a shingle array. */
   private[graft] def bandProjection(sig: DataFrame, rr: Int, b: Int): DataFrame =
+    bandProjectionFor(sig, rr, 0 until b)
+
+  /** [[bandProjection]] restricted to an explicit subset of band indices
+    * — the sequential band-chunk staging ([[detectOnShinglesChunked]])
+    * runs this SAME construction per chunk. Band index and band key are
+    * identical to the full projection's (the key hashes the band's
+    * signature slice with its ABSOLUTE index), so chunked candidates are
+    * exactly the full plan's candidates partitioned by band group —
+    * never a different set. */
+  private[graft] def bandProjectionFor(sig: DataFrame, rr: Int,
+      bands: Seq[Int]): DataFrame =
     sig.select(col("id"), col("sz"),
-      posexplode(array((0 until b).map(j =>
-        hash(slice(col("sig"), j * rr + 1, rr), lit(j))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+      explode(array(bands.map(j => struct(
+        lit(j).as("band"),
+        hash(slice(col("sig"), j * rr + 1, rr), lit(j)).as("band_key"))): _*))
+        .as("_bk"))
+      .select(col("id"), col("sz"),
+        col("_bk.band").as("band"), col("_bk.band_key").as("band_key"))
 
   /** (rowsPerBand, nBands) for MinHash LSH, derived from the Jaccard
     * threshold: the LARGEST r (a divisor of k, for selectivity — false
@@ -458,7 +480,8 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 3, recallTarget: Double = 0.85,
       maxK: Int = 1024, sampleDocs: Int = 128,
       prefilterHashes: Int = 64,
-      prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin): DataFrame = {
+      prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin,
+      spillSafetyMargin: Double = 0.5, maxSpillChunks: Int = 64): DataFrame = {
     val sh = materialize(shingleSets(df, textCol, idCol, n, tok)
       .select(col("id"), array_sort(col("shingles")).as("sh")))
     val shH = materialize(hashShingles(sh))
@@ -478,9 +501,8 @@ object Dedup {
     val d = DetectorDecision(rr, b, tuned = true,
       prefilterH = if (ct >= prefilterMinCandidates && h > 0) h else 0,
       estCandidates = ct, estVerifyInput = ct)
-    spillWarning(d, est.meanShingles,
-      shuffleDirUsableBytes(df.sparkSession)).foreach(System.err.println)
-    detectOnShingles(sh, shH, d, threshold)
+    runDetect(sh, shH, d, threshold, est.meanShingles,
+      spillSafetyMargin, maxSpillChunks)
   }
 
   /** The detector plan [[selectDetector]] chose for a corpus: banding
@@ -604,23 +626,179 @@ object Dedup {
         f"prefilter=${d.prefilterH}) projects ~${est / 1e9}%.1f GB of " +
         f"candidate/verify shuffle spill but the local shuffle dirs report " +
         f"only ${usableBytes / 1e9}%.1f GB usable - the job is likely to " +
-        "die with ENOSPC deep into the verify stage. Remedies: strip the " +
-        "shared boilerplate first (line-level dedup rung for whole lines, " +
-        "span-level dedup for mid-line runs), raise the threshold, dedup " +
-        "per group (source/domain), or point spark.local.dir at larger " +
-        "storage.")
+        "die with ENOSPC deep into the verify stage. The BOUNDED plan: " +
+        "sequential band-chunk staging (nearDupPairsMinHashAuto engages " +
+        "it automatically unless maxSpillChunks caps it out - identical " +
+        "pairs, peak spill divided by the chunk count, only wall time " +
+        "trades). Other remedies: strip the shared boilerplate first " +
+        "(line-level dedup rung for whole lines, span-level dedup for " +
+        "mid-line runs), raise the threshold, dedup per group " +
+        "(source/domain), or point spark.local.dir at larger storage. " +
+        "(On YARN/K8s the cluster manager overrides spark.local.dir per " +
+        "executor - this usable-bytes read is an approximation there.)")
     else None
+  }
+
+  /** Number of SEQUENTIAL band-chunks that keeps the detect plan's peak
+    * shuffle-spill footprint under `usable × margin`:
+    * ⌈est / (usable·margin)⌉ clamped to [1, maxChunks]; 1 = run the
+    * single-pass plan. Candidate volume is near-linear in the band count
+    * (per-band collision mass sums over bands), so chunking b bands into
+    * K groups divides the candidate/verify spill by ~K. Pure, so the
+    * spec pins the arithmetic. The 0.5 default margin absorbs the
+    * estimator's documented order-of-magnitude error band on the safe
+    * side without forcing pathological chunk counts. */
+  private[graft] def spillChunkCount(estBytes: Double, usableBytes: Long,
+      margin: Double = 0.5, maxChunks: Int = 64): Int = {
+    require(margin > 0, s"spillChunkCount: margin must be > 0, got $margin")
+    if (usableBytes <= 0 || estBytes <= usableBytes * margin) 1
+    else math.min(math.max(maxChunks, 1).toDouble,
+      math.ceil(estBytes / (usableBytes * margin))).toInt
+  }
+
+  /** The staging announcement [[nearDupPairsMinHashAuto]] prints when
+    * band-chunk staging engages — and the residual warning when even the
+    * staged per-chunk footprint exceeds usable space (the maxSpillChunks
+    * clamp bit). Returned, not printed, so the spec pins the trigger. */
+  private[graft] def spillStagingNote(d: DetectorDecision, estBytes: Double,
+      usableBytes: Long, k: Int): String = {
+    val per = estBytes / k
+    val clamped =
+      if (usableBytes > 0 && per > usableBytes.toDouble)
+        " WARN: even the staged per-chunk footprint exceeds usable space " +
+          "(maxSpillChunks clamp) - expect ENOSPC; raise maxSpillChunks, " +
+          "strip shared boilerplate (line/span dedup rungs), raise the " +
+          "threshold, or point spark.local.dir at larger storage."
+      else ""
+    f"[graft] INFO near-dup detect: staging the banded plan (r=${d.r}, " +
+      f"b=${d.b}, prefilter=${d.prefilterH}) into $k sequential " +
+      f"band-chunks - projected ~${estBytes / 1e9}%.1f GB of " +
+      f"candidate/verify shuffle spill vs ${usableBytes / 1e9}%.1f GB " +
+      f"usable local shuffle storage; peak per-chunk spill " +
+      f"~${per / 1e9}%.1f GB. Pairs and recall are IDENTICAL to the " +
+      "single-pass plan (band partitioning is exact); only wall time " +
+      "trades. (On YARN/K8s spark.local.dir is overridden per executor " +
+      "- the usable-bytes read is an approximation there.)" + clamped
+  }
+
+  /** Best-effort release of a finished band-chunk's shuffle files before
+    * the next chunk runs: force a GC so the completed jobs' shuffle
+    * dependencies (now unreferenced — the chunk's result is already on
+    * disk) enqueue with the ContextCleaner, then wait — bounded — until
+    * the shuffle dirs stop recovering space. Spark exposes no public
+    * "delete this shuffle now" API; the cleaner IS the mechanism (it
+    * removes shuffle files once their ShuffleDependency is collected),
+    * this just makes it prompt instead of eventual — which is the whole
+    * point of staging: chunk g's files must be GONE while chunk g+1
+    * writes. On a cluster the same cleaner drives executor-side removal
+    * through the block-manager endpoints. */
+  private def awaitShuffleRelease(spark: SparkSession,
+      maxWaitSec: Int = 60): Unit = {
+    System.gc()
+    var last = shuffleDirUsableBytes(spark)
+    var stable = 0
+    var waited = 0
+    while (stable < 3 && waited < maxWaitSec) {
+      Thread.sleep(1000L)
+      waited += 1
+      val u = shuffleDirUsableBytes(spark)
+      if (u <= last) stable += 1 else { stable = 0; last = u }
+    }
+  }
+
+  /** [[detectOnShingles]] staged into `kChunks` SEQUENTIAL band-groups —
+    * the bounded-disk plan for corpora whose background similarity makes
+    * the single-pass candidate/verify spill exceed local shuffle storage
+    * (round-13's measured ENOSPC wall: the 2M-doc adversarial fixture
+    * projected ~885 GB against 83 GB usable and died at exactly the
+    * predicted stage).
+    *
+    * Band partitioning is EXACT: every band runs exactly once across the
+    * groups, and candidate generation, the length filter, the signature
+    * prefilter, and the exact verify are the single-pass constructions
+    * applied per group — so the union of per-group verified pairs IS the
+    * single-pass pair set (a pair colliding in bands of two groups is
+    * found in the first and anti-joined out of the later ones; a pair
+    * colliding only within one group is found there). Recall and
+    * threshold semantics are unchanged by construction; only wall time
+    * trades for the bounded footprint (each group re-joins the hashed
+    * shingle frame for its verify).
+    *
+    * Peak disk = one group's candidate/verify spill (~est/kChunks) plus
+    * the accumulated verified pairs (true near-dups — tiny next to the
+    * candidate mass). Each group's result is written to a scratch
+    * directory (the session checkpoint dir when configured — the
+    * cluster-correct location — else a driver-local temp dir, the
+    * local-mode location) and its shuffle files are released before the
+    * next group runs ([[awaitShuffleRelease]]). */
+  private[graft] def detectOnShinglesChunked(sh: DataFrame, shH: DataFrame,
+      d: DetectorDecision, threshold: Double, kChunks: Int): DataFrame = {
+    val spark = sh.sparkSession
+    // the O(N) shingle→minhash signature scan runs ONCE; every group
+    // reads the materialized frame (it dominates the map-side cost and
+    // must not be re-paid per chunk)
+    val sigM = materialize(
+      minHashSignatures(sh.withColumnRenamed("sh", "shingles"), d.r * d.b)
+        .select(col("id"), size(col("shingles")).as("sz"), col("sig")))
+    val scratch = spark.sparkContext.getCheckpointDir match {
+      case Some(dir) => s"$dir/graft_detect_chunks_${java.util.UUID.randomUUID}"
+      case None =>
+        java.nio.file.Files.createTempDirectory("graft_detect_chunks").toString
+    }
+    val groups = (0 until d.b)
+      .grouped(math.max(1, math.ceil(d.b.toDouble / kChunks).toInt)).toSeq
+    groups.zipWithIndex.foreach { case (bands, g) =>
+      val banded = bandProjectionFor(sigM, d.r, bands)
+      val cand0 = minHashCandidates(banded, threshold)
+      val cand1 =
+        if (d.prefilterH > 0)
+          prefilterBySignature(cand0, sigM, threshold, d.prefilterH)
+        else cand0
+      // pairs already found by an earlier group can collide again here
+      // only through this group's bands — anti-join them out so no pair
+      // is verified twice (total verify work matches the single pass,
+      // where the candidate dropDuplicates did the same job globally)
+      val cand =
+        if (g == 0) cand1
+        else cand1.join(
+          spark.read.parquet((0 until g).map(i => s"$scratch/g=$i"): _*)
+            .select(col("id_a"), col("id_b")),
+          Seq("id_a", "id_b"), "left_anti")
+      verifyJaccard(cand, shH, threshold)
+        .write.mode("overwrite").parquet(s"$scratch/g=$g")
+      awaitShuffleRelease(spark)
+    }
+    // union of per-group results: already pair-distinct (within-group
+    // dropDuplicates + the cross-group anti-join); materialize so the
+    // scratch dir can be deleted out from under the returned frame
+    val out = materialize(
+      spark.read.parquet(groups.indices.map(g => s"$scratch/g=$g"): _*))
+    val p = new org.apache.hadoop.fs.Path(scratch)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
   }
 
   /** Usable bytes across the session's shuffle dirs (spark.local.dir —
     * comma-separated — falling back to java.io.tmpdir, exactly where
-    * local/standalone shuffle files land). Distinct dirs usually mean
-    * distinct disks, so usable space sums. */
-  private def shuffleDirUsableBytes(spark: SparkSession): Long =
+    * local/standalone shuffle files land). Distinct dirs on distinct
+    * filesystems sum; dirs sharing one FileStore are counted ONCE
+    * (two dirs on the same disk do not double its capacity — the
+    * double-count would inflate the estimate exactly where the guard
+    * is meant to fire). Caveat the warning text carries: on YARN/K8s
+    * the cluster manager overrides spark.local.dir per executor, so
+    * this driver-side read is only an approximation there. */
+  private[graft] def shuffleDirUsableBytes(spark: SparkSession): Long =
     spark.sparkContext.getConf
       .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
       .split(",").map(_.trim).filter(_.nonEmpty).distinct
-      .map(p => new java.io.File(p).getUsableSpace).sum
+      .map { p =>
+        val f = new java.io.File(p)
+        val store =
+          try java.nio.file.Files.getFileStore(f.toPath).toString
+          catch { case scala.util.control.NonFatal(_) => p }
+        (store, f.getUsableSpace)
+      }
+      .groupBy(_._1).values.map(_.head._2).sum
 
   /** Run the ONE shared detect plan (band → candidates → [prefilter] →
     * exact verify) for a [[DetectorDecision]] over prepared shingle
@@ -662,7 +840,8 @@ object Dedup {
       prefilterHashes: Int = 64,
       escalateMinCandidates: Double = 4e6,
       prefilterMinCandidates: Double = 4e6,
-      maxVerifyCandidates: Double = 4e9, tok: Tok = Tok.Latin): DataFrame = {
+      maxVerifyCandidates: Double = 4e9, tok: Tok = Tok.Latin,
+      spillSafetyMargin: Double = 0.5, maxSpillChunks: Int = 64): DataFrame = {
     val sh = materialize(shingleSets(df, textCol, idCol, n, tok)
       .select(col("id"), array_sort(col("shingles")).as("sh")))
     val shH = materialize(hashShingles(sh))
@@ -671,9 +850,27 @@ object Dedup {
     val d = selectDetector(threshold, nDocs, est, recallTarget, maxK,
       prefilterHashes, escalateMinCandidates, prefilterMinCandidates,
       maxVerifyCandidates)
-    spillWarning(d, est.meanShingles,
-      shuffleDirUsableBytes(df.sparkSession)).foreach(System.err.println)
-    detectOnShingles(sh, shH, d, threshold)
+    runDetect(sh, shH, d, threshold, est.meanShingles,
+      spillSafetyMargin, maxSpillChunks)
+  }
+
+  /** Dispatch a detector decision to the single-pass plan or the
+    * spill-bounded band-chunk staging, from the spill estimate vs the
+    * session's usable shuffle storage. Shared by the tuned and auto
+    * entry points so the staging policy cannot drift between them. */
+  private def runDetect(sh: DataFrame, shH: DataFrame, d: DetectorDecision,
+      threshold: Double, meanShingles: Double, spillSafetyMargin: Double,
+      maxSpillChunks: Int): DataFrame = {
+    val usable = shuffleDirUsableBytes(sh.sparkSession)
+    val est = spillEstimateBytes(d, meanShingles)
+    val k = spillChunkCount(est, usable, spillSafetyMargin, maxSpillChunks)
+    if (k <= 1) {
+      spillWarning(d, meanShingles, usable).foreach(System.err.println)
+      detectOnShingles(sh, shH, d, threshold)
+    } else {
+      System.err.println(spillStagingNote(d, est, usable, k))
+      detectOnShinglesChunked(sh, shH, d, threshold, k)
+    }
   }
 
   /** SIGNATURE-AGREEMENT PREFILTER between LSH candidate generation and
@@ -948,9 +1145,14 @@ object Dedup {
       // every alignment slot. [[videoFrameHashFrame]] stamps every_n on
       // the frame precisely so a persisted index carries its rate;
       // validate it against this probe's rate (an index WITHOUT the
-      // column predates the stamp — the caller owns the invariant then).
-      val rates = existingHashes.select(col("every_n")).distinct()
-        .limit(2).collect().map(_.getAs[Any]("every_n").toString.toLong)
+      // column predates the stamp — the caller owns the invariant then,
+      // and a MIXED-VINTAGE partitioned index reads pre-stamp rows as
+      // NULL under the merged schema: those rows predate the stamp too,
+      // so they are excluded from the rate check, not crashed on).
+      val rates = existingHashes
+        .select(col("every_n").cast("long").as("every_n"))
+        .where(col("every_n").isNotNull).distinct()
+        .limit(2).collect().map(_.getLong(0))
       require(rates.length <= 1,
         "removeNearDuplicateMediaIncremental: persisted video hash index " +
           s"mixes sampling rates every_n=${rates.sorted.mkString(",")} — " +
@@ -1907,8 +2109,13 @@ object Dedup {
       case _ => videoFrameHashFrame(corpus, idCol, typeCol, binaryCol, everyN)
     })
     if (kind == "video" && benchmarkHashes.columns.contains("every_n")) {
-      val rates = benchmarkHashes.select(col("every_n")).distinct()
-        .limit(2).collect().map(_.getAs[Any]("every_n").toString.toLong)
+      // NULL every_n rows predate the stamp (mixed-vintage partitioned
+      // index under a merged schema) — excluded, same contract as the
+      // incremental probe's validation above.
+      val rates = benchmarkHashes
+        .select(col("every_n").cast("long").as("every_n"))
+        .where(col("every_n").isNotNull).distinct()
+        .limit(2).collect().map(_.getLong(0))
       require(rates.length <= 1 && rates.forall(_ == everyN),
         s"mediaContaminationHits: probe everyN=$everyN but the benchmark " +
           s"video index carries every_n=${rates.sorted.mkString(",")} — " +

@@ -74,4 +74,21 @@ object MlFixture {
     gateDocs.map { case (i, t) =>
       s"($i, '${t.replace("\n", "' || chr(10) || '")}')"
     }.mkString("(VALUES ", ", ", ") gf(doc_id, text)")
+
+  /** COMPOSED-PIPELINE fixture (q_corpus_pipeline_ml): [[gateDocs]] plus
+    * an exact ML-content duplicate of the tripled zh base (id 500) so
+    * the chain's exact rung has work under the ml fingerprint. The
+    * benchmark side of the composed query is the unrelated zh/en docs
+    * (ids 2 and 42) — one CJK and one Latin decontamination hit.
+    * Expected end-to-end survivors: 0, 10, 20, 22, 30, 40 (garbage
+    * gate-dropped, 500 exact-deduped, twins 1/11/21/31/41 near-deduped,
+    * 2/42 decontaminated). */
+  val pipelineDocs: Seq[(Long, String)] =
+    gateDocs ++ Seq((500L, gateDocs.head._2))
+
+  /** VALUES literal of [[pipelineDocs]]. */
+  def pipelineSqlValues: String =
+    pipelineDocs.map { case (i, t) =>
+      s"($i, '${t.replace("\n", "' || chr(10) || '")}')"
+    }.mkString("(VALUES ", ", ", ") pf(doc_id, text)")
 }

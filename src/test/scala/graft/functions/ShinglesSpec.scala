@@ -136,6 +136,31 @@ class ShinglesSpec extends AnyFunSuite {
     }
   }
 
+  test("norm_tokens_ml: classify-then-lower == lower-then-classify, every codepoint") {
+    // The kernel classifies the ORIGINAL codepoint's script and then
+    // lowercases; the generated oracle SQL (mlSqlTokens) lowercases the
+    // whole string first and classifies the lowered codepoint. The two
+    // orders agree iff no simple case mapping crosses a kept-class
+    // boundary. Pin that over the ENTIRE codepoint space: tokenizing a
+    // single codepoint before vs after the kernel's own lowercase
+    // mapping must yield identical token streams. (utf8proc-vs-JDK
+    // Unicode-version drift is the separate, acknowledged surface —
+    // both sides here use the kernel's Character.toLowerCase mapping.)
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    var cp = 0
+    while (cp <= Character.MAX_CODE_POINT) {
+      if (Character.isDefined(cp) && !(cp >= 0xD800 && cp <= 0xDFFF)) {
+        val orig = new String(Character.toChars(cp))
+        val low = new String(Character.toChars(Character.toLowerCase(cp)))
+        val a = ShingleUtil.normTokensMl(u(orig)).map(_.toString).toSeq
+        val b = ShingleUtil.normTokensMl(u(low)).map(_.toString).toSeq
+        assert(a == b, f"classify-order divergence at U+$cp%05X: " +
+          s"classify-first=$a, lower-first=$b")
+      }
+      cp += 1
+    }
+  }
+
   test("shingles_ml / ngrams_ml compose the ml token stream; zh twins become candidates") {
     GraftFunctions.register(spark)
     val df = Seq(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSparkSession
@@ -21,6 +22,27 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.exactByContent(df, "text", "doc_id")
     assert(out.count() == 2)
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("exactByContent tok=Ml: empty-token docs fall back to the raw-text fingerprint") {
+    // Scripts outside the ml routing table (Bengali here) tokenize to
+    // an EMPTY stream — without the fallback they would all hash
+    // xxhash64("") and collapse into one "duplicate" group (ADVICE r13,
+    // the same collapse the Latin rule has on non-Latin text, one rung
+    // down). Distinct unroutable texts must stay distinct; byte-identical
+    // ones still dedup.
+    val df = Seq(
+      (1L, "同じ文書です"), (2L, "同じ文書です"), // ml twins -> one survivor
+      (3L, "বাংলা লেখা"), (4L, "ভিন্ন বাক্য"),    // empty-token, distinct raw
+      (5L, "!!!"), (6L, "???"),                  // punct-only, distinct raw
+      (7L, "!!!")                                // raw twin of 5 -> dropped
+    ).toDF("doc_id", "text")
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.ShingleUtil.normTokensMl(
+      UTF8String.fromString("বাংলা লেখা")).isEmpty) // truly unroutable
+    val kept = Dedup.exactByContent(df, "text", "doc_id", graft.functions.Tok.Ml)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L), s"got $kept")
   }
 
   test("exactByUrl: decorated URL variants collapse to one survivor, null URLs always kept") {
@@ -773,6 +795,53 @@ class DedupSpec extends AnyFunSuite {
     val toy = Dedup.DetectorDecision(4, 32, tuned = false, prefilterH = 0,
       estCandidates = 1e4, estVerifyInput = 1e4)
     assert(Dedup.spillWarning(toy, 50.0, usableBytes = 1L << 30).isEmpty)
+  }
+
+  test("band-chunk staging: chunk-count arithmetic and note triggers") {
+    // ⌈est / (usable·margin)⌉ clamped to [1, maxChunks]
+    assert(Dedup.spillChunkCount(100.0, 1000L) == 1)         // fits in margin
+    assert(Dedup.spillChunkCount(501.0, 1000L) == 2)
+    assert(Dedup.spillChunkCount(5000.0, 1000L) == 10)
+    assert(Dedup.spillChunkCount(1e18, 1000L) == 64)         // maxChunks clamp
+    assert(Dedup.spillChunkCount(1e18, 0L) == 1)             // unknown usable
+    assert(Dedup.spillChunkCount(1e18, 1000L, maxChunks = 1) == 1) // disabled
+    // the r13 measured wall: 885 GB est vs 83 GB usable at margin 0.5
+    assert(Dedup.spillChunkCount(885e9, 83L * 1000 * 1000 * 1000) == 22)
+    val d = Dedup.DetectorDecision(8, 38, tuned = true, prefilterH = 64,
+      estCandidates = 1e9, estVerifyInput = 1e8)
+    val note = Dedup.spillStagingNote(d, 200e9, 100L * (1L << 30), 4)
+    assert(note.contains("4 sequential band-chunks") &&
+      note.contains("IDENTICAL"), note)
+    assert(!note.contains("clamp"))
+    // per-chunk footprint still over usable (maxSpillChunks clamp bit)
+    val clamped = Dedup.spillStagingNote(d, 200e9, 10L * (1L << 30), 4)
+    assert(clamped.contains("maxSpillChunks clamp"), clamped)
+  }
+
+  test("band-chunk staging: chunked detect == single-pass pairs, end to end") {
+    // Force staging on a small corpus by shrinking the safety margin to
+    // ~zero (chunk count then rides the maxSpillChunks clamp): the
+    // public entry point must produce the IDENTICAL verified pair set —
+    // band partitioning is exact, staging may only trade wall time.
+    def pairs(ps: DataFrame) = ps.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val single = pairs(
+      Dedup.nearDupPairsMinHashAuto(docs, "text", "doc_id", 0.5))
+    val chunked = pairs(
+      Dedup.nearDupPairsMinHashAuto(docs, "text", "doc_id", 0.5,
+        spillSafetyMargin = 1e-15, maxSpillChunks = 3))
+    assert(single.nonEmpty)
+    assert(chunked == single,
+      s"staged pairs diverge: only-single=${single -- chunked}, " +
+        s"only-chunked=${chunked -- single}")
+    // the tuned entry point shares the staging dispatch
+    val tunedSingle = pairs(
+      Dedup.nearDupPairsMinHashTuned(docs, "text", "doc_id", 0.5))
+    val tunedChunked = pairs(
+      Dedup.nearDupPairsMinHashTuned(docs, "text", "doc_id", 0.5,
+        spillSafetyMargin = 1e-15, maxSpillChunks = 3))
+    assert(tunedChunked == tunedSingle)
   }
 
   implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {

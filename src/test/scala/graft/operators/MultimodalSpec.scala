@@ -539,6 +539,29 @@ class MultimodalSpec extends AnyFunSuite {
       exHashes.drop("every_n"), inDf, "media_id", "media_type", "content",
       kind = "video", maxHamming = 4)
       .select("media_id").as[Long].collect().toSet == expected)
+    // MIXED-VINTAGE index (ADVICE r13): a partitioned dir holding a
+    // pre-stamp batch (no every_n column) and a stamped batch reads the
+    // legacy rows as NULL under the merged schema. NULL rows predate the
+    // stamp — excluded from the rate check, never crashed on — and the
+    // stamped half still pins the rate.
+    val mixDir = java.nio.file.Files.createTempDirectory("video_idx_mix").toString
+    exHashes.where($"id" % 2 === 0).drop("every_n")
+      .write.parquet(s"$mixDir/vintage=legacy")
+    exHashes.where($"id" % 2 === 1)
+      .write.parquet(s"$mixDir/vintage=stamped")
+    val mixed = spark.read.option("mergeSchema", "true")
+      .parquet(s"$mixDir/vintage=legacy", s"$mixDir/vintage=stamped")
+    assert(mixed.where($"every_n".isNull).count() > 0)
+    assert(Dedup.removeNearDuplicateMediaIncremental(
+      mixed, inDf, "media_id", "media_type", "content",
+      kind = "video", maxHamming = 4)
+      .select("media_id").as[Long].collect().toSet == expected)
+    val mixBoom = intercept[IllegalArgumentException] {
+      Dedup.removeNearDuplicateMediaIncremental(
+        mixed, inDf, "media_id", "media_type", "content",
+        kind = "video", maxHamming = 4, everyN = 1).count()
+    }
+    assert(mixBoom.getMessage.contains("every_n=2"))
   }
 
   test("mediaContaminationHits: corpus media probe a frozen benchmark index; brute-force parity; video SET probe") {
