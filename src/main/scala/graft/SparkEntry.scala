@@ -958,6 +958,27 @@ object SparkEntry {
     //    docs pass. Oracle restates the stage from the ANALYTIC frame
     //    grids (videoMatchCtes). See corpusPipelineVideoQuery ──────────
     "q_corpus_pipeline_video" -> ((s, dir) => corpusPipelineVideoQuery(s, dir)),
+    // ── The COMPOSED MEDIA-DECONTAMINATION pipeline: the image-variant
+    //    chain plus the media benchmark probe — corpus image payloads
+    //    probe a frozen benchmark hash index right after text decon
+    //    (leaked eval images drop; their image-dedup survivors are what
+    //    probe). Oracle restates BOTH image stages from the frozen 9×8
+    //    luma grids: the 128-bit dedup pairs and the 64-bit all-pairs
+    //    benchmark Hamming ─────────────────────────────────────────────
+    "q_corpus_pipeline_media_decon" -> ((s, dir) =>
+      corpusPipelineMediaDeconQuery(s, dir)),
+    // ── The COMPOSED MULTILINGUAL pipeline: the full chain under the
+    //    script-aware tokenizer (Config.tokenizer = Tok.Ml) over the
+    //    multilingual fixture — per-script Gopher gate drops the planted
+    //    zh/en garbage, the ml exact rung collapses the byte-identical
+    //    zh duplicate, the ml near-dup rung removes the zh/ja/ru/ar/en
+    //    twins (invisible under the Latin tokenizer), decontamination
+    //    drops the CJK benchmark leak, and chunking windows ml tokens.
+    //    The proof the round-13 ml surface COMPOSES, not just
+    //    coexists. Oracle: every rung restated in DuckDB from the same
+    //    generated tables (Tok.Ml.sqlTokens / LangProfiles /
+    //    gopherRuleSqlsMl — no-drift) ───────────────────────────────────
+    "q_corpus_pipeline_ml" -> ((s, dir) => corpusPipelineMlQuery(s, dir)),
 
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
@@ -2640,6 +2661,46 @@ object SparkEntry {
     pipelineStatsRow(s, p)
   }
 
+  /** q_corpus_pipeline_media_decon: the q_corpus_pipeline_image shape
+    * PLUS the media-decontamination rung — the corpus's image payloads
+    * probe a frozen benchmark hash index (the fixture images with
+    * media_id % 5 = 0, hashed through [[graft.operators.Dedup
+    * .imageHashFrame]] exactly as a persisted benchmark artifact would
+    * be) right after the text decontamination stage. Hash-pins the
+    * rung's PLACEMENT in the composed chain: after image dedup (a
+    * near-dup of a leaked image must collapse first so the survivor is
+    * what probes), after text decon, before selection/redaction. */
+  private def corpusPipelineMediaDeconQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.as[(Long, String)].map { case (id, tx) =>
+      val img = id < graft.operators.ImageFixture.NumImages
+      (id, tx,
+        if (img) "image/png" else null,
+        if (img) graft.operators.ImageFixture.pngBytes(id) else null)
+    }.toDF("doc_id", "text", "media_type", "content")
+    val bench = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val benchHashes = graft.operators.Dedup.imageHashFrame(
+      graft.operators.ImageFixture.frame(s).where(col("media_id") % 5 === 0),
+      "media_id", "media_type", "content")
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      langs = Set("en"), minTokens = 10, maxTokens = 100000,
+      minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
+      decontaminateN = 8,
+      imageDedup = Some(graft.pipeline.CorpusPipeline.ImageDedupConfig(
+        "media_type", "content", maxHamming = 6)),
+      mediaDecontaminate = Some(
+        graft.pipeline.CorpusPipeline.MediaDecontaminateConfig(
+          "media_type", "content", kind = "image",
+          benchmarkHashes = benchHashes, maxHamming = 6)),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    pipelineStatsRow(s, p)
+  }
+
   /** q_corpus_pipeline_audio: the pipeline with the perceptual AUDIO
     * rung composed in — the image-variant fixture with WAV payloads
     * attached to doc_id < 60 (the AudioFixture triples: the 20 planted
@@ -2687,6 +2748,35 @@ object SparkEntry {
       videoDedup = Some(graft.pipeline.CorpusPipeline.VideoDedupConfig(
         "media_type", "content", everyN = 2, maxHamming = 4,
         minMatchFrac = 0.6)),
+      chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    pipelineStatsRow(s, p)
+  }
+
+  /** q_corpus_pipeline_ml: the FULL chain under the script-aware
+    * tokenizer over the composed multilingual fixture
+    * ([[graft.operators.MlFixture.pipelineDocs]] — tripled natural
+    * zh/ja/ru/ar/en docs + per-script garbage + an exact zh duplicate;
+    * benchmark = the clean unrelated zh and en docs). Expected
+    * end-to-end survivors: the five language bases + the unrelated ru
+    * doc (garbage AND the stopword-free en pangram gate-dropped, the
+    * duplicate exact-deduped, the five twins near-deduped, the zh leak
+    * decontaminated — the hit the Latin tokenizer could never see) —
+    * asserted by the oracle's stage-by-stage DuckDB restatement, not
+    * hardcoded. */
+  private def corpusPipelineMlQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = graft.operators.MlFixture.pipelineDocs.toDF("doc_id", "text")
+    val bench = graft.operators.MlFixture.docs
+      .collect { case (id, _, tx) if id == 2L || id == 42L => (id, tx) }
+      .toDF("doc_id", "text")
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      tokenizer = graft.functions.Tok.Ml, gopherRules = true,
+      langs = Set("ar", "en", "ja", "ru", "zh"),
+      minTokens = 10, maxTokens = 100000, minAlphaRatio = 0.4,
+      dedupThreshold = 0.5, shingleN = 3, decontaminateN = 8,
       chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       materializeDocuments = true)
@@ -3569,6 +3659,75 @@ object SparkEntry {
       "(SELECT count(*) FROM q3i) AS n_image_dedup, " +
       "(SELECT count(*) FROM q4) AS n_decontaminated, " +
       "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_media_decon: the image-variant
+    * chain ([[corpusPipelineImageOracle]]'s stages verbatim) plus the
+    * MEDIA-DECONTAMINATION stage after text decon — ground-truth
+    * ALL-PAIRS 64-bit dHash Hamming between every frozen grid and the
+    * benchmark subset (media_id % 5 = 0), the
+    * [[mediaContaminationOracle]] construction with no banding at all. */
+  private lazy val corpusPipelineMediaDeconOracle: String = {
+    def gram8(src: String): String = gram8CteSql(src)
+    val mediaRows = graft.operators.FrozenImageGrids.grids
+      .map { case (id, g) => s"($id, ${g.mkString("[", ",", "]")})" }
+      .mkString(", ")
+    "WITH RECURSIVE " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      pipelineLangCteSql +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      imageHamming128Ctes("i", 6) + ", " +
+      "ipair AS (SELECT id_a, id_b FROM ihm WHERE hamming <= 6 " +
+      "AND id_a IN (SELECT doc_id FROM q3) AND id_b IN (SELECT doc_id FROM q3)), " +
+      "ie AS (SELECT id_a AS src, id_b AS dst FROM ipair UNION ALL SELECT id_b, id_a FROM ipair), " +
+      "ir AS (SELECT src AS id, src AS label FROM ie UNION SELECT ie.dst AS id, ir.label FROM ir JOIN ie ON ie.src = ir.id), " +
+      "ilab AS (SELECT id, min(label) AS label FROM ir GROUP BY id), " +
+      "q3i AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT id FROM ilab WHERE label <> id)), " +
+      s"sh8c AS (${gram8("q3i")}), " +
+      s"sh8b AS (${gram8("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3i WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      // ── media decontamination: 64-bit dHash bits from the frozen 9×8
+      // grids, all-pairs Hamming vs the benchmark subset, drop ≤ 6
+      s"mgr(media_id, g) AS (VALUES $mediaRows), " +
+      "mbb AS (SELECT unnest(range(0, 64)) AS b), " +
+      "mbt AS (SELECT media_id, b, CASE WHEN g[(b//8)*9 + (b%8) + 1] > g[(b//8)*9 + (b%8) + 2] THEN 1 ELSE 0 END AS bit FROM mgr, mbb), " +
+      "mbench AS (SELECT media_id, b, bit FROM mbt WHERE media_id % 5 = 0), " +
+      "mham AS (SELECT c.media_id AS corpus_id, mbench.media_id AS bench_id, " +
+      "sum(CASE WHEN c.bit <> mbench.bit THEN 1 ELSE 0 END) AS mh " +
+      "FROM mbt c JOIN mbench ON c.b = mbench.b GROUP BY 1, 2), " +
+      "q4m AS MATERIALIZED (SELECT * FROM q4 WHERE doc_id NOT IN " +
+      "(SELECT DISTINCT corpus_id FROM mham WHERE mh <= 6)), " +
+      pipelineTailSql("q4m") +
+      "SELECT (SELECT count(*) FROM documents) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q3i) AS n_image_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT count(*) FROM q4m) AS n_media_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4m) AS id_checksum, " +
       "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
       "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
       "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
@@ -4944,6 +5103,8 @@ object SparkEntry {
     "q_corpus_pipeline_image" -> corpusPipelineImageOracle,
     "q_corpus_pipeline_audio" -> corpusPipelineAudioOracle,
     "q_corpus_pipeline_video" -> corpusPipelineVideoOracle,
+    "q_corpus_pipeline_ml" -> corpusPipelineMlOracle,
+    "q_corpus_pipeline_media_decon" -> corpusPipelineMediaDeconOracle,
     "q_media_dedup_incremental" -> {
       // existing = the 60 fixture envelopes; incoming = 30 fresh ids:
       // even ordinals carry EXACT 4/5-scaled copies of corpus bases
@@ -5133,6 +5294,71 @@ object SparkEntry {
       s"FROM (SELECT doc_id, text, tok, ${langVoteGreatestSql("ltok")} AS b FROM k) x) " +
       s"SELECT doc_id, lang, ${flagCols.mkString(", ")}, $pass AS pass " +
       "FROM l ORDER BY doc_id"
+  }
+
+  /** Ground truth for q_corpus_pipeline_ml: the full multilingual chain
+    * restated in DuckDB — ml tokenization ([[graft.functions.Tok]]
+    * `.Ml.sqlTokens`, the same generator the kernel parity oracle uses),
+    * script-ratio + stopword-vote language routing, the seven per-script
+    * Gopher rules ([[gopherRuleSqlsMl]]), ml-token-stream exact dedup,
+    * ml-trigram Jaccard pairs + recursive-CTE CC, ml 8-gram
+    * decontamination against the clean benchmark docs, then the
+    * redact → ml re-tokenize → chunk(64/16) → md5 split tail. Every
+    * fragment generated from the same Scala tables the kernels read —
+    * the no-drift discipline. */
+  private lazy val corpusPipelineMlOracle: String = {
+    val mlToks = graft.functions.Tok.Ml.sqlTokens("text")
+    val latinToks = graft.functions.Tok.Latin.sqlTokens("text")
+    val rules = gopherRuleSqlsMl("text", "tok", "lang")
+      .map(r => s"($r)").mkString(" AND ")
+    val mlRtToks = graft.functions.Tok.Ml.sqlTokens("rt")
+    val benchVals = graft.operators.MlFixture.docs
+      .filter(d => d._1 == 2L || d._1 == 42L)
+      .map { case (i, _, t) => s"($i, '$t')" }
+      .mkString("(VALUES ", ", ", ") bf(doc_id, text)")
+    "WITH RECURSIVE " +
+      s"pd AS MATERIALIZED (SELECT doc_id, text FROM ${graft.operators.MlFixture.pipelineSqlValues}), " +
+      s"ptok AS MATERIALIZED (SELECT doc_id, text, $mlToks AS tok, $latinToks AS ltok FROM pd), " +
+      s"pl AS MATERIALIZED (SELECT doc_id, text, tok, CASE ${langScriptWhensSql("text")} " +
+      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang " +
+      s"FROM (SELECT doc_id, text, tok, ${langVoteGreatestSql("ltok")} AS b FROM ptok) x), " +
+      "q1 AS MATERIALIZED (SELECT doc_id, text, tok FROM pl " +
+      "WHERE len(tok) BETWEEN 10 AND 100000 " +
+      "AND length(array_to_string(tok,''))*1.0/greatest(length(text),1) >= 0.4 " +
+      s"AND lang IN ('ar','en','ja','ru','zh') AND $rules), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY array_to_string(tok, ' '))), " +
+      "sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tok)-1,1)), " +
+      "i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      s"btok AS (SELECT doc_id, $mlToks AS t FROM $benchVals), " +
+      "c8 AS (SELECT doc_id, tok AS t FROM q3), " +
+      s"sh8c AS (${gram8CteSql("c8")}), " +
+      s"sh8b AS (${gram8CteSql("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      s"red AS (SELECT doc_id, $piiRedactSql AS rt FROM q4), " +
+      s"rtok AS (SELECT doc_id, $mlRtToks AS t FROM red), " +
+      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
+      "ck AS (SELECT doc_id, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q4) " +
+      "SELECT (SELECT count(*) FROM pd) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q4) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
   }
 
   /** Ground-truth media decontamination: all-pairs 64-bit dHash Hamming

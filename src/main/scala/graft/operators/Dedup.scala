@@ -800,6 +800,96 @@ object Dedup {
       }
       .groupBy(_._1).values.map(_.head._2).sum
 
+  // ── The GENERALIZED disk guard (round 14): the minhash detector's
+  // spill pricing ([[spillEstimateBytes]]/[[spillWarning]]) extended to
+  // the OTHER banded families — embedding sign-LSH, SemDeDup's
+  // within-list blocks, the media Hamming bands, the incremental media
+  // probe. Same candidate-volume geometry, same failure mode (round-13's
+  // measured ENOSPC wall), so the same up-front warning discipline. The
+  // difference: these families have no background sample to price from,
+  // so the guard counts the banded collision mass EXACTLY — one
+  // key-only aggregate over the (already-materialized, payload-free)
+  // signature frame, one scalar to the driver — and skips itself
+  // entirely below [[BandGuardMinRows]] where even the all-pairs worst
+  // case cannot threaten local shuffle storage. ───────────────────────
+
+  /** Rows floor under which the banded families skip disk pricing:
+    * below it even the ALL-PAIRS worst case (n²/2 × ~48 B ≈ 1 TB at
+    * n = 200k) only threatens a box that the single-pass minhash guard
+    * would also be warning about, and the guard's extra aggregate would
+    * be pure overhead on fixture-scale inputs. Above it the aggregate
+    * is linear, key-only, and vanishes next to the n²-ish join it
+    * prices. */
+  private[graft] val BandGuardMinRows: Long = 200000L
+
+  /** EXACT candidate-pair mass of a banded frame: Σ_k C(n_k, 2) over the
+    * `keyCols` bucket groups — the pre-dedup candidate row count of the
+    * band self-join (each colliding unordered pair appears once per
+    * shared bucket). ONE key-only aggregate, ONE scalar to the driver;
+    * pure arithmetic, so the spec pins it on literal frames. */
+  private[graft] def bandCandidateMass(banded: DataFrame,
+      keyCols: Seq[String]): Double =
+    banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(col("_n") * (col("_n") - lit(1)) / lit(2.0)), lit(0.0)))
+      .first().getDouble(0)
+
+  /** One-sided PROBE mass — the incremental-index variant of
+    * [[bandCandidateMass]]: Σ_k a_k · b_k over the bucket groups of a
+    * probe side joined against an index side (each cross pair appears
+    * once per shared bucket). */
+  private[graft] def bandProbeMass(probe: DataFrame, index: DataFrame,
+      keyCols: Seq[String]): Double = {
+    val a = probe.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_na"))
+    val b = index.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_nb"))
+    a.join(b, keyCols)
+      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0.0)))
+      .first().getDouble(0)
+  }
+
+  /** Spill estimate for the non-prefiltered banded families: every
+    * candidate row spills through the pair exchange (~32 B serialized)
+    * and ships its verify payload (`payloadBytes` per pair — two hashes
+    * for the media bands, two vectors for the embedding families).
+    * Pure, so the spec pins it. */
+  private[graft] def bandSpillEstimateBytes(candidates: Double,
+      payloadBytes: Double): Double =
+    candidates * (32.0 + payloadBytes)
+
+  /** The generalized guard's warning — same trigger discipline as the
+    * minhash [[spillWarning]] (estimate vs usable local shuffle bytes,
+    * warn-not-fail, remedies NAMED per family, YARN/K8s caveat).
+    * Returned, not printed, so specs pin the trigger arithmetic. */
+  private[graft] def bandSpillWarning(family: String, candidates: Double,
+      payloadBytes: Double, usableBytes: Long,
+      remedies: String): Option[String] = {
+    val est = bandSpillEstimateBytes(candidates, payloadBytes)
+    if (usableBytes > 0 && est > usableBytes.toDouble) Some(
+      f"[graft] WARN $family: the banded plan projects ~${est / 1e9}%.1f GB " +
+        f"of candidate/verify shuffle spill (${candidates}%.3g candidate " +
+        f"pairs) but the local shuffle dirs report only " +
+        f"${usableBytes / 1e9}%.1f GB usable - the job is likely to die " +
+        s"with ENOSPC in the verify join. Remedies: $remedies, or point " +
+        "spark.local.dir at larger storage. (On YARN/K8s the cluster " +
+        "manager overrides spark.local.dir per executor - this " +
+        "usable-bytes read is an approximation there.)")
+    else None
+  }
+
+  /** Price-and-warn for a MATERIALIZED banded signature frame (the
+    * media/embedding guard's shared body): skip below the rows floor,
+    * else one key-only aggregate → warn. The caller materializes the
+    * frame first, so the count and the aggregate never re-execute the
+    * upstream decode/scan. */
+  private def bandGuard(family: String, banded: => DataFrame,
+      keyCols: Seq[String], nRows: Long, payloadBytes: Double,
+      remedies: String): Unit =
+    if (nRows >= BandGuardMinRows) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      bandSpillWarning(family, bandCandidateMass(banded, keyCols),
+        payloadBytes, shuffleDirUsableBytes(spark), remedies)
+        .foreach(System.err.println)
+    }
+
   /** Run the ONE shared detect plan (band → candidates → [prefilter] →
     * exact verify) for a [[DetectorDecision]] over prepared shingle
     * frames (`sh` sorted string shingles, `shH` 64-bit-hashed — both
@@ -1016,14 +1106,25 @@ object Dedup {
     * pre-key (dimensions, source) first. Measured decade table in
     * BASELINE.md (round 11). */
   def imageNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
-      binaryCol: String, maxHamming: Int = 6): DataFrame =
+      binaryCol: String, maxHamming: Int = 6): DataFrame = {
     // repartition BEFORE the decode (inside imageHashFrame — the
     // nearDupPairsSimHash discipline): the decode is the dominant CPU
     // span and must not inherit source skew / AQE byte-size coalescing;
     // the payload shuffle is the price of pinned decode parallelism
     // (callers with well-partitioned media dirs can pre-partition and
-    // skip the cost upstream)
-    hammingPairs64(imageHashFrame(df, idCol, typeCol, binaryCol), maxHamming)
+    // skip the cost upstream). Materialized: the hash frame is two longs
+    // per image, the decode must run once whatever the guard and the
+    // band join's two sides do, and the disk guard's count/aggregate
+    // read the checkpoint, never the decoder.
+    val h = materialize(imageHashFrame(df, idCol, typeCol, binaryCol))
+    bandGuard("imageNearDupPairs", hammingChunks(h, maxHamming),
+      Seq("chunk", "chunk_key"), h.count(), payloadBytes = 16.0,
+      remedies = "lower maxHamming (wider chunks, fewer collisions), " +
+        "shard by a cheap pre-key (dimensions, source) and dedup per " +
+        "shard, or use the 128-bit form (imageNearDupPairs128 - twice " +
+        "the chunk width at the same bound)")
+    hammingPairs64(h, maxHamming)
+  }
 
   /** PERCEPTUAL near-duplicate AUDIO pairs — the audio rung of the dedup
     * family: 64-bit envelope difference hash over the REAL PCM decode
@@ -1041,8 +1142,18 @@ object Dedup {
     * that pins decode parallelism; after it each clip is ONE long — the
     * band join shuffles (chunk_key, id, hash) triples only, never PCM. */
   def audioNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
-      binaryCol: String, maxHamming: Int = 4): DataFrame =
-    hammingPairs64(audioHashFrame(df, idCol, typeCol, binaryCol), maxHamming)
+      binaryCol: String, maxHamming: Int = 4): DataFrame = {
+    // materialize + guard: the imageNearDupPairs discipline (decode once
+    // into a two-longs-per-clip checkpoint; price the band join's spill
+    // before running it)
+    val h = materialize(audioHashFrame(df, idCol, typeCol, binaryCol))
+    bandGuard("audioNearDupPairs", hammingChunks(h, maxHamming),
+      Seq("chunk", "chunk_key"), h.count(), payloadBytes = 16.0,
+      remedies = "lower maxHamming (wider chunks, fewer collisions), or " +
+        "shard by a cheap pre-key (duration, sample rate, source) and " +
+        "dedup per shard")
+    hammingPairs64(h, maxHamming)
+  }
 
   /** The persistable AUDIO perceptual-hash frame (id, sh): one 64-bit
     * envelope-delta fingerprint per decodable clip — what a
@@ -1179,6 +1290,23 @@ object Dedup {
     // existing↔existing pairs are unrepresentable in this join's output
     val inChunks = hammingChunks(inH, maxHamming)
     val allChunks = inChunks.unionByName(hammingChunks(exH, maxHamming))
+    // disk guard (the one-sided form): probe mass = Σ_k in_k · all_k.
+    // inH is materialized above and exH is normally a persisted parquet
+    // index, so the counts/aggregates never re-decode anything.
+    if (inH.count() + exH.count() >= BandGuardMinRows) {
+      val keys =
+        if (kind == "video" && alignFrames) Seq("fpos", "chunk", "chunk_key")
+        else Seq("chunk", "chunk_key")
+      val spark = incoming.sparkSession
+      bandSpillWarning("removeNearDuplicateMediaIncremental",
+        bandProbeMass(inChunks, allChunks, keys),
+        payloadBytes = if (kind == "video") 24.0 else 16.0,
+        usableBytes = shuffleDirUsableBytes(spark),
+        remedies = "probe in smaller batches (the per-batch candidate " +
+          "mass scales with the batch size), lower maxHamming, or for " +
+          "video raise everyN / keep alignFrames=true")
+        .foreach(System.err.println)
+    }
     val pairs =
       if (kind == "video") {
         // per-ALIGNED-FRAME probe + the matched-frame gate, exactly the
@@ -1321,6 +1449,20 @@ object Dedup {
         .select(col("id"), col("fpos"), col("sh")))
     val counts = hashes.groupBy(col("id")).agg(count(lit(1)).as("nf"))
     val chunked = hammingChunks(hashes, maxHamming)
+    // disk guard over the FRAME rows (the band join's true input): the
+    // SET variant drops the ordinal from the band key, multiplying the
+    // collision mass by ~frames-per-clip — exactly the geometry the
+    // pricing must see, so the key set follows alignFrames
+    bandGuard("videoNearDupPairs",
+      chunked,
+      if (alignFrames) Seq("fpos", "chunk", "chunk_key")
+      else Seq("chunk", "chunk_key"),
+      hashes.count(), payloadBytes = 24.0,
+      remedies = "raise everyN (fewer sampled frames per clip - the SET " +
+        "variant's candidate volume scales with it quadratically), use " +
+        "alignFrames=true if clips are not trimmed (ordinal-keyed bands " +
+        "cut the collision mass by ~frames-per-clip), lower maxHamming, " +
+        "or shard by duration/resolution and dedup per shard")
     // aligned mode joins frame ordinal i to frame ordinal i — robust to
     // re-encoding/per-frame edits, candidate volume bounded per ordinal.
     // SET mode (alignFrames = false) drops the ordinal from the band key
@@ -1392,7 +1534,10 @@ object Dedup {
     * the 64-bit layout at the same bound (128/(h+1) bits) ⇒
     * exponentially fewer background bucket collisions — the precision
     * win the 128-bit signature buys. */
-  private[graft] def hammingPairs128(hashed: DataFrame, maxHamming: Int): DataFrame = {
+  /** The 128-bit sibling of [[hammingChunks]]: (id, lo, hi, chunk,
+    * chunk_key) — factored so the pair join and the disk guard band on
+    * the exact same projection. */
+  private def hammingChunks128(hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming (complete recall " +
         "needs maxHamming+1 chunks; more than 32 chunks of a 128-bit hash " +
@@ -1415,10 +1560,14 @@ object Dedup {
             col("hi").bitwiseAND(lit(mask(w - fromLo))), fromLo))
       }
     }
-    val chunked = hashed.select(col("id"), col("lo"), col("hi"),
+    hashed.select(col("id"), col("lo"), col("hi"),
       posexplode(array((0 until nChunks).map(chunkKey): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_key")
+  }
+
+  private[graft] def hammingPairs128(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val chunked = hammingChunks128(hashed, maxHamming)
     val left = chunked.select(col("chunk"), col("chunk_key"),
       col("id").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
     val right = chunked.select(col("chunk"), col("chunk_key"),
@@ -1460,7 +1609,15 @@ object Dedup {
           (m.media_id, Multimodal.dHash64(gh), Multimodal.dHash64v(gv))
         })
       }.toDF("id", "lo", "hi")
-    hammingPairs128(hashed, maxHamming)
+    // the 64-bit path's materialize + guard discipline (decode once into
+    // a three-longs-per-image checkpoint; price the band join up front)
+    val h = materialize(hashed)
+    bandGuard("imageNearDupPairs128", hammingChunks128(h, maxHamming),
+      Seq("chunk", "chunk_key"), h.count(), payloadBytes = 32.0,
+      remedies = "lower maxHamming (wider chunks, fewer collisions), or " +
+        "shard by a cheap pre-key (dimensions, source) and dedup per " +
+        "shard")
+    hammingPairs128(h, maxHamming)
   }
 
   /** End-to-end 128-bit perceptual image dedup ([[imageNearDupPairs128]]
@@ -2099,15 +2256,21 @@ object Dedup {
   def mediaContaminationHits(corpus: DataFrame, benchmarkHashes: DataFrame,
       idCol: String, typeCol: String, binaryCol: String, kind: String,
       maxHamming: Int, everyN: Int = 2, minMatchFrac: Double = 0.6,
-      alignFrames: Boolean = true): DataFrame = {
+      alignFrames: Boolean = true,
+      corpusHashes: Option[DataFrame] = None): DataFrame = {
     require(Set("image", "audio", "video").contains(kind),
       s"mediaContaminationHits: kind must be 'image', 'audio' or " +
         s"'video', got '$kind'")
-    val cH0 = materialize(kind match {
+    // `corpusHashes` = the caller's ALREADY-COMPUTED hash frame for the
+    // same payloads at the same rate (the streaming per-batch flow,
+    // which decodes once and probes dedup + decon with one frame) — may
+    // cover a SUPERSET of the corpus ids (hits on absent ids are inert
+    // in the caller's anti-join); when absent, decode here.
+    val cH0 = corpusHashes.getOrElse(materialize(kind match {
       case "image" => imageHashFrame(corpus, idCol, typeCol, binaryCol)
       case "audio" => audioHashFrame(corpus, idCol, typeCol, binaryCol)
       case _ => videoFrameHashFrame(corpus, idCol, typeCol, binaryCol, everyN)
-    })
+    }))
     if (kind == "video" && benchmarkHashes.columns.contains("every_n")) {
       // NULL every_n rows predate the stamp (mixed-vintage partitioned
       // index under a merged schema) — excluded, same contract as the
@@ -2170,10 +2333,12 @@ object Dedup {
   def removeContaminatedMediaIndexed(corpus: DataFrame,
       benchmarkHashes: DataFrame, idCol: String, typeCol: String,
       binaryCol: String, kind: String, maxHamming: Int, everyN: Int = 2,
-      minMatchFrac: Double = 0.6, alignFrames: Boolean = true): DataFrame =
+      minMatchFrac: Double = 0.6, alignFrames: Boolean = true,
+      corpusHashes: Option[DataFrame] = None): DataFrame =
     corpus.join(
       mediaContaminationHits(corpus, benchmarkHashes, idCol, typeCol,
-        binaryCol, kind, maxHamming, everyN, minMatchFrac, alignFrames)
+        binaryCol, kind, maxHamming, everyN, minMatchFrac, alignFrames,
+        corpusHashes)
         .select(col("corpus_id").as(idCol)),
       Seq(idCol), "left_anti")
 
@@ -2233,8 +2398,28 @@ object Dedup {
       centroids: Array[(Int, Array[Float])], threshold: Double,
       assignKeep: Int = 1, maxClusterSize: Int = 20000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val assigned = Similarity.assignListsAuto(
+    val assigned0 = Similarity.assignListsAuto(
         df, vecCol, idCol, centroids, "id", "vec", assignKeep)
+    // Disk guard (round 14): the within-list all-pairs mass Σ_l C(n_l,2)
+    // has exactly the candidate geometry the minhash guard prices —
+    // maxClusterSize SPREADS it over blocks but does not SHRINK it. The
+    // assignment is materialized once: the guard's count reads the
+    // checkpoint, the per-list aggregate (only above the rows floor)
+    // reads the checkpoint, and the a/b block sides + the per-list size
+    // broadcast reuse it instead of re-running the codegen'd assignment
+    // scan per consumer.
+    val assigned = {
+      val m = materialize(assigned0)
+      val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+      bandGuard("semanticDupPairs", m, Seq("list"), m.count(),
+        payloadBytes = 2.0 * dim * 8,
+        remedies = "project the vectors first (projectTo / " +
+          "Similarity.randomProject - the JL rung cuts the verify " +
+          "payload by in-dim/out-dim), train more/finer centroids " +
+          "(smaller lists shrink the within-list mass quadratically), " +
+          "or dedup per source/domain group")
+      m
+    }
     val blocks = semanticPairBlocks(assigned, maxClusterSize)
     // Same-chunk blocks order by id (each unordered pair joined twice);
     // cross-chunk blocks already hold each unordered pair exactly once

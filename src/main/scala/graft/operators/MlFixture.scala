@@ -79,10 +79,13 @@ object MlFixture {
     * an exact ML-content duplicate of the tripled zh base (id 500) so
     * the chain's exact rung has work under the ml fingerprint. The
     * benchmark side of the composed query is the unrelated zh/en docs
-    * (ids 2 and 42) — one CJK and one Latin decontamination hit.
-    * Expected end-to-end survivors: 0, 10, 20, 22, 30, 40 (garbage
-    * gate-dropped, 500 exact-deduped, twins 1/11/21/31/41 near-deduped,
-    * 2/42 decontaminated). */
+    * (ids 2 and 42 — clean untripled text). Expected end-to-end
+    * survivors: 0, 10, 20, 22, 30, 40 — the garbage AND the stopword-
+    * free en pangram (42) gate-dropped, 500 exact-deduped, twins
+    * 1/11/21/31/41 near-deduped, the zh leak (2) decontaminated (42
+    * would be a second decon hit had it passed the gate; the CJK hit is
+    * the one the Latin tokenizer could never see). Verified stage by
+    * stage by the oracle's DuckDB restatement. */
   val pipelineDocs: Seq[(Long, String)] =
     gateDocs ++ Seq((500L, gateDocs.head._2))
 

@@ -234,9 +234,37 @@ object Similarity {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val (r, b) = signBands(threshold, recallTarget)
     // Keyed repartition before the signature stage: parallelism must not
-    // depend on the input's file count.
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .repartition(Dedup.cpuParallelism(df), col("id"))
+    // depend on the input's file count. Materialized (round 14): the
+    // band join's two sides, the two verify payload joins, and the disk
+    // guard's count/aggregate all read the checkpoint instead of
+    // re-running the upstream scan per consumer.
+    val vecs = Dedup.materialize(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .repartition(Dedup.cpuParallelism(df), col("id")))
+    // Disk guard (round 14): the sign-LSH band join has the minhash
+    // detector's candidate geometry with no prefilter — price the
+    // collision mass against local shuffle storage before running it.
+    // Skipped below the rows floor (bandGuard); the mass aggregate
+    // re-runs the narrow signature projection once over the checkpoint.
+    val nVecs = vecs.count()
+    if (nVecs >= Dedup.BandGuardMinRows) {
+      val dim = vecs.limit(1).collect().headOption
+        .map(_.getSeq[Any](1).length).getOrElse(0)
+      val bandedForMass = vecs.select(col("id"),
+        posexplode(array((0 until b).map(j =>
+          graft.functions.GraftFunctions.signSignature(col("vec"), r, seed + j)): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key")
+      Dedup.bandSpillWarning("cosinePairs",
+        Dedup.bandCandidateMass(bandedForMass, Seq("band", "band_key")),
+        payloadBytes = 2.0 * dim * 8,
+        usableBytes = Dedup.shuffleDirUsableBytes(df.sparkSession),
+        remedies = "project the vectors first (randomProject - the JL " +
+          "rung cuts the verify payload by in-dim/out-dim), raise the " +
+          "threshold or recallTarget's band count, or assign to coarse " +
+          "lists (IVF) and dedup per list")
+        .foreach(System.err.println)
+    }
     // One r-plane signature per band, independent planes via the seed —
     // no bit-slicing of a shared signature (slices of one signature are
     // what the round-2 fixed 4×4 chunking did; independent bands make the

@@ -311,7 +311,19 @@ object StreamingOps {
     * frame-SET probe — a trimmed or temporally-shifted re-upload still
     * matches, at the documented frame-count candidate multiplier; pair
     * it with a coarser everyN). NULL / undecodable payloads always
-    * survive the media stage. */
+    * survive the media stage.
+    *
+    * `benchmarkIndexDir` adds per-batch MEDIA DECONTAMINATION — the
+    * streaming form of the pipeline's media-decon rung: after the media
+    * dedup probe, the batch's SAME hash frame (no second decode) probes
+    * a persisted FROZEN benchmark hash index
+    * ([[graft.operators.Dedup.imageHashFrame]] /audio/video, persisted
+    * once per benchmark version) and any batch item within
+    * `benchmarkMaxHamming` of a benchmark item (video: the
+    * matched-frame gate) drops BEFORE it reaches the corpus or any
+    * index — a leaked eval image must never become a stored survivor.
+    * The index must be the SAME kind (and, for video, the same everyN
+    * rate — validated via the stamped every_n column). */
   final case class MediaDedupConfig(
       typeCol: String,
       binaryCol: String,
@@ -319,7 +331,9 @@ object StreamingOps {
       maxHamming: Int,
       everyN: Int = 2,
       minMatchFrac: Double = 0.6,
-      alignFrames: Boolean = true)
+      alignFrames: Boolean = true,
+      benchmarkIndexDir: Option[String] = None,
+      benchmarkMaxHamming: Int = 6)
 
   /** Continuous corpus ingestion with near-duplicate suppression — the
     * streaming form of the daily-increment dedup shape: each micro-batch
@@ -487,9 +501,25 @@ object StreamingOps {
               incomingHashes = batchMediaHashes,
               alignFrames = mc.alignFrames)
           }
+          // optional per-batch MEDIA DECONTAMINATION — the pipeline's
+          // media-decon slot (after media dedup, last before landing):
+          // the batch's ALREADY-COMPUTED hash frame probes the frozen
+          // benchmark index — never a second decode. The hash frame may
+          // cover media-dedup losers too; hits on them are inert in the
+          // anti-join (the documented corpusHashes contract).
+          val mediaDeconed = mediaDedup
+            .flatMap(mc => mc.benchmarkIndexDir.map { bd =>
+              Dedup.removeContaminatedMediaIndexed(
+                mediaCleaned, spark.read.parquet(bd), idCol,
+                mc.typeCol, mc.binaryCol, mc.kind, mc.benchmarkMaxHamming,
+                everyN = mc.everyN, minMatchFrac = mc.minMatchFrac,
+                alignFrames = mc.alignFrames,
+                corpusHashes = batchMediaHashes)
+            })
+            .getOrElse(mediaCleaned)
           // one materialization: survivors feed the corpus write AND the
           // index projections
-          val kept = Dedup.materialize(mediaCleaned)
+          val kept = Dedup.materialize(mediaDeconed)
           kept.write.mode("overwrite")
             .parquet(s"$corpusDir/batch_id=$batchId")
           // media survivors' hash rows append so later batches probe

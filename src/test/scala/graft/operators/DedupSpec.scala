@@ -844,6 +844,36 @@ class DedupSpec extends AnyFunSuite {
     assert(tunedChunked == tunedSingle)
   }
 
+  test("generalized band guard: mass, probe mass, estimate, warn trigger") {
+    import spark.implicits._
+    // bandCandidateMass = Σ_k C(n_k, 2) over the key groups: buckets of
+    // sizes {3, 2, 1} → 3 + 1 + 0 = 4 candidate pairs
+    val banded = Seq((0, 10L), (0, 11L), (0, 12L), (1, 20L), (1, 21L),
+      (2, 30L)).toDF("band_key", "id")
+    assert(Dedup.bandCandidateMass(banded, Seq("band_key")) == 4.0)
+    // empty frame → 0.0, not an NPE (the coalesce guard)
+    assert(Dedup.bandCandidateMass(
+      banded.where($"id" < 0), Seq("band_key")) == 0.0)
+    // one-sided probe mass = Σ_k a_k · b_k: probe {k0: 2, k1: 1} against
+    // index {k0: 3, k2: 5} → 2·3 + 0 + 0 = 6 (unmatched keys contribute
+    // nothing on either side)
+    val probe = Seq((0, 1L), (0, 2L), (1, 3L)).toDF("band_key", "id")
+    val index = Seq.tabulate(3)(i => (0, 100L + i))
+      .++(Seq.tabulate(5)(i => (2, 200L + i))).toDF("band_key", "id")
+    assert(Dedup.bandProbeMass(probe, index, Seq("band_key")) == 6.0)
+    // estimate = candidates × (32 B pair row + verify payload)
+    assert(Dedup.bandSpillEstimateBytes(1e9, 16.0) == 1e9 * 48.0)
+    // warn fires when the estimate exceeds usable space and carries the
+    // family's own remedies verbatim; silent when disk fits or unknown
+    val warn = Dedup.bandSpillWarning("videoNearDupPairs", 1e10, 24.0,
+      usableBytes = 80L * (1L << 30), remedies = "raise everyN")
+    assert(warn.isDefined && warn.get.contains("ENOSPC") &&
+      warn.get.contains("videoNearDupPairs") &&
+      warn.get.contains("raise everyN"))
+    assert(Dedup.bandSpillWarning("x", 1e4, 16.0, 1L << 30, "r").isEmpty)
+    assert(Dedup.bandSpillWarning("x", 1e10, 16.0, 0L, "r").isEmpty)
+  }
+
   implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

@@ -922,6 +922,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"Latin pipeline must drop all non-Latin docs, kept: $latinIds")
   }
 
+  test("composed multilingual pipeline: ml exact rung + CJK decontamination (the q_corpus_pipeline_ml shape)") {
+    import graft.functions.Tok
+    import graft.operators.MlFixture
+    // pipelineDocs = gateDocs + an exact ml-content duplicate (500) of
+    // the tripled zh base; benchmark = the clean unrelated zh/en docs.
+    // The registered q_corpus_pipeline_ml is hash-pinned against the
+    // full DuckDB restatement; this spec keeps the survivor set visible
+    // in the suite (and names which rung removed what).
+    val corpus = MlFixture.pipelineDocs.toDF("doc_id", "text")
+    val bench = MlFixture.docs
+      .collect { case (i, _, t) if i == 2L || i == 42L => (i, t) }
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(
+      tokenizer = Tok.Ml, gopherRules = true,
+      langs = Set("ar", "en", "ja", "ru", "zh"),
+      minTokens = 10, dedupThreshold = 0.5, decontaminateN = 8,
+      chunkTokens = 64, overlapTokens = 16,
+      materializeDocuments = true)
+    val out = CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    val ids = out.documents.select("doc_id").as[Long].collect().toSet
+    // garbage + the stopword-free en pangram (42) gate-dropped; 500
+    // exact-deduped into base 0; twins near-deduped; the zh leak (2)
+    // decontaminated — the hit a Latin-tokenizer decon never sees
+    assert(ids == Set(0L, 10L, 20L, 22L, 30L, 40L), s"survivors: $ids")
+    val counts = out.observedCounts.toMap
+    assert(counts("exact_dedup") == counts("quality") - 1,
+      "the planted exact duplicate must fall at the ml exact rung")
+    assert(counts("decontaminated") == counts("near_dedup") - 1,
+      "the zh benchmark leak must fall at decontamination")
+  }
+
   test("videoDedup alignFrames=false: the pipeline rung catches a TRIMMED re-upload the aligned rung misses") {
     import graft.operators.VideoFixture
     // two documents with DISTINCT prose (so no text rung collapses them)

@@ -702,6 +702,76 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(indexed == Set(1L, 11L), s"got $indexed")
   }
 
+  test("dedupStreamIntoCorpus: per-batch MEDIA decontamination drops a planted benchmark image (batch ≡ stream)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Dedup, ImageFixture}
+    implicit val sqlCtx = spark.sqlContext
+    // frozen benchmark hash index, persisted once per benchmark version
+    // (the removeContaminatedMediaIndexed artifact contract)
+    val benchDir = Files.createTempDirectory("media_bench_idx").toString
+    val benchHashes = Dedup.imageHashFrame(
+      ImageFixture.frame(spark).where($"media_id" % 5 === 0),
+      "media_id", "media_type", "content")
+    benchHashes.write.mode("overwrite").parquet(benchDir)
+    val source = MemoryStream[(Long, String, String, Array[Byte])]
+    val docs = source.toDF().toDF("doc_id", "text", "media_type", "content")
+    val corpus = Files.createTempDirectory("media_decon_corpus").toString
+    val index = Files.createTempDirectory("media_decon_index").toString
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t2 = "completely different prose about distributed query engines and shuffle plans"
+    val t3 = "a third unrelated passage describing mountain weather patterns in spring"
+    val t4 = "yet another standalone text on deep sea creatures and their glowing lures"
+    val t5 = "final distinct words concerning ancient pottery excavated from dry valleys"
+    val q = StreamingOps.dedupStreamIntoCorpus(
+      docs, corpus, index, "text", "doc_id", threshold = 0.5,
+      mediaDedup = Some(StreamingOps.MediaDedupConfig(
+        "media_type", "content", kind = "image", maxHamming = 6,
+        benchmarkIndexDir = Some(benchDir), benchmarkMaxHamming = 6)))
+    val all = Seq(
+      (1L, t1, "image/png", ImageFixture.pngBytes(2L)),
+      (2L, t2, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]]),
+      (10L, t3, "image/png", ImageFixture.pngBytes(16L)),
+      (11L, t4, "image/png", ImageFixture.pngBytes(5L)),
+      (12L, t5, "image/png", ImageFixture.pngBytes(8L)))
+    try {
+      // batch 1: a clean image (unrelated-triple member 2) + a
+      // payload-less doc — both must pass the media stages
+      source.addData(all(0), all(1))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L, 2L), s"clean batch must land whole, got $after1")
+      // batch 2 plants the leaks: image 16 = the fixture NEAR-TWIN of
+      // benchmark image 15 (perceptual leak the exact probe would miss),
+      // image 5 = an exact benchmark member, image 8 = genuinely fresh
+      source.addData(all(2), all(3), all(4))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(1L, 2L, 12L),
+        s"benchmark twin + exact member must drop, fresh image lands: $after2")
+    } finally q.stop()
+    // a decon-dropped doc must never index: later batches would
+    // otherwise dedupe against a leaked survivor
+    val indexed = spark.read.parquet(s"$index/mediahashes")
+      .select("id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 12L), s"got $indexed")
+    // batch ≡ stream: the batch operators over the SAME five docs (media
+    // dedup, then the indexed media decon — the pipeline slot order)
+    // keep exactly the streamed survivor set
+    val streamedKept = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    val allDf = all.toDF("doc_id", "text", "media_type", "content")
+    val batchKept = Dedup.removeContaminatedMediaIndexed(
+      Dedup.removeNearDuplicateImages(allDf, "doc_id", "media_type",
+        "content", maxHamming = 6),
+      spark.read.parquet(benchDir), "doc_id", "media_type", "content",
+      kind = "image", maxHamming = 6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == streamedKept,
+      s"batch semantics must equal streamed survivors: batch=$batchKept " +
+        s"streamed=$streamedKept")
+  }
+
   test("dedupStreamIntoCorpus: VIDEO kind probes + grows the per-frame hash index") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
