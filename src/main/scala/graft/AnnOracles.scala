@@ -44,6 +44,21 @@ object AnnOracles {
     s"co AS (SELECT $coarseLit AS cents), " +
       s"ls AS (SELECT unnest(range(0, ${FrozenAnn.coarse.length})) AS l)"
 
+  /** [[coarseCtes]] with the codebook PROJECTED through the engine's own
+    * integer-exact JL fold ([[graft.operators.Similarity
+    * .projectCentroids]] — the same code the projectTo flag runs), so a
+    * composed oracle can restate the semantic rung in projected space.
+    * The projected components are exact integers (|acc| ≪ 2²⁴), so the
+    * float literal round-trips bit-exactly into DuckDB's doubles. */
+  def coarseCtesProjected(outDim: Int): String = {
+    val proj = graft.operators.Similarity.projectCentroids(
+      FrozenAnn.coarse, outDim)
+    val lit = proj.sortBy(_._1).map(c => dlist(c._2))
+      .mkString("[", ",", "]") + "::DOUBLE[][]"
+    s"co AS (SELECT $lit AS cents), " +
+      s"ls AS (SELECT unnest(range(0, ${proj.length})) AS l)"
+  }
+
   /** Full-precision double view of the embeddings table. */
   private val evCte =
     "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"

@@ -892,6 +892,16 @@ object SparkEntry {
     //    collapse only at the embedding stage. See
     //    corpusPipelineSemanticQuery ─────────────────────────────────────
     "q_corpus_pipeline_semantic" -> ((s, dir) => corpusPipelineSemanticQuery(s, dir)),
+    // ── The semantic rung in JL-PROJECTED space (projectTo = 16): the
+    //    one-flag scale configuration — vectors project through the
+    //    integer-exact codegen'd fold, the centroid codebook projects
+    //    driver-side through the SAME fold, and assignment / pair
+    //    cosine / keep-the-outlier all run at 16 dims. Oracle restates
+    //    the PROJECTED rung (matrix cells + projected-centroid literals
+    //    from the engine's own generators), pinning the composition
+    //    against drift ──────────────────────────────────────────────────
+    "q_corpus_pipeline_semantic_jl" -> ((s, dir) =>
+      corpusPipelineSemanticQuery(s, dir, projectTo = Some(16))),
 
     // ── The pipeline with FUZZY decontamination on: planted reworded
     //    benchmark twins (marker token every 7 normalized tokens — no
@@ -2364,7 +2374,8 @@ object SparkEntry {
     * The semantic rung then collapses each surviving twin pair to its
     * keep-the-outlier survivor. Plain upstream config (no html/gopher/
     * line stages — those are pinned by the other two pipeline queries). */
-  private def corpusPipelineSemanticQuery(s: SparkSession, dir: String): DataFrame = {
+  private def corpusPipelineSemanticQuery(s: SparkSession, dir: String,
+      projectTo: Option[Int] = None): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding"))
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -2388,7 +2399,8 @@ object SparkEntry {
       langs = Set("en"), minTokens = 10, maxTokens = 100000,
       minAlphaRatio = 0.4, dedupThreshold = 0.5, shingleN = 3,
       semanticDedup = Some(graft.pipeline.CorpusPipeline.SemanticDedupConfig(
-        "embedding", graft.operators.FrozenAnn.coarse, threshold = 0.9)),
+        "embedding", graft.operators.FrozenAnn.coarse, threshold = 0.9,
+        projectTo = projectTo)),
       chunkTokens = 64, overlapTokens = 16,
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       materializeDocuments = true)
@@ -2855,9 +2867,13 @@ object SparkEntry {
     }.mkString(" ")
 
   private lazy val pipelineLangCteSql: String =
+    // the vote reads the SCRIPT-AWARE token array (the kernel's round-14
+    // tokenizer — ml ≡ Latin on the ASCII corpus, restated for no-drift),
+    // computed once as a column so the 26 per-language filters share it
     "lang AS (SELECT doc_id, CASE " + langScriptWhensSql("text") +
       " WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang FROM " +
-      s"(SELECT doc_id, text, ${langVoteGreatestSql("t")} AS b FROM tok) x), "
+      s"(SELECT doc_id, text, ${langVoteGreatestSql("mt")} AS b FROM " +
+      s"(SELECT doc_id, text, ${graft.functions.Tok.Ml.sqlTokens("text")} AS mt FROM tok) y) x), "
 
   /** The PII redaction chain over a `text` column, generated FROM
     * piiClasses (patterns cannot drift). */
@@ -3245,6 +3261,99 @@ object SparkEntry {
       // ── semantic rung: primary assignment → within-cluster pairs →
       //    CC #2 → keep-the-outlier (lowest centroid cosine, ties by id)
       "sememb AS MATERIALIZED (SELECT q3.doc_id AS id, a.v FROM q3 JOIN aug a ON a.doc_id = q3.doc_id), " +
+      "sasg AS MATERIALIZED (SELECT id, l, cc FROM (SELECT s2.id, ls.l, " +
+      "list_cosine_similarity(s2.v, cents[ls.l+1]) AS cc, " +
+      "ROW_NUMBER() OVER (PARTITION BY s2.id ORDER BY " +
+      "list_cosine_similarity(s2.v, cents[ls.l+1]) DESC, ls.l) AS rk " +
+      "FROM sememb s2, ls, co) WHERE rk = 1), " +
+      "sj AS MATERIALIZED (SELECT ax.id AS id_a, ay.id AS id_b " +
+      "FROM sasg ax JOIN sasg ay ON ax.l = ay.l AND ax.id < ay.id " +
+      "JOIN sememb x ON x.id = ax.id JOIN sememb y ON y.id = ay.id " +
+      "WHERE list_cosine_similarity(x.v, y.v) >= 0.9), " +
+      "se AS (SELECT id_a AS src, id_b AS dst FROM sj UNION ALL SELECT id_b, id_a FROM sj), " +
+      "sr AS (SELECT src AS id, src AS label FROM se " +
+      "UNION SELECT se.dst AS id, sr.label FROM sr JOIN se ON se.src = sr.id), " +
+      "slab AS (SELECT id, min(label) AS label FROM sr GROUP BY id), " +
+      "sranked AS (SELECT slab.id, ROW_NUMBER() OVER (PARTITION BY slab.label " +
+      "ORDER BY sasg.cc ASC, slab.id ASC) AS rk FROM slab JOIN sasg ON sasg.id = slab.id), " +
+      "q3s AS (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT id FROM sranked WHERE rk > 1)), " +
+      pipelineTailSql("q3s") +
+      "SELECT (SELECT count(*) FROM aug) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q3s) AS n_semantic_dedup, " +
+      "(SELECT count(*) FROM q3s) AS n_decontaminated, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q3s) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_semantic_jl: the semantic
+    * pipeline with the rung restated in JL-PROJECTED space — the ±1/0
+    * matrix cells and the projected-centroid codebook are emitted from
+    * the engine's OWN generators ([[graft.operators.Similarity
+    * .randomProjectionMatrix]] / `projectCentroids` — no drift), the
+    * per-document projection folds the same floor(x·1024 + 0.5)
+    * quantization in BIGINT, and assignment / within-cluster cosine /
+    * keep-the-outlier then run over the 16-dim vectors exactly as the
+    * engine's one-flag projectTo composition does. */
+  private lazy val corpusPipelineSemanticJlOracle: String = {
+    val outDim = 16; val inDim = 64
+    val m = graft.operators.Similarity.randomProjectionMatrix(inDim, outDim)
+    // the list(o ORDER BY j) reassembly below is dense only if every
+    // output row has ≥ 1 nonzero cell — deterministic property of the
+    // seeded matrix, asserted at SQL-generation time
+    (0 until outDim).foreach(j => require(
+      m.slice(j * inDim, (j + 1) * inDim).exists(_ != 0),
+      s"JL matrix row $j is all-zero; the oracle's list reassembly " +
+        "would drop a dimension"))
+    val cells = (for {
+      j <- 0 until outDim; d <- 0 until inDim
+      w = m(j * inDim + d) if w != 0
+    } yield s"($d, $j, $w)").mkString(", ")
+    "WITH RECURSIVE " +
+      AnnOracles.coarseCtesProjected(outDim) + ", " +
+      s"w(d0, j, wt) AS (VALUES $cells), " +
+      "dv AS (SELECT d.doc_id, d.text, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), " +
+      "tw AS (SELECT doc_id + 1000000 AS doc_id, text, v FROM (" +
+      "SELECT doc_id, array_to_string(list_reverse(regexp_split_to_array(" +
+      "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+')), ' ') AS text, " +
+      "list_transform(v, (x, i) -> x + 0.025 * (CASE WHEN " +
+      "substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1) <= '7' " +
+      "THEN 1.0 ELSE -1.0 END)) AS v FROM dv WHERE doc_id % 10 = 0)), " +
+      "aug AS MATERIALIZED (SELECT doc_id, text, v FROM dv UNION ALL SELECT doc_id, text, v FROM tw), " +
+      "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM aug), " +
+      "tok AS MATERIALIZED (SELECT doc_id, text, norm, regexp_split_to_array(norm,'\\s+') AS t FROM base), " +
+      pipelineLangCteSql +
+      "q1 AS MATERIALIZED (SELECT tok.doc_id AS doc_id, tok.text AS text, tok.norm AS norm, tok.t AS t " +
+      "FROM tok JOIN lang ON tok.doc_id = lang.doc_id " +
+      "WHERE len(tok.t) BETWEEN 10 AND 100000 " +
+      "AND length(regexp_replace(tok.text,'[^A-Za-z]','','g'))*1.0/greatest(length(tok.text),1) >= 0.4 " +
+      "AND lang.lang = 'en'), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY norm)), " +
+      "sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-1,1)), " +
+      "i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      // ── the PROJECTED semantic rung: quantize → ±1/0 fold → 16-dim
+      //    lists; then assignment / pairs / CC / keep-the-outlier exactly
+      //    as the unprojected oracle, over the projected space
+      "sem0 AS (SELECT q3.doc_id AS id, a.v FROM q3 JOIN aug a ON a.doc_id = q3.doc_id), " +
+      "semq AS (SELECT id, generate_subscripts(v, 1) - 1 AS d0, " +
+      "CAST(floor(unnest(v) * 1024 + 0.5) AS BIGINT) AS qv FROM sem0), " +
+      "semp AS (SELECT semq.id AS id, w.j AS j, CAST(sum(qv * wt) AS DOUBLE) AS o " +
+      "FROM semq JOIN w ON semq.d0 = w.d0 GROUP BY semq.id, w.j), " +
+      "sememb AS MATERIALIZED (SELECT id, list(o ORDER BY j) AS v FROM semp GROUP BY id), " +
       "sasg AS MATERIALIZED (SELECT id, l, cc FROM (SELECT s2.id, ls.l, " +
       "list_cosine_similarity(s2.v, cents[ls.l+1]) AS cc, " +
       "ROW_NUMBER() OVER (PARTITION BY s2.id ORDER BY " +
@@ -4788,7 +4897,9 @@ object SparkEntry {
         s"WHEN doc_id % 30 = $k THEN '${lp.samples(code)}'"
       }.mkString(" ")
       s"WITH aug AS (SELECT doc_id, CASE $whens ELSE text END AS text FROM documents), " +
-        "tk AS (SELECT doc_id, text, regexp_split_to_array(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),'\\s+') AS tok FROM aug), " +
+        // the vote reads the script-aware token array (the kernel's
+        // round-14 tokenizer) — diacritic Latin samples vote on true words
+        s"tk AS (SELECT doc_id, text, ${graft.functions.Tok.Ml.sqlTokens("text")} AS tok FROM aug), " +
         s"sc AS (SELECT text, ${langVoteGreatestSql("tok")} AS b FROM tk), " +
         "pred AS (SELECT CASE " + langScriptWhensSql("text") +
         " WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang_pred FROM sc) " +
@@ -5105,6 +5216,7 @@ object SparkEntry {
     "q_corpus_pipeline_video" -> corpusPipelineVideoOracle,
     "q_corpus_pipeline_ml" -> corpusPipelineMlOracle,
     "q_corpus_pipeline_media_decon" -> corpusPipelineMediaDeconOracle,
+    "q_corpus_pipeline_semantic_jl" -> corpusPipelineSemanticJlOracle,
     "q_media_dedup_incremental" -> {
       // existing = the 60 fixture envelopes; incoming = 30 fresh ids:
       // even ordinals carry EXACT 4/5-scaled copies of corpus bases
@@ -5286,12 +5398,13 @@ object SparkEntry {
     val flagCols = rules.zip(names).map { case (r, n) => s"$r AS $n" }
     val pass = rules.map(r => s"($r)").mkString(" AND ")
     val mlToks = graft.functions.Tok.Ml.sqlTokens("text")
-    val latinToks = graft.functions.Tok.Latin.sqlTokens("text")
     s"WITH g AS (SELECT doc_id, text FROM ${graft.operators.MlFixture.gateSqlValues}), " +
-      s"k AS (SELECT doc_id, text, $mlToks AS tok, $latinToks AS ltok FROM g), " +
+      s"k AS (SELECT doc_id, text, $mlToks AS tok FROM g), " +
       s"l AS (SELECT doc_id, text, tok, CASE ${langScriptWhensSql("text")} " +
       s"WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang " +
-      s"FROM (SELECT doc_id, text, tok, ${langVoteGreatestSql("ltok")} AS b FROM k) x) " +
+      // the routing vote reads the SAME ml token array the gate rules do
+      // (the kernel's round-14 tokenizer)
+      s"FROM (SELECT doc_id, text, tok, ${langVoteGreatestSql("tok")} AS b FROM k) x) " +
       s"SELECT doc_id, lang, ${flagCols.mkString(", ")}, $pass AS pass " +
       "FROM l ORDER BY doc_id"
   }
@@ -5308,7 +5421,6 @@ object SparkEntry {
     * the no-drift discipline. */
   private lazy val corpusPipelineMlOracle: String = {
     val mlToks = graft.functions.Tok.Ml.sqlTokens("text")
-    val latinToks = graft.functions.Tok.Latin.sqlTokens("text")
     val rules = gopherRuleSqlsMl("text", "tok", "lang")
       .map(r => s"($r)").mkString(" AND ")
     val mlRtToks = graft.functions.Tok.Ml.sqlTokens("rt")
@@ -5318,10 +5430,11 @@ object SparkEntry {
       .mkString("(VALUES ", ", ", ") bf(doc_id, text)")
     "WITH RECURSIVE " +
       s"pd AS MATERIALIZED (SELECT doc_id, text FROM ${graft.operators.MlFixture.pipelineSqlValues}), " +
-      s"ptok AS MATERIALIZED (SELECT doc_id, text, $mlToks AS tok, $latinToks AS ltok FROM pd), " +
+      s"ptok AS MATERIALIZED (SELECT doc_id, text, $mlToks AS tok FROM pd), " +
       s"pl AS MATERIALIZED (SELECT doc_id, text, tok, CASE ${langScriptWhensSql("text")} " +
       "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang " +
-      s"FROM (SELECT doc_id, text, tok, ${langVoteGreatestSql("ltok")} AS b FROM ptok) x), " +
+      // routing vote over the SAME ml token array (round-14 tokenizer)
+      s"FROM (SELECT doc_id, text, tok, ${langVoteGreatestSql("tok")} AS b FROM ptok) x), " +
       "q1 AS MATERIALIZED (SELECT doc_id, text, tok FROM pl " +
       "WHERE len(tok) BETWEEN 10 AND 100000 " +
       "AND length(array_to_string(tok,''))*1.0/greatest(length(text),1) >= 0.4 " +

@@ -98,7 +98,14 @@ object LangIdUtil {
   def langId(text: UTF8String): UTF8String = {
     val scripted = scriptLang(text)
     if (scripted != null) return scripted
-    val toks = ShingleUtil.normTokens(text)
+    // Vote over the SCRIPT-AWARE tokens (round 14): bit-identical to the
+    // Latin kernel on pure-ASCII text (every frozen vote is unchanged),
+    // but Latin-script languages with diacritics (vi, tr, pl, …) now
+    // vote on their true words instead of ASCII fragments — the Latin
+    // tokenizer split "für" into "f"/"r" (its own stopword could never
+    // match) and minted false votes from stripped fragments ("kadarı" →
+    // "kadar"). Scripts the ratio rules route never reach the vote.
+    val toks = ShingleUtil.normTokensMl(text)
     val votes = new Array[Int](langCodes.length)
     var i = 0
     while (i < toks.length) {

@@ -77,12 +77,16 @@ object TextAnalysis {
   /** Heuristic language ID — the Column REFERENCE form of the
     * [[LangIdUtil]] kernel (TextAnalysisSpec pins the equivalence), both
     * generated from [[LangProfiles]]: the ordered script-ratio rules
-    * decide first (ja/ko/zh/ru/ar/he/el/hi/th — scripts the `[a-z0-9]`
-    * tokenizer cannot vote on; ja before zh because Japanese carries
-    * Han), then argmax of stopword votes (deterministic ties: highest
-    * vote, then language code). "und" when nothing matches. */
+    * decide first (ja/ko/zh/ru/ar/he/el/hi/th — scripts no word
+    * tokenizer can vote on; ja before zh because Japanese carries
+    * Han), then argmax of stopword votes over the SCRIPT-AWARE tokens
+    * (ml ≡ Latin on ASCII; diacritic Latin languages vote on their true
+    * words — see the kernel's note). Deterministic ties: highest vote,
+    * then language code; "und" when nothing matches. Requires
+    * [[GraftFunctions.register]] (the ml tokenizer is a registered
+    * kernel). */
   def langId(c: Column): Column = {
-    val toks = tokens(c)
+    val toks = GraftFunctions.normTokensMl(c)
     val scored = array(stopwords.keys.toSeq.sorted.map { lang =>
       struct(stopwordHits(toks, lang).as("score"), lit(lang).as("lang"))
     }: _*)

@@ -481,7 +481,7 @@ object Dedup {
       maxK: Int = 1024, sampleDocs: Int = 128,
       prefilterHashes: Int = 64,
       prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin,
-      spillSafetyMargin: Double = 0.5, maxSpillChunks: Int = 64): DataFrame = {
+      spillSafetyMargin: Double = 0.5, maxSpillChunks: Int = 256): DataFrame = {
     val sh = materialize(shingleSets(df, textCol, idCol, n, tok)
       .select(col("id"), array_sort(col("shingles")).as("sh")))
     val shH = materialize(hashShingles(sh))
@@ -647,9 +647,13 @@ object Dedup {
     * K groups divides the candidate/verify spill by ~K. Pure, so the
     * spec pins the arithmetic. The 0.5 default margin absorbs the
     * estimator's documented order-of-magnitude error band on the safe
-    * side without forcing pathological chunk counts. */
+    * side without forcing pathological chunk counts. The 256 default
+    * clamp is a runaway backstop, not a tuning knob: the 5M adversarial
+    * model fixture legitimately needs ~130 chunks (~5.5 TB projected
+    * over ~85 GB usable), which round 13's clamp of 64 would have
+    * pushed back above usable space. */
   private[graft] def spillChunkCount(estBytes: Double, usableBytes: Long,
-      margin: Double = 0.5, maxChunks: Int = 64): Int = {
+      margin: Double = 0.5, maxChunks: Int = 256): Int = {
     require(margin > 0, s"spillChunkCount: margin must be > 0, got $margin")
     if (usableBytes <= 0 || estBytes <= usableBytes * margin) 1
     else math.min(math.max(maxChunks, 1).toDouble,
@@ -931,7 +935,7 @@ object Dedup {
       escalateMinCandidates: Double = 4e6,
       prefilterMinCandidates: Double = 4e6,
       maxVerifyCandidates: Double = 4e9, tok: Tok = Tok.Latin,
-      spillSafetyMargin: Double = 0.5, maxSpillChunks: Int = 64): DataFrame = {
+      spillSafetyMargin: Double = 0.5, maxSpillChunks: Int = 256): DataFrame = {
     val sh = materialize(shingleSets(df, textCol, idCol, n, tok)
       .select(col("id"), array_sort(col("shingles")).as("sh")))
     val shH = materialize(hashShingles(sh))

@@ -13,6 +13,7 @@ class TextAnalysisSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("langId identifies real-language sentences") {
+    GraftFunctions.register(spark) // the vote tokenizer is a registered kernel
     val samples = Seq(
       ("en", "the quick brown fox jumps over the lazy dog and it was very happy with that"),
       ("de", "der schnelle braune fuchs springt über den faulen hund und ist sehr glücklich mit der sache"),
@@ -46,6 +47,7 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   test("langId returns 'und' for stopword-free text") {
+    GraftFunctions.register(spark)
     val pred = Seq("zzz qqq xxx").toDF("text")
       .select(TextAnalysis.langId($"text")).head().getString(0)
     assert(pred == "und")

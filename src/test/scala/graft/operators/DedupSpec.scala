@@ -802,7 +802,10 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.spillChunkCount(100.0, 1000L) == 1)         // fits in margin
     assert(Dedup.spillChunkCount(501.0, 1000L) == 2)
     assert(Dedup.spillChunkCount(5000.0, 1000L) == 10)
-    assert(Dedup.spillChunkCount(1e18, 1000L) == 64)         // maxChunks clamp
+    // maxChunks clamp: default 256 (the 5M adversarial decade projects
+    // ~5.5 TB over ~85 GB usable → ~130 chunks; the round-13 default of
+    // 64 would have clamped it back above usable space)
+    assert(Dedup.spillChunkCount(1e18, 1000L) == 256)
     assert(Dedup.spillChunkCount(1e18, 0L) == 1)             // unknown usable
     assert(Dedup.spillChunkCount(1e18, 1000L, maxChunks = 1) == 1) // disabled
     // the r13 measured wall: 885 GB est vs 83 GB usable at margin 0.5
