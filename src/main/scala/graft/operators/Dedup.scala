@@ -1110,7 +1110,8 @@ object Dedup {
     * pre-key (dimensions, source) first. Measured decade table in
     * BASELINE.md (round 11). */
   def imageNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
-      binaryCol: String, maxHamming: Int = 6): DataFrame = {
+      binaryCol: String, maxHamming: Int = 6,
+      hashes: Option[DataFrame] = None): DataFrame = {
     // repartition BEFORE the decode (inside imageHashFrame — the
     // nearDupPairsSimHash discipline): the decode is the dominant CPU
     // span and must not inherit source skew / AQE byte-size coalescing;
@@ -1119,8 +1120,12 @@ object Dedup {
     // skip the cost upstream). Materialized: the hash frame is two longs
     // per image, the decode must run once whatever the guard and the
     // band join's two sides do, and the disk guard's count/aggregate
-    // read the checkpoint, never the decoder.
-    val h = materialize(imageHashFrame(df, idCol, typeCol, binaryCol))
+    // read the checkpoint, never the decoder. `hashes` = the caller's
+    // ALREADY-MATERIALIZED (id, sh) frame for the same payloads — the
+    // decode-once-across-rungs path (CorpusPipeline shares one frame
+    // between the dedup rung and the decon probe).
+    val h = hashes.getOrElse(
+      materialize(imageHashFrame(df, idCol, typeCol, binaryCol)))
     bandGuard("imageNearDupPairs", hammingChunks(h, maxHamming),
       Seq("chunk", "chunk_key"), h.count(), payloadBytes = 16.0,
       remedies = "lower maxHamming (wider chunks, fewer collisions), " +
@@ -1146,11 +1151,14 @@ object Dedup {
     * that pins decode parallelism; after it each clip is ONE long — the
     * band join shuffles (chunk_key, id, hash) triples only, never PCM. */
   def audioNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
-      binaryCol: String, maxHamming: Int = 4): DataFrame = {
+      binaryCol: String, maxHamming: Int = 4,
+      hashes: Option[DataFrame] = None): DataFrame = {
     // materialize + guard: the imageNearDupPairs discipline (decode once
     // into a two-longs-per-clip checkpoint; price the band join's spill
-    // before running it)
-    val h = materialize(audioHashFrame(df, idCol, typeCol, binaryCol))
+    // before running it); `hashes` = the caller's already-materialized
+    // frame (decode-once-across-rungs)
+    val h = hashes.getOrElse(
+      materialize(audioHashFrame(df, idCol, typeCol, binaryCol)))
     bandGuard("audioNearDupPairs", hammingChunks(h, maxHamming),
       Seq("chunk", "chunk_key"), h.count(), payloadBytes = 16.0,
       remedies = "lower maxHamming (wider chunks, fewer collisions), or " +
@@ -1202,9 +1210,11 @@ object Dedup {
   /** End-to-end perceptual audio dedup: [[audioNearDupPairs]] → CC →
     * keep each cluster's min id; undecodable payloads always survive. */
   def removeNearDuplicateAudio(df: DataFrame, idCol: String, typeCol: String,
-      binaryCol: String, maxHamming: Int = 4, maxIter: Int = 20): DataFrame = {
+      binaryCol: String, maxHamming: Int = 4, maxIter: Int = 20,
+      hashes: Option[DataFrame] = None): DataFrame = {
     val losers = resolveClusters(
-      audioNearDupPairs(df, idCol, typeCol, binaryCol, maxHamming), maxIter)
+      audioNearDupPairs(df, idCol, typeCol, binaryCol, maxHamming, hashes),
+      maxIter)
       .where(col("label") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -1445,12 +1455,16 @@ object Dedup {
     * complete-recall-within-bound argument as the other Hamming rungs. */
   def videoNearDupPairs(df: DataFrame, idCol: String, typeCol: String,
       binaryCol: String, everyN: Int = 2, maxHamming: Int = 4,
-      minMatchFrac: Double = 0.6, alignFrames: Boolean = true): DataFrame = {
+      minMatchFrac: Double = 0.6, alignFrames: Boolean = true,
+      frameHashes: Option[DataFrame] = None): DataFrame = {
     require(minMatchFrac > 0 && minMatchFrac <= 1,
       s"minMatchFrac must be in (0, 1], got $minMatchFrac")
-    val hashes = materialize(
-      videoFrameHashFrame(df, idCol, typeCol, binaryCol, everyN)
-        .select(col("id"), col("fpos"), col("sh")))
+    // `frameHashes` = the caller's already-materialized (id, fpos, sh)
+    // frame at the SAME everyN rate (decode-once-across-rungs)
+    val hashes = frameHashes.map(_.select(col("id"), col("fpos"), col("sh")))
+      .getOrElse(materialize(
+        videoFrameHashFrame(df, idCol, typeCol, binaryCol, everyN)
+          .select(col("id"), col("fpos"), col("sh"))))
     val counts = hashes.groupBy(col("id")).agg(count(lit(1)).as("nf"))
     val chunked = hammingChunks(hashes, maxHamming)
     // disk guard over the FRAME rows (the band join's true input): the
@@ -1498,10 +1512,12 @@ object Dedup {
   def removeNearDuplicateVideos(df: DataFrame, idCol: String, typeCol: String,
       binaryCol: String, everyN: Int = 2, maxHamming: Int = 4,
       minMatchFrac: Double = 0.6, maxIter: Int = 20,
-      alignFrames: Boolean = true): DataFrame = {
+      alignFrames: Boolean = true,
+      frameHashes: Option[DataFrame] = None): DataFrame = {
     val losers = resolveClusters(
       videoNearDupPairs(df, idCol, typeCol, binaryCol, everyN, maxHamming,
-        minMatchFrac, alignFrames).select(col("id_a"), col("id_b")), maxIter)
+        minMatchFrac, alignFrames, frameHashes)
+        .select(col("id_a"), col("id_b")), maxIter)
       .where(col("label") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -1511,9 +1527,11 @@ object Dedup {
     * keep the minimum id per cluster; undecodable payloads always
     * survive (no hash ⇒ no duplicate evidence). */
   def removeNearDuplicateImages(df: DataFrame, idCol: String, typeCol: String,
-      binaryCol: String, maxHamming: Int = 6, maxIter: Int = 20): DataFrame = {
+      binaryCol: String, maxHamming: Int = 6, maxIter: Int = 20,
+      hashes: Option[DataFrame] = None): DataFrame = {
     val losers = resolveClusters(
-      imageNearDupPairs(df, idCol, typeCol, binaryCol, maxHamming), maxIter)
+      imageNearDupPairs(df, idCol, typeCol, binaryCol, maxHamming, hashes),
+      maxIter)
       .where(col("label") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -1594,15 +1612,21 @@ object Dedup {
     * as wide as the 64-bit layout at the same bound — tighter precision
     * (vertical gradients catch what horizontal ones miss), same
     * complete-recall pigeonhole. */
-  def imageNearDupPairs128(df: DataFrame, idCol: String, typeCol: String,
-      binaryCol: String, maxHamming: Int = 6): DataFrame = {
+  /** The persistable 128-BIT image hash frame (id, lo, hi): horizontal
+    * dHash in `lo` (bit-identical to [[imageHashFrame]]'s `sh` — a
+    * 64-bit probe can read `lo` directly), vertical dHash in `hi` —
+    * ONE decode emits both grids. The decode-once seam the composed
+    * pipeline shares between its 128-bit dedup rung and its 64-bit
+    * decontamination probe. */
+  def imageHashFrame128(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String): DataFrame = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idT = df.schema(idCol).dataType
     require(Seq(LongType, IntegerType, ShortType, ByteType).contains(idT),
-      s"imageNearDupPairs128: idCol '$idCol' must be an integral type, got " +
+      s"imageHashFrame128: idCol '$idCol' must be an integral type, got " +
         s"$idT - remap or hash string ids first")
-    val hashed = df.select(
+    df.select(
       col(idCol).cast("long").as("media_id"),
       col(typeCol).cast("string").as("media_type"),
       col(binaryCol).as("content"))
@@ -1613,9 +1637,16 @@ object Dedup {
           (m.media_id, Multimodal.dHash64(gh), Multimodal.dHash64v(gv))
         })
       }.toDF("id", "lo", "hi")
+  }
+
+  def imageNearDupPairs128(df: DataFrame, idCol: String, typeCol: String,
+      binaryCol: String, maxHamming: Int = 6,
+      hashes: Option[DataFrame] = None): DataFrame = {
     // the 64-bit path's materialize + guard discipline (decode once into
-    // a three-longs-per-image checkpoint; price the band join up front)
-    val h = materialize(hashed)
+    // a three-longs-per-image checkpoint; price the band join up front);
+    // `hashes` = the caller's already-materialized (id, lo, hi) frame
+    val h = hashes.getOrElse(
+      materialize(imageHashFrame128(df, idCol, typeCol, binaryCol)))
     bandGuard("imageNearDupPairs128", hammingChunks128(h, maxHamming),
       Seq("chunk", "chunk_key"), h.count(), payloadBytes = 32.0,
       remedies = "lower maxHamming (wider chunks, fewer collisions), or " +
@@ -1627,9 +1658,11 @@ object Dedup {
   /** End-to-end 128-bit perceptual image dedup ([[imageNearDupPairs128]]
     * → CC → min-id survivor); undecodable payloads always survive. */
   def removeNearDuplicateImages128(df: DataFrame, idCol: String, typeCol: String,
-      binaryCol: String, maxHamming: Int = 6, maxIter: Int = 20): DataFrame = {
+      binaryCol: String, maxHamming: Int = 6, maxIter: Int = 20,
+      hashes: Option[DataFrame] = None): DataFrame = {
     val losers = resolveClusters(
-      imageNearDupPairs128(df, idCol, typeCol, binaryCol, maxHamming), maxIter)
+      imageNearDupPairs128(df, idCol, typeCol, binaryCol, maxHamming, hashes),
+      maxIter)
       .where(col("label") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

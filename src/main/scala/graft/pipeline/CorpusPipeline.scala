@@ -567,14 +567,40 @@ object CorpusPipeline {
     //    should shrink the decode population first), before
     //    decontamination (an image-dup of a contaminated doc must drop
     //    here, not survive its twin's later removal).
+    // Decode ONCE across the media rungs (round 14): when the decon
+    // probe matches a dedup rung's kind (and, for video, its sampling
+    // rate), hash the payloads a single time at that rung's input and
+    // share the materialized frame between the rung and the probe —
+    // decode is the dominant media span, and the decon population is a
+    // subset of the rung input (superset hash rows are inert in the
+    // probe's anti-join: the documented corpusHashes contract). The
+    // 128-bit image frame's `lo` IS the 64-bit horizontal dHash, so the
+    // 64-bit decon probe reads it directly. The streaming ingestion path
+    // has used exactly this one-frame discipline since round 13.
+    val sharedImg: Option[(DataFrame, DataFrame)] =
+      (cfg.imageDedup, cfg.mediaDecontaminate) match {
+        case (Some(ic), Some(mdc)) if mdc.kind == "image" =>
+          if (ic.use128) {
+            val h = Dedup.materialize(Dedup.imageHashFrame128(
+              semDeduped, cfg.idCol, ic.typeCol, ic.binaryCol))
+            Some((h, h.select(col("id"), col("lo").as("sh"))))
+          } else {
+            val h = Dedup.materialize(Dedup.imageHashFrame(
+              semDeduped, cfg.idCol, ic.typeCol, ic.binaryCol))
+            Some((h, h))
+          }
+        case _ => None
+      }
     val imgDeduped = cfg.imageDedup.fold(semDeduped) { ic =>
       observed("image_dedup",
         if (ic.use128)
           Dedup.removeNearDuplicateImages128(semDeduped, cfg.idCol,
-            ic.typeCol, ic.binaryCol, ic.maxHamming)
+            ic.typeCol, ic.binaryCol, ic.maxHamming,
+            hashes = sharedImg.map(_._1))
         else
           Dedup.removeNearDuplicateImages(semDeduped, cfg.idCol,
-            ic.typeCol, ic.binaryCol, ic.maxHamming))
+            ic.typeCol, ic.binaryCol, ic.maxHamming,
+            hashes = sharedImg.map(_._1)))
     }
 
     // 4. benchmark decontamination. DELIBERATELY a larger n than the
@@ -588,19 +614,38 @@ object CorpusPipeline {
     //    the exact confirm join removes bloom false positives at any fpp.
     // 3d. optional PERCEPTUAL AUDIO dedup — the image rung's audio
     //    sibling, same slot discipline (see [[AudioDedupConfig]]).
+    val sharedAud: Option[DataFrame] =
+      (cfg.audioDedup, cfg.mediaDecontaminate) match {
+        case (Some(ac), Some(mdc)) if mdc.kind == "audio" =>
+          Some(Dedup.materialize(Dedup.audioHashFrame(
+            imgDeduped, cfg.idCol, ac.typeCol, ac.binaryCol)))
+        case _ => None
+      }
     val audDeduped = cfg.audioDedup.fold(imgDeduped) { ac =>
       observed("audio_dedup",
         Dedup.removeNearDuplicateAudio(imgDeduped, cfg.idCol,
-          ac.typeCol, ac.binaryCol, ac.maxHamming))
+          ac.typeCol, ac.binaryCol, ac.maxHamming, hashes = sharedAud))
     }
 
     // 3e. optional PERCEPTUAL VIDEO dedup — the third media sibling,
     //    same slot discipline (see [[VideoDedupConfig]]).
+    // video sharing additionally requires ONE sampling rate: fpos
+    // semantics are rate-relative, so a probe at a different everyN
+    // must decode its own frame
+    val sharedVid: Option[DataFrame] =
+      (cfg.videoDedup, cfg.mediaDecontaminate) match {
+        case (Some(vc), Some(mdc))
+            if mdc.kind == "video" && mdc.everyN == vc.everyN =>
+          Some(Dedup.materialize(Dedup.videoFrameHashFrame(
+            audDeduped, cfg.idCol, vc.typeCol, vc.binaryCol, vc.everyN)))
+        case _ => None
+      }
     val vidDeduped = cfg.videoDedup.fold(audDeduped) { vc =>
       observed("video_dedup",
         Dedup.removeNearDuplicateVideos(audDeduped, cfg.idCol,
           vc.typeCol, vc.binaryCol, vc.everyN, vc.maxHamming,
-          vc.minMatchFrac, alignFrames = vc.alignFrames))
+          vc.minMatchFrac, alignFrames = vc.alignFrames,
+          frameHashes = sharedVid))
     }
 
     val clean = benchClean.fold(vidDeduped)(b =>
@@ -646,10 +691,18 @@ object CorpusPipeline {
     //    rationale: a leaked eval image/clip must never train, and must
     //    drop before any selection rung can weight it).
     val mediaClean = cfg.mediaDecontaminate.fold(fuzzyClean) { mdc =>
+      // probe with the matching dedup rung's ALREADY-COMPUTED hash frame
+      // when one exists (decode once across the rungs — see sharedImg)
+      val shared = mdc.kind match {
+        case "image" => sharedImg.map(_._2)
+        case "audio" => sharedAud
+        case _       => sharedVid
+      }
       observed("media_decontaminated",
         Dedup.removeContaminatedMediaIndexed(fuzzyClean, mdc.benchmarkHashes,
           cfg.idCol, mdc.typeCol, mdc.binaryCol, mdc.kind, mdc.maxHamming,
-          mdc.everyN, mdc.minMatchFrac, mdc.alignFrames))
+          mdc.everyN, mdc.minMatchFrac, mdc.alignFrames,
+          corpusHashes = shared))
     }
 
     // 4c. optional DSIR selection — the importance-resampling rung:
