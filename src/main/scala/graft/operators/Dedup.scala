@@ -710,6 +710,69 @@ object Dedup {
     }
   }
 
+  /** The SEQUENTIAL staged-group loop every spill-bounded band family
+    * runs through — factored from the minhash detect so the staging
+    * mechanics (scratch accumulation, cross-group anti-join, shuffle
+    * release) cannot drift between families. `pairFn(g, prior)` builds
+    * group `g`'s pair frame; `prior` — the accumulated pairs of earlier
+    * groups, projected to `pairKey` — is handed to the CALLER so the
+    * anti-join can sit at the family's cheapest point (the minhash
+    * detect anti-joins candidates BEFORE its expensive shingle-array
+    * verify; the Hamming families after their bucket join, where the
+    * verify is a row-local bit_count). A pair found by an earlier group
+    * and colliding again in a later one must be anti-joined out via
+    * `prior` — that is what makes the union pair-distinct.
+    *
+    * Peak disk = one group's candidate/verify spill plus the accumulated
+    * found pairs (true near-dups — tiny next to the candidate mass).
+    * Each group's result is written to a scratch directory (the session
+    * checkpoint dir when configured — the cluster-correct location —
+    * else a driver-local temp dir, the local-mode location) and its
+    * shuffle files are released before the next group runs
+    * ([[awaitShuffleRelease]]). A group with ZERO surviving pairs may
+    * write no part files at all — only readable outputs feed the
+    * anti-join and the final union (an all-empty run returns an empty
+    * frame with the pair schema instead of failing schema inference). */
+  private[graft] def stagedPairUnion(spark: SparkSession, nGroups: Int,
+      pairKey: Seq[String],
+      pairFn: (Int, Option[DataFrame]) => DataFrame): DataFrame = {
+    require(nGroups >= 1, s"stagedPairUnion: nGroups must be >= 1, got $nGroups")
+    val scratch = spark.sparkContext.getCheckpointDir match {
+      case Some(dir) => s"$dir/graft_staged_pairs_${java.util.UUID.randomUUID}"
+      case None =>
+        java.nio.file.Files.createTempDirectory("graft_staged_pairs").toString
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var schema: org.apache.spark.sql.types.StructType = null
+    val written = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until nGroups).foreach { g =>
+      val prior =
+        if (written.isEmpty) None
+        else Some(spark.read.parquet(written.toSeq: _*)
+          .select(pairKey.map(col): _*))
+      val res = pairFn(g, prior)
+      schema = res.schema
+      val path = s"$scratch/g=$g"
+      res.write.mode("overwrite").parquet(path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (p.getFileSystem(hconf).listStatus(p)
+          .exists(s => s.getPath.getName.endsWith(".parquet") && s.getLen > 0))
+        written += path
+      awaitShuffleRelease(spark)
+    }
+    // union of per-group results: already pair-distinct (within-group
+    // dropDuplicates + the cross-group anti-join); materialize so the
+    // scratch dir can be deleted out from under the returned frame
+    val out =
+      if (written.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else materialize(spark.read.parquet(written.toSeq: _*))
+    val p = new org.apache.hadoop.fs.Path(scratch)
+    p.getFileSystem(hconf).delete(p, true)
+    out
+  }
+
   /** [[detectOnShingles]] staged into `kChunks` SEQUENTIAL band-groups —
     * the bounded-disk plan for corpora whose background similarity makes
     * the single-pass candidate/verify spill exceed local shuffle storage
@@ -726,15 +789,8 @@ object Dedup {
     * colliding only within one group is found there). Recall and
     * threshold semantics are unchanged by construction; only wall time
     * trades for the bounded footprint (each group re-joins the hashed
-    * shingle frame for its verify).
-    *
-    * Peak disk = one group's candidate/verify spill (~est/kChunks) plus
-    * the accumulated verified pairs (true near-dups — tiny next to the
-    * candidate mass). Each group's result is written to a scratch
-    * directory (the session checkpoint dir when configured — the
-    * cluster-correct location — else a driver-local temp dir, the
-    * local-mode location) and its shuffle files are released before the
-    * next group runs ([[awaitShuffleRelease]]). */
+    * shingle frame for its verify). Staging mechanics live in
+    * [[stagedPairUnion]]. */
   private[graft] def detectOnShinglesChunked(sh: DataFrame, shH: DataFrame,
       d: DetectorDecision, threshold: Double, kChunks: Int): DataFrame = {
     val spark = sh.sparkSession
@@ -744,15 +800,10 @@ object Dedup {
     val sigM = materialize(
       minHashSignatures(sh.withColumnRenamed("sh", "shingles"), d.r * d.b)
         .select(col("id"), size(col("shingles")).as("sz"), col("sig")))
-    val scratch = spark.sparkContext.getCheckpointDir match {
-      case Some(dir) => s"$dir/graft_detect_chunks_${java.util.UUID.randomUUID}"
-      case None =>
-        java.nio.file.Files.createTempDirectory("graft_detect_chunks").toString
-    }
     val groups = (0 until d.b)
       .grouped(math.max(1, math.ceil(d.b.toDouble / kChunks).toInt)).toSeq
-    groups.zipWithIndex.foreach { case (bands, g) =>
-      val banded = bandProjectionFor(sigM, d.r, bands)
+    stagedPairUnion(spark, groups.length, Seq("id_a", "id_b"), { (g, prior) =>
+      val banded = bandProjectionFor(sigM, d.r, groups(g))
       val cand0 = minHashCandidates(banded, threshold)
       val cand1 =
         if (d.prefilterH > 0)
@@ -762,24 +813,10 @@ object Dedup {
       // only through this group's bands — anti-join them out so no pair
       // is verified twice (total verify work matches the single pass,
       // where the candidate dropDuplicates did the same job globally)
-      val cand =
-        if (g == 0) cand1
-        else cand1.join(
-          spark.read.parquet((0 until g).map(i => s"$scratch/g=$i"): _*)
-            .select(col("id_a"), col("id_b")),
-          Seq("id_a", "id_b"), "left_anti")
+      val cand = prior.fold(cand1)(p =>
+        cand1.join(p, Seq("id_a", "id_b"), "left_anti"))
       verifyJaccard(cand, shH, threshold)
-        .write.mode("overwrite").parquet(s"$scratch/g=$g")
-      awaitShuffleRelease(spark)
-    }
-    // union of per-group results: already pair-distinct (within-group
-    // dropDuplicates + the cross-group anti-join); materialize so the
-    // scratch dir can be deleted out from under the returned frame
-    val out = materialize(
-      spark.read.parquet(groups.indices.map(g => s"$scratch/g=$g"): _*))
-    val p = new org.apache.hadoop.fs.Path(scratch)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    out
+    })
   }
 
   /** Usable bytes across the session's shuffle dirs (spark.local.dir —
@@ -879,20 +916,61 @@ object Dedup {
     else None
   }
 
-  /** Price-and-warn for a MATERIALIZED banded signature frame (the
+  /** The generalized staging announcement — [[spillStagingNote]]'s
+    * sibling for the banded families, which stage on their OWN group
+    * axis (Hamming chunk index, SemDeDup list hash, sign-LSH band) and
+    * may be clamped by that axis's width (a 64-bit dHash at maxHamming=6
+    * has only 7 chunks to stage over). Returned, not printed, so the
+    * spec pins the trigger and the residual-warning bit. */
+  private[graft] def bandStagingNote(family: String, estBytes: Double,
+      usableBytes: Long, k: Int): String = {
+    val per = estBytes / k
+    val clamped =
+      if (usableBytes > 0 && per > usableBytes.toDouble)
+        " WARN: even the staged per-group footprint exceeds usable space " +
+          "(the group count is clamped by the family's band geometry) - " +
+          "expect ENOSPC; apply the family's remedies or point " +
+          "spark.local.dir at larger storage."
+      else ""
+    f"[graft] INFO $family: staging the banded plan into $k sequential " +
+      f"band-groups - projected ~${estBytes / 1e9}%.1f GB of " +
+      f"candidate/verify shuffle spill vs ${usableBytes / 1e9}%.1f GB " +
+      f"usable local shuffle storage; peak per-group spill " +
+      f"~${per / 1e9}%.1f GB. Pairs and recall are IDENTICAL to the " +
+      "single-pass plan (group partitioning is exact); only wall time " +
+      "trades. (On YARN/K8s spark.local.dir is overridden per executor " +
+      "- the usable-bytes read is an approximation there.)" + clamped
+  }
+
+  /** Price a MATERIALIZED banded frame and pick its execution plan (the
     * media/embedding guard's shared body): skip below the rows floor,
-    * else one key-only aggregate → warn. The caller materializes the
-    * frame first, so the count and the aggregate never re-execute the
-    * upstream decode/scan. */
-  private def bandGuard(family: String, banded: => DataFrame,
+    * else one key-only aggregate → group count. Returns the number of
+    * sequential groups to stage into — 1 = run the single pass — and
+    * prints the staging note (k > 1) or, when the family cannot stage
+    * (`maxGroups` = 1), the warn-only message. The caller materializes
+    * the frame first, so the count and the aggregate never re-execute
+    * the upstream decode/scan. */
+  private[graft] def bandPlan(family: String, banded: => DataFrame,
       keyCols: Seq[String], nRows: Long, payloadBytes: Double,
-      remedies: String): Unit =
-    if (nRows >= BandGuardMinRows) {
-      val spark = org.apache.spark.sql.SparkSession.active
-      bandSpillWarning(family, bandCandidateMass(banded, keyCols),
-        payloadBytes, shuffleDirUsableBytes(spark), remedies)
+      remedies: String, maxGroups: Int): Int = {
+    if (nRows < BandGuardMinRows) return 1
+    val spark = org.apache.spark.sql.SparkSession.active
+    val usable = shuffleDirUsableBytes(spark)
+    val mass = bandCandidateMass(banded, keyCols)
+    val est = bandSpillEstimateBytes(mass, payloadBytes)
+    val k = spillChunkCount(est, usable, maxChunks = math.min(maxGroups, 256))
+    if (k <= 1)
+      bandSpillWarning(family, mass, payloadBytes, usable, remedies)
         .foreach(System.err.println)
-    }
+    else System.err.println(bandStagingNote(family, est, usable, k))
+    k
+  }
+
+  /** Split a family's group axis (`0 until n` chunk/band indices) into
+    * at most `k` contiguous staging groups — the detect loop's grouping
+    * rule, shared so every staged family slices its axis the same way. */
+  private[graft] def stagingGroups(n: Int, k: Int): Seq[Seq[Int]] =
+    (0 until n).grouped(math.max(1, math.ceil(n.toDouble / k).toInt)).toSeq
 
   /** Run the ONE shared detect plan (band → candidates → [prefilter] →
     * exact verify) for a [[DetectorDecision]] over prepared shingle
@@ -1077,17 +1155,48 @@ object Dedup {
       s"maxHamming must be in [0, 15], got $maxHamming (complete recall " +
         "needs maxHamming+1 chunks; more than 16 chunks of a 64-bit hash " +
         "would bucket on < 4 bits)")
-    val chunked = hammingChunks(hashed, maxHamming)
+    hammingPairs64On(hammingChunks(hashed, maxHamming), maxHamming, None)
+  }
+
+  /** The ONE pair construction [[hammingPairs64]] and its staged form
+    * share, over an already-chunked (id, sh, chunk, chunk_key) frame:
+    * bucket join → candidate dedup → [cross-group anti-join] → exact
+    * bit_count verify. `prior` (staged groups only) holds pairs earlier
+    * groups already verified — anti-joined after the candidate dedup so
+    * the union over groups is pair-distinct (the verify itself is a
+    * row-local bit_count; unlike the minhash family there is no
+    * payload-join to save by anti-joining earlier). */
+  private def hammingPairs64On(chunked: DataFrame, maxHamming: Int,
+      prior: Option[DataFrame]): DataFrame = {
     val left = chunked.select(col("chunk"), col("chunk_key"),
       col("id").as("id_a"), col("sh").as("sh_a"))
     val right = chunked.select(col("chunk"), col("chunk_key"),
       col("id").as("id_b"), col("sh").as("sh_b"))
-    left.join(right, Seq("chunk", "chunk_key"))
+    val cand0 = left.join(right, Seq("chunk", "chunk_key"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    prior.fold(cand0)(p => cand0.join(p, Seq("id_a", "id_b"), "left_anti"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** [[hammingPairs64]] staged into `kGroups` SEQUENTIAL chunk-groups —
+    * the bounded-disk plan for the 64-bit Hamming families (simhash /
+    * image dHash / audio envelope), on the [[detectOnShinglesChunked]]
+    * model: the chunk axis partitions the band join exactly (every
+    * chunk's bucket join runs exactly once across the groups), so the
+    * union of per-group verified pairs IS the single-pass pair set and
+    * only wall time trades for the ~est/kGroups peak footprint. The
+    * group count is clamped by the axis width (maxHamming + 1 chunks). */
+  private[graft] def hammingPairs64Staged(hashed: DataFrame, maxHamming: Int,
+      kGroups: Int): DataFrame = {
+    val groups = stagingGroups(maxHamming + 1, kGroups)
+    stagedPairUnion(hashed.sparkSession, groups.length, Seq("id_a", "id_b"),
+      (g, prior) => hammingPairs64On(
+        hammingChunks(hashed, maxHamming)
+          .where(col("chunk").isInCollection(groups(g))),
+        maxHamming, prior))
   }
 
   /** PERCEPTUAL near-duplicate image pairs — the multimodal rung of the
@@ -1126,13 +1235,15 @@ object Dedup {
     // between the dedup rung and the decon probe).
     val h = hashes.getOrElse(
       materialize(imageHashFrame(df, idCol, typeCol, binaryCol)))
-    bandGuard("imageNearDupPairs", hammingChunks(h, maxHamming),
+    val k = bandPlan("imageNearDupPairs", hammingChunks(h, maxHamming),
       Seq("chunk", "chunk_key"), h.count(), payloadBytes = 16.0,
       remedies = "lower maxHamming (wider chunks, fewer collisions), " +
         "shard by a cheap pre-key (dimensions, source) and dedup per " +
         "shard, or use the 128-bit form (imageNearDupPairs128 - twice " +
-        "the chunk width at the same bound)")
-    hammingPairs64(h, maxHamming)
+        "the chunk width at the same bound)",
+      maxGroups = maxHamming + 1)
+    if (k <= 1) hammingPairs64(h, maxHamming)
+    else hammingPairs64Staged(h, maxHamming, k)
   }
 
   /** PERCEPTUAL near-duplicate AUDIO pairs — the audio rung of the dedup
@@ -1159,12 +1270,14 @@ object Dedup {
     // frame (decode-once-across-rungs)
     val h = hashes.getOrElse(
       materialize(audioHashFrame(df, idCol, typeCol, binaryCol)))
-    bandGuard("audioNearDupPairs", hammingChunks(h, maxHamming),
+    val k = bandPlan("audioNearDupPairs", hammingChunks(h, maxHamming),
       Seq("chunk", "chunk_key"), h.count(), payloadBytes = 16.0,
       remedies = "lower maxHamming (wider chunks, fewer collisions), or " +
         "shard by a cheap pre-key (duration, sample rate, source) and " +
-        "dedup per shard")
-    hammingPairs64(h, maxHamming)
+        "dedup per shard",
+      maxGroups = maxHamming + 1)
+    if (k <= 1) hammingPairs64(h, maxHamming)
+    else hammingPairs64Staged(h, maxHamming, k)
   }
 
   /** The persistable AUDIO perceptual-hash frame (id, sh): one 64-bit
@@ -1383,7 +1496,7 @@ object Dedup {
     * banding share the exact layout. Carries EVERY input column (the
     * media frames pass bare (id, sh); the video path adds its frame
     * alignment key). */
-  private def hammingChunks(hashed: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def hammingChunks(hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming")
     val (widths, offsets) = hammingChunkLayout(maxHamming)
@@ -1471,7 +1584,7 @@ object Dedup {
     // SET variant drops the ordinal from the band key, multiplying the
     // collision mass by ~frames-per-clip — exactly the geometry the
     // pricing must see, so the key set follows alignFrames
-    bandGuard("videoNearDupPairs",
+    val k = bandPlan("videoNearDupPairs",
       chunked,
       if (alignFrames) Seq("fpos", "chunk", "chunk_key")
       else Seq("chunk", "chunk_key"),
@@ -1480,7 +1593,8 @@ object Dedup {
         "variant's candidate volume scales with it quadratically), use " +
         "alignFrames=true if clips are not trimmed (ordinal-keyed bands " +
         "cut the collision mass by ~frames-per-clip), lower maxHamming, " +
-        "or shard by duration/resolution and dedup per shard")
+        "or shard by duration/resolution and dedup per shard",
+      maxGroups = maxHamming + 1)
     // aligned mode joins frame ordinal i to frame ordinal i — robust to
     // re-encoding/per-frame edits, candidate volume bounded per ordinal.
     // SET mode (alignFrames = false) drops the ordinal from the band key
@@ -1488,16 +1602,12 @@ object Dedup {
     // of b's frames; matched = how many of a's ordinals found a partner)
     // at (sampled frames per clip)× the candidate volume; pair it with a
     // coarser everyN at corpus scale.
-    val joinKey =
-      (if (alignFrames) col("a.fpos") === col("b.fpos") else lit(true)) &&
-        col("a.chunk") === col("b.chunk") &&
-        col("a.chunk_key") === col("b.chunk_key") && col("a.id") < col("b.id")
-    val framePairs = chunked.as("a").join(chunked.as("b"), joinKey)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.fpos").as("fpos"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b", "fpos")
+    // The staged unit is the FRAME pair (the band join's output — what
+    // spills); the match-fraction aggregation runs once over the union,
+    // so staged and single-pass aggregate identical frame-pair sets.
+    val framePairs =
+      if (k <= 1) videoFramePairsOn(chunked, alignFrames, maxHamming, None)
+      else videoFramePairsStaged(chunked, alignFrames, maxHamming, k)
     framePairs.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_matched"))
       .join(counts.select(col("id").as("id_a"), col("nf").as("nf_a")), Seq("id_a"))
@@ -1505,6 +1615,43 @@ object Dedup {
       .where(col("n_matched") >=
         ceil(lit(minMatchFrac) * least(col("nf_a"), col("nf_b"))))
       .select(col("id_a"), col("id_b"), col("n_matched"), col("nf_a"), col("nf_b"))
+  }
+
+  /** The ONE frame-pair construction [[videoNearDupPairs]]'s single-pass
+    * and staged plans share, over an already-chunked
+    * (id, fpos, sh, chunk, chunk_key) frame. `prior` = frame pairs
+    * earlier staging groups already found, anti-joined on the full
+    * (id_a, id_b, fpos) key so the union counts each matched ordinal
+    * exactly once. */
+  private[graft] def videoFramePairsOn(sub: DataFrame, alignFrames: Boolean,
+      maxHamming: Int, prior: Option[DataFrame]): DataFrame = {
+    val joinKey =
+      (if (alignFrames) col("a.fpos") === col("b.fpos") else lit(true)) &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_key") === col("b.chunk_key") && col("a.id") < col("b.id")
+    val fp = sub.as("a").join(sub.as("b"), joinKey)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fpos").as("fpos"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b", "fpos")
+    prior.fold(fp)(p =>
+      fp.join(p, Seq("id_a", "id_b", "fpos"), "left_anti"))
+  }
+
+  /** The video family's chunk-axis staging ([[hammingPairs64Staged]]'s
+    * shape at frame-pair granularity): each group runs the single-pass
+    * construction over its chunk indices, the (id_a, id_b, fpos) union
+    * is exact, and the caller's match-fraction aggregation sees the
+    * identical frame-pair set. */
+  private[graft] def videoFramePairsStaged(chunked: DataFrame,
+      alignFrames: Boolean, maxHamming: Int, kGroups: Int): DataFrame = {
+    val groups = stagingGroups(maxHamming + 1, kGroups)
+    stagedPairUnion(chunked.sparkSession, groups.length,
+      Seq("id_a", "id_b", "fpos"),
+      (g, prior) => videoFramePairsOn(
+        chunked.where(col("chunk").isInCollection(groups(g))),
+        alignFrames, maxHamming, prior))
   }
 
   /** End-to-end perceptual video dedup: [[videoNearDupPairs]] → CC →
@@ -1559,7 +1706,7 @@ object Dedup {
   /** The 128-bit sibling of [[hammingChunks]]: (id, lo, hi, chunk,
     * chunk_key) — factored so the pair join and the disk guard band on
     * the exact same projection. */
-  private def hammingChunks128(hashed: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def hammingChunks128(hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming (complete recall " +
         "needs maxHamming+1 chunks; more than 32 chunks of a 128-bit hash " +
@@ -1588,20 +1735,38 @@ object Dedup {
       .withColumnRenamed("col", "chunk_key")
   }
 
-  private[graft] def hammingPairs128(hashed: DataFrame, maxHamming: Int): DataFrame = {
-    val chunked = hammingChunks128(hashed, maxHamming)
+  private[graft] def hammingPairs128(hashed: DataFrame, maxHamming: Int): DataFrame =
+    hammingPairs128On(hammingChunks128(hashed, maxHamming), maxHamming, None)
+
+  /** The shared pair construction of [[hammingPairs128]] and its staged
+    * form (the [[hammingPairs64On]] shape over the two-word hash). */
+  private def hammingPairs128On(chunked: DataFrame, maxHamming: Int,
+      prior: Option[DataFrame]): DataFrame = {
     val left = chunked.select(col("chunk"), col("chunk_key"),
       col("id").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
     val right = chunked.select(col("chunk"), col("chunk_key"),
       col("id").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
-    left.join(right, Seq("chunk", "chunk_key"))
+    val cand0 = left.join(right, Seq("chunk", "chunk_key"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    prior.fold(cand0)(p => cand0.join(p, Seq("id_a", "id_b"), "left_anti"))
       .withColumn("hamming",
         bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
           bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** [[hammingPairs64Staged]]'s 128-bit sibling: the same exact
+    * chunk-axis staging over the (id, lo, hi) frame. */
+  private[graft] def hammingPairs128Staged(hashed: DataFrame, maxHamming: Int,
+      kGroups: Int): DataFrame = {
+    val groups = stagingGroups(maxHamming + 1, kGroups)
+    stagedPairUnion(hashed.sparkSession, groups.length, Seq("id_a", "id_b"),
+      (g, prior) => hammingPairs128On(
+        hammingChunks128(hashed, maxHamming)
+          .where(col("chunk").isInCollection(groups(g))),
+        maxHamming, prior))
   }
 
   /** [[imageNearDupPairs]] over the 128-BIT perceptual signature
@@ -1647,12 +1812,14 @@ object Dedup {
     // `hashes` = the caller's already-materialized (id, lo, hi) frame
     val h = hashes.getOrElse(
       materialize(imageHashFrame128(df, idCol, typeCol, binaryCol)))
-    bandGuard("imageNearDupPairs128", hammingChunks128(h, maxHamming),
+    val k = bandPlan("imageNearDupPairs128", hammingChunks128(h, maxHamming),
       Seq("chunk", "chunk_key"), h.count(), payloadBytes = 32.0,
       remedies = "lower maxHamming (wider chunks, fewer collisions), or " +
         "shard by a cheap pre-key (dimensions, source) and dedup per " +
-        "shard")
-    hammingPairs128(h, maxHamming)
+        "shard",
+      maxGroups = maxHamming + 1)
+    if (k <= 1) hammingPairs128(h, maxHamming)
+    else hammingPairs128Staged(h, maxHamming, k)
   }
 
   /** End-to-end 128-bit perceptual image dedup ([[imageNearDupPairs128]]
@@ -2445,35 +2612,65 @@ object Dedup {
     // reads the checkpoint, and the a/b block sides + the per-list size
     // broadcast reuse it instead of re-running the codegen'd assignment
     // scan per consumer.
-    val assigned = {
-      val m = materialize(assigned0)
-      val dim = centroids.headOption.map(_._2.length).getOrElse(0)
-      bandGuard("semanticDupPairs", m, Seq("list"), m.count(),
-        payloadBytes = 2.0 * dim * 8,
-        remedies = "project the vectors first (projectTo / " +
-          "Similarity.randomProject - the JL rung cuts the verify " +
-          "payload by in-dim/out-dim), train more/finer centroids " +
-          "(smaller lists shrink the within-list mass quadratically), " +
-          "or dedup per source/domain group")
-      m
-    }
-    val blocks = semanticPairBlocks(assigned, maxClusterSize)
-    // Same-chunk blocks order by id (each unordered pair joined twice);
-    // cross-chunk blocks already hold each unordered pair exactly once
-    // (the pair meets only in its (min-chunk, max-chunk) block), so the
-    // id filter must NOT apply — canonical order is restored after the
-    // cosine cut via least/greatest (cosine is symmetric).
-    val pairs = blocks
+    val assigned = materialize(assigned0)
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+    val k = bandPlan("semanticDupPairs", assigned, Seq("list"),
+      assigned.count(),
+      payloadBytes = 2.0 * dim * 8,
+      remedies = "project the vectors first (projectTo / " +
+        "Similarity.randomProject - the JL rung cuts the verify " +
+        "payload by in-dim/out-dim), train more/finer centroids " +
+        "(smaller lists shrink the within-list mass quadratically), " +
+        "or dedup per source/domain group",
+      maxGroups = 256)
+    if (k <= 1) semanticPairsOn(assigned, maxClusterSize, threshold,
+      assignKeep, None)
+    else semanticPairsStaged(assigned, maxClusterSize, threshold,
+      assignKeep, k)
+  }
+
+  /** The ONE within-list pair construction [[semanticDupPairs]]'s
+    * single-pass and staged plans share, over a materialized
+    * (list, id, vec) assignment frame.
+    *
+    * Same-chunk blocks order by id (each unordered pair joined twice);
+    * cross-chunk blocks already hold each unordered pair exactly once
+    * (the pair meets only in its (min-chunk, max-chunk) block), so the
+    * id filter must NOT apply — canonical order is restored after the
+    * cosine cut via least/greatest (cosine is symmetric). */
+  private[graft] def semanticPairsOn(sub: DataFrame, maxClusterSize: Int,
+      threshold: Double, assignKeep: Int,
+      prior: Option[DataFrame]): DataFrame = {
+    val raw = semanticPairBlocks(sub, maxClusterSize)
       .where(col("_ca") =!= col("_cb") || col("id_a") < col("id_b"))
       .withColumn("cosine",
         GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= threshold)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
-    // A pair sharing ≥ 2 lists under multi-assign appears once per list;
-    // the single-assign path cannot duplicate, so skip the extra shuffle.
-    if (assignKeep > 1) pairs.dropDuplicates("id_a", "id_b") else pairs
+    // A pair sharing ≥ 2 lists under multi-assign appears once per
+    // list; the single-assign path cannot duplicate, so skip the
+    // extra shuffle. Under staging the lists may land in DIFFERENT
+    // groups — the cross-group anti-join (prior) covers that split.
+    val dd =
+      if (assignKeep > 1) raw.dropDuplicates("id_a", "id_b") else raw
+    prior.fold(dd)(p => dd.join(p, Seq("id_a", "id_b"), "left_anti"))
   }
+
+  /** [[semanticDupPairs]]'s staged form: lists are INDEPENDENT
+    * (candidates never cross lists), so hash-partitioning the list axis
+    * into k sequential groups is exact — each group's within-list
+    * blocks run the single-pass construction over its lists only, and
+    * the cross-group anti-join covers multi-assign pairs whose shared
+    * lists straddle a group boundary. */
+  private[graft] def semanticPairsStaged(assigned: DataFrame,
+      maxClusterSize: Int, threshold: Double, assignKeep: Int,
+      kGroups: Int): DataFrame =
+    stagedPairUnion(assigned.sparkSession, kGroups, Seq("id_a", "id_b"),
+      (g, prior) => semanticPairsOn(
+        assigned.where(
+          pmod(xxhash64(col("list")), lit(kGroups.toLong)) === lit(g.toLong)),
+        maxClusterSize, threshold, assignKeep, prior))
 
   /** The skew-bounded candidate blocks of [[semanticDupPairs]]: every
     * within-list (id_a, id_b) candidate row tagged with its block key

@@ -230,7 +230,15 @@ object Similarity {
     * the band calculus (and complete on the test corpus, pinned by
     * SimilaritySpec against [[cosinePairsExact]]). */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, recallTarget: Double = 0.999, seed: Int = 42): DataFrame = {
+      threshold: Double, recallTarget: Double = 0.999, seed: Int = 42): DataFrame =
+    cosinePairsImpl(df, vecCol, idCol, threshold, recallTarget, seed, None)
+
+  /** [[cosinePairs]] body with the staging decision injectable
+    * (`forceGroups` — specs pin staged ≡ single-pass on fixtures far
+    * below the guard's rows floor). */
+  private[graft] def cosinePairsImpl(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, recallTarget: Double, seed: Int,
+      forceGroups: Option[Int]): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val (r, b) = signBands(threshold, recallTarget)
     // Keyed repartition before the signature stage: parallelism must not
@@ -241,51 +249,69 @@ object Similarity {
     val vecs = Dedup.materialize(
       df.select(col(idCol).as("id"), col(vecCol).as("vec"))
         .repartition(Dedup.cpuParallelism(df), col("id")))
-    // Disk guard (round 14): the sign-LSH band join has the minhash
-    // detector's candidate geometry with no prefilter — price the
-    // collision mass against local shuffle storage before running it.
-    // Skipped below the rows floor (bandGuard); the mass aggregate
-    // re-runs the narrow signature projection once over the checkpoint.
-    val nVecs = vecs.count()
-    if (nVecs >= Dedup.BandGuardMinRows) {
-      val dim = vecs.limit(1).collect().headOption
-        .map(_.getSeq[Any](1).length).getOrElse(0)
-      val bandedForMass = vecs.select(col("id"),
-        posexplode(array((0 until b).map(j =>
-          graft.functions.GraftFunctions.signSignature(col("vec"), r, seed + j)): _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_key")
-      Dedup.bandSpillWarning("cosinePairs",
-        Dedup.bandCandidateMass(bandedForMass, Seq("band", "band_key")),
-        payloadBytes = 2.0 * dim * 8,
-        usableBytes = Dedup.shuffleDirUsableBytes(df.sparkSession),
-        remedies = "project the vectors first (randomProject - the JL " +
-          "rung cuts the verify payload by in-dim/out-dim), raise the " +
-          "threshold or recallTarget's band count, or assign to coarse " +
-          "lists (IVF) and dedup per list")
-        .foreach(System.err.println)
-    }
     // One r-plane signature per band, independent planes via the seed —
     // no bit-slicing of a shared signature (slices of one signature are
     // what the round-2 fixed 4×4 chunking did; independent bands make the
-    // (1 − p₁ʳ)ᵇ recall bound exact).
-    val banded = vecs.select(col("id"),
-      posexplode(array((0 until b).map(j =>
+    // (1 − p₁ʳ)ᵇ recall bound exact). `bandIdx` = which of the b global
+    // band indices this construction runs (all of them single-pass; a
+    // contiguous group under staging — the posexplode position is
+    // group-relative, which is fine: band identity only disambiguates
+    // buckets WITHIN one construction, and both join sides share it).
+    def bandedFor(bandIdx: Seq[Int]): DataFrame = vecs.select(col("id"),
+      posexplode(array(bandIdx.map(j =>
         graft.functions.GraftFunctions.signSignature(col("vec"), r, seed + j)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
-      .withColumn("cosine", graft.functions.GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    // Disk guard (round 14, staged round 14b): the sign-LSH band join
+    // has the minhash detector's candidate geometry with no prefilter —
+    // price the collision mass against local shuffle storage before
+    // running it, and stage the band axis into sequential groups when
+    // the single pass would not fit (the detect's bounded-disk plan:
+    // pairs identical, peak spill divided by the group count). The mass
+    // aggregate re-runs the narrow signature projection once over the
+    // checkpoint.
+    val nVecs = vecs.count()
+    val k = forceGroups.getOrElse {
+      if (nVecs < Dedup.BandGuardMinRows) 1
+      else {
+        val dim = vecs.limit(1).collect().headOption
+          .map(_.getSeq[Any](1).length).getOrElse(0)
+        Dedup.bandPlan("cosinePairs", bandedFor(0 until b),
+          Seq("band", "band_key"), nVecs, payloadBytes = 2.0 * dim * 8,
+          remedies = "project the vectors first (randomProject - the JL " +
+            "rung cuts the verify payload by in-dim/out-dim), raise the " +
+            "threshold or recallTarget's band count, or assign to coarse " +
+            "lists (IVF) and dedup per list",
+          maxGroups = b)
+      }
+    }
+    // The staged unit is the verified pair; the prior-pairs anti-join
+    // sits on the bare ID candidates BEFORE the two payload joins (the
+    // minhash detect's placement — re-verifying a known pair would pay
+    // the vector joins again).
+    def pairsOn(bandIdx: Seq[Int], prior: Option[DataFrame]): DataFrame = {
+      val banded = bandedFor(bandIdx)
+      val cand0 = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val cand = prior.fold(cand0)(p =>
+        cand0.join(p, Seq("id_a", "id_b"), "left_anti"))
+      cand
+        .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+        .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+        .withColumn("cosine", graft.functions.GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
+        .where(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
+    if (k <= 1) pairsOn(0 until b, None)
+    else {
+      val groups = Dedup.stagingGroups(b, k)
+      Dedup.stagedPairUnion(df.sparkSession, groups.length,
+        Seq("id_a", "id_b"), (g, prior) => pairsOn(groups(g), prior))
+    }
   }
 
   /** EXACT cosine pairs ≥ threshold: upper-triangle all-pairs scan with the

@@ -877,6 +877,50 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.bandSpillWarning("x", 1e10, 16.0, 0L, "r").isEmpty)
   }
 
+  test("generalized staging: note triggers, group slicing, and the empty-group defense") {
+    // bandStagingNote: announces the group count, pins exactness, and
+    // carries the residual warning only when even the per-group
+    // footprint exceeds usable space (the geometry-clamp bit)
+    val note = Dedup.bandStagingNote("imageNearDupPairs", 200e9,
+      100L * (1L << 30), 4)
+    assert(note.contains("imageNearDupPairs") &&
+      note.contains("4 sequential band-groups") &&
+      note.contains("IDENTICAL"), note)
+    assert(!note.contains("clamped"))
+    val clamped = Dedup.bandStagingNote("imageNearDupPairs", 200e9,
+      10L * (1L << 30), 4)
+    assert(clamped.contains("clamped by the family's band geometry"), clamped)
+    // stagingGroups: covers the axis exactly once, never more groups
+    // than indices, contiguous slices (the detect loop's rule)
+    assert(Dedup.stagingGroups(7, 3).map(_.toSet).reduce(_ ++ _) == (0 until 7).toSet)
+    assert(Dedup.stagingGroups(7, 3).length == 3)
+    assert(Dedup.stagingGroups(7, 50).length == 7)
+    assert(Dedup.stagingGroups(121, 21).length == 21)
+    assert(Dedup.stagingGroups(5, 1) == Seq(0 until 5))
+    // stagedPairUnion: a group that finds nothing may write no parquet
+    // part files at all — later groups must not fail reading it, and an
+    // all-empty run returns an empty frame with the pair schema
+    val spark2 = spark
+    import org.apache.spark.sql.functions.{col => c}
+    val someEmpty = Dedup.stagedPairUnion(spark2, 3, Seq("id_a", "id_b"),
+      (g, prior) => {
+        val base = docs.limit(4)
+          .select(c("doc_id").as("id_a"), (c("doc_id") + 1).as("id_b"))
+        val own = if (g == 1) base else base.where(c("id_a") < -1)
+        prior.fold(own)(p => own.join(p, Seq("id_a", "id_b"), "left_anti"))
+      })
+    assert(someEmpty.count() == 4)
+    val allEmpty = Dedup.stagedPairUnion(spark2, 2, Seq("id_a", "id_b"),
+      (_, prior) => {
+        val own = docs.limit(1)
+          .select(c("doc_id").as("id_a"), c("doc_id").as("id_b"))
+          .where(c("id_a") < -1)
+        prior.fold(own)(p => own.join(p, Seq("id_a", "id_b"), "left_anti"))
+      })
+    assert(allEmpty.count() == 0)
+    assert(allEmpty.columns.toSeq == Seq("id_a", "id_b"))
+  }
+
   implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

@@ -349,6 +349,53 @@ class MultimodalSpec extends AnyFunSuite {
       "fixture twins must survive the 128-bit bound")
   }
 
+  test("staged chunk-groups == single pass: image 64/128-bit bands and video frame pairs") {
+    // The Hamming chunk axis partitions the band join exactly — staging
+    // over chunk-index groups must reproduce the single-pass pair set
+    // (the minhash detect's bounded-disk guarantee, ported to the media
+    // families). Pins both the grouping arithmetic and the cross-group
+    // anti-join (a twin pair collides in MANY chunks here: the planted
+    // edits leave most of the 7 chunk keys equal).
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val media = ImageFixture.frame(spark)
+    val h = Dedup.materialize(
+      Dedup.imageHashFrame(media, "media_id", "media_type", "content"))
+    val single64 = pairSet(Dedup.hammingPairs64(h, 6))
+    assert(single64.nonEmpty)
+    assert(pairSet(Dedup.hammingPairs64Staged(h, 6, 3)) == single64)
+    // a group count above the chunk-axis width degenerates to one group
+    // per chunk (7 groups), still exact
+    assert(pairSet(Dedup.hammingPairs64Staged(h, 6, 50)) == single64)
+    val h128 = Dedup.materialize(
+      Dedup.imageHashFrame128(media, "media_id", "media_type", "content"))
+    val single128 = pairSet(Dedup.hammingPairs128(h128, 6))
+    assert(single128.nonEmpty)
+    assert(pairSet(Dedup.hammingPairs128Staged(h128, 6, 4)) == single128)
+
+    // video: the staged unit is the FRAME pair (id_a, id_b, fpos) —
+    // both the aligned and SET band keys must survive staging unchanged
+    val vm = VideoFixture.frame(spark)
+    val hashes = Dedup.materialize(
+      Dedup.videoFrameHashFrame(vm, "media_id", "media_type", "content", 2)
+        .select($"id", $"fpos", $"sh"))
+    val chunked = Dedup.hammingChunks(hashes, 4)
+    def frameSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b", $"fpos".cast("long"), $"hamming".cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    Seq(true, false).foreach { aligned =>
+      val single = frameSet(
+        Dedup.videoFramePairsOn(chunked, aligned, 4, None))
+      assert(single.nonEmpty, s"aligned=$aligned")
+      val staged = frameSet(
+        Dedup.videoFramePairsStaged(chunked, aligned, 4, 3))
+      assert(staged == single,
+        s"aligned=$aligned: only-single=${single -- staged} " +
+          s"only-staged=${staged -- single}")
+    }
+  }
+
   test("audioEnvelope: live PCM decode of the audio fixture equals the analytic envelope") {
     // the ±A square-wave synthesis makes each window's L1 energy EXACTLY
     // 64·amplitude — the analytic truth the q_audio_near_dups oracle is

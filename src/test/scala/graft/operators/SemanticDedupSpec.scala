@@ -93,6 +93,33 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(got == exactPairs)
   }
 
+  test("staged list-groups == single pass (the bounded-disk plan), incl. multi-assign straddle") {
+    // The list axis partitions the within-list pair construction exactly
+    // — hash-splitting the lists into sequential groups must reproduce
+    // the single-pass pair set. assignKeep=2 is the interesting case: a
+    // pair sharing two lists can see them land in DIFFERENT groups, and
+    // the cross-group anti-join must still emit it exactly once.
+    def pairs(ps: org.apache.spark.sql.DataFrame) = ps
+      .select($"id_a", $"id_b", ($"cosine" * 1e9).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    Seq(1, 2).foreach { keep =>
+      val assigned = Dedup.materialize(Similarity.assignListsAuto(
+        df, "embedding", "vec_id", centroids, "id", "vec", keep))
+      val single = pairs(
+        Dedup.semanticPairsOn(assigned, 3, tau, keep, None))
+      // k=3 on 3 lists: xxhash64 scatters them over the groups
+      val staged = pairs(
+        Dedup.semanticPairsStaged(assigned, 3, tau, keep, 3))
+      assert(single.nonEmpty)
+      assert(staged == single,
+        s"keep=$keep: only-single=${single -- staged} " +
+          s"only-staged=${staged -- single}")
+      // duplicates must not slip through when shared lists straddle
+      val ids = staged.toSeq.map(p => (p._1, p._2))
+      assert(ids.size == ids.toSet.size, "staged union must be pair-distinct")
+    }
+  }
+
   test("removeSemanticDuplicates keeps the farthest-from-centroid member, NOT min-id") {
     val kept = Dedup.removeSemanticDuplicates(df, "embedding", "vec_id", centroids, tau)
       .select("vec_id").as[Long].collect().toSet

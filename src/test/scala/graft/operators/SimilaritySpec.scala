@@ -115,6 +115,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == exact, s"missed=${exact -- lsh} spurious=${lsh -- exact}")
   }
 
+  test("cosinePairs staged band-groups == single pass (the bounded-disk plan)") {
+    // Band partitioning is exact: forcing the staged plan (forceGroups)
+    // on a fixture far below the guard's rows floor must reproduce the
+    // single-pass verified pair set — with rounded cosines equal too,
+    // since both plans verify with the same kernel. τ=0.45 gives the
+    // widest banding (b=337) and real cross-group collision mass.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b", ($"cosine" * 1e9).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val single = pairs(Similarity.cosinePairs(emb, "embedding", "vec_id", 0.45))
+    val staged = pairs(Similarity.cosinePairsImpl(
+      emb, "embedding", "vec_id", 0.45, 0.999, 42, forceGroups = Some(3)))
+    assert(single.nonEmpty)
+    assert(staged == single,
+      s"only-single=${single -- staged} only-staged=${staged -- single}")
+    // a group count above the band-axis width degenerates gracefully
+    val wide = pairs(Similarity.cosinePairsImpl(
+      emb, "embedding", "vec_id", 0.99, 0.999, 42, forceGroups = Some(7)))
+    val wideSingle = pairs(
+      Similarity.cosinePairs(emb, "embedding", "vec_id", 0.99))
+    assert(wide == wideSingle)
+  }
+
   test("signBands: recall bound holds, plane budget respected, selectivity grows with threshold") {
     Seq(0.45, 0.7, 0.8, 0.9, 0.95).foreach { tau =>
       val (r, b) = Similarity.signBands(tau)
