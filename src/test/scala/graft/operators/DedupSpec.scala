@@ -897,6 +897,28 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.stagingGroups(7, 50).length == 7)
     assert(Dedup.stagingGroups(121, 21).length == 21)
     assert(Dedup.stagingGroups(5, 1) == Seq(0 until 5))
+    // massBalancedGroups: exact cover, and LPT keeps heavy indices from
+    // stacking — the 2M lesson (count-uniform groups stacked several
+    // heavy bands into one group and went back over the disk wall)
+    val skewed = Seq(0 -> 100.0, 1 -> 1.0, 2 -> 1.0, 3 -> 90.0,
+      4 -> 1.0, 5 -> 80.0)
+    val mb = Dedup.massBalancedGroups(skewed, 3)
+    assert(mb.flatten.sorted == (0 to 5), s"must cover the axis once: $mb")
+    def groupLoad(g: Seq[Int]) = g.map(i => skewed.toMap.apply(i)).sum
+    // the three heavies land in three DIFFERENT groups (LPT), so the
+    // max load is ~100+ε, not 100+90 as positional slicing would give
+    assert(mb.map(groupLoad).max <= 103.0, s"loads=${mb.map(groupLoad)}")
+    // contrast: contiguous count-uniform slicing stacks 0 and 1 with 100
+    // total fine but 3-and-5-style stacking is what LPT prevents on the
+    // heavy tail; also: k above the index count degenerates gracefully
+    assert(Dedup.massBalancedGroups(skewed, 50).flatten.sorted == (0 to 5))
+    assert(Dedup.massBalancedGroups(skewed, 1) == Seq(0 to 5))
+    // zero-mass indices still run (exactness: every band exactly once)
+    assert(Dedup.massBalancedGroups(
+      Seq(0 -> 0.0, 1 -> 5.0, 2 -> 0.0), 2).flatten.sorted == (0 to 2))
+    // deterministic under ties
+    assert(Dedup.massBalancedGroups(Seq(0 -> 1.0, 1 -> 1.0, 2 -> 1.0), 2) ==
+      Dedup.massBalancedGroups(Seq(2 -> 1.0, 0 -> 1.0, 1 -> 1.0), 2))
     // stagedPairUnion: a group that finds nothing may write no parquet
     // part files at all — later groups must not fail reading it, and an
     // all-empty run returns an empty frame with the pair schema
