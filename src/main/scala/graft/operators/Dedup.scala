@@ -800,34 +800,63 @@ object Dedup {
     val sigM = materialize(
       minHashSignatures(sh.withColumnRenamed("sh", "shingles"), d.r * d.b)
         .select(col("id"), size(col("shingles")).as("sz"), col("sig")))
-    // Per-band collision mass (Σ C(n,2) over each band's buckets): one
-    // key-only aggregate over the materialized signatures, b scalars to
-    // the driver. The bands are then MASS-BALANCED into the kChunks
-    // groups (LPT) — the 2M decade measured per-band mass skewed enough
-    // that count-uniform grouping stacked several heavy bands into one
-    // group and went back over the disk wall.
-    val bandMass = bandProjection(sigM, d.r, d.b)
+    // The staging unit is the (band, bucket-hash slice) pair, NOT the
+    // band: per-band collision mass is radically skewed on adversarial
+    // corpora (the 2M model fixture measured ONE band holding 26% of
+    // the total mass — no band-level grouping can keep that group under
+    // the disk), and buckets are the truly independent sub-axis (a
+    // candidate pair collides in exactly one bucket per band, and the
+    // slice hash sends each bucket to exactly one unit — partitioning
+    // the single-pass candidate set exactly). Unit masses come from one
+    // key-only aggregate over the materialized signatures
+    // (b × SpillSlices scalars to the driver), then greedy LPT packs
+    // the units into the kChunks groups so heavy slices cannot stack.
+    // Zero-mass units (no bucket with ≥ 2 rows) cannot produce a
+    // candidate and are skipped — exactness is unaffected.
+    val slices = SpillSlicesPerBand
+    val sliceOf = pmod(xxhash64(col("band_key")), lit(slices.toLong)).cast("int")
+    val unitMass = bandProjection(sigM, d.r, d.b)
       .groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("_n"))
-      .groupBy(col("band"))
+      .withColumn("_slice", sliceOf)
+      .groupBy(col("band"), col("_slice"))
       .agg(coalesce(sum(col("_n") * (col("_n") - lit(1)) / lit(2.0)),
         lit(0.0)).as("_m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val totalMass = math.max(1.0, bandMass.values.sum)
-    val groups = massBalancedGroups(
-      (0 until d.b).map(b => b -> bandMass.getOrElse(b, 0.0)), kChunks)
+      .collect().map(r => (r.getInt(0) * slices + r.getInt(1), r.getDouble(2)))
+      .filter(_._2 > 0)
+    val totalMass = math.max(1.0, unitMass.map(_._2).sum)
+    val massByUnit = unitMass.toMap
+    val groups = massBalancedGroups(unitMass, kChunks)
+    val maxShare = groups.map(_.map(massByUnit).sum).max / totalMass
+    System.err.println(
+      f"[graft] INFO detect staging: ${unitMass.length} non-empty " +
+        f"(band, bucket-slice) units over ${groups.length} groups; " +
+        f"heaviest group ${maxShare * 100}%.1f%% of collision mass" +
+        (if (maxShare * kChunks > 2.0)
+          " - WARN: mass concentrates in few buckets; if the heaviest " +
+            "group still exceeds usable disk, the remedies are the " +
+            "detector's (line/span dedup rungs, raise the threshold)"
+        else ""))
+    import spark.implicits._
     stagedPairUnion(spark, groups.length, Seq("id_a", "id_b"), { (g, prior) =>
-      val share = groups(g).map(bandMass.getOrElse(_, 0.0)).sum / totalMass
+      val share = groups(g).map(massByUnit).sum / totalMass
       System.err.println(
         f"[graft] INFO detect group ${g + 1}/${groups.length}: " +
-          f"${groups(g).length} bands, ${share * 100}%.1f%% of collision mass")
-      val banded = bandProjectionFor(sigM, d.r, groups(g))
+          f"${groups(g).length} units, ${share * 100}%.1f%% of collision mass")
+      val unitsDf = broadcast(
+        groups(g).map(u => (u / slices, u % slices)).toDF("band", "_slice"))
+      // explode only the group's bands (narrow), then keep its slices
+      val banded = bandProjectionFor(sigM, d.r,
+          groups(g).map(_ / slices).distinct.sorted)
+        .withColumn("_slice", sliceOf)
+        .join(unitsDf, Seq("band", "_slice"))
+        .drop("_slice")
       val cand0 = minHashCandidates(banded, threshold)
       val cand1 =
         if (d.prefilterH > 0)
           prefilterBySignature(cand0, sigM, threshold, d.prefilterH)
         else cand0
       // pairs already found by an earlier group can collide again here
-      // only through this group's bands — anti-join them out so no pair
+      // only through this group's units — anti-join them out so no pair
       // is verified twice (total verify work matches the single pass,
       // where the candidate dropDuplicates did the same job globally)
       val cand = prior.fold(cand1)(p =>
@@ -835,6 +864,15 @@ object Dedup {
       verifyJaccard(cand, shH, threshold)
     })
   }
+
+  /** Bucket-hash slices per band in the staged detect: the sub-axis that
+    * keeps staging effective under extreme per-band mass skew. 64 slices
+    * × the typical band count keeps the driver-side mass table a few
+    * thousand scalars while making the irreducible staging unit ~1/64th
+    * of a band (a single BUCKET heavier than the disk is then the only
+    * unstageable shape — and that is the near-all-pairs regime the
+    * detector's circuit breaker already names remedies for). */
+  private[graft] val SpillSlicesPerBand: Int = 64
 
   /** Usable bytes across the session's shuffle dirs (spark.local.dir —
     * comma-separated — falling back to java.io.tmpdir, exactly where
