@@ -725,19 +725,25 @@ object Dedup {
     *
     * Peak disk = one group's candidate/verify spill plus the accumulated
     * found pairs (true near-dups — tiny next to the candidate mass).
-    * Each group's result is written to a scratch directory (the session
-    * checkpoint dir when configured — the cluster-correct location —
-    * else a driver-local temp dir, the local-mode location) and its
-    * shuffle files are released before the next group runs
-    * ([[awaitShuffleRelease]]). A group with ZERO surviving pairs may
-    * write no part files at all — only readable outputs feed the
-    * anti-join and the final union (an all-empty run returns an empty
-    * frame with the pair schema instead of failing schema inference). */
+    * Each group's result is written to a scratch directory
+    * ([[stagedScratchBase]]: the session checkpoint dir when configured
+    * — the cluster-correct location — else, in LOCAL mode only, a
+    * driver-local temp dir) and its shuffle files are released before
+    * the next group runs ([[awaitShuffleRelease]] — skipped after the
+    * final group, where nothing follows that needs the space). A group
+    * with ZERO surviving pairs may write no part files at all — only
+    * readable outputs feed the anti-join and the final union (an
+    * all-empty run returns an empty frame with the pair schema —
+    * nullability normalized to match the parquet read-back of the
+    * non-empty path — instead of failing schema inference). Per-group
+    * build+write and release-wait seconds print to stderr so staged
+    * runs record where their wall time goes. */
   private[graft] def stagedPairUnion(spark: SparkSession, nGroups: Int,
       pairKey: Seq[String],
       pairFn: (Int, Option[DataFrame]) => DataFrame): DataFrame = {
     require(nGroups >= 1, s"stagedPairUnion: nGroups must be >= 1, got $nGroups")
-    val scratch = spark.sparkContext.getCheckpointDir match {
+    val scratch = stagedScratchBase(spark.sparkContext.isLocal,
+        spark.sparkContext.getCheckpointDir) match {
       case Some(dir) => s"$dir/graft_staged_pairs_${java.util.UUID.randomUUID}"
       case None =>
         java.nio.file.Files.createTempDirectory("graft_staged_pairs").toString
@@ -746,6 +752,7 @@ object Dedup {
     var schema: org.apache.spark.sql.types.StructType = null
     val written = scala.collection.mutable.ArrayBuffer.empty[String]
     (0 until nGroups).foreach { g =>
+      val t0 = System.nanoTime()
       val prior =
         if (written.isEmpty) None
         else Some(spark.read.parquet(written.toSeq: _*)
@@ -758,7 +765,15 @@ object Dedup {
       if (p.getFileSystem(hconf).listStatus(p)
           .exists(s => s.getPath.getName.endsWith(".parquet") && s.getLen > 0))
         written += path
-      awaitShuffleRelease(spark)
+      val tw = System.nanoTime()
+      // release only matters BEFORE the next group's shuffle — the final
+      // group's files die with the job (skipping saves the fixed ≥3 s
+      // stability wait × 1, and under k=2 plans nearly halves overhead)
+      if (g < nGroups - 1) awaitShuffleRelease(spark)
+      System.err.println(
+        f"[graft] INFO staged group ${g + 1}/$nGroups: build+write " +
+          f"${(tw - t0) / 1e9}%.1f s, release wait " +
+          f"${(System.nanoTime() - tw) / 1e9}%.1f s")
     }
     // union of per-group results: already pair-distinct (within-group
     // dropDuplicates + the cross-group anti-join); materialize so the
@@ -766,11 +781,35 @@ object Dedup {
     val out =
       if (written.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            schema.map(_.copy(nullable = true))))
       else materialize(spark.read.parquet(written.toSeq: _*))
     val p = new org.apache.hadoop.fs.Path(scratch)
     p.getFileSystem(hconf).delete(p, true)
     out
+  }
+
+  /** Scratch-location decision for [[stagedPairUnion]]: the session
+    * checkpoint dir when configured (the cluster-correct location — the
+    * driver and every executor resolve one shared filesystem), else —
+    * ONLY in local mode, where driver and executors share one machine —
+    * `None`, selecting a driver-local temp dir. Off local mode the temp
+    * fallback would have each executor write its task outputs to its
+    * OWN local filesystem and the driver's parquet read-back of the
+    * scratch path would be silently wrong (missing or garbage rows) in
+    * exactly the large-cluster deployment staging exists for — so it is
+    * refused loudly with the remedy named. Pure, so the spec pins the
+    * refusal without needing a multi-node session. */
+  private[graft] def stagedScratchBase(isLocal: Boolean,
+      checkpointDir: Option[String]): Option[String] = {
+    require(isLocal || checkpointDir.isDefined,
+      "stagedPairUnion: no checkpoint dir is configured and the session " +
+        "is not local[*] - the driver-local temp-dir fallback would " +
+        "scatter per-group task outputs across executor filesystems and " +
+        "read back garbage; call spark.sparkContext.setCheckpointDir" +
+        "(<path on a shared filesystem>) before running a staged plan")
+    checkpointDir
   }
 
   /** [[detectOnShingles]] staged into `kChunks` SEQUENTIAL band-groups —
@@ -823,6 +862,16 @@ object Dedup {
         lit(0.0)).as("_m"))
       .collect().map(r => (r.getInt(0) * slices + r.getInt(1), r.getDouble(2)))
       .filter(_._2 > 0)
+    // Zero measured collision mass (possible when the caller's
+    // model-based spill estimate over-predicted a corpus with no bucket
+    // holding ≥ 2 rows): no unit can produce a candidate, so the pair
+    // set is empty by construction — return it as the single-pass plan
+    // over an empty banded frame (schema-exact, O(1)) instead of letting
+    // massBalancedGroups hand an empty Seq to the group loop.
+    if (unitMass.isEmpty)
+      return verifyJaccard(
+        minHashCandidates(bandProjection(sigM, d.r, d.b).limit(0), threshold),
+        shH, threshold)
     val totalMass = math.max(1.0, unitMass.map(_._2).sum)
     val massByUnit = unitMass.toMap
     val groups = massBalancedGroups(unitMass, kChunks)
@@ -1440,7 +1489,8 @@ object Dedup {
       kind: String, maxHamming: Int, checkDisjointIds: Boolean = true,
       maxIter: Int = 20, everyN: Int = 2, minMatchFrac: Double = 0.6,
       incomingHashes: Option[DataFrame] = None,
-      alignFrames: Boolean = true): DataFrame = {
+      alignFrames: Boolean = true,
+      forceProbeGroups: Option[Int] = None): DataFrame = {
     require(Set("image", "audio", "video").contains(kind),
       s"removeNearDuplicateMediaIncremental: kind must be 'image', " +
         s"'audio' or 'video', got '$kind'")
@@ -1499,23 +1549,43 @@ object Dedup {
     // existing↔existing pairs are unrepresentable in this join's output
     val inChunks = hammingChunks(inH, maxHamming)
     val allChunks = inChunks.unionByName(hammingChunks(exH, maxHamming))
-    // disk guard (the one-sided form): probe mass = Σ_k in_k · all_k.
-    // inH is materialized above and exH is normally a persisted parquet
-    // index, so the counts/aggregates never re-decode anything.
-    if (inH.count() + exH.count() >= BandGuardMinRows) {
-      val keys =
-        if (kind == "video" && alignFrames) Seq("fpos", "chunk", "chunk_key")
-        else Seq("chunk", "chunk_key")
-      val spark = incoming.sparkSession
-      bandSpillWarning("removeNearDuplicateMediaIncremental",
-        bandProbeMass(inChunks, allChunks, keys),
-        payloadBytes = if (kind == "video") 24.0 else 16.0,
-        usableBytes = shuffleDirUsableBytes(spark),
-        remedies = "probe in smaller batches (the per-batch candidate " +
-          "mass scales with the batch size), lower maxHamming, or for " +
-          "video raise everyN / keep alignFrames=true")
-        .foreach(System.err.println)
+    // Disk guard, now with a BOUNDED plan instead of a warning (round
+    // 15): probe mass = Σ_k in_k · all_k, estimated spill priced against
+    // usable shuffle bytes exactly like the batch families — but the
+    // probe's staging axis is the INCOMING-ID hash (sub-batches), which
+    // is arbitrarily divisible, so an oversized delta (the round-13
+    // failure mode fed back through a 10M-doc batch) auto-splits into
+    // sequential sub-batches rather than warn-and-die. Each sub-batch
+    // probes the FULL (incoming ∪ existing) chunk side, so the union
+    // over sub-batches is the single-pass pair set: an incoming↔existing
+    // pair appears in exactly its incoming id's sub-batch; an
+    // incoming↔incoming pair appears in both members' sub-batches and
+    // the staged prior anti-join keeps the first. inH is materialized
+    // above and exH is normally a persisted parquet index, so the
+    // counts/aggregates never re-decode anything.
+    val spark = incoming.sparkSession
+    val kSub = forceProbeGroups.getOrElse {
+      if (inH.count() + exH.count() < BandGuardMinRows) 1
+      else {
+        val keys =
+          if (kind == "video" && alignFrames) Seq("fpos", "chunk", "chunk_key")
+          else Seq("chunk", "chunk_key")
+        val payload = if (kind == "video") 24.0 else 16.0
+        val usable = shuffleDirUsableBytes(spark)
+        val est = bandSpillEstimateBytes(
+          bandProbeMass(inChunks, allChunks, keys), payload)
+        val k = spillChunkCount(est, usable)
+        if (k > 1) System.err.println(bandStagingNote(
+          s"removeNearDuplicateMediaIncremental($kind) probe", est, usable, k) +
+          " Further remedies: lower maxHamming, or for video raise " +
+          "everyN / keep alignFrames=true.")
+        k
+      }
     }
+    def inSub(g: Int): DataFrame =
+      if (kSub <= 1) inChunks
+      else inChunks.where(
+        pmod(xxhash64(col("id")), lit(kSub.toLong)) === lit(g.toLong))
     val pairs =
       if (kind == "video") {
         // per-ALIGNED-FRAME probe + the matched-frame gate, exactly the
@@ -1527,18 +1597,32 @@ object Dedup {
         // frame-count candidate multiplier; pair with a coarser everyN
         val fposKey =
           if (alignFrames) col("a.fpos") === col("b.fpos") else lit(true)
-        val framePairs = inChunks.as("a")
-          .join(allChunks.as("b"),
-            fposKey &&
-              col("a.chunk") === col("b.chunk") &&
-              col("a.chunk_key") === col("b.chunk_key") &&
-              col("a.id") =!= col("b.id"))
-          .select(least(col("a.id"), col("b.id")).as("id_a"),
-            greatest(col("a.id"), col("b.id")).as("id_b"),
-            col("a.fpos").as("fpos"),
-            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-          .where(col("hamming") <= maxHamming)
-          .dropDuplicates("id_a", "id_b", "fpos")
+        // the staged unit is the matched-ordinal row (id_a, id_b, fpos):
+        // in SET mode a both-incoming pair surfaces once per member's
+        // sub-batch with that member's OWN ordinal in fpos — rows the
+        // single pass also emits (both members sit in inChunks there),
+        // so the union stays exact; the aligned mode's duplicate
+        // (same fpos from both sides) dies in the prior anti-join
+        def framePairsOn(sub: DataFrame, prior: Option[DataFrame]) = {
+          val fp = sub.as("a")
+            .join(allChunks.as("b"),
+              fposKey &&
+                col("a.chunk") === col("b.chunk") &&
+                col("a.chunk_key") === col("b.chunk_key") &&
+                col("a.id") =!= col("b.id"))
+            .select(least(col("a.id"), col("b.id")).as("id_a"),
+              greatest(col("a.id"), col("b.id")).as("id_b"),
+              col("a.fpos").as("fpos"),
+              bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+            .where(col("hamming") <= maxHamming)
+            .dropDuplicates("id_a", "id_b", "fpos")
+          prior.fold(fp)(p =>
+            fp.join(p, Seq("id_a", "id_b", "fpos"), "left_anti"))
+        }
+        val framePairs =
+          if (kSub <= 1) framePairsOn(inChunks, None)
+          else stagedPairUnion(spark, kSub, Seq("id_a", "id_b", "fpos"),
+            (g, prior) => framePairsOn(inSub(g), prior))
         val counts = inH.groupBy(col("id")).agg(count(lit(1)).as("nf"))
           .unionByName(exH.groupBy(col("id")).agg(count(lit(1)).as("nf")))
         framePairs.groupBy(col("id_a"), col("id_b"))
@@ -1548,18 +1632,25 @@ object Dedup {
           .where(col("n_matched") >=
             ceil(lit(minMatchFrac) * least(col("nf_a"), col("nf_b"))))
           .select(col("id_a"), col("id_b"))
-      } else
-        inChunks.as("a")
-          .join(allChunks.as("b"),
-            col("a.chunk") === col("b.chunk") &&
-              col("a.chunk_key") === col("b.chunk_key") &&
-              col("a.id") =!= col("b.id"))
-          .select(least(col("a.id"), col("b.id")).as("id_a"),
-            greatest(col("a.id"), col("b.id")).as("id_b"),
-            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-          .where(col("hamming") <= maxHamming)
-          .dropDuplicates("id_a", "id_b")
-          .select(col("id_a"), col("id_b"))
+      } else {
+        def pairsOn(sub: DataFrame, prior: Option[DataFrame]) = {
+          val p0 = sub.as("a")
+            .join(allChunks.as("b"),
+              col("a.chunk") === col("b.chunk") &&
+                col("a.chunk_key") === col("b.chunk_key") &&
+                col("a.id") =!= col("b.id"))
+            .select(least(col("a.id"), col("b.id")).as("id_a"),
+              greatest(col("a.id"), col("b.id")).as("id_b"),
+              bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+            .where(col("hamming") <= maxHamming)
+            .dropDuplicates("id_a", "id_b")
+            .select(col("id_a"), col("id_b"))
+          prior.fold(p0)(p => p0.join(p, Seq("id_a", "id_b"), "left_anti"))
+        }
+        if (kSub <= 1) pairsOn(inChunks, None)
+        else stagedPairUnion(spark, kSub, Seq("id_a", "id_b"),
+          (g, prior) => pairsOn(inSub(g), prior))
+      }
     val labels = resolveClusters(pairs, maxIter)
     val incomingLabeled = labels.join(inH.select(col("id")), Seq("id"), "left_semi")
     val taintedLabels = labels.join(exH.select(col("id")), Seq("id"), "left_semi")
@@ -1711,12 +1802,19 @@ object Dedup {
       (if (alignFrames) col("a.fpos") === col("b.fpos") else lit(true)) &&
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_key") === col("b.chunk_key") && col("a.id") < col("b.id")
+    // min(hamming) — not dropDuplicates — keeps the report DETERMINISTIC
+    // in SET mode, where one a-frame at fpos can match several b-frames
+    // with different hamming values (an arbitrary-keep would make the
+    // staged and single-pass plans report different, plan-dependent
+    // hamming for the same matched ordinal; n_matched is unaffected
+    // either way)
     val fp = sub.as("a").join(sub.as("b"), joinKey)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.fpos").as("fpos"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b", "fpos")
+      .groupBy(col("id_a"), col("id_b"), col("fpos"))
+      .agg(min(col("hamming")).as("hamming"))
     prior.fold(fp)(p =>
       fp.join(p, Seq("id_a", "id_b", "fpos"), "left_anti"))
   }
@@ -2232,11 +2330,12 @@ object Dedup {
     * against an existing corpus given as (band index, shingle index) —
     * computed fresh by [[removeNearDuplicatesIncremental]], read from
     * storage by [[removeNearDuplicatesIncrementalIndexed]]. */
-  private def removeIncrementalFrom(exBands: DataFrame, shEx: DataFrame,
+  private[graft] def removeIncrementalFrom(exBands: DataFrame, shEx: DataFrame,
       incoming: DataFrame, textCol: String, idCol: String, threshold: Double,
       n: Int, k: Int, checkDisjointIds: Boolean, maxIter: Int,
       exSigHead: Option[DataFrame] = None, prefilterHashes: Int = 64,
-      prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin): DataFrame = {
+      prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin,
+      forceProbeGroups: Option[Int] = None): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
     // Fail-FAST width check (driver-side, one column-pruned row): an
     // obviously mis-sized stored head is a configuration bug that should
@@ -2281,40 +2380,80 @@ object Dedup {
       if (exBands.columns.contains("sz")) exBands
       else exBands.join(shEx.select(col("id"), size(col("sh")).as("sz")), Seq("id"))
     val allBands = newBands.unionByName(exB.select(newBands.columns.map(col): _*))
-    // same length filter as nearDupPairsMinHash: kill background band
-    // collisions before the pair-dedup shuffle and the verify joins
-    val candidates = newBands.as("a")
-      .join(allBands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.id") =!= col("b.id") &&
-          least(col("a.sz"), col("b.sz")).cast("double") >=
-            greatest(col("a.sz"), col("b.sz")) * threshold - lit(1e-9))
-      // canonical orientation so (A,B)/(B,A) dedup to one pair
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // optional signature-agreement prefilter: the stored corpus head plus
-    // h fresh hashes per incoming doc (the delta side is the only side
-    // hashed — the index contract holds). Self-gated like the batch tuned
-    // path, but on the MEASURED candidate count — the probe has no
-    // background-J estimate in hand, and the band join is already behind
-    // us, so materialize-and-count prices the verify exactly: below the
-    // gate the head joins' fixed cost can only lose (a small daily batch
-    // probing a huge index yields few candidates), above it they remove
-    // the verify wall (BASELINE.md round 7: 5M-doc verify 639 → 40 s).
-    val kept = exSigHead match {
-      case Some(exHd) if prefilterHashes > 0 =>
-        val cand = materialize(candidates)
-        if (cand.count() >= prefilterMinCandidates) {
-          val allHd = minHashSignatureHead(shIn, prefilterHashes)
-            .unionByName(exHd.select(col("id"), col("hd")))
-          prefilterByHead(cand, allHd, threshold, prefilterHashes)
-        } else cand
-      case _ => candidates
-    }
     val shAll = shIn.unionByName(shEx)
-    val pairs = verifyJaccard(kept, hashShingles(shAll), threshold)
-      .select(col("id_a"), col("id_b"))
+    val shAllH = hashShingles(shAll)
+    // Disk guard with a BOUNDED plan (round 15): the probe's candidate
+    // mass is "batch-bounded" only if someone bounds the batch — a
+    // 10M-doc delta against a boilerplate-heavy index re-creates the
+    // round-13 ENOSPC wall one sided. Price Σ_k in_k · all_k over the
+    // band buckets (length filter ignored — conservative), payload two
+    // hashed shingle arrays at the DELTA's mean width (pair sides agree
+    // within the threshold ratio after the length filter), and auto-
+    // split the incoming side into sequential id-hash sub-batches when
+    // the single probe would not fit. Each sub-batch probes the full
+    // (incoming ∪ existing) band side, so the union over sub-batches is
+    // the single-pass pair set (incoming↔existing pairs land in their
+    // incoming id's sub-batch; both-incoming pairs land in both and the
+    // staged prior anti-join keeps the first).
+    val spark = incoming.sparkSession
+    val kSub = forceProbeGroups.getOrElse {
+      val nIn = shIn.count()
+      if (nIn + shEx.count() < BandGuardMinRows) 1
+      else {
+        val meanSh = shIn.select(
+          coalesce(avg(size(col("sh"))), lit(0.0))).first().getDouble(0)
+        val usable = shuffleDirUsableBytes(spark)
+        val est = bandSpillEstimateBytes(
+          bandProbeMass(newBands, allBands, Seq("band", "band_key")),
+          payloadBytes = 2.0 * meanSh * 8.0)
+        val ks = spillChunkCount(est, usable)
+        if (ks > 1) System.err.println(bandStagingNote(
+          "incremental near-dup probe", est, usable, ks) +
+          " Further remedies: probe in smaller batches, raise the " +
+          "threshold, or strip shared boilerplate (line/span dedup) " +
+          "from the delta first.")
+        ks
+      }
+    }
+    // candidates → [self-gated prefilter] → exact verify, per sub-batch
+    // (kSub = 1 ⇒ the whole delta in one pass — the historical plan).
+    // The optional signature-agreement prefilter self-gates on the
+    // MEASURED candidate count per pass (same gate as the batch tuned
+    // path): below prefilterMinCandidates the head joins' fixed cost can
+    // only lose; above it they remove the verify wall (BASELINE.md
+    // round 7: 5M-doc verify 639 → 40 s).
+    def pairsOn(sub: DataFrame, prior: Option[DataFrame]): DataFrame = {
+      val cand0 = sub.as("a")
+        .join(allBands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.id") =!= col("b.id") &&
+            // same length filter as nearDupPairsMinHash: kill background
+            // band collisions before the pair-dedup shuffle and verify
+            least(col("a.sz"), col("b.sz")).cast("double") >=
+              greatest(col("a.sz"), col("b.sz")) * threshold - lit(1e-9))
+        // canonical orientation so (A,B)/(B,A) dedup to one pair
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val candidates = prior.fold(cand0)(p =>
+        cand0.join(p, Seq("id_a", "id_b"), "left_anti"))
+      val kept = exSigHead match {
+        case Some(exHd) if prefilterHashes > 0 =>
+          val cand = materialize(candidates)
+          if (cand.count() >= prefilterMinCandidates) {
+            val allHd = minHashSignatureHead(shIn, prefilterHashes)
+              .unionByName(exHd.select(col("id"), col("hd")))
+            prefilterByHead(cand, allHd, threshold, prefilterHashes)
+          } else cand
+        case _ => candidates
+      }
+      verifyJaccard(kept, shAllH, threshold).select(col("id_a"), col("id_b"))
+    }
+    val pairs =
+      if (kSub <= 1) pairsOn(newBands, None)
+      else stagedPairUnion(spark, kSub, Seq("id_a", "id_b"), (g, prior) =>
+        pairsOn(newBands.where(
+          pmod(xxhash64(col("id")), lit(kSub.toLong)) === lit(g.toLong)), prior))
     val labels = resolveClusters(pairs, maxIter)
     // clusters touching the existing corpus drop ALL their incoming
     // members; purely-incoming clusters keep the min-id survivor

@@ -333,7 +333,12 @@ object StreamingOps {
       minMatchFrac: Double = 0.6,
       alignFrames: Boolean = true,
       benchmarkIndexDir: Option[String] = None,
-      benchmarkMaxHamming: Int = 6)
+      benchmarkMaxHamming: Int = 6,
+      // staging override for the per-batch probe's bounded-disk plan
+      // (None = the probe prices its own mass and splits only when an
+      // oversized batch would not fit — the production default; specs
+      // force k > 1 to pin staged ≡ single-pass on fixture batches)
+      forceProbeGroups: Option[Int] = None)
 
   /** Continuous corpus ingestion with near-duplicate suppression — the
     * streaming form of the daily-increment dedup shape: each micro-batch
@@ -499,7 +504,8 @@ object StreamingOps {
               mc.typeCol, mc.binaryCol, mc.kind, mc.maxHamming,
               everyN = mc.everyN, minMatchFrac = mc.minMatchFrac,
               incomingHashes = batchMediaHashes,
-              alignFrames = mc.alignFrames)
+              alignFrames = mc.alignFrames,
+              forceProbeGroups = mc.forceProbeGroups)
           }
           // optional per-batch MEDIA DECONTAMINATION — the pipeline's
           // media-decon slot (after media dedup, last before landing):

@@ -943,6 +943,56 @@ class DedupSpec extends AnyFunSuite {
     assert(allEmpty.columns.toSeq == Seq("id_a", "id_b"))
   }
 
+  test("staged scratch base: checkpoint dir always wins; driver-local temp fallback refused off local mode") {
+    // Pure decision (no multi-node session needed): the temp-dir
+    // fallback is only correct when driver and executors share one
+    // filesystem — i.e. local mode. Off local mode the refusal must
+    // name the remedy (setCheckpointDir on a shared path).
+    assert(Dedup.stagedScratchBase(isLocal = true, None).isEmpty)
+    assert(Dedup.stagedScratchBase(isLocal = true, Some("/ckpt"))
+      .contains("/ckpt"))
+    assert(Dedup.stagedScratchBase(isLocal = false, Some("/ckpt"))
+      .contains("/ckpt"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.stagedScratchBase(isLocal = false, None)
+    }
+    assert(e.getMessage.contains("setCheckpointDir") &&
+      e.getMessage.contains("shared filesystem"), e.getMessage)
+  }
+
+  test("probe batch staging: sub-batch arithmetic, and staged text probe == single pass") {
+    // The oversized-delta contract: probe mass → spill estimate →
+    // sub-batch count is the SAME pinned composition the batch families
+    // use (bandProbeMass ∘ bandSpillEstimateBytes ∘ spillChunkCount) —
+    // 6 candidate pairs × (32 + 16) B = 288 B against 100 B usable at
+    // the 0.5 margin → ⌈288/50⌉ = 6 sequential sub-batches
+    assert(Dedup.spillChunkCount(
+      Dedup.bandSpillEstimateBytes(6.0, 16.0), 100L) == 6)
+    // and a delta that fits runs the historical single pass
+    assert(Dedup.spillChunkCount(
+      Dedup.bandSpillEstimateBytes(6.0, 16.0), 10000L) == 1)
+
+    // staged ≡ single-pass on the REAL probe: the incoming side splits
+    // into id-hash sub-batches, each probes the full (incoming ∪
+    // existing) band side, survivors must be identical
+    val existing = docs.where($"doc_id" < 300)
+    val incoming = docs.where($"doc_id" >= 300)
+    val exSh = Dedup.materialize(
+      Dedup.shingleIndex(existing, "text", "doc_id"))
+    val exBands = Dedup.minHashBandIndex(exSh, threshold = 0.5)
+    def run(force: Option[Int]) = Dedup.removeIncrementalFrom(
+      exBands, exSh, incoming, "text", "doc_id", threshold = 0.5,
+      n = 3, k = 128, checkDisjointIds = false, maxIter = 20,
+      forceProbeGroups = force)
+      .select("doc_id").as[Long].collect().toSet
+    val single = run(None)
+    val staged = run(Some(3))
+    assert(single.nonEmpty)
+    assert(staged == single,
+      s"staged probe diverges: only-single=${single -- staged}, " +
+        s"only-staged=${staged -- single}")
+  }
+
   implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

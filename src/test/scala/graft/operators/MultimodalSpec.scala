@@ -532,6 +532,21 @@ class MultimodalSpec extends AnyFunSuite {
         kind = "audio", maxHamming = 4).count()
     }
     assert(boom.getMessage.contains("disjoint"))
+
+    // oversized-batch contract (round 15): the probe auto-splits an
+    // incoming delta into sequential id-hash sub-batches when its
+    // candidate mass would not fit local disk — forced here on the
+    // fixture (the 200k-row floor keeps real fixture plans single-pass)
+    // and required to keep the EXACT single-pass survivors, audio and
+    // image kinds both
+    assert(Dedup.removeNearDuplicateMediaIncremental(
+        exHashes, inDf, "media_id", "media_type", "content",
+        kind = "audio", maxHamming = 4, forceProbeGroups = Some(3))
+      .select("media_id").as[Long].collect().toSet == expected)
+    assert(Dedup.removeNearDuplicateMediaIncremental(
+        exImg, inImg, "media_id", "media_type", "content",
+        kind = "image", maxHamming = 6, forceProbeGroups = Some(4))
+      .select("media_id").as[Long].collect().toSet == keptImg)
   }
 
   test("removeNearDuplicateMediaIncremental kind=video: per-frame index probe, taint + min-id") {
@@ -609,6 +624,21 @@ class MultimodalSpec extends AnyFunSuite {
         kind = "video", maxHamming = 4, everyN = 1).count()
     }
     assert(mixBoom.getMessage.contains("every_n=2"))
+    // oversized-batch staging keeps the exact survivors at the
+    // frame-pair granularity, aligned AND trim-robust SET probes
+    assert(Dedup.removeNearDuplicateMediaIncremental(
+      exHashes, inDf, "media_id", "media_type", "content",
+      kind = "video", maxHamming = 4, forceProbeGroups = Some(3))
+      .select("media_id").as[Long].collect().toSet == expected)
+    val setSingle = Dedup.removeNearDuplicateMediaIncremental(
+      exHashes, inDf, "media_id", "media_type", "content",
+      kind = "video", maxHamming = 4, alignFrames = false)
+      .select("media_id").as[Long].collect().toSet
+    assert(Dedup.removeNearDuplicateMediaIncremental(
+      exHashes, inDf, "media_id", "media_type", "content",
+      kind = "video", maxHamming = 4, alignFrames = false,
+      forceProbeGroups = Some(3))
+      .select("media_id").as[Long].collect().toSet == setSingle)
   }
 
   test("mediaContaminationHits: corpus media probe a frozen benchmark index; brute-force parity; video SET probe") {

@@ -702,6 +702,50 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(indexed == Set(1L, 11L), s"got $indexed")
   }
 
+  test("dedupStreamIntoCorpus: OVERSIZED media batch auto-splits the probe — outcome identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.AudioFixture
+    implicit val sqlCtx = spark.sqlContext
+    // The round-15 batch-size contract: a delta whose probe mass would
+    // not fit local disk runs as sequential id-hash sub-batches instead
+    // of warn-and-die. Fixture batches sit far below the 200k-row guard
+    // floor, so the split is FORCED through MediaDedupConfig — the
+    // ingested corpus and hash index must match the single-pass run of
+    // the sibling test exactly (same fixture, same batches).
+    val source = MemoryStream[(Long, String, String, Array[Byte])]
+    val docs = source.toDF().toDF("doc_id", "text", "media_type", "content")
+    val corpus = Files.createTempDirectory("media_corpus_split").toString
+    val index = Files.createTempDirectory("media_index_split").toString
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t2 = "completely different prose about distributed query engines and shuffle plans"
+    val t3 = "a third unrelated passage describing mountain weather patterns in spring"
+    val t4 = "yet another standalone text on deep sea creatures and their glowing lures"
+    val t5 = "final distinct words concerning ancient pottery excavated from dry valleys"
+    val q = StreamingOps.dedupStreamIntoCorpus(
+      docs, corpus, index, "text", "doc_id", threshold = 0.5,
+      mediaDedup = Some(StreamingOps.MediaDedupConfig(
+        "media_type", "content", kind = "audio", maxHamming = 4,
+        forceProbeGroups = Some(2))))
+    try {
+      source.addData(
+        (1L, t1, "audio/wav", AudioFixture.wavBytes(0L)),
+        (2L, t2, "audio/wav", AudioFixture.wavBytesScaled(0L, 4, 5)),
+        (3L, t3, null, null))
+      q.processAllAvailable()
+      source.addData(
+        (10L, t4, "audio/wav", AudioFixture.wavBytesScaled(0L, 3, 5)),
+        (11L, t5, "audio/wav", AudioFixture.wavBytes(30L)))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(landed == Set(1L, 3L, 11L),
+        s"staged probe must keep the single-pass survivors, got $landed")
+    } finally q.stop()
+    val indexed = spark.read.parquet(s"$index/mediahashes")
+      .select("id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 11L), s"got $indexed")
+  }
+
   test("dedupStreamIntoCorpus: per-batch MEDIA decontamination drops a planted benchmark image (batch ≡ stream)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
