@@ -564,6 +564,85 @@ object ScaleProfile {
         }
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     }
+
+    // ── round 15: STAGED cosinePairs at guard-engaging scale — the
+    // generalized banded-family staging (round 14b) measured, not just
+    // spec-pinned. Synthesizes SPARK_GRAFT_VECS 64-dim vectors in
+    // clusters of SPARK_GRAFT_COSINE_M members around hash-random unit
+    // centroids with in-cluster cosine ≈ 0.95 (> τ = 0.9; pairs collide
+    // in ~11% of the 176 bands each, so candidates stay DISTINCT after
+    // pair-dedup and the verify payload join is the real disk load —
+    // the text detect's adversarial shape in embedding space).
+    // SPARK_GRAFT_COSINE_FORCE: "auto" = let bandPlan decide (prints
+    // the staging note), an integer = forceGroups (1 = single pass) —
+    // the A/B pair BASELINE.md's staged-wall-multiplier row reads. ────
+    if (sections("cosinestaged")) {
+      import graft.operators.{Dedup, Similarity}
+      val n = sys.env.getOrElse("SPARK_GRAFT_VECS", "250000").toLong
+      val m = sys.env.getOrElse("SPARK_GRAFT_COSINE_M", "100").toInt
+      val force = sys.env.getOrElse("SPARK_GRAFT_COSINE_FORCE", "auto")
+      val fg = if (force == "auto") None else Some(force.toInt)
+      import spark.implicits._
+      val vecs = Dedup.materialize(spark.range(n).as[Long]
+        .mapPartitions(_.map { id =>
+          val c = id / m
+          def mix(a: Long, d: Int, seed: Int): Double = {
+            var x = (a * 73856093L ^ d.toLong * 19349663L).toInt ^ seed
+            x *= 0x9e3779b1; x ^= x >>> 16
+            (((x & 0x7fffffff) % 2001) - 1000) / 1000.0
+          }
+          // centroid(cluster) + 0.23 · noise(member): |cent| ≈ |noise|,
+          // so pairwise in-cluster cosine ≈ 1/(1 + 0.23²) ≈ 0.95 ± 0.01
+          (id, Array.tabulate(64)(d => mix(c, d, 0) + 0.23 * mix(id, d, 0x2545f491)))
+        }).toDF("id", "vec"))
+      vecs.count()
+      timed(s"cosinestaged.pairs(n=$n m=$m tau=0.9 force=$force)") {
+        Similarity.cosinePairsImpl(vecs, "vec", "id", 0.9, 0.999, 42, fg).count()
+      }
+    }
+
+    // ── round 15: STAGED image-Hamming A/B at guard-engaging scale —
+    // the Hamming-family staging measured on ONE materialized hash
+    // frame (decode excluded, so the A/B isolates the staging cost):
+    // `single` = hammingPairs64 with the guard bypassed, `staged` =
+    // hammingPairs64Staged at SPARK_GRAFT_IMAGES_K groups, `auto` =
+    // the public entry point (bandPlan prints its own decision). At the
+    // default 450k fixture images / h=6 the 9-bit chunks hold ~880
+    // images per bucket — ~1.4e9 candidate rows carrying both hashes
+    // through the bucket join, the measured-disk regime. Pairs equality
+    // staged ≡ single is MultimodalSpec's pin; this arm records wall
+    // and peak disk. SPARK_GRAFT_IMAGES_RUN selects arms
+    // (single|staged|auto|all). ──────────────────────────────────────
+    if (sections("imagestaged")) {
+      import graft.operators.{Dedup, ImageFixture, Multimodal}
+      val n = sys.env.getOrElse("SPARK_GRAFT_IMAGES", "450000").toInt
+      val h = sys.env.getOrElse("SPARK_GRAFT_IMAGES_H", "6").toInt
+      val k = sys.env.getOrElse("SPARK_GRAFT_IMAGES_K", "3").toInt
+      val run = sys.env.getOrElse("SPARK_GRAFT_IMAGES_RUN", "all")
+      import spark.implicits._
+      // DISTINCT synthetic images (the generator draws for any id —
+      // triples per k=id/3, so n/3 planted near-dup pairs and ~uniform
+      // background buckets); decode + dHash INSIDE the tasks
+      val media = spark.range(n).as[Long]
+        .mapPartitions(_.map(id => (id, "image/png", ImageFixture.pngBytes(id))))
+        .toDF("media_id", "media_type", "content")
+      val hashed = Dedup.materialize(
+        Dedup.imageHashFrame(media, "media_id", "media_type", "content"))
+      timed(s"imagestaged.decode+hash(n=$n)") { hashed.count() }
+      if (run == "all" || run == "single")
+        timed(s"imagestaged.single(n=$n h=$h guard bypassed)") {
+          Dedup.hammingPairs64(hashed, h).count()
+        }
+      if (run == "all" || run == "staged")
+        timed(s"imagestaged.staged(n=$n h=$h k=$k)") {
+          Dedup.hammingPairs64Staged(hashed, h, k).count()
+        }
+      if (run == "all" || run == "auto")
+        timed(s"imagestaged.auto(n=$n h=$h bandPlan decides)") {
+          Dedup.imageNearDupPairs(media, "media_id", "media_type", "content",
+            maxHamming = h, hashes = Some(hashed)).count()
+        }
+    }
     spark.stop()
   }
 }

@@ -990,6 +990,18 @@ object SparkEntry {
     //    gopherRuleSqlsMl — no-drift) ───────────────────────────────────
     "q_corpus_pipeline_ml" -> ((s, dir) => corpusPipelineMlQuery(s, dir)),
 
+    // ── North star (round 15): the ALL-RUNGS composed pipeline — ml
+    //    tokenizer + gopher gate, ml exact/near dedup, SEMANTIC-JL rung
+    //    (projectTo=16), perceptual IMAGE dedup, CJK text decon, MEDIA
+    //    decon (frozen benchmark image hashes), token-share MIX, ml
+    //    chunking, sequence PACKING — one config, one oracle. The 19
+    //    sibling variants pin each rung group; this pins their
+    //    cross-rung interactions (ml fingerprints feed the mix strata
+    //    AFTER media removal, the semantic survivor feeds the image
+    //    rung, ...). Fixture: MlFixture.fullDocs (+ per-doc embedding
+    //    literals, ImageFixture payloads, id%3 strata) ─────────────────
+    "q_corpus_pipeline_full" -> ((s, dir) => corpusPipelineFullQuery(s, dir)),
+
     // ── North star text analysis: corpus vocabulary — top tokens by
     //    frequency (explode → partial-agg → TakeOrderedAndProject; the
     //    shuffle carries one row per distinct token per task) ───────────
@@ -2790,6 +2802,66 @@ object SparkEntry {
       minTokens = 10, maxTokens = 100000, minAlphaRatio = 0.4,
       dedupThreshold = 0.5, shingleN = 3, decontaminateN = 8,
       chunkTokens = 64, overlapTokens = 16,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      materializeDocuments = true)
+    val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    pipelineStatsRow(s, p)
+  }
+
+  /** q_corpus_pipeline_full: EVERY rung family in one config — the
+    * composed chain the 19 sibling variants pin pairwise, run whole.
+    * Corpus = [[graft.operators.MlFixture.fullDocs]] (the ml-variant
+    * fixture + five rung-threading English docs) with per-doc embedding
+    * literals, ImageFixture payloads on the mapped carriers, and
+    * `source = 'src' || id % 3` mix strata. Expected stage work: the ml
+    * gate drops the garbage + the stopword-free pangram, exact dedup
+    * drops the zh duplicate, near-dup drops the five ml twins, the
+    * SEMANTIC-JL rung collapses the planted embedding pair {600, 601}
+    * (lexically unrelated — only the embedding rung can see it), the
+    * IMAGE rung collapses 701 into 700 (PNG 4 is PNG 3's near-dup edit),
+    * text decon drops the CJK leak, MEDIA decon drops 702 (PNG 7 is
+    * within Hamming 6 of frozen benchmark image 6), the MIX rung
+    * resamples the survivors to the 0.5/0.3/0.2 token shares, and the
+    * tail chunks ml tokens and greedy-packs them at budget 256 — every
+    * stage restated in DuckDB by [[corpusPipelineFullOracle]]. */
+  private def corpusPipelineFullQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val attach = graft.operators.MlFixture.fullMediaAttach.toMap
+    val corpus = graft.operators.MlFixture.fullDocs.toDF("doc_id", "text")
+      .as[(Long, String)].map { case (id, tx) =>
+        val img = attach.get(id)
+        (id, tx, s"src${id % 3}",
+          img.map(_ => "image/png").orNull,
+          img.map(graft.operators.ImageFixture.pngBytes).orNull,
+          graft.operators.MlFixture.fullEmbedding(id))
+      }.toDF("doc_id", "text", "source", "media_type", "content", "embedding")
+    val fx = graft.operators.MlFixture
+    val bench = fx.docs
+      .collect { case (id, _, tx) if id == 2L || id == 42L => (id, tx) }
+      .toDF("doc_id", "text")
+    val benchHashes = graft.operators.Dedup.imageHashFrame(
+      graft.operators.ImageFixture.frame(s)
+        .where(col("media_id").isin(fx.fullBenchImageIds: _*)),
+      "media_id", "media_type", "content")
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      tokenizer = graft.functions.Tok.Ml, gopherRules = true,
+      langs = Set("ar", "en", "ja", "ru", "zh"),
+      minTokens = 10, maxTokens = 100000, minAlphaRatio = 0.4,
+      dedupThreshold = 0.5, shingleN = 3,
+      semanticDedup = Some(graft.pipeline.CorpusPipeline.SemanticDedupConfig(
+        "embedding", graft.operators.FrozenAnn.coarse, threshold = 0.9,
+        projectTo = Some(16))),
+      imageDedup = Some(graft.pipeline.CorpusPipeline.ImageDedupConfig(
+        "media_type", "content", maxHamming = 6)),
+      decontaminateN = 8,
+      mediaDecontaminate = Some(
+        graft.pipeline.CorpusPipeline.MediaDecontaminateConfig(
+          "media_type", "content", kind = "image",
+          benchmarkHashes = benchHashes, maxHamming = 6)),
+      mixToShares = Some(graft.pipeline.CorpusPipeline.MixConfig(
+        "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
+      chunkTokens = 64, overlapTokens = 16,
+      packTokenBudget = Some(256L),
       splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       materializeDocuments = true)
     val p = graft.pipeline.CorpusPipeline.prepare(corpus, Some(bench), cfg)
@@ -5215,6 +5287,7 @@ object SparkEntry {
     "q_corpus_pipeline_audio" -> corpusPipelineAudioOracle,
     "q_corpus_pipeline_video" -> corpusPipelineVideoOracle,
     "q_corpus_pipeline_ml" -> corpusPipelineMlOracle,
+    "q_corpus_pipeline_full" -> corpusPipelineFullOracle,
     "q_corpus_pipeline_media_decon" -> corpusPipelineMediaDeconOracle,
     "q_corpus_pipeline_semantic_jl" -> corpusPipelineSemanticJlOracle,
     "q_media_dedup_incremental" -> {
@@ -5472,6 +5545,154 @@ object SparkEntry {
       "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
       "(SELECT count(*) FROM ck) AS n_chunks, " +
       "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum"
+  }
+
+  /** Ground truth for q_corpus_pipeline_full — every rung of the
+    * all-rungs chain restated from the same generated tables: the
+    * ml-variant gate/exact/near stages over [[graft.operators.MlFixture
+    * .fullDocs]], the JL-projected semantic rung (the
+    * q_corpus_pipeline_semantic_jl construction over the fixture's
+    * embedding literals), the 128-bit frozen-grid image stage mapped
+    * through the doc→media attachment, the CJK 8-gram text decon, the
+    * 64-bit frozen-grid media decon against benchmark image 6, the
+    * q_token_mix rate derivation over the survivors' ml-token mass, and
+    * the ml chunk → split → greedy-pack tail. */
+  private lazy val corpusPipelineFullOracle: String = {
+    val fx = graft.operators.MlFixture
+    val mlToks = graft.functions.Tok.Ml.sqlTokens("text")
+    val rules = gopherRuleSqlsMl("text", "tok", "lang")
+      .map(r => s"($r)").mkString(" AND ")
+    val mlRtToks = graft.functions.Tok.Ml.sqlTokens("rt")
+    val benchVals = fx.docs
+      .filter(d => d._1 == 2L || d._1 == 42L)
+      .map { case (i, _, t) => s"($i, '$t')" }
+      .mkString("(VALUES ", ", ", ") bf(doc_id, text)")
+    val imapVals = fx.fullMediaAttach
+      .map { case (d, m) => s"($d, $m)" }
+      .mkString("(VALUES ", ", ", ") im(doc_id, media_id)")
+    val benchImgs = fx.fullBenchImageIds.mkString(", ")
+    // the JL cell table — the q_corpus_pipeline_semantic_jl emission
+    val outDim = 16; val inDim = 64
+    val m = graft.operators.Similarity.randomProjectionMatrix(inDim, outDim)
+    (0 until outDim).foreach(j => require(
+      m.slice(j * inDim, (j + 1) * inDim).exists(_ != 0),
+      s"JL matrix row $j is all-zero; the oracle's list reassembly " +
+        "would drop a dimension"))
+    val cells = (for {
+      j <- 0 until outDim; d <- 0 until inDim
+      w = m(j * inDim + d) if w != 0
+    } yield s"($d, $j, $w)").mkString(", ")
+    "WITH RECURSIVE " +
+      AnnOracles.coarseCtesProjected(outDim) + ", " +
+      s"w(d0, j, wt) AS (VALUES $cells), " +
+      s"femb AS (SELECT doc_id, v FROM ${fx.fullEmbSqlValues}), " +
+      s"imap AS (SELECT doc_id, media_id FROM $imapVals), " +
+      s"pd AS MATERIALIZED (SELECT doc_id, text, 'src' || CAST(doc_id % 3 AS VARCHAR) AS source FROM ${fx.fullSqlValues}), " +
+      s"ptok AS MATERIALIZED (SELECT doc_id, text, source, $mlToks AS tok FROM pd), " +
+      s"pl AS MATERIALIZED (SELECT doc_id, text, source, tok, CASE ${langScriptWhensSql("text")} " +
+      "WHEN CAST(substr(b,1,8) AS INT) > 0 THEN substr(b,9,2) ELSE 'und' END AS lang " +
+      s"FROM (SELECT doc_id, text, source, tok, ${langVoteGreatestSql("tok")} AS b FROM ptok) x), " +
+      "q1 AS MATERIALIZED (SELECT doc_id, text, source, tok FROM pl " +
+      "WHERE len(tok) BETWEEN 10 AND 100000 " +
+      "AND length(array_to_string(tok,''))*1.0/greatest(length(text),1) >= 0.4 " +
+      s"AND lang IN ('ar','en','ja','ru','zh') AND $rules), " +
+      "q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT min(doc_id) FROM q1 GROUP BY array_to_string(tok, ' '))), " +
+      "sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tok)-1,1)), " +
+      "i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) AS sh FROM q2), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh,b.sh))*1.0/greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.5), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM j UNION ALL SELECT id_b, id_a FROM j), " +
+      "r AS (SELECT src AS id, src AS label FROM e UNION SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id), " +
+      "lab AS (SELECT id, min(label) AS label FROM r GROUP BY id), " +
+      "q3 AS MATERIALIZED (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)), " +
+      // ── SEMANTIC-JL rung (the semantic_jl oracle block over femb) ──
+      "semq AS (SELECT q3.doc_id AS id, generate_subscripts(f.v, 1) - 1 AS d0, " +
+      "CAST(floor(unnest(f.v) * 1024 + 0.5) AS BIGINT) AS qv FROM q3 JOIN femb f ON f.doc_id = q3.doc_id), " +
+      "semp AS (SELECT semq.id AS id, w.j AS j, CAST(sum(qv * wt) AS DOUBLE) AS o " +
+      "FROM semq JOIN w ON semq.d0 = w.d0 GROUP BY semq.id, w.j), " +
+      "sememb AS MATERIALIZED (SELECT id, list(o ORDER BY j) AS v FROM semp GROUP BY id), " +
+      "sasg AS MATERIALIZED (SELECT id, l, cc FROM (SELECT s2.id, ls.l, " +
+      "list_cosine_similarity(s2.v, cents[ls.l+1]) AS cc, " +
+      "ROW_NUMBER() OVER (PARTITION BY s2.id ORDER BY " +
+      "list_cosine_similarity(s2.v, cents[ls.l+1]) DESC, ls.l) AS rk " +
+      "FROM sememb s2, ls, co) WHERE rk = 1), " +
+      "sj AS MATERIALIZED (SELECT ax.id AS id_a, ay.id AS id_b " +
+      "FROM sasg ax JOIN sasg ay ON ax.l = ay.l AND ax.id < ay.id " +
+      "JOIN sememb x ON x.id = ax.id JOIN sememb y ON y.id = ay.id " +
+      "WHERE list_cosine_similarity(x.v, y.v) >= 0.9), " +
+      "se AS (SELECT id_a AS src, id_b AS dst FROM sj UNION ALL SELECT id_b, id_a FROM sj), " +
+      "sr AS (SELECT src AS id, src AS label FROM se " +
+      "UNION SELECT se.dst AS id, sr.label FROM sr JOIN se ON se.src = sr.id), " +
+      "slab AS (SELECT id, min(label) AS label FROM sr GROUP BY id), " +
+      "sranked AS (SELECT slab.id, ROW_NUMBER() OVER (PARTITION BY slab.label " +
+      "ORDER BY sasg.cc ASC, slab.id ASC) AS rk FROM slab JOIN sasg ON sasg.id = slab.id), " +
+      "q3s AS MATERIALIZED (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT id FROM sranked WHERE rk > 1)), " +
+      // ── IMAGE rung: frozen-grid 128-bit pairs mapped doc→media ──
+      imageHamming128Ctes("i", 6) + ", " +
+      "ipair AS (SELECT da.doc_id AS id_a, db.doc_id AS id_b FROM ihm " +
+      "JOIN imap da ON da.media_id = ihm.id_a JOIN imap db ON db.media_id = ihm.id_b " +
+      "WHERE ihm.hamming <= 6 " +
+      "AND da.doc_id IN (SELECT doc_id FROM q3s) AND db.doc_id IN (SELECT doc_id FROM q3s)), " +
+      "ie AS (SELECT id_a AS src, id_b AS dst FROM ipair UNION ALL SELECT id_b, id_a FROM ipair), " +
+      "ir AS (SELECT src AS id, src AS label FROM ie UNION SELECT ie.dst AS id, ir.label FROM ir JOIN ie ON ie.src = ir.id), " +
+      "ilab AS (SELECT id, min(label) AS label FROM ir GROUP BY id), " +
+      "q3i AS MATERIALIZED (SELECT * FROM q3s WHERE doc_id NOT IN (SELECT id FROM ilab WHERE label <> id)), " +
+      // ── TEXT decon: CJK-capable 8-gram probe over ml tokens ──
+      s"btok AS (SELECT doc_id, $mlToks AS t FROM $benchVals), " +
+      "c8 AS (SELECT doc_id, tok AS t FROM q3i), " +
+      s"sh8c AS (${gram8CteSql("c8")}), " +
+      s"sh8b AS (${gram8CteSql("btok")}), " +
+      "cont AS (SELECT DISTINCT c.doc_id AS doc_id FROM sh8c c JOIN sh8b b ON len(list_intersect(c.sh,b.sh)) > 0), " +
+      "q4 AS MATERIALIZED (SELECT * FROM q3i WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      // ── MEDIA decon: 64-bit horizontal dHash bits (the ibt rows with
+      // b < 64) vs the benchmark image, all-pairs, mapped doc→media ──
+      "mbt AS (SELECT media_id, b, bit FROM ibt WHERE b < 64), " +
+      s"mbench AS (SELECT media_id, b, bit FROM mbt WHERE media_id IN ($benchImgs)), " +
+      "mham AS (SELECT im.doc_id AS corpus_doc, mbench.media_id AS bench_id, " +
+      "sum(CASE WHEN x.bit <> mbench.bit THEN 1 ELSE 0 END) AS mh " +
+      "FROM imap im JOIN mbt x ON x.media_id = im.media_id " +
+      "JOIN mbench ON mbench.b = x.b GROUP BY 1, 2), " +
+      "q4m AS MATERIALIZED (SELECT * FROM q4 WHERE doc_id NOT IN " +
+      "(SELECT DISTINCT corpus_doc FROM mham WHERE mh <= 6)), " +
+      // ── MIX: the q_token_mix derivation over the survivors' ml-token
+      // mass (zero-mass strata excluded from min and rates) ──
+      "mshares(s, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)), " +
+      "mhist AS (SELECT source AS s, CAST(sum(len(tok)) AS BIGINT) AS toks " +
+      "FROM q4m WHERE source IN (SELECT s FROM mshares) GROUP BY source HAVING sum(len(tok)) > 0), " +
+      "mcst AS (SELECT min(toks / w) AS c FROM mhist JOIN mshares USING (s)), " +
+      "mrates AS (SELECT s, round(least(1.0, c * w / toks), 4) AS rr " +
+      "FROM mhist JOIN mshares USING (s) CROSS JOIN mcst), " +
+      "mth AS (SELECT s, CASE WHEN rr >= 1.0 THEN 'g' ELSE " +
+      "lpad(lower(hex(CAST(least(round(rr * 4294967296.0), 4294967295) AS BIGINT))),8,'0') END AS th FROM mrates), " +
+      "q5 AS MATERIALIZED (SELECT q4m.* FROM q4m JOIN mth ON q4m.source = mth.s " +
+      "WHERE substr(md5(CAST(q4m.doc_id AS VARCHAR)),1,8) < mth.th), " +
+      // ── ml tail: redact → ml re-tokenize → chunk(64/16) → split ──
+      s"red AS (SELECT doc_id, $piiRedactSql AS rt FROM q5), " +
+      s"rtok AS (SELECT doc_id, $mlRtToks AS t FROM red), " +
+      "st AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 48), s -> s = 0 OR s + 16 < len(t))) AS s FROM rtok WHERE len(t) > 0), " +
+      "ck AS (SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx, len(list_slice(t, s + 1, s + 64)) AS n FROM st), " +
+      "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM q5) " +
+      packingCtes(256) +
+      "SELECT (SELECT count(*) FROM pd) AS n_input, " +
+      "(SELECT count(*) FROM q1) AS n_quality, " +
+      "(SELECT count(*) FROM q2) AS n_exact_dedup, " +
+      "(SELECT count(*) FROM q3) AS n_near_dedup, " +
+      "(SELECT count(*) FROM q3s) AS n_semantic_dedup, " +
+      "(SELECT count(*) FROM q3i) AS n_image_dedup, " +
+      "(SELECT count(*) FROM q4) AS n_decontaminated, " +
+      "(SELECT count(*) FROM q4m) AS n_media_decontaminated, " +
+      "(SELECT count(*) FROM q5) AS n_mixed, " +
+      "(SELECT CAST(sum(doc_id) AS BIGINT) FROM q5) AS id_checksum, " +
+      "(SELECT CAST(sum(length(rt)) AS BIGINT) FROM red) AS text_len_sum, " +
+      "(SELECT count(*) FROM sp WHERE split='train') AS n_train, " +
+      "(SELECT count(*) FROM sp WHERE split='val') AS n_val, " +
+      "(SELECT count(*) FROM sp WHERE split='test') AS n_test, " +
+      "(SELECT count(*) FROM ck) AS n_chunks, " +
+      "(SELECT CAST(sum(n) AS BIGINT) FROM ck) AS chunk_token_sum, " +
+      "(SELECT count(*) FROM pex) AS n_examples, " +
+      "(SELECT CAST(sum(nchunks) AS BIGINT) FROM pex) AS packed_chunk_sum, " +
+      "(SELECT CAST(sum(ntok) AS BIGINT) FROM pex) AS packed_token_sum"
   }
 
   /** Ground-truth media decontamination: all-pairs 64-bit dHash Hamming

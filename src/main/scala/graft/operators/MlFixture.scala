@@ -94,4 +94,106 @@ object MlFixture {
     pipelineDocs.map { case (i, t) =>
       s"($i, '${t.replace("\n", "' || chr(10) || '")}')"
     }.mkString("(VALUES ", ", ", ") pf(doc_id, text)")
+
+  // ── ALL-RUNGS fixture (q_corpus_pipeline_full, round 15) ───────────────
+  // The composed chain's last coverage gap was cross-rung: ml tokenizer,
+  // media dedup/decon, semantic-JL, and mix/pack each had a pairwise
+  // variant but never ran in ONE config. This fixture extends
+  // [[pipelineDocs]] with five ≥50-token natural-English docs that thread
+  // the remaining rungs: a planted SEMANTIC twin pair (600/601 — lexically
+  // unrelated topics, embeddings nearly parallel, so only the embedding
+  // rung can collapse them), a planted IMAGE near-dup pair (700/701 carry
+  // ImageFixture PNGs 3/4 — one triple's base+edit), and a planted
+  // BENCHMARK-IMAGE carrier (702 carries PNG 7, the near-dup of benchmark
+  // image 6). Every doc gets a deterministic 64-dim embedding literal
+  // ([[fullEmbedding]]) and a mix stratum `source = 'src' || id % 3`.
+
+  /** The five full-variant texts. Each ≥ 50 whitespace tokens (the Gopher
+    * floor), stopword-bearing English, distinct topics (trigram Jaccard
+    * ≈ 0 pairwise and against [[gateDocs]]), no 8-token run shared with
+    * the benchmark docs, and no quote/backslash characters (asserted). */
+  val fullExtraDocs: Seq[(Long, String)] = Seq(
+    (600L, "the old garden behind our house has many kinds of vegetables " +
+      "and fruit trees that we planted over several years and every " +
+      "morning before work i water the tomato beds pull small weeds from " +
+      "the dark soil check the apple branches for insects and collect " +
+      "ripe beans for the kitchen table while the birds sing"),
+    (601L, "we walked along the rocky mountain trail for six hours until " +
+      "the narrow path opened onto a wide green valley where a cold " +
+      "river ran between tall pine trees and we rested near the water " +
+      "eating bread with cheese while clouds moved slowly across the " +
+      "bright afternoon sky before the long climb back down"),
+    (700L, "to prepare this simple soup you first chop two large onions " +
+      "and three carrots then fry them gently in olive oil with a " +
+      "little salt until they turn soft before adding red lentils some " +
+      "vegetable stock and a spoon of cumin and letting the pot simmer " +
+      "for half an hour while you stir now and then"),
+    (701L, "the small wooden boat left the harbor at dawn with four crew " +
+      "members aboard and sailed north along the coast past white " +
+      "cliffs and quiet fishing villages while the captain watched the " +
+      "wind change direction and adjusted the sails so they could reach " +
+      "the island before the evening tide turned against them"),
+    (702L, "last night we carried the telescope up the hill behind the " +
+      "school and pointed it at the planets for two hours watching the " +
+      "rings of saturn and the bright moons of jupiter while the " +
+      "teacher explained how light from distant stars travels for many " +
+      "years before it ever reaches our small waiting eyes"))
+
+  fullExtraDocs.foreach { case (i, t) =>
+    require(!t.contains("'") && !t.contains("\\"),
+      s"full-fixture doc $i must need no SQL escaping")
+    require(t.split("\\s+").length >= 50,
+      s"full-fixture doc $i must clear the 50-token Gopher floor")
+  }
+
+  /** The q_corpus_pipeline_full corpus: [[pipelineDocs]] + the five
+    * rung-threading docs above. */
+  val fullDocs: Seq[(Long, String)] = pipelineDocs ++ fullExtraDocs
+
+  /** VALUES literal of [[fullDocs]]. */
+  def fullSqlValues: String =
+    fullDocs.map { case (i, t) =>
+      s"($i, '${t.replace("\n", "' || chr(10) || '")}')"
+    }.mkString("(VALUES ", ", ", ") ff(doc_id, text)")
+
+  /** doc → ImageFixture media id for the full variant's payload carriers.
+    * (3, 4) are one fixture triple's base + near-dup edit (the image rung
+    * collapses 701 into 700); 7 is the near-dup of benchmark image 6 (the
+    * media-decon rung drops 702). Monotonic in doc id so media-id pair
+    * order and doc-id pair order agree. */
+  val fullMediaAttach: Seq[(Long, Long)] = Seq((700L, 3L), (701L, 4L), (702L, 7L))
+
+  /** The frozen benchmark image ids the full variant's media-decon rung
+    * probes against. */
+  val fullBenchImageIds: Seq[Long] = Seq(6L)
+
+  /** Deterministic 64-dim embedding for full-fixture doc `id` — the
+    * jlproject avalanche mix mapped to [-1, 1] (exact small rationals
+    * n/1000, so the SQL literal round-trips bit-exactly). Docs 600/601
+    * are the planted SEMANTIC pair: both sit on a cone tight around
+    * frozen coarse centroid 0 (assignment is unambiguous in raw AND
+    * JL-projected space) with cosine(600, 601) ≈ 0.999; every other
+    * pair of fixture embeddings is near-orthogonal (≪ the 0.9 cut). */
+  def fullEmbedding(id: Long): Array[Double] = {
+    def mix(a: Long, d: Int, seed: Int): Double = {
+      var x = (a * 73856093L ^ d.toLong * 19349663L).toInt ^ seed
+      x *= 0x9e3779b1
+      x ^= x >>> 16
+      (((x & 0x7fffffff) % 2001) - 1000) / 1000.0
+    }
+    if (id == 600L || id == 601L)
+      Array.tabulate(64) { d =>
+        FrozenAnn.coarse(0)._2(d).toDouble * 10.0 +
+          0.05 * mix(600L, d, 0) +
+          (if (id == 601L) 0.02 * (if (mix(601L, d, 0x7f4a7c15) >= 0) 1.0 else -1.0)
+           else 0.0)
+      }
+    else Array.tabulate(64)(d => mix(id, d, 0))
+  }
+
+  /** VALUES literal `fe(doc_id, v)` of every [[fullDocs]] embedding. */
+  def fullEmbSqlValues: String =
+    fullDocs.map { case (i, _) =>
+      s"($i, ${fullEmbedding(i).mkString("[", ",", "]")}::DOUBLE[])"
+    }.mkString("(VALUES ", ", ", ") fe(doc_id, v)")
 }

@@ -953,6 +953,75 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "the zh benchmark leak must fall at decontamination")
   }
 
+  test("ALL-RUNGS composed pipeline: ml + semantic-JL + image dedup + media decon + mix + pack in one config (the q_corpus_pipeline_full shape)") {
+    import graft.functions.Tok
+    import graft.operators.{Dedup, ImageFixture, MlFixture}
+    val attach = MlFixture.fullMediaAttach.toMap
+    val corpus = MlFixture.fullDocs.toDF("doc_id", "text")
+      .as[(Long, String)].map { case (id, tx) =>
+        val img = attach.get(id)
+        (id, tx, s"src${id % 3}",
+          img.map(_ => "image/png").orNull,
+          img.map(ImageFixture.pngBytes).orNull,
+          MlFixture.fullEmbedding(id))
+      }.toDF("doc_id", "text", "source", "media_type", "content", "embedding")
+    val bench = MlFixture.docs
+      .collect { case (i, _, t) if i == 2L || i == 42L => (i, t) }
+      .toDF("doc_id", "text")
+    val benchHashes = Dedup.imageHashFrame(
+      ImageFixture.frame(spark)
+        .where(col("media_id").isin(MlFixture.fullBenchImageIds: _*)),
+      "media_id", "media_type", "content")
+    val cfg = CorpusPipeline.Config(
+      tokenizer = Tok.Ml, gopherRules = true,
+      langs = Set("ar", "en", "ja", "ru", "zh"),
+      minTokens = 10, dedupThreshold = 0.5, decontaminateN = 8,
+      semanticDedup = Some(CorpusPipeline.SemanticDedupConfig(
+        "embedding", graft.operators.FrozenAnn.coarse, threshold = 0.9,
+        projectTo = Some(16))),
+      imageDedup = Some(CorpusPipeline.ImageDedupConfig(
+        "media_type", "content", maxHamming = 6)),
+      mediaDecontaminate = Some(CorpusPipeline.MediaDecontaminateConfig(
+        "media_type", "content", kind = "image",
+        benchmarkHashes = benchHashes, maxHamming = 6)),
+      mixToShares = Some(CorpusPipeline.MixConfig(
+        "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
+      chunkTokens = 64, overlapTokens = 16,
+      packTokenBudget = Some(256L),
+      materializeDocuments = true)
+    val out = CorpusPipeline.prepare(corpus, Some(bench), cfg)
+    out.documents.count() // fire the observations
+    val counts = out.observedCounts.toMap
+    // each planted interaction falls at ITS rung: the ml twins at
+    // near-dup, ONE of the embedding pair {600, 601} at semantic-JL
+    // (lexically unrelated — no text rung can see it), 701 at the image
+    // rung (PNG 4 = PNG 3's near-dup edit), the zh leak at text decon,
+    // 702 at media decon (PNG 7 within Hamming 6 of benchmark image 6)
+    assert(counts("semantic_dedup") == counts("near_dedup") - 1,
+      s"the embedding twin pair must collapse at the semantic rung: $counts")
+    assert(counts("image_dedup") == counts("semantic_dedup") - 1,
+      s"the image near-dup pair must collapse at the image rung: $counts")
+    assert(counts("decontaminated") == counts("image_dedup") - 1,
+      s"the zh benchmark leak must fall at text decon: $counts")
+    assert(counts("media_decontaminated") == counts("decontaminated") - 1,
+      s"the benchmark-image carrier must fall at media decon: $counts")
+    val semSurvivors = out.stages.toMap.apply("semantic_dedup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(600L, 601L).intersect(semSurvivors).size == 1,
+      s"exactly one embedding twin survives: $semSurvivors")
+    val mediaClean = out.stages.toMap.apply("media_decontaminated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(mediaClean.contains(700L) && !mediaClean.contains(701L) &&
+      !mediaClean.contains(702L) && !mediaClean.contains(2L),
+      s"image min-id survivor + decon drops: $mediaClean")
+    // the mix rung reads the POST-media-removal ml token masses and its
+    // survivors are a subset of the media-clean set
+    val mixed = out.documents.select("doc_id").as[Long].collect().toSet
+    assert(mixed.subsetOf(mediaClean) && mixed.nonEmpty, s"mixed: $mixed")
+    assert(out.packed.nonEmpty && out.packed.get.count() > 0,
+      "packing must emit examples")
+  }
+
   test("videoDedup alignFrames=false: the pipeline rung catches a TRIMMED re-upload the aligned rung misses") {
     import graft.operators.VideoFixture
     // two documents with DISTINCT prose (so no text rung collapses them)
