@@ -831,7 +831,8 @@ object Dedup {
     * shingle frame for its verify). Staging mechanics live in
     * [[stagedPairUnion]]. */
   private[graft] def detectOnShinglesChunked(sh: DataFrame, shH: DataFrame,
-      d: DetectorDecision, threshold: Double, kChunks: Int): DataFrame = {
+      d: DetectorDecision, threshold: Double, kChunks: Int,
+      estBytes: Double = 0.0, usableBytes: Long = 0L): DataFrame = {
     val spark = sh.sparkSession
     // the O(N) shingle→minhash signature scan runs ONCE; every group
     // reads the materialized frame (it dominates the map-side cost and
@@ -880,11 +881,7 @@ object Dedup {
       f"[graft] INFO detect staging: ${unitMass.length} non-empty " +
         f"(band, bucket-slice) units over ${groups.length} groups; " +
         f"heaviest group ${maxShare * 100}%.1f%% of collision mass" +
-        (if (maxShare * kChunks > 2.0)
-          " - WARN: mass concentrates in few buckets; if the heaviest " +
-            "group still exceeds usable disk, the remedies are the " +
-            "detector's (line/span dedup rungs, raise the threshold)"
-        else ""))
+        heaviestGroupWarning(maxShare, kChunks, estBytes, usableBytes))
     import spark.implicits._
     stagedPairUnion(spark, groups.length, Seq("id_a", "id_b"), { (g, prior) =>
       val share = groups(g).map(massByUnit).sum / totalMass
@@ -912,6 +909,37 @@ object Dedup {
         cand1.join(p, Seq("id_a", "id_b"), "left_anti"))
       verifyJaccard(cand, shH, threshold)
     })
+  }
+
+  /** The MEASURED heaviest-group warning for the staged detect — priced
+    * in absolute bytes once the exact (band, bucket-slice) mass table
+    * exists, which the decision-time [[spillStagingNote]] (uniform
+    * est/k "peak per-chunk") cannot do. The round-15 5M attempt is the
+    * motivating measurement: the note projected ~41 GB/chunk while ONE
+    * irreducible bucket-slice unit held 26.0% of the mass (~1.6 TB of
+    * the projection) and died ENOSPC exactly as this warning's
+    * predecessor hinted — now it says so with the numbers, up front.
+    * A single unit is one LSH bucket's C(B,2) pair set: no band/slice
+    * partition can subdivide it, so the remedies are the detector's
+    * (span/line dedup rungs scrub the shared text that built the
+    * bucket, or raise the threshold). Pure, so the spec pins the
+    * escalation branches without a 5M corpus. */
+  private[graft] def heaviestGroupWarning(maxShare: Double, kChunks: Int,
+      estBytes: Double, usableBytes: Long): String = {
+    val peak = maxShare * estBytes
+    if (estBytes > 0 && usableBytes > 0 && peak > usableBytes)
+      f" - WARN: the heaviest group alone projects ~${peak / 1e9}%.1f GB " +
+        f"of the ~${estBytes / 1e9}%.1f GB total spill vs " +
+        f"${usableBytes / 1e9}%.1f GB usable - a single (band, " +
+        "bucket-slice) unit is one LSH bucket's pair set and cannot be " +
+        "subdivided by staging: expect ENOSPC in that group. Remedies " +
+        "are the detector's: line/span dedup rungs (scrub the shared " +
+        "text that built the bucket) or raise the threshold."
+    else if (maxShare * kChunks > 2.0)
+      " - WARN: mass concentrates in few buckets; if the heaviest " +
+        "group still exceeds usable disk, the remedies are the " +
+        "detector's (line/span dedup rungs, raise the threshold)"
+    else ""
   }
 
   /** Bucket-hash slices per band in the staged detect: the sub-axis that
@@ -1172,7 +1200,7 @@ object Dedup {
       detectOnShingles(sh, shH, d, threshold)
     } else {
       System.err.println(spillStagingNote(d, est, usable, k))
-      detectOnShinglesChunked(sh, shH, d, threshold, k)
+      detectOnShinglesChunked(sh, shH, d, threshold, k, est, usable)
     }
   }
 

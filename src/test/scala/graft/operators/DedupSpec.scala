@@ -819,6 +819,21 @@ class DedupSpec extends AnyFunSuite {
     // per-chunk footprint still over usable (maxSpillChunks clamp bit)
     val clamped = Dedup.spillStagingNote(d, 200e9, 10L * (1L << 30), 4)
     assert(clamped.contains("maxSpillChunks clamp"), clamped)
+    // measured heaviest-group pricing (round 15: the 5M attempt's 26%
+    // single-unit group): absolute-bytes ENOSPC escalation when the
+    // heaviest group alone exceeds usable, the relative concentration
+    // warning when mass skews but the absolute bytes are unknown or
+    // fit, silence when balanced
+    val enospc = Dedup.heaviestGroupWarning(0.26, 146, 6020e9, 83L * 1000 * 1000 * 1000)
+    assert(enospc.contains("expect ENOSPC") &&
+      enospc.contains("1565.2 GB") && enospc.contains("cannot be"), enospc)
+    val relative = Dedup.heaviestGroupWarning(0.26, 146, 0.0, 0L)
+    assert(relative.contains("mass concentrates") &&
+      !relative.contains("ENOSPC"), relative)
+    val fits = Dedup.heaviestGroupWarning(0.26, 146, 200e9, 83L * 1000 * 1000 * 1000)
+    assert(fits.contains("mass concentrates") &&
+      !fits.contains("expect ENOSPC"), fits) // 52 GB heaviest fits 83 GB
+    assert(Dedup.heaviestGroupWarning(0.05, 22, 885e9, 83L * 1000 * 1000 * 1000) == "")
   }
 
   test("band-chunk staging: chunked detect == single-pass pairs, end to end") {
