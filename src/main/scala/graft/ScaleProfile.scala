@@ -37,6 +37,14 @@ object ScaleProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // RESTARTABLE staged detects (round 16): point the staged loop's
+    // scratch at a stable dir so a multi-hour adversarial run resumes
+    // from its committed steps after a restart (Dedup.scala resume
+    // manifest). Same-dir reruns of a DIFFERENT plan refuse loudly.
+    sys.env.get("SPARK_GRAFT_DETECT_RESUME_DIR").foreach { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      spark.conf.set("spark.graft.detect.resumeDir", d)
+    }
     spark.range(0, 1000000L).selectExpr("sum(id)").collect() // JIT warmup
     import graft.operators.{Chunking, Dedup, LineDedup, Packing, Sampling}
 
@@ -582,15 +590,20 @@ object ScaleProfile {
       val m = sys.env.getOrElse("SPARK_GRAFT_COSINE_M", "100").toInt
       val force = sys.env.getOrElse("SPARK_GRAFT_COSINE_FORCE", "auto")
       val fg = if (force == "auto") None else Some(force.toInt)
+      // round 16: AUTO defaults to pilot-calibrated staging; set
+      // SPARK_GRAFT_COSINE_CALIB=false for the uncalibrated A/B arm
+      sys.env.get("SPARK_GRAFT_COSINE_CALIB").foreach(v =>
+        spark.conf.set("spark.graft.bandguard.calibratePilot", v))
       import spark.implicits._
       val vecs = Dedup.materialize(spark.range(n).as[Long]
         .mapPartitions(_.map { id =>
           val c = id / m
-          def mix(a: Long, d: Int, seed: Int): Double = {
-            var x = (a * 73856093L ^ d.toLong * 19349663L).toInt ^ seed
-            x *= 0x9e3779b1; x ^= x >>> 16
-            (((x & 0x7fffffff) % 2001) - 1000) / 1000.0
-          }
+          // shared avalanche unit (graft.functions.VectorSimUtil.mixUnit,
+          // called statically inside the lambda — serialization-safe):
+          // the SAME generator as MlFixture.fullEmbedding, so this arm's
+          // documented cosine geometry cannot drift from the oracle's
+          def mix(a: Long, d: Int, seed: Int): Double =
+            graft.functions.VectorSimUtil.mixUnit(a, d, seed)
           // centroid(cluster) + 0.23 · noise(member): |cent| ≈ |noise|,
           // so pairwise in-cluster cosine ≈ 1/(1 + 0.23²) ≈ 0.95 ± 0.01
           (id, Array.tabulate(64)(d => mix(c, d, 0) + 0.23 * mix(id, d, 0x2545f491)))
@@ -642,6 +655,44 @@ object ScaleProfile {
           Dedup.imageNearDupPairs(media, "media_id", "media_type", "content",
             maxHamming = h, hashes = Some(hashed)).count()
         }
+    }
+
+    // ── round 16: the incremental TEXT PROBE's bounded plan measured at
+    // guard-engaging scale (round-15 verdict item 4) — an oversized
+    // delta probing a boilerplate-heavy persisted index. Every doc with
+    // doc_id % SHARE == 0 carries the model fixture's shared 66-token
+    // filler suffix (the measured elevated-background mechanism); evens
+    // build the stored index ONCE, odds arrive as the delta. The guard
+    // prices Σ in_k·all_k and auto-splits the delta into id-hash
+    // sub-batches; stagedPairUnion's telemetry prints per-group wall +
+    // measured peak spill. SPARK_GRAFT_PROBE_FORCE: "auto" = guard
+    // decides, integer = forceProbeGroups (1 = the single pass the A/B
+    // row contrasts). SPARK_GRAFT_PROBE_SHARE: the sharer modulus
+    // (default 2 = every doc shares the suffix — the worst case). ─────
+    if (sections("textprobe")) {
+      import graft.operators.Dedup
+      val force = sys.env.getOrElse("SPARK_GRAFT_PROBE_FORCE", "auto")
+      val fg = if (force == "auto") None else Some(force.toInt)
+      val share = sys.env.getOrElse("SPARK_GRAFT_PROBE_SHARE", "2").toInt
+      val aug = docs.select(col("doc_id"),
+        when(col("doc_id") % share === 0,
+          concat(col("text"), lit(QmOracle.fillerSuffix)))
+          .otherwise(col("text")).as("text"))
+      val existing = aug.where(col("doc_id") % 2 === 0)
+      val incoming = aug.where(col("doc_id") % 2 =!= 0)
+      val exSh = Dedup.materialize(
+        Dedup.shingleIndex(existing, "text", "doc_id"))
+      val exBands = Dedup.materialize(
+        Dedup.minHashBandIndex(exSh, threshold = 0.5))
+      timed("textprobe.index-build(existing evens)") {
+        exSh.count(); exBands.count()
+      }
+      timed(s"textprobe.removeIncremental(force=$force share=$share)") {
+        Dedup.removeIncrementalFrom(exBands, exSh, incoming, "text",
+          "doc_id", threshold = 0.5, n = 3, k = 128,
+          checkDisjointIds = false, maxIter = 20,
+          forceProbeGroups = fg).count()
+      }
     }
     spark.stop()
   }

@@ -25,9 +25,12 @@ object SparkEntry {
 
   /** Built incremental-dedup index per scale dir (see
     * q_incremental_dedup_indexed) — an index is built once per corpus
-    * version, then probed per batch. */
+    * version, then probed per batch. The value carries (path, corpus doc
+    * count): a production index stores its row count alongside, so per-
+    * batch probes never re-count the corpus for the disk guard's rows
+    * floor. */
   private val ndIndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   /** Same pattern for the persisted IVF×PQ ANN index
     * (q_ann_ivfpq_indexed). */
@@ -842,7 +845,7 @@ object SparkEntry {
       // every batch. Memoizing the build per scale dir makes repeated
       // invocations (bench iterations) measure the production shape —
       // the probe against the stored index — not a rebuild.
-      val idx = ndIndexDirs.computeIfAbsent(dir, { d =>
+      val (idx, idxRows) = ndIndexDirs.computeIfAbsent(dir, { d =>
         val path = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
         val ex = t(s, d, "documents").where(col("doc_id") < 300)
         graft.etl.Warehouse.stageParquet(
@@ -856,14 +859,16 @@ object SparkEntry {
           graft.operators.Dedup.minHashSignatureHead(
             s.read.parquet(s"$path/shingles")),
           s"$path/sigheads")
-        path
+        // the count is a build-time artifact, like the index itself
+        (path, s.read.parquet(s"$path/shingles").count())
       })
       val shStored = s.read.parquet(s"$idx/shingles")
       val bandsStored = s.read.parquet(s"$idx/bands")
       val headsStored = s.read.parquet(s"$idx/sigheads")
       val kept = graft.operators.Dedup.removeNearDuplicatesIncrementalIndexed(
         bandsStored, shStored, incoming, "text", "doc_id", threshold = 0.5,
-        existingSigHead = Some(headsStored))
+        existingSigHead = Some(headsStored),
+        knownCorpusRows = Some(idxRows))
       incoming.agg(count(lit(1)).as("n_incoming")).crossJoin(
         kept.agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).cast("long").as("id_checksum")))

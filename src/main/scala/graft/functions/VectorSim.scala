@@ -15,6 +15,22 @@ object VectorSimUtil {
   @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  /** Deterministic avalanche mix to an exact small rational in [-1, 1]
+    * (n/1000, so SQL literals round-trip bit-exactly through DuckDB) —
+    * the ONE copy of the fixture-embedding unit generator. Both
+    * [[graft.operators.MlFixture.fullEmbedding]] (oracle-pinned fixture
+    * embeddings) and the ScaleProfile cosine corpus call here: a drift
+    * between them would silently diverge the cosinestaged arm's
+    * documented geometry from the oracle's. Spatial-hash primes fold the
+    * (value, dimension) pair, the golden-ratio multiply + xor-shift
+    * avalanche the bits. */
+  def mixUnit(a: Long, d: Int, seed: Int): Double = {
+    var x = (a * 73856093L ^ d.toLong * 19349663L).toInt ^ seed
+    x *= 0x9e3779b1
+    x ^= x >>> 16
+    (((x & 0x7fffffff) % 2001) - 1000) / 1000.0
+  }
+
   /** cosine(a, b) with zero-vector guard (denominator clamped at 1e-12,
     * matching the Column form's `greatest(..., 1e-12)`). Per-side element
     * flags: a full-precision float probe legitimately scores against a

@@ -322,15 +322,32 @@ object Dedup {
     * construction shared by [[nearDupPairsMinHash]] and the
     * ScaleProfile detect decomposition — the profiler must decompose the
     * REAL plan, so the join lives here, not in two hand-synced copies. */
-  private[graft] def minHashCandidates(banded: DataFrame, threshold: Double): DataFrame =
-    banded.as("a")
+  private[graft] def minHashCandidates(banded: DataFrame, threshold: Double,
+      blockCell: Option[(Int, Int, Int)] = None): DataFrame = {
+    val joined = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")).cast("double") >=
             greatest(col("a.sz"), col("b.sz")) * threshold - lit(1e-9))
+    // SUB-BUCKET staging's cell restriction ((i, j, p)): keep only pairs
+    // whose id-hash blocks are exactly {i, j} under p blocks. Runs as a
+    // codegen'd filter streaming straight off the join output — pairs of
+    // other cells are dropped BEFORE the pair-dedup exchange, so a cell
+    // never spills another cell's mass. The caller also restricts the
+    // join INPUT to blocks {i, j}; together the p(p+1)/2 cells of a
+    // bucket group partition its pair space exactly (each unordered pair
+    // has ONE block pair), which is what bounds a single oversized LSH
+    // bucket — the (band, bucket-slice) axis's irreducible unit.
+    val celled = blockCell.fold(joined) { case (i, j, p) =>
+      val blkA = pmod(xxhash64(col("a.id")), lit(p.toLong)).cast("int")
+      val blkB = pmod(xxhash64(col("b.id")), lit(p.toLong)).cast("int")
+      joined.where(least(blkA, blkB) === lit(i) && greatest(blkA, blkB) === lit(j))
+    }
+    celled
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
 
   /** (id, sh: array<string>) → (id, sh: array<long>): 64-bit-hash each
     * shingle ONCE PER DOCUMENT so the per-candidate-pair verify joins
@@ -696,7 +713,7 @@ object Dedup {
     * point of staging: chunk g's files must be GONE while chunk g+1
     * writes. On a cluster the same cleaner drives executor-side removal
     * through the block-manager endpoints. */
-  private def awaitShuffleRelease(spark: SparkSession,
+  private[graft] def awaitShuffleRelease(spark: SparkSession,
       maxWaitSec: Int = 60): Unit = {
     System.gc()
     var last = shuffleDirUsableBytes(spark)
@@ -737,47 +754,158 @@ object Dedup {
     * nullability normalized to match the parquet read-back of the
     * non-empty path — instead of failing schema inference). Per-group
     * build+write and release-wait seconds print to stderr so staged
-    * runs record where their wall time goes. */
+    * runs record where their wall time goes, a 2 s-poll sampler thread
+    * records each group's MEASURED peak spill (usable-bytes low-water
+    * mark vs the group's start — the projected-vs-actual feedback the
+    * round-15 cosine A/B showed the guard needs), and ONE summary line
+    * at the end totals build/write/wait/peak so decade rows can quote a
+    * single number instead of per-group stderr.
+    *
+    * `resume` = (scratch dir, plan tag): RESTARTABLE staged runs. A
+    * multi-hour staged detect on an adversarial corpus can outlive a
+    * maintenance window; with a caller-owned scratch dir, each group's
+    * job-committed `_SUCCESS` marker IS the manifest — a rerun skips
+    * committed groups (their parquet feeds the prior anti-join and the
+    * final union exactly as if just written) and recomputes only the
+    * group that was in flight. The plan tag is checked against the
+    * recorded one (plan.txt) so a resume with a DIFFERENT plan — other
+    * banding, other group packing — refuses loudly instead of silently
+    * unioning two plans' halves. `projBytes(g)` (0 = unknown) prints
+    * next to each group's measured peak for guard calibration. */
+  /** Run `body` with a 2 s-poll sampler thread recording the shuffle
+    * dirs' usable-bytes LOW-WATER mark — (result, measured peak spill in
+    * bytes vs the start). The projected-vs-actual feedback loop every
+    * staged family reports ([[stagedPairUnion]] per group) and the
+    * pilot-calibrated guards consume. */
+  private[graft] def withSpillSampler[T](spark: SparkSession)(body: => T): (T, Long) = {
+    val usable0 = shuffleDirUsableBytes(spark)
+    val low = new java.util.concurrent.atomic.AtomicLong(usable0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sampler = new Thread(() => {
+      while (!stop.get()) {
+        low.getAndUpdate(l => math.min(l, shuffleDirUsableBytes(spark)))
+        Thread.sleep(2000L)
+      }
+    }, "graft-spill-sampler")
+    sampler.setDaemon(true); sampler.start()
+    val res = try body finally stop.set(true)
+    (res, math.max(0L, usable0 - low.get()))
+  }
+
   private[graft] def stagedPairUnion(spark: SparkSession, nGroups: Int,
       pairKey: Seq[String],
-      pairFn: (Int, Option[DataFrame]) => DataFrame): DataFrame = {
+      pairFn: (Int, Option[DataFrame]) => DataFrame,
+      resume: Option[(String, String)] = None,
+      projBytes: Int => Double = _ => 0.0): DataFrame = {
     require(nGroups >= 1, s"stagedPairUnion: nGroups must be >= 1, got $nGroups")
-    val scratch = stagedScratchBase(spark.sparkContext.isLocal,
-        spark.sparkContext.getCheckpointDir) match {
-      case Some(dir) => s"$dir/graft_staged_pairs_${java.util.UUID.randomUUID}"
+    val scratch = resume match {
+      case Some((dir, _)) => dir
       case None =>
-        java.nio.file.Files.createTempDirectory("graft_staged_pairs").toString
+        stagedScratchBase(spark.sparkContext.isLocal,
+            spark.sparkContext.getCheckpointDir) match {
+          case Some(dir) => s"$dir/graft_staged_pairs_${java.util.UUID.randomUUID}"
+          case None =>
+            java.nio.file.Files.createTempDirectory("graft_staged_pairs").toString
+        }
     }
     val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(hconf)
+    def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
+    resume.foreach { case (_, tag) =>
+      val planFile = hpath(s"$scratch/plan.txt")
+      val plan = s"nGroups=$nGroups pairKey=${pairKey.mkString(",")} tag=$tag"
+      if (fs.exists(planFile)) {
+        val in = fs.open(planFile)
+        val recorded = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        require(recorded == plan,
+          s"stagedPairUnion: resume dir $scratch records a DIFFERENT plan " +
+            s"('$recorded' vs '$plan') - a cross-plan resume would union " +
+            "two plans' partial pair sets; clear the dir or fix the config")
+      } else {
+        val out = fs.create(planFile, true)
+        try out.write(plan.getBytes("UTF-8")) finally out.close()
+      }
+    }
     var schema: org.apache.spark.sql.types.StructType = null
     val written = scala.collection.mutable.ArrayBuffer.empty[String]
+    var sumBuild = 0.0; var sumWait = 0.0; var maxPeak = 0L; var skipped = 0
     (0 until nGroups).foreach { g =>
       val t0 = System.nanoTime()
-      val prior =
-        if (written.isEmpty) None
-        else Some(spark.read.parquet(written.toSeq: _*)
-          .select(pairKey.map(col): _*))
-      val res = pairFn(g, prior)
-      schema = res.schema
       val path = s"$scratch/g=$g"
-      res.write.mode("overwrite").parquet(path)
-      val p = new org.apache.hadoop.fs.Path(path)
-      if (p.getFileSystem(hconf).listStatus(p)
-          .exists(s => s.getPath.getName.endsWith(".parquet") && s.getLen > 0))
-        written += path
-      val tw = System.nanoTime()
-      // release only matters BEFORE the next group's shuffle — the final
-      // group's files die with the job (skipping saves the fixed ≥3 s
-      // stability wait × 1, and under k=2 plans nearly halves overhead)
-      if (g < nGroups - 1) awaitShuffleRelease(spark)
-      System.err.println(
-        f"[graft] INFO staged group ${g + 1}/$nGroups: build+write " +
-          f"${(tw - t0) / 1e9}%.1f s, release wait " +
-          f"${(System.nanoTime() - tw) / 1e9}%.1f s")
+      val committed =
+        resume.isDefined && fs.exists(hpath(s"$path/_SUCCESS"))
+      if (committed) {
+        if (fs.listStatus(hpath(path))
+            .exists(s => s.getPath.getName.endsWith(".parquet") && s.getLen > 0))
+          written += path
+        skipped += 1
+        System.err.println(
+          s"[graft] INFO staged group ${g + 1}/$nGroups: committed in a " +
+            "prior run - skipped (resume manifest)")
+      } else {
+        val prior =
+          if (written.isEmpty) None
+          else Some(spark.read.parquet(written.toSeq: _*)
+            .select(pairKey.map(col): _*))
+        // measured peak spill: poll the shuffle dirs' usable bytes while
+        // the group runs; low-water vs start = the group's real footprint
+        val (_, peak) = withSpillSampler(spark) {
+          val res = pairFn(g, prior)
+          schema = res.schema
+          // persist the pair schema once (resume only): an all-empty
+          // resumed run has no parquet footer and no live pairFn result
+          // to infer the empty frame's schema from
+          resume.foreach { _ =>
+            val sf = hpath(s"$scratch/schema.json")
+            if (!fs.exists(sf)) {
+              val out = fs.create(sf, true)
+              try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+            }
+          }
+          res.write.mode("overwrite").parquet(path)
+        }
+        maxPeak = math.max(maxPeak, peak)
+        if (fs.listStatus(hpath(path))
+            .exists(s => s.getPath.getName.endsWith(".parquet") && s.getLen > 0))
+          written += path
+        val tw = System.nanoTime()
+        // release only matters BEFORE the next group's shuffle — the final
+        // group's files die with the job (skipping saves the fixed ≥3 s
+        // stability wait × 1, and under k=2 plans nearly halves overhead)
+        if (g < nGroups - 1) awaitShuffleRelease(spark)
+        val tEnd = System.nanoTime()
+        sumBuild += (tw - t0) / 1e9; sumWait += (tEnd - tw) / 1e9
+        val proj = projBytes(g)
+        val projTxt =
+          if (proj > 0) f" (projected ~${proj / 1e9}%.1f GB)" else ""
+        System.err.println(
+          f"[graft] INFO staged group ${g + 1}/$nGroups: build+write " +
+            f"${(tw - t0) / 1e9}%.1f s, release wait " +
+            f"${(tEnd - tw) / 1e9}%.1f s, measured peak spill " +
+            f"~${peak / 1e9}%.1f GB$projTxt")
+      }
     }
+    System.err.println(
+      f"[graft] INFO staged run summary: $nGroups groups ($skipped resumed)" +
+        f", build+write ${sumBuild}%.1f s, release waits ${sumWait}%.1f s, " +
+        f"max measured peak spill ~${maxPeak / 1e9}%.1f GB")
     // union of per-group results: already pair-distinct (within-group
     // dropDuplicates + the cross-group anti-join); materialize so the
     // scratch dir can be deleted out from under the returned frame
+    if (schema == null && written.isEmpty) {
+      // every group committed-empty in a prior run: the schema comes
+      // from the persisted copy (written with the first computed group)
+      val sf = hpath(s"$scratch/schema.json")
+      require(fs.exists(sf),
+        s"stagedPairUnion: resume dir $scratch has only committed-empty " +
+          "groups and no schema.json - clear the dir and rerun")
+      val in = fs.open(sf)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      schema = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
     val out =
       if (written.isEmpty)
         spark.createDataFrame(
@@ -829,10 +957,20 @@ object Dedup {
     * threshold semantics are unchanged by construction; only wall time
     * trades for the bounded footprint (each group re-joins the hashed
     * shingle frame for its verify). Staging mechanics live in
-    * [[stagedPairUnion]]. */
+    * [[stagedPairUnion]].
+    *
+    * Two round-16 layers on top: (1) SUB-BUCKET staging — a group whose
+    * projected spill exceeds the per-stage budget (one dominating LSH
+    * bucket, the 5M measured shape) further splits its pair space into
+    * id-hash block-pair cells ([[subBucketBlocks]]; `forceSubBlocks` is
+    * the parity-spec seam forcing a split on fixture corpora); (2) a
+    * RESUME manifest — with `spark.graft.detect.resumeDir` set, the
+    * scratch dir is stable and committed steps are skipped on rerun, so
+    * a multi-hour adversarial run survives restarts. */
   private[graft] def detectOnShinglesChunked(sh: DataFrame, shH: DataFrame,
       d: DetectorDecision, threshold: Double, kChunks: Int,
-      estBytes: Double = 0.0, usableBytes: Long = 0L): DataFrame = {
+      estBytes: Double = 0.0, usableBytes: Long = 0L,
+      forceSubBlocks: Int = 0): DataFrame = {
     val spark = sh.sparkSession
     // the O(N) shingle→minhash signature scan runs ONCE; every group
     // reads the materialized frame (it dominates the map-side cost and
@@ -876,71 +1014,223 @@ object Dedup {
     val totalMass = math.max(1.0, unitMass.map(_._2).sum)
     val massByUnit = unitMass.toMap
     val groups = massBalancedGroups(unitMass, kChunks)
+    val groupProj: Int => Double =
+      gi => groups(gi).map(massByUnit).sum / totalMass * estBytes
     val maxShare = groups.map(_.map(massByUnit).sum).max / totalMass
+    // SUB-BUCKET staging (round 16 — the 5M DEFAULT fix): a group whose
+    // projected spill exceeds the per-stage budget — possible only when
+    // one irreducible (band, bucket-slice) unit dominates, since LPT
+    // otherwise balances groups near est/k — splits its PAIR SPACE by
+    // id-hash block-pair cells: p blocks → p(p+1)/2 sequential cells,
+    // every unordered pair in exactly one cell (its endpoints' block
+    // pair), heaviest cell ~2/p² of the group. The 5M adversarial
+    // fixture's measured shape — ONE LSH bucket (a shared 66-token
+    // suffix class) holding 26% of ALL collision mass, un-partitionable
+    // by any band/slice axis — died ENOSPC in round 15 exactly here.
+    val blocksOf: Seq[Int] = groups.indices.map { gi =>
+      if (forceSubBlocks > 0) forceSubBlocks
+      else if (estBytes <= 0 || usableBytes <= 0) 1
+      else subBucketBlocks(groupProj(gi), usableBytes * SubSplitMargin)
+    }
+    // execution steps: (group index, optional (i, j, p) block-pair cell)
+    val steps: Seq[(Int, Option[(Int, Int, Int)])] =
+      groups.indices.flatMap { gi =>
+        val p = blocksOf(gi)
+        if (p <= 1) Seq((gi, None))
+        else for { i <- 0 until p; j <- i until p } yield (gi, Some((i, j, p)))
+      }
     System.err.println(
       f"[graft] INFO detect staging: ${unitMass.length} non-empty " +
-        f"(band, bucket-slice) units over ${groups.length} groups; " +
-        f"heaviest group ${maxShare * 100}%.1f%% of collision mass" +
+        f"(band, bucket-slice) units over ${groups.length} groups " +
+        f"(${steps.length} sequential steps); heaviest group " +
+        f"${maxShare * 100}%.1f%% of collision mass" +
         heaviestGroupWarning(maxShare, kChunks, estBytes, usableBytes))
-    import spark.implicits._
-    stagedPairUnion(spark, groups.length, Seq("id_a", "id_b"), { (g, prior) =>
-      val share = groups(g).map(massByUnit).sum / totalMass
+    groups.indices.filter(blocksOf(_) > 1).foreach(gi =>
       System.err.println(
-        f"[graft] INFO detect group ${g + 1}/${groups.length}: " +
-          f"${groups(g).length} units, ${share * 100}%.1f%% of collision mass")
+        "[graft] INFO " + subSplitNote(gi, groupProj(gi), blocksOf(gi))))
+    // fail-fast on a PRICED-FATAL plan (round-15 verdict item 2): when
+    // even the heaviest block-pair cell at the block clamp projects over
+    // usable disk, abort with the remedies named instead of executing a
+    // predicted multi-hour ENOSPC. Config-gated, default ON.
+    groups.indices.iterator
+      .flatMap(gi => pricedFatalMessage(
+        maxCellBytes(groupProj(gi), blocksOf(gi)), estBytes, usableBytes))
+      .take(1).foreach { msg =>
+        if (spark.conf
+            .get("spark.graft.dedup.failFastOnPricedEnospc", "true").toBoolean)
+          throw new IllegalStateException(msg)
+        else System.err.println(s"[graft] WARN $msg (fail-fast disabled " +
+          "by spark.graft.dedup.failFastOnPricedEnospc=false - proceeding)")
+      }
+    // RESTARTABLE long runs: with spark.graft.detect.resumeDir set, the
+    // staged loop keeps its scratch there and a rerun skips committed
+    // steps — a multi-hour adversarial detect survives a restart at the
+    // cost of re-running only the step that was in flight. The plan tag
+    // fingerprints banding + packing + splits so a resume against a
+    // DIFFERENT plan refuses instead of silently unioning halves.
+    val resume = spark.conf.getOption("spark.graft.detect.resumeDir").map {
+      dir =>
+        val planKey = (d.r, d.b, d.prefilterH, threshold, slices,
+          groups.map(_.mkString("+")).mkString("|"),
+          blocksOf.mkString(",")).toString
+        (dir, s"detect-${java.lang.Integer.toHexString(planKey.hashCode)}")
+    }
+    val stepProj: Int => Double = si => {
+      val (gi, cell) = steps(si)
+      cell.fold(groupProj(gi)) { case (i, j, p) =>
+        (if (i == j) 1.0 else 2.0) * groupProj(gi) / (p.toDouble * p)
+      }
+    }
+    import spark.implicits._
+    var cachedGi = -1
+    var cachedBanded: DataFrame = null
+    def groupBanded(gi: Int): DataFrame = {
       val unitsDf = broadcast(
-        groups(g).map(u => (u / slices, u % slices)).toDF("band", "_slice"))
+        groups(gi).map(u => (u / slices, u % slices)).toDF("band", "_slice"))
       // explode only the group's bands (narrow), then keep its slices
-      val banded = bandProjectionFor(sigM, d.r,
-          groups(g).map(_ / slices).distinct.sorted)
+      bandProjectionFor(sigM, d.r, groups(gi).map(_ / slices).distinct.sorted)
         .withColumn("_slice", sliceOf)
         .join(unitsDf, Seq("band", "_slice"))
         .drop("_slice")
-      val cand0 = minHashCandidates(banded, threshold)
+    }
+    stagedPairUnion(spark, steps.length, Seq("id_a", "id_b"), { (si, prior) =>
+      val (gi, cell) = steps(si)
+      val share = groups(gi).map(massByUnit).sum / totalMass
+      System.err.println(
+        f"[graft] INFO detect step ${si + 1}/${steps.length}: group " +
+          f"${gi + 1}/${groups.length} (${groups(gi).length} units, " +
+          f"${share * 100}%.1f%% of collision mass)" +
+          cell.fold("")(c =>
+            s", block-pair cell (${c._1},${c._2}) of p=${c._3}"))
+      val bandedG = cell match {
+        case Some(_) =>
+          // ONE materialized banded frame per SPLIT group, shared by its
+          // p(p+1)/2 cells — band rows, not pairs, so it is tiny, and
+          // rebuilding the projection per cell would re-scan the
+          // signature frame p(p+1)/2 times
+          if (cachedGi != gi) {
+            cachedBanded = materialize(groupBanded(gi)); cachedGi = gi
+          }
+          cachedBanded
+        case None => groupBanded(gi)
+      }
+      // cell input = the two blocks' band rows; minHashCandidates then
+      // keeps exactly this cell's block pairs before the pair exchange
+      val banded = cell.fold(bandedG) { case (i, j, p) =>
+        val blk = pmod(xxhash64(col("id")), lit(p.toLong)).cast("int")
+        bandedG.where(blk === lit(i) || blk === lit(j))
+      }
+      val cand0 = minHashCandidates(banded, threshold, cell)
       val cand1 =
         if (d.prefilterH > 0)
           prefilterBySignature(cand0, sigM, threshold, d.prefilterH)
         else cand0
-      // pairs already found by an earlier group can collide again here
-      // only through this group's units — anti-join them out so no pair
+      // pairs already found by an earlier step can collide again here
+      // only through this step's units — anti-join them out so no pair
       // is verified twice (total verify work matches the single pass,
       // where the candidate dropDuplicates did the same job globally)
       val cand = prior.fold(cand1)(p =>
         cand1.join(p, Seq("id_a", "id_b"), "left_anti"))
       verifyJaccard(cand, shH, threshold)
-    })
+    }, resume, stepProj)
   }
 
-  /** The MEASURED heaviest-group warning for the staged detect — priced
-    * in absolute bytes once the exact (band, bucket-slice) mass table
+  /** The MEASURED heaviest-group note for the staged detect — priced in
+    * absolute bytes once the exact (band, bucket-slice) mass table
     * exists, which the decision-time [[spillStagingNote]] (uniform
     * est/k "peak per-chunk") cannot do. The round-15 5M attempt is the
-    * motivating measurement: the note projected ~41 GB/chunk while ONE
-    * irreducible bucket-slice unit held 26.0% of the mass (~1.6 TB of
-    * the projection) and died ENOSPC exactly as this warning's
-    * predecessor hinted — now it says so with the numbers, up front.
-    * A single unit is one LSH bucket's C(B,2) pair set: no band/slice
-    * partition can subdivide it, so the remedies are the detector's
-    * (span/line dedup rungs scrub the shared text that built the
-    * bucket, or raise the threshold). Pure, so the spec pins the
-    * escalation branches without a 5M corpus. */
+    * motivating measurement: ONE irreducible bucket-slice unit held
+    * 26.0% of the mass (~1.6 TB of the projection) and died ENOSPC. A
+    * single unit is one LSH bucket's C(B,2) pair set that no band/slice
+    * partition can subdivide — which is exactly what SUB-BUCKET staging
+    * ([[subBucketBlocks]], round 16) now bounds, so the over-usable
+    * branch ANNOUNCES the escalation instead of predicting a death.
+    * Pure, so the spec pins the branches without a 5M corpus. */
   private[graft] def heaviestGroupWarning(maxShare: Double, kChunks: Int,
       estBytes: Double, usableBytes: Long): String = {
     val peak = maxShare * estBytes
     if (estBytes > 0 && usableBytes > 0 && peak > usableBytes)
-      f" - WARN: the heaviest group alone projects ~${peak / 1e9}%.1f GB " +
-        f"of the ~${estBytes / 1e9}%.1f GB total spill vs " +
-        f"${usableBytes / 1e9}%.1f GB usable - a single (band, " +
-        "bucket-slice) unit is one LSH bucket's pair set and cannot be " +
-        "subdivided by staging: expect ENOSPC in that group. Remedies " +
-        "are the detector's: line/span dedup rungs (scrub the shared " +
-        "text that built the bucket) or raise the threshold."
+      f" - the heaviest group alone projects ~${peak / 1e9}%.1f GB of " +
+        f"the ~${estBytes / 1e9}%.1f GB total spill vs " +
+        f"${usableBytes / 1e9}%.1f GB usable - one (band, bucket-slice) " +
+        "unit is one LSH bucket's pair set, which no band/slice " +
+        "partition can subdivide: SUB-BUCKET staging engages (id-hash " +
+        "block-pair cells - see the split note)"
     else if (maxShare * kChunks > 2.0)
       " - WARN: mass concentrates in few buckets; if the heaviest " +
-        "group still exceeds usable disk, the remedies are the " +
-        "detector's (line/span dedup rungs, raise the threshold)"
+        "group exceeds usable disk, sub-bucket staging will split it " +
+        "into id-hash block-pair cells automatically"
     else ""
   }
+
+  /** Per-stage budget margin for sub-bucket staging — the same 0.5 the
+    * chunk-count planner ([[spillChunkCount]]) applies, so the two
+    * levels of the staging hierarchy price against one bar. */
+  private[graft] val SubSplitMargin: Double = 0.5
+
+  /** Clamp on id-hash blocks per split group: p = 64 → 2,080 sequential
+    * cells, splitting a single bucket's pair set ~4,096-fold. Beyond it
+    * the corpus is essentially one giant duplicate class and the
+    * detector's circuit-breaker remedies (line/span dedup, threshold)
+    * apply — not more staging. */
+  private[graft] val MaxSubBucketBlocks: Int = 64
+
+  /** SUB-BUCKET staging arithmetic (round 16 — the fix for the 5M
+    * DEFAULT cell): the number of id-hash blocks that bounds one staging
+    * group's heaviest block-pair cell under `budgetBytes` — the smallest
+    * p with p(p+1)/2 ≥ projected/budget, clamped to
+    * [[MaxSubBucketBlocks]]. Under a uniform id hash a group of pair
+    * mass M splits into p diagonal cells (~M/p² each) and p(p−1)/2
+    * off-diagonal cells (~2M/p² each), so p(p+1)/2 ≥ M/budget ⟺
+    * heaviest cell 2M/p² ≲ budget: the average-cell formula IS the
+    * max-cell bound. Returns 1 when the group already fits (no split).
+    * Pure, spec-pinned. */
+  private[graft] def subBucketBlocks(projectedBytes: Double,
+      budgetBytes: Double, maxBlocks: Int = MaxSubBucketBlocks): Int = {
+    if (!(budgetBytes > 0) || projectedBytes <= budgetBytes) 1
+    else {
+      val c = projectedBytes / budgetBytes
+      val p = math.ceil((math.sqrt(8.0 * c + 1.0) - 1.0) / 2.0).toInt
+      math.min(math.max(p, 2), math.max(maxBlocks, 2))
+    }
+  }
+
+  /** Projected bytes of a split group's heaviest block-pair cell — the
+    * off-diagonal bound 2M/p² (p ≤ 1 ⇒ the whole group). */
+  private[graft] def maxCellBytes(projectedBytes: Double, p: Int): Double =
+    if (p <= 1) projectedBytes else 2.0 * projectedBytes / (p.toDouble * p)
+
+  /** The per-group sub-split announcement the staged detect prints —
+    * pure, so the spec pins the numbers without an adversarial corpus. */
+  private[graft] def subSplitNote(gi: Int, projectedBytes: Double,
+      p: Int): String =
+    f"detect group ${gi + 1}: projected ~${projectedBytes / 1e9}%.1f GB " +
+      f"exceeds the per-stage budget - SUB-BUCKET staging into $p " +
+      f"id-hash blocks = ${p * (p + 1) / 2} sequential block-pair cells " +
+      f"(heaviest cell ~${maxCellBytes(projectedBytes, p) / 1e9}%.1f GB); " +
+      "every pair lands in exactly one cell, so pairs and recall are " +
+      "IDENTICAL to the single pass - only wall time trades"
+
+  /** PRICED-FATAL decision (round-15 verdict item 2): when even the
+    * heaviest block-pair cell AT THE BLOCK CLAMP projects over usable
+    * disk, executing is a guaranteed hours-long spill into ENOSPC (the
+    * 5M attempt burned ~65 predicted minutes). The default-on fail-fast
+    * at the call site throws this message instead; the remedies are the
+    * detector's own. Pure, spec-pinned. */
+  private[graft] def pricedFatalMessage(maxCell: Double, estBytes: Double,
+      usableBytes: Long): Option[String] =
+    if (estBytes > 0 && usableBytes > 0 && maxCell > usableBytes) Some(
+      f"near-dup detect: the staged plan is priced FATAL - even the " +
+        f"heaviest block-pair cell at the clamp projects " +
+        f"~${maxCell / 1e9}%.1f GB of candidate/verify spill vs " +
+        f"${usableBytes / 1e9}%.1f GB usable local shuffle storage; " +
+        "executing would spill to a full disk for hours and die with " +
+        "ENOSPC (round-15's measured 5M attempt). Remedies: line/span " +
+        "dedup rungs (scrub the shared text that built the bucket), " +
+        "raise the threshold, dedup per source group, or point " +
+        "spark.local.dir at larger storage. Set " +
+        "spark.graft.dedup.failFastOnPricedEnospc=false to run anyway.")
+    else None
 
   /** Bucket-hash slices per band in the staged detect: the sub-axis that
     * keeps staging effective under extreme per-band mass skew. 64 slices
@@ -1084,8 +1374,17 @@ object Dedup {
     * the upstream decode/scan. */
   private[graft] def bandPlan(family: String, banded: => DataFrame,
       keyCols: Seq[String], nRows: Long, payloadBytes: Double,
-      remedies: String, maxGroups: Int): Int = {
-    if (nRows < BandGuardMinRows) return 1
+      remedies: String, maxGroups: Int): Int =
+    bandPlanPriced(family, banded, keyCols, nRows, payloadBytes,
+      remedies, maxGroups)._1
+
+  /** [[bandPlan]] returning its pricing too — (k, estBytes, usableBytes)
+    * — for families that calibrate the estimate against a measured pilot
+    * group ([[pilotCalibratedChunks]]). (1, 0, 0) below the rows floor. */
+  private[graft] def bandPlanPriced(family: String, banded: => DataFrame,
+      keyCols: Seq[String], nRows: Long, payloadBytes: Double,
+      remedies: String, maxGroups: Int): (Int, Double, Long) = {
+    if (nRows < BandGuardMinRows) return (1, 0.0, 0L)
     val spark = org.apache.spark.sql.SparkSession.active
     val usable = shuffleDirUsableBytes(spark)
     val mass = bandCandidateMass(banded, keyCols)
@@ -1095,7 +1394,29 @@ object Dedup {
       bandSpillWarning(family, mass, payloadBytes, usable, remedies)
         .foreach(System.err.println)
     else System.err.println(bandStagingNote(family, est, usable, k))
-    k
+    (k, est, usable)
+  }
+
+  /** PILOT-CALIBRATED chunk count (round-15 verdict item 5): the
+    * generalized guard's payload model is deliberately pessimistic —
+    * the measured cosine A/B projected 259 GB where the single pass fit
+    * well under 83 GB, so AUTO paid ×1.74 wall for staging that corpus
+    * did not need. Once the FIRST staged group has run, its measured
+    * peak spill re-prices the rest: calibration = measured/projected for
+    * the pilot group, clamped to [0.05, 1] (never inflate, never trust a
+    * sampler miss), a ×1.5 safety factor back on top (pessimism stays
+    * the tie-break — ENOSPC costs more than wall), and the remaining
+    * mass re-chunked with [[spillChunkCount]]. `pilotShare` = the pilot
+    * group's fraction of the total estimate. Pure, spec-pinned. */
+  private[graft] def pilotCalibratedChunks(estBytes: Double,
+      usableBytes: Long, pilotShare: Double, measuredPeakBytes: Long,
+      margin: Double = 0.5, maxChunks: Int = 256): Int = {
+    val projPilot = estBytes * pilotShare
+    val calib =
+      if (projPilot <= 0) 1.0
+      else math.min(1.0, math.max(0.05, measuredPeakBytes / projPilot))
+    spillChunkCount(estBytes * (1.0 - pilotShare) * calib * 1.5,
+      usableBytes, margin, maxChunks)
   }
 
   /** Split a family's group axis (`0 until n` chunk/band indices) into
@@ -2349,10 +2670,12 @@ object Dedup {
       n: Int = 3, k: Int = 128, checkDisjointIds: Boolean = true,
       maxIter: Int = 20, existingSigHead: Option[DataFrame] = None,
       prefilterHashes: Int = 64,
-      prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin): DataFrame =
+      prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin,
+      knownCorpusRows: Option[Long] = None): DataFrame =
     removeIncrementalFrom(existingBands, existingShingles, incoming,
       textCol, idCol, threshold, n, k, checkDisjointIds, maxIter,
-      existingSigHead, prefilterHashes, prefilterMinCandidates, tok)
+      existingSigHead, prefilterHashes, prefilterMinCandidates, tok,
+      knownCorpusRows = knownCorpusRows)
 
   /** Shared incremental-removal core: one-sided band probe of `incoming`
     * against an existing corpus given as (band index, shingle index) —
@@ -2363,7 +2686,8 @@ object Dedup {
       n: Int, k: Int, checkDisjointIds: Boolean, maxIter: Int,
       exSigHead: Option[DataFrame] = None, prefilterHashes: Int = 64,
       prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin,
-      forceProbeGroups: Option[Int] = None): DataFrame = {
+      forceProbeGroups: Option[Int] = None,
+      knownCorpusRows: Option[Long] = None): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
     // Fail-FAST width check (driver-side, one column-pruned row): an
     // obviously mis-sized stored head is a configuration bug that should
@@ -2425,11 +2749,24 @@ object Dedup {
     // staged prior anti-join keeps the first).
     val spark = incoming.sparkSession
     val kSub = forceProbeGroups.getOrElse {
-      val nIn = shIn.count()
-      if (nIn + shEx.count() < BandGuardMinRows) 1
+      // Guard pricing in ONE driver action on the delta (count + mean
+      // shingle width folded into one aggregate over the materialized
+      // frame), and the corpus-side count SKIPPED whenever the delta
+      // alone clears the rows floor or the caller already knows it
+      // (`knownCorpusRows` — the stored-index path persists the count
+      // with the index; the streaming path tracks it across batches).
+      // Round-15 bench watch item: the guard's 2 extra per-batch driver
+      // actions were the one identified mechanical contributor to
+      // q_incremental_dedup's drift.
+      val delta = shIn
+        .agg(count(lit(1)), coalesce(avg(size(col("sh"))), lit(0.0))).first()
+      val nIn = delta.getLong(0)
+      val nEx =
+        if (nIn >= BandGuardMinRows) 0L
+        else knownCorpusRows.getOrElse(shEx.count())
+      if (nIn + nEx < BandGuardMinRows) 1
       else {
-        val meanSh = shIn.select(
-          coalesce(avg(size(col("sh"))), lit(0.0))).first().getDouble(0)
+        val meanSh = delta.getDouble(1)
         val usable = shuffleDirUsableBytes(spark)
         val est = bandSpillEstimateBytes(
           bandProbeMass(newBands, allBands, Seq("band", "band_key")),

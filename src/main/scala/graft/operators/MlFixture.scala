@@ -175,12 +175,10 @@ object MlFixture {
     * JL-projected space) with cosine(600, 601) ≈ 0.999; every other
     * pair of fixture embeddings is near-orthogonal (≪ the 0.9 cut). */
   def fullEmbedding(id: Long): Array[Double] = {
-    def mix(a: Long, d: Int, seed: Int): Double = {
-      var x = (a * 73856093L ^ d.toLong * 19349663L).toInt ^ seed
-      x *= 0x9e3779b1
-      x ^= x >>> 16
-      (((x & 0x7fffffff) % 2001) - 1000) / 1000.0
-    }
+    // the ONE avalanche-mix copy (ADVICE r15: ScaleProfile's cosine
+    // corpus shares the exact generator, so the two cannot drift)
+    def mix(a: Long, d: Int, seed: Int): Double =
+      graft.functions.VectorSimUtil.mixUnit(a, d, seed)
     if (id == 600L || id == 601L)
       Array.tabulate(64) { d =>
         FrozenAnn.coarse(0)._2(d).toDouble * 10.0 +

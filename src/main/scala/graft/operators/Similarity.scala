@@ -238,7 +238,7 @@ object Similarity {
     * below the guard's rows floor). */
   private[graft] def cosinePairsImpl(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, recallTarget: Double, seed: Int,
-      forceGroups: Option[Int]): DataFrame = {
+      forceGroups: Option[Int], forcePilotCalib: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val (r, b) = signBands(threshold, recallTarget)
     // Keyed repartition before the signature stage: parallelism must not
@@ -271,19 +271,19 @@ object Similarity {
     // aggregate re-runs the narrow signature projection once over the
     // checkpoint.
     val nVecs = vecs.count()
-    val k = forceGroups.getOrElse {
-      if (nVecs < Dedup.BandGuardMinRows) 1
-      else {
+    val (k, est, usable) = forceGroups match {
+      case Some(f) => (f, 0.0, 0L)
+      case None if nVecs < Dedup.BandGuardMinRows => (1, 0.0, 0L)
+      case None =>
         val dim = vecs.limit(1).collect().headOption
           .map(_.getSeq[Any](1).length).getOrElse(0)
-        Dedup.bandPlan("cosinePairs", bandedFor(0 until b),
+        Dedup.bandPlanPriced("cosinePairs", bandedFor(0 until b),
           Seq("band", "band_key"), nVecs, payloadBytes = 2.0 * dim * 8,
           remedies = "project the vectors first (randomProject - the JL " +
             "rung cuts the verify payload by in-dim/out-dim), raise the " +
             "threshold or recallTarget's band count, or assign to coarse " +
             "lists (IVF) and dedup per list",
           maxGroups = b)
-      }
     }
     // The staged unit is the verified pair; the prior-pairs anti-join
     // sits on the bare ID candidates BEFORE the two payload joins (the
@@ -308,9 +308,56 @@ object Similarity {
     }
     if (k <= 1) pairsOn(0 until b, None)
     else {
-      val groups = Dedup.stagingGroups(b, k)
-      Dedup.stagedPairUnion(df.sparkSession, groups.length,
-        Seq("id_a", "id_b"), (g, prior) => pairsOn(groups(g), prior))
+      val spark = df.sparkSession
+      val groups0 = Dedup.stagingGroups(b, k)
+      // PILOT-CALIBRATED staging (round-15 verdict item 5): the guard's
+      // payload model is deliberately pessimistic — the measured cosine
+      // A/B projected 259 GB where the single pass fit well under 83 GB
+      // and AUTO paid ×1.74 wall for staging that corpus did not need.
+      // So AUTO runs the FIRST group alone as a pilot, measures its real
+      // peak spill, and re-chunks the remaining bands with the measured
+      // bytes-per-candidate (clamped + ×1.5 safety — pessimism stays the
+      // tie-break; see Dedup.pilotCalibratedChunks). `forceGroups`
+      // bypasses (the A/B spec seam); forcePilotCalib forces the
+      // composition on fixtures below the guard floor.
+      val calibrate = forcePilotCalib || (forceGroups.isEmpty &&
+        spark.conf.get("spark.graft.bandguard.calibratePilot", "true").toBoolean)
+      if (!calibrate)
+        Dedup.stagedPairUnion(spark, groups0.length,
+          Seq("id_a", "id_b"), (g, prior) => pairsOn(groups0(g), prior))
+      else {
+        System.err.println(
+          s"[graft] INFO cosinePairs: pilot-calibrated staging - running " +
+            s"group 1/${groups0.length} (${groups0.head.length} of $b " +
+            "bands) as the measured pilot")
+        val (pilot, peak) = Dedup.withSpillSampler(spark) {
+          val p = Dedup.materialize(pairsOn(groups0.head, None))
+          p.count(); p
+        }
+        Dedup.awaitShuffleRelease(spark)
+        val restBands = groups0.tail.flatten
+        if (restBands.isEmpty) pilot
+        else {
+          val pilotShare = groups0.head.length.toDouble / b
+          val kRest = Dedup.pilotCalibratedChunks(est, usable, pilotShare, peak)
+          System.err.println(
+            f"[graft] INFO cosinePairs: pilot measured peak spill " +
+              f"~${peak / 1e9}%.2f GB vs projected ~${est * pilotShare / 1e9}%.2f GB" +
+              f" - remaining ${restBands.length} bands re-chunked into " +
+              f"$kRest group(s) (uncalibrated plan: ${groups0.length - 1})")
+          val pilotKeys = pilot.select(col("id_a"), col("id_b"))
+          val restPairs =
+            if (kRest <= 1) pairsOn(restBands, Some(pilotKeys))
+            else {
+              val restGroups = Dedup.stagingGroups(restBands.length, kRest)
+                .map(_.map(restBands))
+              Dedup.stagedPairUnion(spark, restGroups.length,
+                Seq("id_a", "id_b"), (g, prior) => pairsOn(restGroups(g),
+                  Some(prior.fold(pilotKeys)(_.unionByName(pilotKeys)))))
+            }
+          pilot.unionByName(restPairs)
+        }
+      }
     }
   }
 

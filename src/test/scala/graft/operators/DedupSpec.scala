@@ -820,20 +820,143 @@ class DedupSpec extends AnyFunSuite {
     val clamped = Dedup.spillStagingNote(d, 200e9, 10L * (1L << 30), 4)
     assert(clamped.contains("maxSpillChunks clamp"), clamped)
     // measured heaviest-group pricing (round 15: the 5M attempt's 26%
-    // single-unit group): absolute-bytes ENOSPC escalation when the
-    // heaviest group alone exceeds usable, the relative concentration
-    // warning when mass skews but the absolute bytes are unknown or
-    // fit, silence when balanced
-    val enospc = Dedup.heaviestGroupWarning(0.26, 146, 6020e9, 83L * 1000 * 1000 * 1000)
-    assert(enospc.contains("expect ENOSPC") &&
-      enospc.contains("1565.2 GB") && enospc.contains("cannot be"), enospc)
+    // single-unit group): since round 16 the over-usable branch
+    // ANNOUNCES the sub-bucket escalation (the shape is now bounded)
+    // instead of predicting a death; the relative concentration warning
+    // fires when mass skews but the absolute bytes are unknown or fit,
+    // silence when balanced
+    val escalate = Dedup.heaviestGroupWarning(0.26, 146, 6020e9, 83L * 1000 * 1000 * 1000)
+    assert(escalate.contains("SUB-BUCKET staging engages") &&
+      escalate.contains("1565.2 GB") && !escalate.contains("expect ENOSPC"),
+      escalate)
     val relative = Dedup.heaviestGroupWarning(0.26, 146, 0.0, 0L)
     assert(relative.contains("mass concentrates") &&
       !relative.contains("ENOSPC"), relative)
     val fits = Dedup.heaviestGroupWarning(0.26, 146, 200e9, 83L * 1000 * 1000 * 1000)
     assert(fits.contains("mass concentrates") &&
-      !fits.contains("expect ENOSPC"), fits) // 52 GB heaviest fits 83 GB
+      !fits.contains("ENOSPC"), fits) // 52 GB heaviest fits 83 GB
     assert(Dedup.heaviestGroupWarning(0.05, 22, 885e9, 83L * 1000 * 1000 * 1000) == "")
+  }
+
+  test("sub-bucket staging: block arithmetic, split note, priced-fatal decision") {
+    // no split when the group fits the budget, or the budget is unknown
+    assert(Dedup.subBucketBlocks(10e9, 41e9) == 1)
+    assert(Dedup.subBucketBlocks(10e9, 0.0) == 1)
+    // smallest p with p(p+1)/2 >= projected/budget
+    assert(Dedup.subBucketBlocks(2.0, 1.0) == 2)    // c=2   -> 2 (3 cells)
+    assert(Dedup.subBucketBlocks(6.0, 1.0) == 3)    // c=6   -> 3 (6 cells)
+    assert(Dedup.subBucketBlocks(6.1, 1.0) == 4)    // c=6.1 -> 4 (10 cells)
+    // the 5M measured shape: 26% of ~6,020 GB in ONE unit vs the
+    // 82.8 GB × 0.5 per-stage budget -> c = 37.8 -> p = 9 (45 cells),
+    // and the heaviest cell (2M/p²) then fits the budget
+    val proj5m = 0.26 * 6020e9
+    val budget5m = 82.8e9 * Dedup.SubSplitMargin
+    assert(Dedup.subBucketBlocks(proj5m, budget5m) == 9)
+    assert(Dedup.maxCellBytes(proj5m, 9) <= budget5m)
+    assert(Dedup.maxCellBytes(proj5m, 1) == proj5m)
+    // runaway clamp
+    assert(Dedup.subBucketBlocks(1e18, 1.0) == Dedup.MaxSubBucketBlocks)
+    // the split announcement carries the plan and the exactness claim
+    val note = Dedup.subSplitNote(0, proj5m, 9)
+    assert(note.contains("9 id-hash blocks") &&
+      note.contains("45 sequential block-pair cells") &&
+      note.contains("IDENTICAL"), note)
+    // priced-fatal only when even the clamped heaviest cell exceeds
+    // usable space; silent when it fits or usable is unknown
+    assert(Dedup.pricedFatalMessage(
+      Dedup.maxCellBytes(proj5m, 9), 6020e9, 82800000000L).isEmpty)
+    val fatal = Dedup.pricedFatalMessage(200e9, 6020e9, 82800000000L)
+    assert(fatal.isDefined && fatal.get.contains("priced FATAL") &&
+      fatal.get.contains("line/span dedup") &&
+      fatal.get.contains("failFastOnPricedEnospc"), fatal)
+    assert(Dedup.pricedFatalMessage(200e9, 6020e9, 0L).isEmpty)
+    assert(Dedup.pricedFatalMessage(200e9, 0.0, 82800000000L).isEmpty)
+  }
+
+  test("sub-bucket staging: forced block-pair cells == unsplit staged == across geometries") {
+    // The cell partition must be EXACT: for each staging group, the
+    // p(p+1)/2 block-pair cells partition its pair space (every
+    // unordered pair has ONE block pair), so the forced-split detect
+    // must produce the identical verified pair set — across both the
+    // plain and the prefiltered detect geometries.
+    val sh = Dedup.materialize(
+      Dedup.shingleSets(docs, "text", "doc_id", 3, graft.functions.Tok.Latin)
+        .select($"id", org.apache.spark.sql.functions.array_sort($"shingles").as("sh")))
+    val shH = Dedup.materialize(Dedup.hashShingles(sh))
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    for (pf <- Seq(0, 16)) {
+      val d = Dedup.DetectorDecision(4, 32, tuned = pf > 0, prefilterH = pf,
+        estCandidates = 1e4, estVerifyInput = 1e4)
+      val unsplit = pairs(
+        Dedup.detectOnShinglesChunked(sh, shH, d, 0.5, kChunks = 2))
+      val forced = pairs(
+        Dedup.detectOnShinglesChunked(sh, shH, d, 0.5, kChunks = 2,
+          forceSubBlocks = 3))
+      assert(unsplit.nonEmpty, s"fixture must collide at prefilter=$pf")
+      assert(forced == unsplit,
+        s"prefilter=$pf: only-unsplit=${unsplit -- forced}, " +
+          s"only-forced=${forced -- unsplit}")
+    }
+  }
+
+  test("staged resume manifest: committed steps are skipped, plan mismatch refuses") {
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def fn(dieAt: Int)(g: Int, prior: Option[DataFrame]): DataFrame = {
+      calls += g
+      if (g == dieAt) sys.error(s"injected crash at group $g")
+      val own = spark.range(3).toDF("base")
+        .select((c("base") + l(10L * g)).as("id_a"),
+          (c("base") + l(10L * g) + l(1L)).as("id_b"))
+      prior.fold(own)(p => own.join(p, Seq("id_a", "id_b"), "left_anti"))
+    }
+    // first run dies in group 2 — groups 0 and 1 are committed
+    val boom = intercept[RuntimeException] {
+      Dedup.stagedPairUnion(spark, 4, Seq("id_a", "id_b"), fn(2),
+        resume = Some((dir, "plan-A")))
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    assert(calls.toSeq == Seq(0, 1, 2))
+    // a resume with a DIFFERENT plan tag refuses loudly
+    val wrong = intercept[IllegalArgumentException] {
+      Dedup.stagedPairUnion(spark, 4, Seq("id_a", "id_b"), fn(-1),
+        resume = Some((dir, "plan-B")))
+    }
+    assert(wrong.getMessage.contains("DIFFERENT plan"), wrong.getMessage)
+    // the true resume recomputes ONLY groups 2 and 3
+    calls.clear()
+    val resumed = Dedup.stagedPairUnion(spark, 4, Seq("id_a", "id_b"), fn(-1),
+      resume = Some((dir, "plan-A")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(calls.toSeq == Seq(2, 3), s"resume must skip committed: $calls")
+    // and the union equals a fresh unresumed run
+    calls.clear()
+    val fresh = Dedup.stagedPairUnion(spark, 4, Seq("id_a", "id_b"), fn(-1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resumed == fresh && resumed.nonEmpty)
+    // a COMPLETED run deletes its scratch — the manifest is gone
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+  }
+
+  test("fail-fast: a priced-fatal staged plan aborts up front with the remedies named") {
+    val sh = Dedup.materialize(
+      Dedup.shingleSets(docs, "text", "doc_id", 3, graft.functions.Tok.Latin)
+        .select($"id", org.apache.spark.sql.functions.array_sort($"shingles").as("sh")))
+    val shH = Dedup.materialize(Dedup.hashShingles(sh))
+    val d = Dedup.DetectorDecision(4, 32, tuned = false, prefilterH = 0,
+      estCandidates = 1e4, estVerifyInput = 1e4)
+    // est so far over usable that even 64-block cells cannot fit: the
+    // plan is priced fatal and must throw BEFORE any step executes
+    // (spark.graft.dedup.failFastOnPricedEnospc defaults to true)
+    val e = intercept[IllegalStateException] {
+      Dedup.detectOnShinglesChunked(sh, shH, d, 0.5, kChunks = 2,
+        estBytes = 1e18, usableBytes = 1000L)
+    }
+    assert(e.getMessage.contains("priced FATAL") &&
+      e.getMessage.contains("line/span dedup"), e.getMessage)
   }
 
   test("band-chunk staging: chunked detect == single-pass pairs, end to end") {

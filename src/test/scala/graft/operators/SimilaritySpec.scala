@@ -137,6 +137,36 @@ class SimilaritySpec extends AnyFunSuite {
     val wideSingle = pairs(
       Similarity.cosinePairs(emb, "embedding", "vec_id", 0.99))
     assert(wide == wideSingle)
+    // PILOT-CALIBRATED composition (round 16): group 0 runs alone as the
+    // measured pilot, the rest re-chunks on the measured peak — the
+    // pilot ∪ rest union with the pilot-keys anti-join must still equal
+    // the single pass exactly
+    val calibrated = pairs(Similarity.cosinePairsImpl(
+      emb, "embedding", "vec_id", 0.45, 0.999, 42, forceGroups = Some(3),
+      forcePilotCalib = true))
+    assert(calibrated == single,
+      s"only-single=${single -- calibrated} only-calib=${calibrated -- single}")
+  }
+
+  test("pilot-calibrated chunk arithmetic: measured feedback shrinks k, pessimism clamped") {
+    import graft.operators.Dedup
+    // the measured cosine shape: 259 GB projected over 83 GB usable
+    // would stage k=7; a pilot group (1/7 of the estimate) that measures
+    // ~6 GB instead of ~37 GB re-chunks the rest toward the single pass
+    val est = 259e9; val usable = 83L * 1000 * 1000 * 1000
+    assert(Dedup.spillChunkCount(est, usable) == 7)
+    val kRest = Dedup.pilotCalibratedChunks(est, usable,
+      pilotShare = 1.0 / 7, measuredPeakBytes = 6L * 1000 * 1000 * 1000)
+    assert(kRest == 2, s"got $kRest") // 222GB×0.162×1.5 = 54GB -> 2 groups
+    // a pilot that measures AT projection keeps the uncalibrated plan
+    // (×1.5 safety makes it MORE conservative, never less)
+    assert(Dedup.pilotCalibratedChunks(est, usable,
+      1.0 / 7, 37L * 1000 * 1000 * 1000) >= 6)
+    // sampler miss (peak 0) clamps at the 0.05 floor, not zero
+    assert(Dedup.pilotCalibratedChunks(est, usable, 1.0 / 7, 0L) ==
+      Dedup.spillChunkCount(est * (6.0 / 7) * 0.05 * 1.5, usable))
+    // unknown estimate degenerates to the single pass
+    assert(Dedup.pilotCalibratedChunks(0.0, usable, 0.5, 1000L) == 1)
   }
 
   test("signBands: recall bound holds, plane budget respected, selectivity grows with threshold") {
