@@ -326,19 +326,37 @@ object Similarity {
         Dedup.stagedPairUnion(spark, groups0.length,
           Seq("id_a", "id_b"), (g, prior) => pairsOn(groups0(g), prior))
       else {
+        // DEDICATED SMALL PILOT (round 16 follow-up): measuring
+        // bytes-per-candidate needs a REPRESENTATIVE slice of the band
+        // axis, not a full est/k group — sign-LSH bands are independent
+        // identically-distributed constructions, so ~b/32 bands (≥ 2)
+        // price the payload exactly as well as 26 would, while the rest
+        // group then covers ~97% of the axis at single-pass cost. The
+        // instrumented A/B measured the group-sized pilot at 14.9 s of
+        // a 107 s run whose whole point was NOT paying staging overhead
+        // on a fitting corpus.
+        val pilotN = math.min(groups0.head.length,
+          math.max(2, math.ceil(b / 32.0).toInt))
         System.err.println(
           s"[graft] INFO cosinePairs: pilot-calibrated staging - running " +
-            s"group 1/${groups0.length} (${groups0.head.length} of $b " +
-            "bands) as the measured pilot")
+            s"a $pilotN-band pilot (of $b bands) to measure real " +
+            "bytes-per-candidate")
+        val tPilot0 = System.nanoTime()
         val (pilot, peak) = Dedup.withSpillSampler(spark) {
-          val p = Dedup.materialize(pairsOn(groups0.head, None))
+          val p = Dedup.materialize(pairsOn(0 until pilotN, None))
           p.count(); p
         }
+        val tPilot = (System.nanoTime() - tPilot0) / 1e9
+        val tRel0 = System.nanoTime()
         Dedup.awaitShuffleRelease(spark)
-        val restBands = groups0.tail.flatten
+        val tRel = (System.nanoTime() - tRel0) / 1e9
+        System.err.println(
+          f"[graft] INFO cosinePairs: pilot wall $tPilot%.1f s " +
+            f"(release wait $tRel%.1f s)")
+        val restBands = pilotN until b
         if (restBands.isEmpty) pilot
         else {
-          val pilotShare = groups0.head.length.toDouble / b
+          val pilotShare = pilotN.toDouble / b
           val kRest = Dedup.pilotCalibratedChunks(est, usable, pilotShare, peak)
           System.err.println(
             f"[graft] INFO cosinePairs: pilot measured peak spill " +
