@@ -2687,7 +2687,8 @@ object Dedup {
       exSigHead: Option[DataFrame] = None, prefilterHashes: Int = 64,
       prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin,
       forceProbeGroups: Option[Int] = None,
-      knownCorpusRows: Option[Long] = None): DataFrame = {
+      knownCorpusRows: Option[Long] = None,
+      forceProbePilotCalib: Boolean = false): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
     // Fail-FAST width check (driver-side, one column-pruned row): an
     // obviously mis-sized stored head is a configuration bug that should
@@ -2748,37 +2749,39 @@ object Dedup {
     // incoming id's sub-batch; both-incoming pairs land in both and the
     // staged prior anti-join keeps the first).
     val spark = incoming.sparkSession
-    val kSub = forceProbeGroups.getOrElse {
-      // Guard pricing in ONE driver action on the delta (count + mean
-      // shingle width folded into one aggregate over the materialized
-      // frame), and the corpus-side count SKIPPED whenever the delta
-      // alone clears the rows floor or the caller already knows it
-      // (`knownCorpusRows` — the stored-index path persists the count
-      // with the index; the streaming path tracks it across batches).
-      // Round-15 bench watch item: the guard's 2 extra per-batch driver
-      // actions were the one identified mechanical contributor to
-      // q_incremental_dedup's drift.
-      val delta = shIn
-        .agg(count(lit(1)), coalesce(avg(size(col("sh"))), lit(0.0))).first()
-      val nIn = delta.getLong(0)
-      val nEx =
-        if (nIn >= BandGuardMinRows) 0L
-        else knownCorpusRows.getOrElse(shEx.count())
-      if (nIn + nEx < BandGuardMinRows) 1
-      else {
-        val meanSh = delta.getDouble(1)
-        val usable = shuffleDirUsableBytes(spark)
-        val est = bandSpillEstimateBytes(
-          bandProbeMass(newBands, allBands, Seq("band", "band_key")),
-          payloadBytes = 2.0 * meanSh * 8.0)
-        val ks = spillChunkCount(est, usable)
-        if (ks > 1) System.err.println(bandStagingNote(
-          "incremental near-dup probe", est, usable, ks) +
-          " Further remedies: probe in smaller batches, raise the " +
-          "threshold, or strip shared boilerplate (line/span dedup) " +
-          "from the delta first.")
-        ks
-      }
+    val (kSub, probeEst, probeUsable) = forceProbeGroups match {
+      case Some(f) => (f, 0.0, 0L)
+      case None =>
+        // Guard pricing in ONE driver action on the delta (count + mean
+        // shingle width folded into one aggregate over the materialized
+        // frame), and the corpus-side count SKIPPED whenever the delta
+        // alone clears the rows floor or the caller already knows it
+        // (`knownCorpusRows` — the stored-index path persists the count
+        // with the index; the streaming path tracks it across batches).
+        // Round-15 bench watch item: the guard's 2 extra per-batch driver
+        // actions were the one identified mechanical contributor to
+        // q_incremental_dedup's drift.
+        val delta = shIn
+          .agg(count(lit(1)), coalesce(avg(size(col("sh"))), lit(0.0))).first()
+        val nIn = delta.getLong(0)
+        val nEx =
+          if (nIn >= BandGuardMinRows) 0L
+          else knownCorpusRows.getOrElse(shEx.count())
+        if (nIn + nEx < BandGuardMinRows) (1, 0.0, 0L)
+        else {
+          val meanSh = delta.getDouble(1)
+          val usable = shuffleDirUsableBytes(spark)
+          val est = bandSpillEstimateBytes(
+            bandProbeMass(newBands, allBands, Seq("band", "band_key")),
+            payloadBytes = 2.0 * meanSh * 8.0)
+          val ks = spillChunkCount(est, usable)
+          if (ks > 1) System.err.println(bandStagingNote(
+            "incremental near-dup probe", est, usable, ks) +
+            " Further remedies: probe in smaller batches, raise the " +
+            "threshold, or strip shared boilerplate (line/span dedup) " +
+            "from the delta first.")
+          (ks, est, usable)
+        }
     }
     // candidates → [self-gated prefilter] → exact verify, per sub-batch
     // (kSub = 1 ⇒ the whole delta in one pass — the historical plan).
@@ -2814,11 +2817,60 @@ object Dedup {
       }
       verifyJaccard(kept, shAllH, threshold).select(col("id_a"), col("id_b"))
     }
+    // PILOT-CALIBRATED probe split (round 16 — the cosine fix applied to
+    // the probe axis): the guard's payload model measured ~×20
+    // pessimistic here (185.6 GB projected vs 8.8 GB real peak at a
+    // 1M-doc delta — BASELINE.md "Round 16"), so AUTO runs a small
+    // id-hash slice of the delta (1/max(kSub,32)) as a measured pilot
+    // and re-chunks the REST with the real bytes-per-candidate (clamped
+    // ≥ 0.05, ×1.5 safety back on — pessimism stays the tie-break).
+    // Exactness is the sub-batch argument unchanged: pilot ∪ rest
+    // groups partition the incoming ids (pmod residues 0 vs 1..m−1),
+    // every sub-batch probes the full (incoming ∪ existing) band side,
+    // and the prior anti-join (seeded with the pilot's keys) keeps the
+    // first copy of a both-incoming pair. `forceProbeGroups` bypasses —
+    // the parity-spec seam keeps its exact historical plan.
+    val calibrateProbe = forceProbePilotCalib || (forceProbeGroups.isEmpty &&
+      spark.conf.get("spark.graft.bandguard.calibratePilot", "true").toBoolean)
+    def subBatch(m: Int, idx: Seq[Int]): DataFrame =
+      newBands.where(
+        pmod(xxhash64(col("id")), lit(m.toLong)).isin(idx.map(_.toLong): _*))
     val pairs =
       if (kSub <= 1) pairsOn(newBands, None)
-      else stagedPairUnion(spark, kSub, Seq("id_a", "id_b"), (g, prior) =>
-        pairsOn(newBands.where(
-          pmod(xxhash64(col("id")), lit(kSub.toLong)) === lit(g.toLong)), prior))
+      else if (!calibrateProbe)
+        stagedPairUnion(spark, kSub, Seq("id_a", "id_b"), (g, prior) =>
+          pairsOn(subBatch(kSub, Seq(g)), prior))
+      else {
+        val mMod = math.max(kSub, 32)
+        System.err.println(
+          s"[graft] INFO incremental near-dup probe: pilot-calibrated " +
+            s"split - probing a 1/$mMod id-hash slice of the delta to " +
+            "measure real bytes-per-candidate")
+        val (pilot, peak) = withSpillSampler(spark) {
+          val p = materialize(pairsOn(subBatch(mMod, Seq(0)), None))
+          p.count(); p
+        }
+        awaitShuffleRelease(spark)
+        val kRest = pilotCalibratedChunks(probeEst, probeUsable,
+          1.0 / mMod, peak)
+        System.err.println(
+          f"[graft] INFO incremental near-dup probe: pilot measured peak " +
+            f"spill ~${peak / 1e9}%.2f GB vs projected " +
+            f"~${probeEst / mMod / 1e9}%.2f GB - rest re-chunked into " +
+            f"$kRest sub-batch(es) (uncalibrated plan: $kSub)")
+        val pilotKeys = pilot.select(col("id_a"), col("id_b"))
+        val restIdx = 1 until mMod
+        val restPairs =
+          if (kRest <= 1) pairsOn(subBatch(mMod, restIdx), Some(pilotKeys))
+          else {
+            val restGroups = stagingGroups(restIdx.length, kRest)
+              .map(_.map(restIdx))
+            stagedPairUnion(spark, restGroups.length, Seq("id_a", "id_b"),
+              (g, prior) => pairsOn(subBatch(mMod, restGroups(g)),
+                Some(prior.fold(pilotKeys)(_.unionByName(pilotKeys)))))
+          }
+        pilot.unionByName(restPairs)
+      }
     val labels = resolveClusters(pairs, maxIter)
     // clusters touching the existing corpus drop ALL their incoming
     // members; purely-incoming clusters keep the min-id survivor

@@ -1118,17 +1118,26 @@ class DedupSpec extends AnyFunSuite {
     val exSh = Dedup.materialize(
       Dedup.shingleIndex(existing, "text", "doc_id"))
     val exBands = Dedup.minHashBandIndex(exSh, threshold = 0.5)
-    def run(force: Option[Int]) = Dedup.removeIncrementalFrom(
-      exBands, exSh, incoming, "text", "doc_id", threshold = 0.5,
-      n = 3, k = 128, checkDisjointIds = false, maxIter = 20,
-      forceProbeGroups = force)
-      .select("doc_id").as[Long].collect().toSet
+    def run(force: Option[Int], calib: Boolean = false) =
+      Dedup.removeIncrementalFrom(
+        exBands, exSh, incoming, "text", "doc_id", threshold = 0.5,
+        n = 3, k = 128, checkDisjointIds = false, maxIter = 20,
+        forceProbeGroups = force, forceProbePilotCalib = calib)
+        .select("doc_id").as[Long].collect().toSet
     val single = run(None)
     val staged = run(Some(3))
     assert(single.nonEmpty)
     assert(staged == single,
       s"staged probe diverges: only-single=${single -- staged}, " +
         s"only-staged=${staged -- single}")
+    // PILOT-CALIBRATED composition (round 16): a 1/32 id-hash slice runs
+    // as the measured pilot, the rest re-chunks on measured feedback —
+    // pilot ∪ rest with the pilot-keys anti-join must still equal the
+    // single pass (kSub forced > 1 so the calibrated branch executes)
+    val calibrated = run(Some(3), calib = true)
+    assert(calibrated == single,
+      s"calibrated probe diverges: only-single=${single -- calibrated}, " +
+        s"only-calibrated=${calibrated -- single}")
   }
 
   implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
