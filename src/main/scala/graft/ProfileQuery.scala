@@ -36,8 +36,9 @@ object ProfileQuery {
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        // last stage's name carries the action's call site (e.g.
+        // "count at Dedup.scala:2414") — the attribution we want
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
         val nt = js.stageInfos.map(_.numTasks).sum
         jobs.put(js.jobId, JobRec(js.jobId, System.nanoTime(), site = site, nTasks = nt))
         order.add(js.jobId)

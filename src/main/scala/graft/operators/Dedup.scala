@@ -102,6 +102,39 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Read a single long metric off a FIRED observation — bounded await +
+    * caller fallback, NOT an unbounded `Observation.get`: the metrics
+    * arrive on the async listener bus (normally already complete when the
+    * materializing action has returned), and AQE may replace an empty
+    * subtree with an empty relation and elide the CollectMetrics node
+    * entirely (the CorpusPipeline.observedCounts contract documents the
+    * same edge) — the fallback recomputes rather than hanging or guessing.
+    * Shared by every "fold a count into the checkpoint pass" site so the
+    * await/elision policy can't drift per caller. */
+  private def observedLong(o: org.apache.spark.sql.Observation,
+      field: String)(fallback: => Long): Long =
+    scala.util.Try(scala.concurrent.Await.result(
+        o.future, scala.concurrent.duration.Duration(10, "s"))).toOption
+      .flatMap { row =>
+        if (row.schema == null) None
+        else row.schema.fieldNames.indexOf(field) match {
+          case -1 => None
+          case ix => Some(row.getLong(ix))
+        }
+      }
+      .getOrElse(fallback)
+
+  /** [[materialize]] + row count in ONE driver action: the count rides
+    * the checkpoint pass as an observation instead of a separate count
+    * job (a full extra pass over the checkpointed frame at any scale).
+    * Used by every detect path that materializes a frame and immediately
+    * needs its cardinality (AUTO/tuned banding, guard pricing). */
+  private[graft] def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+    val o = org.apache.spark.sql.Observation()
+    val m = materialize(df.observe(o, count(lit(1)).as("n_rows")))
+    (m, observedLong(o, "n_rows")(m.count()))
+  }
+
   /** EXACT n-gram Jaccard pairs above a threshold, via prefix-filtering
     * set-similarity join (Vernica/Carey/Li, "Efficient Parallel
     * Set-Similarity Joins Using MapReduce", SIGMOD 2010 — public
@@ -499,11 +532,10 @@ object Dedup {
       prefilterHashes: Int = 64,
       prefilterMinCandidates: Double = 4e6, tok: Tok = Tok.Latin,
       spillSafetyMargin: Double = 0.5, maxSpillChunks: Int = 256): DataFrame = {
-    val sh = materialize(shingleSets(df, textCol, idCol, n, tok)
+    val (sh, nDocs) = materializeCounted(shingleSets(df, textCol, idCol, n, tok)
       .select(col("id"), array_sort(col("shingles")).as("sh")))
     val shH = materialize(hashShingles(sh))
     val est = sampleBackgroundJaccard(shH, sampleDocs)
-    val nDocs = sh.count()
     val (rr, b) = minHashBandsTunedFor(threshold, nDocs, est, recallTarget, maxK)
     // The signature prefilter engages only when the SAME candidate-volume
     // estimate the tuner prices (expectedCandidates) says the verify has
@@ -1494,11 +1526,10 @@ object Dedup {
       prefilterMinCandidates: Double = 4e6,
       maxVerifyCandidates: Double = 4e9, tok: Tok = Tok.Latin,
       spillSafetyMargin: Double = 0.5, maxSpillChunks: Int = 256): DataFrame = {
-    val sh = materialize(shingleSets(df, textCol, idCol, n, tok)
+    val (sh, nDocs) = materializeCounted(shingleSets(df, textCol, idCol, n, tok)
       .select(col("id"), array_sort(col("shingles")).as("sh")))
     val shH = materialize(hashShingles(sh))
     val est = sampleBackgroundJaccard(shH, sampleDocs)
-    val nDocs = sh.count()
     val d = selectDetector(threshold, nDocs, est, recallTarget, maxK,
       prefilterHashes, escalateMinCandidates, prefilterMinCandidates,
       maxVerifyCandidates)
@@ -2389,30 +2420,58 @@ object Dedup {
     * and dies with an executor, fine on local[n], fatal on a 1000-node
     * job — with `localCheckpoint` as the no-dir fallback. */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // materialize the pair detection ONCE — the union's two branches (and
-    // every CC round) would otherwise re-run the whole upstream pipeline
-    val p = materialize(pairs)
-    val edges = materialize(
-      p.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = materialize(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
-    var converged = false
-    var i = 0
+    // ONE materialization for the symmetric edge list, derived from the
+    // pair detection with a single explode. The former shape checkpointed
+    // the pairs AND a self-union of that checkpoint — two full
+    // write+read passes over the pair set, the second existing only
+    // because a plain `union` of two projections would otherwise execute
+    // the whole upstream detect twice inside one job. The explode keeps
+    // the detect single-execution with half the materialized passes
+    // (measured round 16: two ~0.1–0.6 s checkpoint jobs collapse to one
+    // on every CC caller; at corpus scale it removes a full pair-set
+    // write+read per dedup).
+    val edges = materialize(pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst")))
+    // Iteration 1 in closed form: labels₀(v) = v, so the first round's
+    // neighbor-min join over labels₀ reduces to ONE aggregate on the edge
+    // list — label₁(v) = min(v, min of v's neighbors). Identical to the
+    // former shape's first loop pass (join against identity labels), at
+    // one groupBy instead of distinct-checkpoint + join + groupBy + join.
+    val o1 = org.apache.spark.sql.Observation()
+    var labels = materialize(edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("_nmin"))
+      .select(col("dst").as("id"),
+        least(col("dst"), col("_nmin")).as("label"))
+      .observe(o1, count(lit(1)).as("n_nodes")))
+    // Round 1 changes NO label only when the edge list is empty (in any
+    // nonempty symmetric edge list the larger endpoint of some edge
+    // decreases), so "converged at round 1" ≡ zero nodes — read for free
+    // off the materialize above, preserving the former shape's behavior
+    // of converging on an empty pair set without spending a loop round.
+    var converged =
+      observedLong(o1, "n_nodes")(if (labels.isEmpty) 0L else 1L) == 0L
+    var i = 1 // labels above ARE round 1; the loop runs rounds 2..maxIter
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("label")).as("nlabel"))
-      // labels only ever decrease, so "changed" ≡ neighbor min < own label
+      // labels only ever decrease, so "changed" ≡ neighbor min < own label.
+      // The changed-count rides the checkpoint pass as an OBSERVATION
+      // instead of a second aggregate action over the materialized frame
+      // — one driver action per CC round, not two (the aggregate was a
+      // full extra pass over the labels at any scale).
+      val o = org.apache.spark.sql.Observation()
       val updated = materialize(labels
         .join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label"))
-            .cast("long").as("_changed")))
-      val changed =
-        updated.agg(coalesce(sum(col("_changed")), lit(0L))).first().getLong(0)
+            .cast("long").as("_changed"))
+        .observe(o, coalesce(sum(col("_changed")), lit(0L)).as("n_changed")))
       labels = updated.drop("_changed")
+      val changed = observedLong(o, "n_changed")(updated
+        .agg(coalesce(sum(col("_changed")), lit(0L))).first().getLong(0))
       converged = changed == 0
       i += 1
     }
