@@ -2212,26 +2212,33 @@ object SparkEntry {
     val chunkStats = p.chunks.agg(
       count(lit(1)).as("n_chunks"),
       sum(col("n_chunk_tokens")).cast("long").as("chunk_token_sum"))
-    def litsOf(df: DataFrame): Seq[Column] = {
-      val row = df.head()
-      df.schema.fields.zipWithIndex.map { case (f, i) =>
-        (if (row.isNullAt(i)) lit(null) else lit(row.get(i)))
-          .cast(f.dataType).as(f.name)
-      }
-    }
-    val docCols = litsOf(docStats)   // action #1: fires every stage obs
-    val chunkCols = litsOf(chunkStats) // action #2 (chunk re-derivation)
-    // action #3 (only when packing is on): example-level rollup totals
-    val packedCols = p.packed.toSeq.flatMap { pk =>
+    val packedStats = p.packed.map { pk =>
       val aggs = Seq(
         count(lit(1)).as("n_examples"),
         coalesce(sum(col("n_chunks")), lit(0L)).cast("long").as("packed_chunk_sum"),
         coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("packed_token_sum")) ++
         extraPackedStats
-      litsOf(pk.agg(aggs.head, aggs.tail: _*))
+      pk.agg(aggs.head, aggs.tail: _*)
+    }
+    // ONE action for the whole stats row (was 2–3 sequential head()s):
+    // the doc/chunk/packed single-row aggregates are independent
+    // subtrees over the materialized documents checkpoint, so
+    // cross-joining them into one plan both drops the per-action
+    // driver/scheduling overhead and lets their stages overlap inside
+    // the single job (guide §2.6 — the tail of one aggregate back-fills
+    // the other's cores) instead of running strictly back-to-back. The
+    // column names are disjoint by construction (they were the columns
+    // of the historical one-row output), and the doc → chunk → packed
+    // order is preserved, so the emitted row is byte-identical.
+    val combined = packedStats
+      .foldLeft(docStats.crossJoin(chunkStats))(_ crossJoin _)
+    val row = combined.head() // fires every remaining stage observation
+    val litCols = combined.schema.fields.zipWithIndex.map { case (f, i) =>
+      (if (row.isNullAt(i)) lit(null) else lit(row.get(i)))
+        .cast(f.dataType).as(f.name)
     }
     val stageCols = p.observedCounts.map { case (n, c) => lit(c).as(s"n_$n") }
-    s.range(1).select(stageCols ++ docCols ++ chunkCols ++ packedCols: _*)
+    s.range(1).select(stageCols ++ litCols: _*)
   }
 
   /** Deterministic URL-variant fixture shared by q_url_dedup and

@@ -352,6 +352,32 @@ object CorpusPipeline {
     }
   }
 
+  /** Scale-ADAPTIVE parallelism for the CPU-heavy gate scan (guide §2.5
+    * "input skew" / the [[Dedup.shingleSets]] discipline one stage up):
+    * the strip/C4/Gopher/lang gate chain is regex-heavy per byte and runs
+    * INSIDE the scan stage, so its parallelism is whatever the file
+    * layout gave the scan — a corpus (or daily delta) smaller than
+    * cores × maxPartitionBytes arrives as a handful of splits and the
+    * whole gate runs on them while the rest of the box idles (measured
+    * round 16: 2.3–2.7 s single-task gate job of a 9.6 s pipeline query
+    * at sf0.1). The guard is data-derived, not a local-mode constant:
+    * spread by id-hash only when the OPTIMIZER'S OWN size estimate says
+    * the scan cannot fill the session's parallelism — at which point the
+    * extra exchange is bounded by cores × maxPartitionBytes bytes. A
+    * 100 TB corpus fails the condition and keeps today's plan (its scan
+    * is already thousands of splits; a full-corpus shuffle there would
+    * be pure waste). Row-identical: every downstream rung is
+    * partitioning-agnostic (hash aggregates, key joins, per-row
+    * projections; the split/redaction are pure functions of id/text). */
+  private def cpuSpread(df: DataFrame, idCol: String): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(target.toLong) * conf.filesMaxPartitionBytes)
+      df.repartition(target, col(idCol))
+    else df
+  }
+
   def prepare(corpus: DataFrame, benchmark: Option[DataFrame] = None,
       cfg: Config = Config()): Prepared = {
     GraftFunctions.register(corpus.sparkSession)
@@ -401,7 +427,15 @@ object CorpusPipeline {
     def stripped(df: DataFrame): DataFrame = df.withColumn(
       cfg.textCol,
       TextAnalysis.collapseLineWhitespace(TextAnalysis.stripHtml(text)))
-    val source = if (!cfg.stripHtml) urlDeduped else stripped(urlDeduped)
+    // The same heavy-chain switch that later decides to materialize the
+    // gate decides whether the gate's INPUT needs operator-owned
+    // parallelism (see [[cpuSpread]]): with any expensive stage on, the
+    // strip/C4/rule scan must not run at whatever split count the file
+    // layout happened to give. Plain configs keep the lazy narrow scan.
+    val heavyChain = cfg.urlCol.isDefined || cfg.stripHtml || cfg.c4Rules ||
+      cfg.gopherRules || cfg.modelGate.isDefined || cfg.perplexityGate.isDefined
+    val gateIn = if (heavyChain) cpuSpread(urlDeduped, cfg.idCol) else urlDeduped
+    val source = if (!cfg.stripHtml) gateIn else stripped(gateIn)
     val benchClean =
       if (!cfg.stripHtml) benchmark else benchmark.map(stripped)
 
@@ -478,11 +512,7 @@ object CorpusPipeline {
     // multi-consumer rationale is what remains. The plain-config gate
     // stays a lazy narrow scan, exactly as before.
     val filtered = observed("quality",
-      if (cfg.urlCol.isDefined || cfg.stripHtml || cfg.c4Rules ||
-          cfg.gopherRules || cfg.modelGate.isDefined ||
-          cfg.perplexityGate.isDefined)
-        Dedup.materialize(gate)
-      else gate)
+      if (heavyChain) Dedup.materialize(gate) else gate)
 
     // 1b. optional per-domain cap — right after the gate, BEFORE the
     //    dedup rungs: ranks read only (group, token count, id), and a
