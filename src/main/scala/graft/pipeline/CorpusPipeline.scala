@@ -401,7 +401,18 @@ object CorpusPipeline {
       stageObs += name -> o
       df.observe(o, count(lit(1)).as("n_kept"))
     }
-    val corpusO = observed("input", corpus)
+    // The adaptive spread sits BELOW the input observation: the input
+    // count is partitioning-blind (same rows), and the CollectMetrics
+    // node is the established pushdown barrier — placed above a bare
+    // repartition, PushDownPredicates would substitute the gate filter
+    // (strip chain inlined) straight back through the exchange into the
+    // scan stage, recreating the single-task gate the spread exists to
+    // fix (measured round 16: a 1.36 s one-task map stage with the
+    // spread above the observation; ~0.1 s 32-way below it).
+    val heavyChain = cfg.urlCol.isDefined || cfg.stripHtml || cfg.c4Rules ||
+      cfg.gopherRules || cfg.modelGate.isDefined || cfg.perplexityGate.isDefined
+    val corpusO = observed("input",
+      if (heavyChain) cpuSpread(corpus, cfg.idCol) else corpus)
 
     // 0a. optional URL-level dedup — the FIRST rung when `urlCol` is set
     //    (crawl corpora carry one): one document per canonical URL is a
@@ -427,15 +438,7 @@ object CorpusPipeline {
     def stripped(df: DataFrame): DataFrame = df.withColumn(
       cfg.textCol,
       TextAnalysis.collapseLineWhitespace(TextAnalysis.stripHtml(text)))
-    // The same heavy-chain switch that later decides to materialize the
-    // gate decides whether the gate's INPUT needs operator-owned
-    // parallelism (see [[cpuSpread]]): with any expensive stage on, the
-    // strip/C4/rule scan must not run at whatever split count the file
-    // layout happened to give. Plain configs keep the lazy narrow scan.
-    val heavyChain = cfg.urlCol.isDefined || cfg.stripHtml || cfg.c4Rules ||
-      cfg.gopherRules || cfg.modelGate.isDefined || cfg.perplexityGate.isDefined
-    val gateIn = if (heavyChain) cpuSpread(urlDeduped, cfg.idCol) else urlDeduped
-    val source = if (!cfg.stripHtml) gateIn else stripped(gateIn)
+    val source = if (!cfg.stripHtml) urlDeduped else stripped(urlDeduped)
     val benchClean =
       if (!cfg.stripHtml) benchmark else benchmark.map(stripped)
 
