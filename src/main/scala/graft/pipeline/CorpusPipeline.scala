@@ -409,10 +409,14 @@ object CorpusPipeline {
     // scan stage, recreating the single-task gate the spread exists to
     // fix (measured round 16: a 1.36 s one-task map stage with the
     // spread above the observation; ~0.1 s 32-way below it).
+    // Applied to EVERY config (the plain gate's token/alpha/lang-vote
+    // signals are the same per-byte text machinery — measured round 16:
+    // the dsir variant's plain gate ran ~1.3 s single-task), but only
+    // ever in the small-scan regime the size gate detects, so the plain
+    // config's lazy-narrow-scan contract at scale is untouched.
     val heavyChain = cfg.urlCol.isDefined || cfg.stripHtml || cfg.c4Rules ||
       cfg.gopherRules || cfg.modelGate.isDefined || cfg.perplexityGate.isDefined
-    val corpusO = observed("input",
-      if (heavyChain) cpuSpread(corpus, cfg.idCol) else corpus)
+    val corpusO = observed("input", cpuSpread(corpus, cfg.idCol))
 
     // 0a. optional URL-level dedup — the FIRST rung when `urlCol` is set
     //    (crawl corpora carry one): one document per canonical URL is a
@@ -753,9 +757,16 @@ object CorpusPipeline {
     // limit-1 take through the stage's CollectMetrics node would
     // complete the observation with a partial count (the promise keeps
     // the FIRST action's metrics), silently corrupting the stage report.
+    // The top-k selection ends in a single partition (orderBy + limit ⇒
+    // TakeOrdered merge), which would serialize EVERY downstream stage —
+    // redaction, chunking, packing, the stats aggregates — onto one task
+    // (measured round 16: ~1.5 s of one-task jobs in the dsir variant's
+    // tail). The k-row result is small by construction, so the id-hash
+    // spread before the checkpoint is bounded and the checkpointed
+    // blocks land already parallel.
     val dsirBare = cfg.dsirSelect.map { dc =>
-      Dedup.materialize(Dsir.resampleRows(mediaClean, cfg.textCol,
-        cfg.idCol, dc.model, dc.k, dc.salt, cfg.tokenizer))
+      Dedup.materialize(cpuSpread(Dsir.resampleRows(mediaClean, cfg.textCol,
+        cfg.idCol, dc.model, dc.k, dc.salt, cfg.tokenizer), cfg.idCol))
     }
     val selected = dsirBare.map(b => observed("dsir_selected", b))
       .getOrElse(mediaClean)
