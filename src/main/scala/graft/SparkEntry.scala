@@ -802,8 +802,12 @@ object SparkEntry {
       val pairs = graft.operators.Dedup.semanticDupPairs(
         aug, "embedding", "vec_id", cents, threshold = 0.9)
       val labels = graft.operators.Dedup.resolveClusters(pairs)
-      val kept = graft.operators.Dedup.removeSemanticDuplicates(
-        aug, "embedding", "vec_id", cents, threshold = 0.9)
+      // Survivors via the SAME labels (the removal tail factored out of
+      // removeSemanticDuplicates): the composed form would re-run the
+      // pair detect + CC a second time inside this one query — identical
+      // output, half the detect cost (round-16 optimization).
+      val kept = graft.operators.Dedup.removeSemanticByLabels(
+        aug, "embedding", "vec_id", cents, labels)
       aug.agg(count(lit(1)).as("n_vecs"))
         .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
         .crossJoin(labels.agg(countDistinct(col("label")).as("n_groups")))

@@ -1945,7 +1945,13 @@ object Dedup {
     // counts/aggregates never re-decode anything.
     val spark = incoming.sparkSession
     val kSub = forceProbeGroups.getOrElse {
-      if (inH.count() + exH.count() < BandGuardMinRows) 1
+      // Delta-first floor check (the text probe's round-15 discipline): a
+      // delta that alone clears the rows floor prices the guard without
+      // ever counting the index side — the common big-batch case pays one
+      // count, not two (the index count is a metadata-only parquet job,
+      // but at a million-file index even listing isn't free).
+      val nIn = inH.count()
+      if (nIn < BandGuardMinRows && nIn + exH.count() < BandGuardMinRows) 1
       else {
         val keys =
           if (kind == "video" && alignFrames) Seq("fpos", "chunk", "chunk_key")
@@ -3443,12 +3449,25 @@ object Dedup {
           assignKeep, maxIter, maxClusterSize, None))
         .drop("_jl_vec")
     case None =>
+      removeSemanticByLabels(df, vecCol, idCol, centroids,
+        resolveClusters(
+          semanticDupPairs(df, vecCol, idCol, centroids, threshold, assignKeep,
+            maxClusterSize),
+          maxIter))
+  }
+
+  /** [[removeSemanticDuplicates]]'s resolution tail over ALREADY-RESOLVED
+    * cluster labels: keep-the-outlier rank (lowest primary-centroid
+    * cosine, ties by id) per group, anti-join the losers. Factored out so
+    * a caller that has the labels in hand (e.g. a diagnostic query that
+    * reports pair/group counts AND survivors) applies the rule without
+    * re-running the pair detect + CC a second time — the exact code path
+    * the composed form runs, so survivors are identical by construction. */
+  private[graft] def removeSemanticByLabels(df: DataFrame, vecCol: String,
+      idCol: String, centroids: Array[(Int, Array[Float])],
+      labels: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val labels = resolveClusters(
-      semanticDupPairs(df, vecCol, idCol, centroids, threshold, assignKeep,
-        maxClusterSize),
-      maxIter)
     val centDf = centroids.toSeq.toDF("list", "cent")
     val scored = Similarity.assignListsAuto(
         df, vecCol, idCol, centroids, "id", "vec", keep = 1)
