@@ -2661,9 +2661,15 @@ object Dedup {
       n: Int = 3, k: Int = 128, checkDisjointIds: Boolean = true,
       maxIter: Int = 20, tok: Tok = Tok.Latin): DataFrame = {
     val (rr, b) = minHashBands(threshold, k)
-    val shEx = materialize(shingleIndex(existing, textCol, idCol, n, tok))
+    // The corpus count rides the shingle checkpoint (materializeCounted)
+    // and is handed to the probe's guard as knownCorpusRows — the
+    // recompute path then never pays a separate corpus-side count job,
+    // matching the stored-index path's persisted-count discipline.
+    val (shEx, nEx) = materializeCounted(
+      shingleIndex(existing, textCol, idCol, n, tok))
     removeIncrementalFrom(minHashBandRows(shEx, k, rr, b), shEx, incoming,
-      textCol, idCol, threshold, n, k, checkDisjointIds, maxIter, tok = tok)
+      textCol, idCol, threshold, n, k, checkDisjointIds, maxIter, tok = tok,
+      knownCorpusRows = Some(nEx))
   }
 
   /** (id, sh) shingle-index projection — the per-corpus-version artifact a
@@ -2774,7 +2780,14 @@ object Dedup {
               "or pass its actual width")
         }
     }
-    val shIn = materialize(shingleIndex(incoming, textCol, idCol, n, tok))
+    // The guard's delta metrics (row count + mean shingle width) ride the
+    // shingle checkpoint as an observation — the pricing pass below then
+    // costs ZERO extra driver actions on the delta (round 16; the
+    // round-15 fix had already folded them into one action).
+    val oIn = org.apache.spark.sql.Observation()
+    val shIn = materialize(shingleIndex(incoming, textCol, idCol, n, tok)
+      .observe(oIn, count(lit(1)).as("n_rows"),
+        coalesce(avg(size(col("sh"))), lit(0.0)).as("mean_sh")))
     // Default-on eager validation (one id-only semi-join job); callers
     // that guarantee disjoint id spaces by construction (a sequence-
     // assigned ingest id, a date-prefixed batch id) pass false to skip it
@@ -2817,24 +2830,32 @@ object Dedup {
     val (kSub, probeEst, probeUsable) = forceProbeGroups match {
       case Some(f) => (f, 0.0, 0L)
       case None =>
-        // Guard pricing in ONE driver action on the delta (count + mean
-        // shingle width folded into one aggregate over the materialized
-        // frame), and the corpus-side count SKIPPED whenever the delta
-        // alone clears the rows floor or the caller already knows it
-        // (`knownCorpusRows` — the stored-index path persists the count
-        // with the index; the streaming path tracks it across batches).
-        // Round-15 bench watch item: the guard's 2 extra per-batch driver
-        // actions were the one identified mechanical contributor to
-        // q_incremental_dedup's drift.
-        val delta = shIn
+        // Guard pricing with ZERO extra driver actions on the delta (the
+        // count + mean-shingle-width aggregate rides the shIn checkpoint
+        // as the observation attached above; bounded await + one-action
+        // recompute fallback for AQE elision), and the corpus-side count
+        // SKIPPED whenever the delta alone clears the rows floor or the
+        // caller already knows it (`knownCorpusRows` — the stored-index
+        // path persists the count with the index; the streaming path
+        // tracks it across batches). Round-15 bench watch item: the
+        // guard's extra per-batch driver actions were the one identified
+        // mechanical contributor to q_incremental_dedup's drift.
+        lazy val deltaRecompute = shIn
           .agg(count(lit(1)), coalesce(avg(size(col("sh"))), lit(0.0))).first()
-        val nIn = delta.getLong(0)
+        val deltaRow = scala.util.Try(scala.concurrent.Await.result(
+            oIn.future, scala.concurrent.duration.Duration(10, "s"))).toOption
+          .filter(r => r.schema != null &&
+            r.schema.fieldNames.contains("n_rows") &&
+            r.schema.fieldNames.contains("mean_sh"))
+        val nIn = deltaRow.fold(deltaRecompute.getLong(0))(
+          r => r.getLong(r.fieldIndex("n_rows")))
         val nEx =
           if (nIn >= BandGuardMinRows) 0L
           else knownCorpusRows.getOrElse(shEx.count())
         if (nIn + nEx < BandGuardMinRows) (1, 0.0, 0L)
         else {
-          val meanSh = delta.getDouble(1)
+          val meanSh = deltaRow.fold(deltaRecompute.getDouble(1))(
+            r => r.getDouble(r.fieldIndex("mean_sh")))
           val usable = shuffleDirUsableBytes(spark)
           val est = bandSpillEstimateBytes(
             bandProbeMass(newBands, allBands, Seq("band", "band_key")),
